@@ -1,0 +1,74 @@
+"""polars_incremental_spark — a PySpark-native incremental analytics engine.
+
+A from-scratch rebuild of the capabilities of HamiltonCulik/polars-incremental
+(Spark-style incremental micro-batch processing over files/Delta with
+checkpoints, CDC merge, schema evolution, job state, maintenance) expressed
+idiomatically on the Spark DataFrame / SQL / Structured Streaming stack,
+plus large-scale training-data-pipeline operators (dedup, similarity search,
+text analysis, multimodal plumbing) designed for 100 TB-class inputs.
+"""
+
+from .catalog import DatasetSpec, LocalCatalog
+from .cdc import apply_cdc, dedupe_changes, normalize_change_types, strip_cdc_columns
+from .errors import (
+    ChangeDataFeedError,
+    CommitError,
+    MissingOptionError,
+    PipelineLockError,
+    PlanningError,
+    ReaderError,
+    SchemaEvolutionError,
+    SparkIncrementalError,
+    TransformError,
+    UnsupportedFormatError,
+    WriterError,
+)
+from .observability import BaseObserver, LoggingObserver, PipelineObserver
+from .pipeline import Pipeline, RunResult, call_with_context
+from .schema import SchemaEvolution, apply_schema, widen_types
+from .session import get_spark
+from .sinks.delta import apply_cdc_table, read_table, write_table
+from .sinks.parquet import write_parquet_batch
+from .sources.base import AutoSource, DeltaSource, FilesSource, infer_source_format
+from .state import JobState
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "AutoSource",
+    "BaseObserver",
+    "ChangeDataFeedError",
+    "CommitError",
+    "DatasetSpec",
+    "DeltaSource",
+    "FilesSource",
+    "JobState",
+    "LocalCatalog",
+    "LoggingObserver",
+    "MissingOptionError",
+    "Pipeline",
+    "PipelineLockError",
+    "PipelineObserver",
+    "PlanningError",
+    "ReaderError",
+    "RunResult",
+    "SchemaEvolution",
+    "SchemaEvolutionError",
+    "SparkIncrementalError",
+    "TransformError",
+    "UnsupportedFormatError",
+    "WriterError",
+    "apply_cdc",
+    "apply_cdc_table",
+    "apply_schema",
+    "call_with_context",
+    "dedupe_changes",
+    "get_spark",
+    "infer_source_format",
+    "normalize_change_types",
+    "read_table",
+    "strip_cdc_columns",
+    "widen_types",
+    "write_parquet_batch",
+    "write_table",
+]

@@ -1,0 +1,193 @@
+"""Delta (or parquet-fallback) table sinks + CDC table apply.
+
+Parity: ``write_delta`` / ``apply_cdc_delta``
+(reference: src/polars_incremental/sinks/delta.py:10-158).  When delta-spark
+is on the classpath, ``apply_cdc_table`` uses a real ``DeltaTable.merge`` —
+a strict upgrade over the reference's read-all/overwrite merge (its docs
+call that path "best for small/medium tables"; MERGE scales because only
+touched files rewrite).  Without delta-spark (this container), the same API
+runs against parquet directories with an atomic-overwrite merge so the CDC
+semantics stay testable.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..cdc import (
+    CHANGE_TYPE_COL,
+    apply_cdc,
+    dedupe_changes,
+    normalize_change_types,
+    prepare_changes,
+    strip_cdc_columns,
+)
+from ..sources.delta import delta_available
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "append",
+    merge_schema: bool = False,
+    file_format: str | None = None,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Write a DataFrame to a Delta table when available, else parquet."""
+    fmt = file_format or ("delta" if delta_available() else "parquet")
+    writer = df.write.format(fmt).mode(mode)
+    if merge_schema:
+        writer = writer.option("mergeSchema", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def read_table(spark: SparkSession, path: str, file_format: str | None = None) -> DataFrame:
+    fmt = file_format or ("delta" if os.path.isdir(os.path.join(path, "_delta_log")) else "parquet")
+    return spark.read.format(fmt).load(path)
+
+
+def _overwrite_atomic(df: DataFrame, path: str) -> None:
+    """Parquet-fallback overwrite: stage next to the target, then swap.
+
+    The read feeding ``df`` comes from ``path`` itself, so a direct
+    ``mode("overwrite")`` would truncate its own input; staging avoids that.
+    """
+    staging = path + ".staging"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    df.write.mode("overwrite").parquet(staging)
+    backup = path + ".old"
+    if os.path.exists(path):
+        shutil.move(path, backup)
+    os.replace(staging, path)
+    shutil.rmtree(backup, ignore_errors=True)
+
+
+def apply_cdc_table(
+    spark: SparkSession,
+    changes: DataFrame,
+    target_path: str,
+    *,
+    keys: list[str],
+    mode: str = "merge",
+    change_type_col: str = CHANGE_TYPE_COL,
+    change_type_map: Mapping[str, str] | None = None,
+    ignore_delete: bool = False,
+    dedupe_by_latest_commit: bool = True,
+) -> dict[str, Any]:
+    """Apply CDC changes to a stored table; returns {rows_in, rows_out, action}."""
+    rows_in = changes.count()
+    if rows_in == 0:
+        return {"rows_in": 0, "rows_out": 0, "action": "noop"}
+
+    exists = os.path.exists(target_path)
+    use_delta = delta_available() and (
+        not exists or os.path.isdir(os.path.join(target_path, "_delta_log"))
+    )
+
+    if mode == "append_only":
+        prepared = prepare_changes(
+            normalize_change_types(changes, change_type_map, change_type_col),
+            mode="append_only",
+            change_type_col=change_type_col,
+        )
+        if dedupe_by_latest_commit:
+            prepared = dedupe_changes(prepared, keys, change_type_col=change_type_col)
+        payload = strip_cdc_columns(prepared)
+        write_table(payload, target_path, mode="append" if exists else "overwrite")
+        rows_out = payload.count()
+        return {"rows_in": rows_in, "rows_out": rows_out, "action": "append"}
+
+    if mode != "merge":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    if use_delta and exists:
+        return _merge_delta(
+            spark,
+            changes,
+            target_path,
+            keys=keys,
+            change_type_col=change_type_col,
+            change_type_map=change_type_map,
+            ignore_delete=ignore_delete,
+            dedupe_by_latest_commit=dedupe_by_latest_commit,
+            rows_in=rows_in,
+        )
+
+    existing = read_table(spark, target_path) if exists else None
+    merged = apply_cdc(
+        changes,
+        existing,
+        keys=keys,
+        change_type_col=change_type_col,
+        change_type_map=change_type_map,
+        mode="merge",
+        ignore_delete=ignore_delete,
+        dedupe_by_latest_commit=dedupe_by_latest_commit,
+    )
+    if use_delta:
+        write_table(merged, target_path, mode="overwrite")
+        rows_out = read_table(spark, target_path).count()
+    elif exists:
+        _overwrite_atomic(merged, target_path)
+        rows_out = spark.read.parquet(target_path).count()
+    else:
+        merged.write.mode("overwrite").parquet(target_path)
+        rows_out = spark.read.parquet(target_path).count()
+    return {"rows_in": rows_in, "rows_out": rows_out, "action": "merge"}
+
+
+def _merge_delta(
+    spark: SparkSession,
+    changes: DataFrame,
+    target_path: str,
+    *,
+    keys: list[str],
+    change_type_col: str,
+    change_type_map: Mapping[str, str] | None,
+    ignore_delete: bool,
+    dedupe_by_latest_commit: bool,
+    rows_in: int,
+) -> dict[str, Any]:
+    """Real Delta MERGE: whenMatchedDelete / UpdateAll / InsertAll."""
+    from delta.tables import DeltaTable
+
+    prepared = prepare_changes(
+        normalize_change_types(changes, change_type_map, change_type_col),
+        mode="merge",
+        ignore_delete=ignore_delete,
+        change_type_col=change_type_col,
+    )
+    if dedupe_by_latest_commit:
+        prepared = dedupe_changes(prepared, keys, change_type_col=change_type_col)
+
+    target = DeltaTable.forPath(spark, target_path)
+    cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
+    payload_cols = [c for c in prepared.columns if c not in (change_type_col,)]
+    source = prepared.select(
+        *[F.col(c) for c in payload_cols], F.col(change_type_col).alias("__ct")
+    )
+    (
+        target.alias("t")
+        .merge(source.alias("s"), cond)
+        .whenMatchedDelete(condition="s.__ct = 'delete'")
+        .whenMatchedUpdate(
+            condition="s.__ct != 'delete'",
+            set={c: f"s.`{c}`" for c in payload_cols if not c.startswith("_commit")},
+        )
+        .whenNotMatchedInsert(
+            condition="s.__ct != 'delete'",
+            values={c: f"s.`{c}`" for c in payload_cols if not c.startswith("_commit")},
+        )
+        .execute()
+    )
+    rows_out = spark.read.format("delta").load(target_path).count()
+    return {"rows_in": rows_in, "rows_out": rows_out, "action": "merge"}

@@ -1,0 +1,48 @@
+"""Canonical loaders for the driver-generated testdata tables.
+
+``load_table`` normalizes physical-storage quirks so every query sees clean
+logical types: the ``events`` table stores ns-precision timestamps (illegal
+in vanilla Spark parquet reads) — we enable ``nanosAsLong`` per session and
+rebuild a µs ``TimestampType`` column from the raw nanos.  Conversion is a
+pure Catalyst expression (no UDF), so pushdown/pruning on the other columns
+is unaffected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    # runtime session conf; required before reading events.parquet (ns timestamps)
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table with normalized logical types."""
+    _ensure_nanos_conf(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register every testdata table as a temp view for spark.sql queries."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

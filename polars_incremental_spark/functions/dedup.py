@@ -1,0 +1,225 @@
+"""Deduplication operators for document corpora at 100 TB scale.
+
+Four tiers, cheapest-first, all shuffle-on-key distributed plans:
+
+- exact: md5-hash group-by (one shuffle on the 128-bit digest, never on the
+  raw text — at scale the digest is ~100× narrower than the document).
+- fingerprint: exact dedup after normalization (case/punct/word order).
+- n-gram Jaccard: shingle-inverted-index join — candidate pairs are only
+  docs sharing ≥1 shingle, so the quadratic blowup is bounded per posting
+  list; equivalent to one LSH band per shingle.
+- MinHash + LSH: fixed-size signatures + banding; candidate generation cost
+  is O(docs × bands) independent of document length.  Hashes are md5-derived
+  so the DuckDB oracle can reproduce signatures bit-for-bit.
+- SimHash: 64-bit near-dup signature via per-bit majority vote.
+
+No collect(), no driver loops — every step is a DataFrame op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import fingerprint, md5_long, word_shingles
+
+N_MINHASHES = 32
+N_BANDS = 8  # 4 rows per band
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: (dup_hash, n_copies, keeper_id).
+
+    keeper_id = min id per group (the deterministic survivor).
+    Only groups with >1 copy are returned.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("dup_hash"), F.col(id_col))
+        .groupBy("dup_hash")
+        .agg(F.count("*").alias("n_copies"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (min id) per distinct text; returns the surviving rows."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )
+
+
+def fingerprint_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup groups under the normalized-bag-of-words fingerprint."""
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingle_posting_list(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(shingle_hash, doc_id) inverted index over distinct word n-grams.
+
+    Shingles are hashed to 60-bit longs before the shuffle so the exchange
+    moves 8-byte keys, not strings.
+    """
+    return df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    ).select(F.col(id_col), md5_long(F.col("shingle")).alias("shingle_hash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via the inverted-index join.
+
+    jaccard(A,B) = |A∩B| / (|A|+|B|−|A∩B|) computed from shingle-set sizes;
+    only pairs sharing at least one shingle are ever materialized.
+    """
+    postings = shingle_posting_list(df, text_col, id_col, n)
+    sizes = postings.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    a = postings.alias("a")
+    b = postings.alias("b")
+    common = (
+        a.join(b, on="shingle_hash")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = N_MINHASHES,
+) -> DataFrame:
+    """(id, minhash array<long>) — k md5-derived min-hashes over word shingles.
+
+    h_i(s) = md5_long(i ‖ ':' ‖ s); deterministic and engine-portable.
+    One explode + one groupBy: shuffle volume is O(total shingles).
+    """
+    shingled = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    )
+    hash_cols = [
+        F.min(md5_long(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        shingled.groupBy(id_col)
+        .agg(*hash_cols)
+        .select(F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = N_MINHASHES,
+    num_bands: int = N_BANDS,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Candidate pairs via LSH banding, verified with exact Jaccard.
+
+    Docs colliding in ≥1 band (md5 of the band's signature slice) become
+    candidates; candidates are then verified against the true shingle-set
+    Jaccard so the output has no false positives.  At 100 TB the band join
+    is the only shuffle that touches all docs, and its key is 8 bytes.
+    """
+    rows_per_band = num_hashes // num_bands
+    sigs = minhash_signatures(
+        df, text_col=text_col, id_col=id_col, n=n, num_hashes=num_hashes
+    )
+    band_entries = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("minhash")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(F.col(id_col), F.col("bb.band"), F.col("bb.bucket"))
+
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    candidates = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(
+        df, text_col=text_col, id_col=id_col, n=n, threshold=threshold
+    )
+    return candidates.join(exact, on=["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """(id, simhash long) — per-bit majority vote over token hashes.
+
+    ``bits`` defaults to 16 (not 64) to keep the bit-unpivot expression
+    compact; near-dup candidates are rows whose signatures match exactly or
+    within small Hamming distance.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        ).alias("tok"),
+    ).withColumn("th", md5_long(F.col("tok")))
+    bit_votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("th").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return bit_votes.select(F.col(id_col), sig.cast("long").alias("simhash"))

@@ -1,0 +1,127 @@
+"""Text-analysis column functions for large-scale document pipelines.
+
+All pure Catalyst expressions (split / regexp / array functions) — no Python
+in the row path, so they run inside whole-stage codegen and scale linearly
+with executors.  Every function has an exact ANSI-SQL twin used by the
+DuckDB oracle (see __spark_entry__.oracle_sql), which is why hashing is
+md5-based (portable across engines) rather than xxhash64 (engine-specific).
+
+Greenfield Spark work (no reference counterpart): the north-star LLM-data
+operators from BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small, deterministic per-language stopword lists for the n-gram/stopword
+# language heuristic — the SQL oracle embeds the same lists
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "los", "las", "de", "que", "y", "en", "un", "una"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "que", "pour", "dans"),
+    "de": ("der", "die", "das", "und", "ein", "eine", "zu", "von", "mit", "ist"),
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def punct_count(col: Column) -> Column:
+    return F.regexp_count(col, F.lit(r"[^\w\s]"))
+
+
+def punct_ratio(col: Column) -> Column:
+    return F.round(punct_count(col) / F.greatest(F.length(col), F.lit(1)), 6)
+
+
+def avg_token_len(col: Column) -> Column:
+    non_space = F.length(F.regexp_replace(col, r"\s", ""))
+    return F.round(non_space / F.greatest(token_count(col), F.lit(1)), 6)
+
+
+def stopword_count(col: Column, lang: str = "en") -> Column:
+    words = STOPWORDS[lang]
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens(F.lower(col)), lambda t: F.array_contains(arr, t)))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    return F.round(stopword_count(col, lang) / F.greatest(token_count(col), F.lit(1)), 6)
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic quality score in [0,1]: length band + stopword presence − punct noise.
+
+    The standard cheap pre-filter for LLM training corpora (C4/Gopher-style
+    rules): reasonable length, some function words, not symbol soup.
+    """
+    n_tok = token_count(col)
+    length_ok = F.when((n_tok >= 5) & (n_tok <= 5000), F.lit(0.4)).otherwise(F.lit(0.0))
+    stop = stopword_ratio(col, "en")
+    stop_component = F.least(stop * 4, F.lit(0.3))
+    punct_penalty = F.least(punct_ratio(col) * 2, F.lit(0.3))
+    return F.round(length_ok + stop_component + F.lit(0.3) - punct_penalty, 6)
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-vote language guess over {en,es,fr,de}; 'und' when no votes.
+
+    Deterministic tie-break: highest count wins, then language code order —
+    mirrored exactly in the SQL oracle.
+    """
+    counts = {lang: stopword_count(col, lang) for lang in STOPWORDS}
+    best_lang = F.lit("und")
+    best_count = F.lit(0)
+    # iterate in reversed alpha order so earlier codes win ties at equal count
+    for lang in sorted(STOPWORDS, reverse=True):
+        cnt = counts[lang]
+        take = cnt >= F.greatest(best_count, F.lit(1))
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_count = F.when(take, cnt).otherwise(best_count)
+    return best_lang
+
+
+def normalized_words(col: Column) -> Column:
+    """Lowercase, strip non-alphanumerics, distinct sorted word list."""
+    cleaned = F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", " ")
+    toks = F.split(F.trim(cleaned), r"\s+")
+    return F.sort_array(F.array_distinct(F.filter(toks, lambda t: t != F.lit(""))))
+
+
+def fingerprint(col: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 of sorted distinct words.
+
+    Collapses documents that differ only in word order / punctuation / case —
+    the classic "fingerprint" clustering key.
+    """
+    return F.md5(F.concat_ws(" ", normalized_words(col)))
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles (the unit for Jaccard / MinHash dedup)."""
+    toks = tokens(F.lower(col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def md5_long(col: Column) -> Column:
+    """Portable 60-bit integer hash: first 15 hex chars of md5 as a long.
+
+    Same value is computable in any engine with md5 — the cross-engine
+    primitive under MinHash/SimHash oracles.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")

@@ -153,10 +153,21 @@ def apply_cdc(
             commit_timestamp_col=commit_timestamp_col,
         )
 
-    upserts = strip_cdc_columns(changes.filter(F.col(change_type_col) != "delete"))
-    all_keys = changes.select(*keys).distinct()
+    # whitelist, not "!= delete": preimages (when kept) and unmapped custom
+    # codes must not merge as upserts (reference cdc.py:166-192)
+    upsert_types = ("insert", "update_postimage", "update")
+    upserts = strip_cdc_columns(changes.filter(F.col(change_type_col).isin(*upsert_types)))
+    acting_keys = (
+        changes.filter(F.col(change_type_col).isin(*upsert_types, "delete"))
+        .select(*keys)
+        .distinct()
+    )
 
     if existing is None:
-        return upserts
-    survivors = existing.join(all_keys, on=keys, how="left_anti")
+        if dedupe_by_latest_commit:
+            # latest change per key is either a delete or an upsert — disjoint
+            return upserts
+        delete_keys = changes.filter(F.col(change_type_col) == "delete").select(*keys).distinct()
+        return upserts.join(delete_keys, on=keys, how="left_anti")
+    survivors = existing.join(acting_keys, on=keys, how="left_anti")
     return survivors.unionByName(upserts, allowMissingColumns=True)

@@ -75,6 +75,67 @@ def shingle_posting_list(
     ).select(F.col(id_col), md5_long(F.col("shingle")).alias("shingle_hash"))
 
 
+def _filter_hot_shingles(postings: DataFrame, max_doc_freq: int | None) -> DataFrame:
+    """Drop shingles appearing in more than ``max_doc_freq`` docs.
+
+    A ubiquitous shingle ("of the and") creates a quadratic posting-list
+    blowup on one shuffle key — the classic skew-killer for inverted-index
+    self-joins at corpus scale.  Capping document frequency bounds the worst
+    posting list; near-dup pairs lose only evidence that carried no signal.
+    """
+    if max_doc_freq is None:
+        return postings
+    hot = (
+        postings.groupBy("shingle_hash")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select("shingle_hash")
+    )
+    return postings.join(F.broadcast(hot), on="shingle_hash", how="left_anti")
+
+
+def _jaccard_for_pairs(
+    pairs: DataFrame, postings: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for an explicit (id_a, id_b) candidate set.
+
+    Cost is O(candidate pairs × shingles-per-doc), never the full posting
+    self-join: candidates join doc-a postings, then probe doc-b postings on
+    (id, shingle) to count the intersection.
+    """
+    sizes = postings.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    pa = postings.select(
+        F.col(id_col).alias("id_a"), F.col("shingle_hash").alias("__sh")
+    )
+    pb = postings.select(
+        F.col(id_col).alias("id_b"), F.col("shingle_hash").alias("__sh")
+    )
+    common = (
+        pairs.join(pa, "id_a")
+        .join(pb, ["id_b", "__sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(
+            sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("set_size", "size_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("set_size", "size_b"),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     *,
@@ -82,13 +143,19 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.4,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via the inverted-index join.
 
     jaccard(A,B) = |A∩B| / (|A|+|B|−|A∩B|) computed from shingle-set sizes;
     only pairs sharing at least one shingle are ever materialized.
+    ``max_doc_freq`` caps posting-list length (skew guard); when set, set
+    sizes and Jaccard are computed over the capped shingle universe so the
+    metric stays internally consistent.
     """
-    postings = shingle_posting_list(df, text_col, id_col, n)
+    postings = _filter_hot_shingles(
+        shingle_posting_list(df, text_col, id_col, n), max_doc_freq
+    )
     sizes = postings.groupBy(id_col).agg(F.count("*").alias("set_size"))
     a = postings.alias("a")
     b = postings.alias("b")
@@ -191,10 +258,10 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(
-        df, text_col=text_col, id_col=id_col, n=n, threshold=threshold
-    )
-    return candidates.join(exact, on=["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    # verify ONLY the candidate pairs — never the full posting self-join
+    # (that would recompute the exact all-pairs cost LSH exists to avoid)
+    postings = shingle_posting_list(df, text_col, id_col, n)
+    return _jaccard_for_pairs(candidates, postings, id_col, threshold)
 
 
 def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:

@@ -81,7 +81,7 @@ def extract_features(df: DataFrame) -> DataFrame:
     """
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import math
+        import numpy as np
 
         for pdf in it:
             rows = []
@@ -90,13 +90,15 @@ def extract_features(df: DataFrame) -> DataFrame:
                     rows.append((media_id, 0, 0.0, ""))
                     continue
                 data = bytes(content)
-                counts: dict[int, int] = {}
-                for byte in data:
-                    counts[byte] = counts.get(byte, 0) + 1
                 n = len(data)
-                entropy = -sum(
-                    (c / n) * math.log2(c / n) for c in counts.values()
-                ) if n else 0.0
+                if n:
+                    # vectorized histogram — a per-byte Python loop would be
+                    # the batch bottleneck at real media sizes
+                    counts = np.bincount(np.frombuffer(data, dtype=np.uint8), minlength=256)
+                    p = counts[counts > 0] / n
+                    entropy = float(-(p * np.log2(p)).sum())
+                else:
+                    entropy = 0.0
                 rows.append((media_id, n, round(entropy, 6), data[:8].hex()))
             yield pd.DataFrame(rows, columns=["media_id", "n_bytes", "byte_entropy", "head_hex"])
 

@@ -127,10 +127,11 @@ class Pipeline:
         sleep: float = 1.0,
         max_batches: int | None = None,
         sleep_when_idle: float | None = None,
-        max_idle_loops: int | None = 1,
+        max_idle_loops: int | None = None,
     ) -> RunResult:
         """Process available batches.  ``loop=False`` drains until idle once
-        (like ``trigger(availableNow)``); ``loop=True`` keeps polling."""
+        (like ``trigger(availableNow)``); ``loop=True`` keeps polling forever
+        unless ``max_idle_loops`` bounds consecutive idle polls."""
         source_impl = self._resolve_source()
         state = JobState(os.path.join(self.checkpoint_dir, "state"))
         batches = 0

@@ -155,6 +155,12 @@ def apply_schema(
     new_cols = [n for n in batch_fields if n not in target_fields]
     if new_cols and mode == "strict":
         raise SchemaEvolutionError(f"strict mode rejects new columns: {sorted(new_cols)}")
+    if mode == "strict":
+        missing = [f.name for f in target.fields if f.name not in batch_fields]
+        if missing:
+            raise SchemaEvolutionError(
+                f"strict mode rejects missing columns: {sorted(missing)}"
+            )
 
     # resolve the output schema field list (target order, then appended new cols)
     out_fields: list[T.StructField] = []
@@ -179,9 +185,13 @@ def apply_schema(
         if src_type == f.dataType:
             exprs.append(F.col(f.name))
             continue
-        if mode == "strict":
+        if mode in ("strict", "add_new_columns"):
+            # only coerce may lossy-cast; type_widen got here with a widened
+            # (lossless) target.  Silently try_cast-ing in the default mode
+            # turns unparseable values into NULLs (reference schema.py:354-357
+            # raises for every mode except coerce).
             raise SchemaEvolutionError(
-                f"strict mode rejects type change on {f.name!r}: "
+                f"{mode} mode rejects type change on {f.name!r}: "
                 f"{f.dataType.simpleString()} -> {src_type.simpleString()}"
             )
         casted = F.col(f.name).try_cast(f.dataType)

@@ -55,9 +55,10 @@ def cosine_topk(
     """Exact top-k neighbors per query: (query_id, vec_id, cosine_sim).
 
     ``queries`` must have (query_id_col, vec_col).  Deterministic ranking:
-    cosine desc, then vec_id asc on ties; self-matches are excluded when ids
-    collide.  Cosine is rounded to 6 dp AFTER ranking (rank on full
-    precision, emit stable values).
+    cosine rounded to 6 dp desc, then vec_id asc on ties; self-matches are
+    excluded when ids collide.  Ranking on the ROUNDED value keeps the order
+    reproducible across engines (full-precision ties differ in the last bit
+    between summation strategies).
     """
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")
@@ -66,7 +67,7 @@ def cosine_topk(
     scored = joined.select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(F.col("__qvec"), F.col(vec_col)).alias("__cos"),
+        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("__cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("__cos").desc(), F.col(id_col).asc())
     return (
@@ -139,7 +140,7 @@ def lsh_ann_topk(
     scored = joined.select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(F.col("__qvec"), F.col(vec_col)).alias("__cos"),
+        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("__cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("__cos").desc(), F.col(id_col).asc())
     return (

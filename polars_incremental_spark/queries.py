@@ -1,0 +1,965 @@
+"""Oracle-verified query registry: every entry is a (Spark callable, DuckDB SQL) pair.
+
+This is the correctness gate surface consumed by ``__spark_entry__.py``:
+the driver runs each Spark callable at sf=0.01 and compares row count,
+schema, and an order-insensitive value hash against the DuckDB oracle SQL
+over the same parquet tables.
+
+Cross-engine determinism rules used throughout (the reason this file looks
+pedantic):
+
+- Sums over doubles are computed in DECIMAL (exact, order-independent) and
+  cast to double at the end — a plain double sum differs in the last bits
+  between engines/partitionings and breaks the value hash.
+- Raw column passthroughs and single-row arithmetic (x*y, x/y) are IEEE
+  identical across engines and are emitted unrounded.
+- Hashing is md5-based (portable) — Spark ``conv(substr(md5,1,15),16,10)``
+  equals the generated 15-term hex-parse expression in DuckDB.
+- Rankings order by ROUNDED scores with unique-id tiebreaks, never by
+  full-precision floats.
+- Counts are cast to BIGINT on the Spark side (``F.size`` returns int,
+  DuckDB ``len()`` returns BIGINT).
+
+Operator coverage: R1-R21 (SURVEY §2.6), CDC merge (M1/M4), schema
+evolution (E2), watermark pattern (W1), and the LLM-pipeline operators
+(dedup / text / similarity / multimodal).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import cdc, patterns
+from .functions import dedup, multimodal, similarity
+from .functions import text as tx
+from .functions.similarity import _hyperplane
+from .schema import apply_schema
+from .tables import load_table, register_views
+
+# --------------------------------------------------------------------------
+# DuckDB SQL fragment generators (mirror the Spark-side Catalyst expressions)
+# --------------------------------------------------------------------------
+
+
+def _sql_md5_long(expr: str) -> str:
+    """Exact DuckDB twin of functions.text.md5_long: first 15 md5 hex chars as BIGINT."""
+    terms = " + ".join(
+        f"((strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1))-1)::BIGINT << {4 * (14 - i)})"
+        for i in range(15)
+    )
+    return f"({terms})"
+
+
+def _sql_tokens(expr: str) -> str:
+    return f"regexp_split_to_array(trim({expr}), '\\s+')"
+
+
+_SQL_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len(t) - 3, 0) + 2), "
+    "i -> array_to_string(t[i:i+2], ' ')))"
+)
+
+# shared CTE: distinct word-3-gram shingles per document
+_SQL_SHINGLE_CTE = (
+    "toks AS (SELECT doc_id, "
+    + _sql_tokens("lower(text)")
+    + " AS t FROM documents), "
+    "sh AS (SELECT doc_id, unnest(" + _SQL_SHINGLES + ") AS shingle FROM toks)"
+)
+
+
+def _sql_stopword_count(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in tx.STOPWORDS[lang])
+    return (
+        f"len(list_filter({_sql_tokens('lower(text)')}, "
+        f"t -> list_contains([{words}], t)))"
+    )
+
+
+def _dsum(col_expr: str, alias: str) -> str:
+    """Exact decimal-internal sum emitted as double (order-independent)."""
+    return f"CAST(SUM(CAST({col_expr} AS DECIMAL(18,4))) AS DOUBLE) AS {alias}"
+
+
+def _spark_dsum(col, alias: str):
+    return F.sum(col.cast("decimal(18,4)")).cast("double").alias(alias)
+
+
+# --------------------------------------------------------------------------
+# Relational / TPC-H-style queries (R1-R21 + headliners)
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy groupBy with decimal-exact sums (R1, R10)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _spark_dsum(F.col("l_quantity"), "sum_qty"),
+            _spark_dsum(F.col("l_extendedprice"), "sum_base_price"),
+            _spark_dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"
+            ),
+            (
+                F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+                / F.count("*")
+            ).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {_dsum("l_quantity", "sum_qty")},
+       {_dsum("l_extendedprice", "sum_base_price")},
+       {_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10 (R1, R10, R12).
+
+    customer is tiny → broadcast into orders; orders⋈lineitem shuffles on
+    the order key only.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _spark_dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join, dims broadcast (R1, R10)."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            _spark_dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+    )
+
+
+Q5_SQL = f"""
+SELECT n_name, {_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R11: tumbling 1-minute event-time window aggregation (README flagship)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("window_start"),
+        F.col("event_type"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        _spark_dsum(F.col("value"), "sum_value"),
+    )
+
+
+EVENTS_WINDOW_SQL = f"""
+SELECT date_trunc('minute', ts) AS window_start, event_type,
+       COUNT(*) AS n_events, {_dsum("value", "sum_value")}
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def r01_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").agg(F.count("*").alias("n_rows"))
+
+
+def r02_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2: ndjson write/read round-trip on the int/string columns, then agg."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    path = tempfile.gettempdir() + "/spark_graft_r02_ndjson"
+    ev.write.mode("overwrite").json(path)
+    back = spark.read.schema("event_id BIGINT, user_id BIGINT, event_type STRING").json(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("event_id").alias("sum_id")
+    )
+
+
+R02_SQL = """
+SELECT event_type, COUNT(*) AS n, SUM(event_id) AS sum_id
+FROM events GROUP BY event_type
+"""
+
+
+def r03_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+R03_SQL = "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
+
+
+def r04_filter_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_returnflag").isin("A", "R") & (F.col("l_quantity") > 45)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+R04_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem WHERE l_returnflag IN ('A', 'R') AND l_quantity > 45
+"""
+
+
+def r05_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_totalprice") * 0.9).alias("adj_price")
+    )
+
+
+R05_SQL = "SELECT o_orderkey, o_totalprice * 0.9::DOUBLE AS adj_price FROM orders"
+
+
+def r06_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.col("l_orderkey").cast("string").alias("key_str"),
+    )
+
+
+R06_SQL = """
+SELECT l_orderkey, CAST(l_quantity AS INTEGER) AS qty_int,
+       CAST(l_shipdate AS DATE) AS ship_date,
+       CAST(l_orderkey AS VARCHAR) AS key_str
+FROM lineitem
+"""
+
+
+def r07_null_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "region").select(
+        "r_regionkey",
+        "r_name",
+        F.lit(None).cast("string").alias("note"),
+        F.lit(None).cast("double").alias("score"),
+    )
+
+
+R07_SQL = """
+SELECT r_regionkey, r_name, CAST(NULL AS VARCHAR) AS note,
+       CAST(NULL AS DOUBLE) AS score
+FROM region
+"""
+
+
+def r08_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 150000, "mid")
+        .otherwise("low")
+        .alias("bucket"),
+    )
+
+
+R08_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 300000 THEN 'high'
+            WHEN o_totalprice > 150000 THEN 'mid'
+            ELSE 'low' END AS bucket
+FROM orders
+"""
+
+
+def r09_struct_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("s")
+            )
+        ).alias("payload"),
+    )
+
+
+R09_SQL = """
+SELECT o_orderkey,
+       CAST(to_json(struct_pack(k := o_orderkey, s := o_orderstatus)) AS VARCHAR) AS payload
+FROM orders
+"""
+
+
+def r12_topk_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(10)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+R12_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 10
+"""
+
+
+def r13_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R13/W5: newest event per user via the latest_per_key pattern helper."""
+    ev = load_table(spark, sf_dir, "events")
+    return patterns.latest_per_key(
+        ev, ["user_id"], "ts", tiebreak=["event_id"]
+    ).select("user_id", "event_id", "event_type", "value")
+
+
+R13_SQL = """
+SELECT user_id, event_id, event_type, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def r14_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no big order — the filter makes the result non-trivial
+    (every customer has *some* order in the synthetic data)."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+R14_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000
+)
+"""
+
+
+def r15_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select("event_id", "event_type")
+    b = ev.filter(F.col("value") > 90).select("event_id", "value")
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+R15_SQL = """
+SELECT event_id, event_type, CAST(NULL AS DOUBLE) AS value FROM events
+UNION ALL
+SELECT event_id, CAST(NULL AS VARCHAR) AS event_type, value FROM events WHERE value > 90
+"""
+
+
+def r16_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R16/M3: value remap via cdc.normalize_change_types."""
+    ev = load_table(spark, sf_dir, "events").withColumnRenamed(
+        "event_type", "_change_type"
+    )
+    mapped = cdc.normalize_change_types(
+        ev, {"view": "V", "click": "C", "purchase": "P", "signup": "S", "error": "E"}
+    )
+    return mapped.groupBy(F.col("_change_type").alias("code")).agg(
+        F.count("*").alias("n")
+    )
+
+
+R16_SQL = """
+SELECT CASE event_type WHEN 'view' THEN 'V' WHEN 'click' THEN 'C'
+            WHEN 'purchase' THEN 'P' WHEN 'signup' THEN 'S'
+            WHEN 'error' THEN 'E' ELSE event_type END AS code,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def r17_limit0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select("event_id", "value").limit(0)
+
+
+R17_SQL = "SELECT event_id, value FROM events LIMIT 0"
+
+
+def r18_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.max("ts").alias("max_ts"),
+        F.min("ts").alias("min_ts"),
+        F.count("*").alias("n"),
+    )
+
+
+R18_SQL = "SELECT max(ts) AS max_ts, min(ts) AS min_ts, COUNT(*) AS n FROM events"
+
+
+def r19_sql_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R19: the spark.sql path over registered temp views."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM events WHERE value > 10
+        GROUP BY event_type HAVING COUNT(*) > 5
+        """
+    )
+
+
+R19_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events WHERE value > 10
+GROUP BY event_type HAVING COUNT(*) > 5
+"""
+
+
+def r20_drop_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").drop("props", "value")
+
+
+R20_SQL = "SELECT event_id, ts, user_id, event_type FROM events"
+
+
+def r21_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+
+
+R21_SQL = "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
+
+
+# --------------------------------------------------------------------------
+# Framework operators exercised as queries: CDC, schema evolution, watermark
+# --------------------------------------------------------------------------
+
+
+def cdc_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1/M4: apply_cdc over a change stream synthesized from events.
+
+    event_type maps onto CDC verbs; event_id is the commit version, so
+    'latest change wins' is deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    changes = ev.select(
+        "user_id",
+        "value",
+        F.when(F.col("event_type") == "error", "delete")
+        .when(F.col("event_type").isin("view", "signup"), "insert")
+        .when(F.col("event_type") == "click", "update")
+        .otherwise("update_postimage")
+        .alias("_change_type"),
+        F.col("event_id").alias("_commit_version"),
+    )
+    return cdc.apply_cdc(changes, None, keys=["user_id"])
+
+
+CDC_MERGE_SQL = """
+WITH ch AS (
+  SELECT user_id, value,
+         CASE WHEN event_type = 'error' THEN 'delete'
+              WHEN event_type IN ('view', 'signup') THEN 'insert'
+              WHEN event_type = 'click' THEN 'update'
+              ELSE 'update_postimage' END AS ct,
+         event_id AS cv
+  FROM events
+),
+latest AS (
+  SELECT * FROM ch QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY cv DESC) = 1
+)
+SELECT user_id, value FROM latest WHERE ct <> 'delete'
+"""
+
+
+def schema_evolve_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: missing target column filled as a typed null."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    target = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    out, _ = apply_schema(ev, target, mode="add_new_columns")
+    return out
+
+
+SCHEMA_EVOLVE_SQL = (
+    "SELECT event_id, event_type, CAST(NULL AS DOUBLE) AS score FROM events"
+)
+
+
+def w1_drop_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: drop events older than max(ts) − 5 minutes, then count by type."""
+    ev = load_table(spark, sf_dir, "events")
+    kept = patterns.drop_late(ev, "ts", "5 minutes")
+    return kept.groupBy("event_type").agg(F.count("*").alias("n_kept"))
+
+
+W1_SQL = """
+SELECT event_type, COUNT(*) AS n_kept
+FROM events
+WHERE ts >= (SELECT max(ts) - INTERVAL 5 MINUTE FROM events)
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline operators: dedup / text / similarity / multimodal
+# --------------------------------------------------------------------------
+
+
+def d1_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+D1_SQL = """
+SELECT md5(text) AS dup_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_id
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def d2_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_chars"
+    )
+
+
+D2_SQL = """
+SELECT doc_id, n_chars FROM documents
+QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+"""
+
+
+def d3_fingerprint_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.fingerprint_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+_SQL_NORM_WORDS = (
+    "list_sort(list_distinct(list_filter("
+    "regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+'),"
+    " w -> w <> '')))"
+)
+
+D3_SQL = f"""
+WITH fp AS (
+  SELECT doc_id, md5(array_to_string({_SQL_NORM_WORDS}, ' ')) AS fp FROM documents
+)
+SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+FROM fp GROUP BY fp HAVING COUNT(*) > 1
+"""
+
+
+def d4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.12
+    )
+
+
+D4_SQL = f"""
+WITH {_SQL_SHINGLE_CTE},
+p AS (SELECT doc_id, {_sql_md5_long("shingle")} AS h FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM p GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b,
+         round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.12
+"""
+
+
+def d5_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dedup.minhash_signatures(load_table(spark, sf_dir, "documents"))
+    return sigs.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.transform(F.col("minhash"), lambda h: h.cast("string"))
+        ).alias("sig"),
+    )
+
+
+_SQL_MINHASH_MINS = ", ".join(
+    f"MIN({_sql_md5_long(repr(str(i) + ':') + ' || shingle')}) AS h{i}" for i in range(32)
+)
+
+D5_SQL = f"""
+WITH {_SQL_SHINGLE_CTE},
+sigs AS (SELECT doc_id, {_SQL_MINHASH_MINS} FROM sh GROUP BY doc_id)
+SELECT doc_id,
+       array_to_string([{", ".join(f"h{i}" for i in range(32))}], ',') AS sig
+FROM sigs
+"""
+
+
+def d6_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.12
+    )
+
+
+_SQL_BANDS = "\nUNION ALL\n".join(
+    "SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sigs".format(
+        b=b,
+        concat=" || ',' || ".join(f"h{b * 4 + r}::VARCHAR" for r in range(4)),
+    )
+    for b in range(8)
+)
+
+D6_SQL = f"""
+WITH {_SQL_SHINGLE_CTE},
+sigs AS (SELECT doc_id, {_SQL_MINHASH_MINS} FROM sh GROUP BY doc_id),
+bands AS ({_SQL_BANDS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+p AS (SELECT doc_id, {_sql_md5_long("shingle")} AS h FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM p GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN p pa ON pa.doc_id = c.id_a
+  JOIN p pb ON pb.doc_id = c.id_b AND pb.h = pa.h
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b, round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.12
+"""
+
+
+def d7_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(load_table(spark, sf_dir, "documents"))
+
+
+_SQL_SIMHASH_VOTES = ", ".join(
+    f"SUM(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(16)
+)
+_SQL_SIMHASH_SIG = " + ".join(
+    f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(16)
+)
+
+D7_SQL = f"""
+WITH dt AS (
+  SELECT doc_id,
+         unnest(list_distinct({_sql_tokens("lower(text)")})) AS tok
+  FROM documents
+),
+th AS (SELECT doc_id, {_sql_md5_long("tok")} AS th FROM dt),
+votes AS (SELECT doc_id, {_SQL_SIMHASH_VOTES} FROM th GROUP BY doc_id)
+SELECT doc_id, CAST({_SQL_SIMHASH_SIG} AS BIGINT) AS simhash FROM votes
+"""
+
+
+def t1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return doc.select(
+        "doc_id",
+        tx.token_count(c).cast("long").alias("n_tokens"),
+        tx.char_count(c).cast("long").alias("n_chars_calc"),
+        tx.punct_count(c).cast("long").alias("n_punct"),
+        tx.punct_ratio(c).alias("punct_ratio"),
+        tx.avg_token_len(c).alias("avg_token_len"),
+        tx.stopword_ratio(c, "en").alias("stopword_ratio_en"),
+        tx.quality_score(c).alias("quality"),
+    )
+
+
+T1_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         len({_sql_tokens("text")})::BIGINT AS n_tokens,
+         length(text)::BIGINT AS n_chars_calc,
+         len(regexp_extract_all(text, '[^\\w\\s]'))::BIGINT AS n_punct,
+         length(regexp_replace(text, '\\s', '', 'g'))::BIGINT AS n_nonspace,
+         {_sql_stopword_count("en")}::BIGINT AS n_stop
+  FROM documents
+),
+ratios AS (
+  SELECT doc_id, n_tokens, n_chars_calc, n_punct,
+         round(n_punct / greatest(n_chars_calc, 1), 6) AS punct_ratio,
+         round(n_nonspace / greatest(n_tokens, 1), 6) AS avg_token_len,
+         round(n_stop / greatest(n_tokens, 1), 6) AS stopword_ratio_en
+  FROM base
+)
+SELECT doc_id, n_tokens, n_chars_calc, n_punct, punct_ratio, avg_token_len,
+       stopword_ratio_en,
+       round(
+         (CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END)
+         + least(stopword_ratio_en * 4, 0.3::DOUBLE)
+         + 0.3::DOUBLE
+         - least(punct_ratio * 2, 0.3::DOUBLE), 6) AS quality
+FROM ratios
+"""
+
+
+def t2_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.select("doc_id", tx.lang_id(F.col("text")).alias("lang_guess"))
+
+
+_SQL_LANG_COUNTS = ", ".join(
+    f"{_sql_stopword_count(lang)} AS c_{lang}" for lang in sorted(tx.STOPWORDS)
+)
+
+T2_SQL = f"""
+WITH counts AS (SELECT doc_id, {_SQL_LANG_COUNTS} FROM documents)
+SELECT doc_id,
+       CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+            WHEN c_de = greatest(c_de, c_en, c_es, c_fr) THEN 'de'
+            WHEN c_en = greatest(c_de, c_en, c_es, c_fr) THEN 'en'
+            WHEN c_es = greatest(c_de, c_en, c_es, c_fr) THEN 'es'
+            ELSE 'fr' END AS lang_guess
+FROM counts
+"""
+
+
+def t3_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.select("doc_id", tx.fingerprint(F.col("text")).alias("fp"))
+
+
+T3_SQL = f"SELECT doc_id, md5(array_to_string({_SQL_NORM_WORDS}, ' ')) AS fp FROM documents"
+
+
+def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+_SQL_COSINE = (
+    "list_sum(list_transform(range(1, len(qe) + 1), i -> qe[i] * e[i]))"
+    " / (sqrt(list_sum(list_transform(qe, x -> x * x)))"
+    " * sqrt(list_sum(list_transform(e, x -> x * x))))"
+)
+
+S1_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 8),
+s AS (
+  SELECT query_id, vec_id, round({_SQL_COSINE}, 6) AS c
+  FROM q, v WHERE vec_id <> query_id
+),
+r AS (
+  SELECT query_id, vec_id, c AS cosine_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+def s2_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return similarity.lsh_ann_topk(emb, queries, dim=64, k=5, n_planes=4)
+
+
+def _sql_sketch(vec: str, dim: int = 64, n_planes: int = 4) -> str:
+    """DuckDB twin of similarity.sign_sketch with the same md5 hyperplanes."""
+    parts = []
+    for p in range(n_planes):
+        plane = _hyperplane(dim, p)
+        proj = " + ".join(
+            f"{vec}[{j + 1}] * ({plane[j]!r}::DOUBLE)" for j in range(dim)
+        )
+        parts.append(f"CASE WHEN ({proj}) > 0 THEN {1 << p} ELSE 0 END")
+    return "(" + " + ".join(parts) + ")"
+
+
+S2_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+vb AS (SELECT vec_id, e, {_sql_sketch("e")} AS bucket FROM v),
+q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM vb WHERE vec_id < 8),
+s AS (
+  SELECT query_id, vec_id, round({_SQL_COSINE}, 6) AS c
+  FROM q JOIN vb ON q.bucket = vb.bucket AND vb.vec_id <> q.query_id
+),
+r AS (
+  SELECT query_id, vec_id, c AS cosine_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+def m1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: synthesize media, extract byte features via
+    Arrow-batched mapInPandas.  Not SQL-expressible (entropy over a byte
+    histogram) → rows-only check."""
+    media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media)
+
+
+def m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame fan-out shape (one row per sampled frame) → rows-only check."""
+    media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
+    frames = multimodal.sample_frames(media, every_ms=500)
+    return frames.groupBy("media_id").agg(F.count("*").alias("n_frames"))
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+# name -> (spark_callable, oracle_sql | None)
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q5_region_revenue": (q5_region_revenue, Q5_SQL),
+    "events_window_1m": (events_window, EVENTS_WINDOW_SQL),
+    "r01_scan_count": (r01_scan_count, "SELECT COUNT(*) AS n_rows FROM lineitem"),
+    "r02_json_roundtrip": (r02_json_roundtrip, R02_SQL),
+    "r03_projection": (r03_projection, R03_SQL),
+    "r04_filter_isin": (r04_filter_isin, R04_SQL),
+    "r05_expression": (r05_expression, R05_SQL),
+    "r06_cast": (r06_cast, R06_SQL),
+    "r07_null_literal": (r07_null_literal, R07_SQL),
+    "r08_case_when": (r08_case_when, R08_SQL),
+    "r09_struct_json": (r09_struct_json, R09_SQL),
+    "r12_topk_sort": (r12_topk_sort, R12_SQL),
+    "r13_latest_per_key": (r13_latest_per_key, R13_SQL),
+    "r14_anti_join": (r14_anti_join, R14_SQL),
+    "r15_union_by_name": (r15_union_by_name, R15_SQL),
+    "r16_remap": (r16_remap, R16_SQL),
+    "r17_limit0": (r17_limit0, R17_SQL),
+    "r18_scalar_agg": (r18_scalar_agg, R18_SQL),
+    "r19_sql_report": (r19_sql_report, R19_SQL),
+    "r20_drop_cols": (r20_drop_cols, R20_SQL),
+    "r21_distinct_keys": (r21_distinct_keys, R21_SQL),
+    "cdc_merge_latest": (cdc_merge_latest, CDC_MERGE_SQL),
+    "schema_evolve_add": (schema_evolve_add, SCHEMA_EVOLVE_SQL),
+    "w1_drop_late": (w1_drop_late, W1_SQL),
+    "d1_exact_duplicates": (d1_exact_duplicates, D1_SQL),
+    "d2_dedup_exact": (d2_dedup_exact, D2_SQL),
+    "d3_fingerprint_duplicates": (d3_fingerprint_duplicates, D3_SQL),
+    "d4_ngram_jaccard": (d4_ngram_jaccard, D4_SQL),
+    "d5_minhash_signatures": (d5_minhash_signatures, D5_SQL),
+    "d6_minhash_lsh": (d6_minhash_lsh, D6_SQL),
+    "d7_simhash": (d7_simhash, D7_SQL),
+    "t1_text_stats": (t1_text_stats, T1_SQL),
+    "t2_lang_id": (t2_lang_id, T2_SQL),
+    "t3_fingerprint": (t3_fingerprint, T3_SQL),
+    "s1_cosine_topk": (s1_cosine_topk, S1_SQL),
+    "s2_lsh_ann_topk": (s2_lsh_ann_topk, S2_SQL),
+    "m1_multimodal_features": (m1_multimodal_features, None),
+    "m2_frame_sample": (m2_frame_sample, None),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

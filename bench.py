@@ -1,0 +1,75 @@
+"""Headline benchmark: runs the flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with a noop-format write (full pipeline
+execution, no sink or driver-collect cost).  The headline metric is total
+wall time across the suite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "events_window_1m",
+    "r13_latest_per_key",
+    "r21_distinct_keys",
+    "cdc_merge_latest",
+    "d1_exact_duplicates",
+    "d5_minhash_signatures",
+    "d6_minhash_lsh",
+    "d7_simhash",
+    "t1_text_stats",
+    "s1_cosine_topk",
+    "s2_lsh_ann_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    from polars_incremental_spark.queries import REGISTRY
+    from polars_incremental_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # warm the JVM + parquet footers so per-query numbers measure the plans
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
+
+    timings: dict[str, float] = {}
+    t_suite = time.monotonic()
+    for name in BENCH_QUERIES:
+        fn, _sql = REGISTRY[name]
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+    total = round(time.monotonic() - t_suite, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

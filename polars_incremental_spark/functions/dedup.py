@@ -26,6 +26,36 @@ from .text import fingerprint, md5_long, word_shingles
 N_MINHASHES = 32
 N_BANDS = 8  # 4 rows per band
 
+# affine MinHash: h_i(s) = (a_i * md5_32(s) + b_i) mod P — ONE md5 per
+# shingle instead of num_hashes md5s (30× less hash compute at corpus
+# scale); constants are md5-derived so any engine can reproduce them.
+MINHASH_PRIME = 2_147_483_647  # 2^31 − 1
+
+
+def minhash_params(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for hash i: a odd < 2^28 (keeps a*h < 2^60,
+    no 64-bit overflow on h < 2^32), b < 2^28."""
+    import hashlib
+
+    a = int(hashlib.md5(f"a:{i}".encode()).hexdigest()[:7], 16) | 1
+    b = int(hashlib.md5(f"b:{i}".encode()).hexdigest()[:7], 16)
+    return a, b
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Rebalance compute-bound inputs across all cores.
+
+    Shingling/hashing cost is per-row CPU, not I/O: a corpus that arrives in
+    few partitions (one small parquet file, a coalesced upstream stage)
+    would otherwise run single-threaded.  The shuffle moves each doc once —
+    negligible next to the explode it feeds.  No-op when the input is
+    already at least as parallel as the cluster.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Groups of byte-identical documents: (dup_hash, n_copies, keeper_id).
@@ -69,6 +99,7 @@ def shingle_posting_list(
     Shingles are hashed to 60-bit longs before the shuffle so the exchange
     moves 8-byte keys, not strings.
     """
+    df = spread(df)
     return df.select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
@@ -187,18 +218,23 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = N_MINHASHES,
 ) -> DataFrame:
-    """(id, minhash array<long>) — k md5-derived min-hashes over word shingles.
+    """(id, minhash array<long>) — k affine min-hashes over word shingles.
 
-    h_i(s) = md5_long(i ‖ ':' ‖ s); deterministic and engine-portable.
+    h_i(s) = (a_i * md5_32(s) + b_i) mod (2^31−1): one md5 per shingle,
+    k cheap integer ops — deterministic and engine-portable.
     One explode + one groupBy: shuffle volume is O(total shingles).
     """
-    shingled = df.select(
+    shingled = spread(df).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
-    )
-    hash_cols = [
-        F.min(md5_long(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    ).withColumn("__h32", md5_long(F.col("shingle"), 8))
+    hash_cols = []
+    for i in range(num_hashes):
+        a, b = minhash_params(i)
+        hash_cols.append(
+            F.min((F.lit(a) * F.col("__h32") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+                f"h{i}"
+            )
+        )
     return (
         shingled.groupBy(id_col)
         .agg(*hash_cols)
@@ -271,7 +307,7 @@ def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", bi
     compact; near-dup candidates are rows whose signatures match exactly or
     within small Hamming distance.
     """
-    toks = df.select(
+    toks = spread(df).select(
         F.col(id_col),
         F.explode(
             F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))

@@ -118,10 +118,11 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     )
 
 
-def md5_long(col: Column) -> Column:
-    """Portable 60-bit integer hash: first 15 hex chars of md5 as a long.
+def md5_long(col: Column, n_hex: int = 15) -> Column:
+    """Portable integer hash: first ``n_hex`` hex chars of md5 as a long.
 
     Same value is computable in any engine with md5 — the cross-engine
-    primitive under MinHash/SimHash oracles.
+    primitive under MinHash/SimHash oracles.  ``n_hex=15`` gives 60 bits;
+    ``n_hex=8`` gives the 32-bit base hash for affine MinHash derivation.
     """
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    return F.conv(F.substring(F.md5(col), 1, n_hex), 16, 10).cast("long")

@@ -45,11 +45,11 @@ from .tables import load_table, register_views
 # --------------------------------------------------------------------------
 
 
-def _sql_md5_long(expr: str) -> str:
-    """Exact DuckDB twin of functions.text.md5_long: first 15 md5 hex chars as BIGINT."""
+def _sql_md5_long(expr: str, n_hex: int = 15) -> str:
+    """Exact DuckDB twin of functions.text.md5_long: first n_hex md5 hex chars as BIGINT."""
     terms = " + ".join(
-        f"((strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1))-1)::BIGINT << {4 * (14 - i)})"
-        for i in range(15)
+        f"((strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1))-1)::BIGINT << {4 * (n_hex - 1 - i)})"
+        for i in range(n_hex)
     )
     return f"({terms})"
 
@@ -668,13 +668,23 @@ def d5_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# affine MinHash twin: one 32-bit md5 base hash per shingle, then the same
+# (a_i * h + b_i) mod P derivation as functions.dedup.minhash_signatures
 _SQL_MINHASH_MINS = ", ".join(
-    f"MIN({_sql_md5_long(repr(str(i) + ':') + ' || shingle')}) AS h{i}" for i in range(32)
+    "MIN(({a}::BIGINT * h32 + {b}) % {p}) AS h{i}".format(
+        a=dedup.minhash_params(i)[0],
+        b=dedup.minhash_params(i)[1],
+        p=dedup.MINHASH_PRIME,
+        i=i,
+    )
+    for i in range(32)
 )
+_SQL_H32_CTE = f"sh32 AS (SELECT doc_id, {_sql_md5_long('shingle', 8)} AS h32 FROM sh)"
 
 D5_SQL = f"""
 WITH {_SQL_SHINGLE_CTE},
-sigs AS (SELECT doc_id, {_SQL_MINHASH_MINS} FROM sh GROUP BY doc_id)
+{_SQL_H32_CTE},
+sigs AS (SELECT doc_id, {_SQL_MINHASH_MINS} FROM sh32 GROUP BY doc_id)
 SELECT doc_id,
        array_to_string([{", ".join(f"h{i}" for i in range(32))}], ',') AS sig
 FROM sigs
@@ -697,7 +707,8 @@ _SQL_BANDS = "\nUNION ALL\n".join(
 
 D6_SQL = f"""
 WITH {_SQL_SHINGLE_CTE},
-sigs AS (SELECT doc_id, {_SQL_MINHASH_MINS} FROM sh GROUP BY doc_id),
+{_SQL_H32_CTE},
+sigs AS (SELECT doc_id, {_SQL_MINHASH_MINS} FROM sh32 GROUP BY doc_id),
 bands AS ({_SQL_BANDS}),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

@@ -34,6 +34,27 @@ class DatasetSpec:
             options=dict(self.options),
         )
 
+    def to_schema_evolution(self):
+        """Build a SchemaEvolution from schema-related dataset options, if any.
+
+        Recognized options (reference catalog.py:62 / schema.py:498-551):
+        ``schema_mode``, ``rescue_mode``, ``rescue_column``, ``schema``.
+        Returns None when no schema option is present.
+        """
+        from .schema import SchemaEvolution
+
+        keys = {"schema_mode", "rescue_mode", "rescue_column", "schema"}
+        if not keys & set(self.options):
+            return None
+        return SchemaEvolution.from_options(
+            {
+                "mode": self.options.get("schema_mode", "add_new_columns"),
+                "rescue_mode": self.options.get("rescue_mode", "none"),
+                "rescue_column": self.options.get("rescue_column", "_rescued"),
+                "schema": self.options.get("schema"),
+            }
+        )
+
     def read(self, spark: SparkSession) -> DataFrame:
         if self.format == "delta":
             return spark.read.format("delta").options(**self.options).load(self.path)

@@ -278,6 +278,48 @@ class FileStreamCheckpoint:
         atomic_write_json(os.path.join(self.commits_dir, f"{batch.batch_id}.json"), payload)
 
 
+def iter_new_files(
+    input_dir: str,
+    checkpoint_dir: str,
+    *,
+    pattern: str | None = None,
+    recursive: bool = False,
+    start_offset: str | None = None,
+    allow_overwrites: bool = False,
+    max_files: int | None = None,
+    max_bytes: int | None = None,
+    max_file_age: float | None = None,
+) -> list[str]:
+    """Low-level "what's new" helper (reference checkpoints/file.py:557-582).
+
+    Plans the next batch and returns its file list.  The OFFSET is written
+    (WAL discipline); the COMMIT is left to the caller via
+    ``commit_new_files`` — until then, every call replays the same pending
+    batch, so a crashed consumer never skips files.
+    """
+    checkpoint = FileStreamCheckpoint(checkpoint_dir)
+    listing = list_files(input_dir, pattern=pattern, recursive=recursive)
+    batch = checkpoint.plan_batch(
+        listing,
+        start_offset=start_offset,
+        max_files=max_files,
+        max_bytes=max_bytes,
+        max_file_age_seconds=max_file_age,
+        allow_overwrites=allow_overwrites,
+    )
+    return [] if batch is None else list(batch.files)
+
+
+def commit_new_files(checkpoint_dir: str, metadata: dict[str, Any] | None = None) -> bool:
+    """Commit the pending ``iter_new_files`` batch; returns False when none pending."""
+    checkpoint = FileStreamCheckpoint(checkpoint_dir)
+    pending = checkpoint.pending_batch()
+    if pending is None:
+        return False
+    checkpoint.commit_batch(pending, metadata)
+    return True
+
+
 def list_files(
     path: str,
     *,

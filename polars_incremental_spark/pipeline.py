@@ -38,6 +38,8 @@ from .state import JobState
 
 LOCK_DISABLE_ENV = "SPARK_INCREMENTAL_DISABLE_LOCK"
 LOCK_TIMEOUT_ENV = "SPARK_INCREMENTAL_LOCK_TIMEOUT"
+LOCK_STALE_ENV = "SPARK_INCREMENTAL_LOCK_STALE_SECONDS"
+LOCK_MODE_ENV = "SPARK_INCREMENTAL_LOCK_MODE"
 
 
 @dataclass(frozen=True)
@@ -63,32 +65,127 @@ def call_with_context(fn: Callable, positional: list[Any], context: dict[str, An
 
 
 class PipelineLock:
-    """Per-checkpoint single-writer lock (fcntl.flock, blocking with timeout)."""
+    """Per-checkpoint single-writer lock (reference pipeline.py:162-283).
 
-    def __init__(self, checkpoint_dir: str, timeout_s: float | None = None) -> None:
+    Two modes:
+
+    - ``flock`` (default): ``fcntl.flock`` on a lockfile — the kernel releases
+      it automatically when the holder dies, so no staleness handling needed.
+    - ``file`` (``SPARK_INCREMENTAL_LOCK_MODE=file`` or filesystems without
+      flock): O_EXCL create with ``pid=``/``acquired_at=`` content and
+      stale-lock TAKEOVER — a lock whose holder PID is dead or whose age
+      exceeds ``stale_seconds`` (env ``SPARK_INCREMENTAL_LOCK_STALE_SECONDS``,
+      default 300) is broken, so a SIGKILLed run cannot wedge the checkpoint.
+    """
+
+    def __init__(
+        self,
+        checkpoint_dir: str,
+        timeout_s: float | None = None,
+        *,
+        mode: str | None = None,
+        stale_seconds: float | None = None,
+    ) -> None:
         self.path = os.path.join(checkpoint_dir, ".pipeline.lock")
         self.timeout_s = timeout_s if timeout_s is not None else float(
             os.environ.get(LOCK_TIMEOUT_ENV, "30")
         )
+        self.mode = mode or os.environ.get(LOCK_MODE_ENV, "flock")
+        self.stale_seconds = (
+            stale_seconds
+            if stale_seconds is not None
+            else float(os.environ.get(LOCK_STALE_ENV, "300"))
+        )
         self._fd: int | None = None
+        self._owns_file = False
 
+    # ------------------------------------------------------------ stale check
+    def _is_stale(self) -> bool:
+        """A file-mode lock is stale if its holder PID is dead, or (when no
+        PID is readable) its age exceeds ``stale_seconds``."""
+        if self.stale_seconds <= 0:
+            return False
+        pid: int | None = None
+        acquired_at: float | None = None
+        try:
+            with open(self.path) as handle:
+                for line in handle:
+                    key, _, value = line.strip().partition("=")
+                    if key == "pid" and value.isdigit():
+                        pid = int(value)
+                    elif key == "acquired_at":
+                        try:
+                            acquired_at = float(value)
+                        except ValueError:
+                            pass
+        except OSError:
+            return False
+        if pid is not None:
+            try:
+                os.kill(pid, 0)
+            except ProcessLookupError:
+                return True  # holder is gone
+            except OSError:
+                return False
+            # holder alive: stale only by explicit age policy
+            if acquired_at is not None and time.time() - acquired_at >= self.stale_seconds:
+                return True
+            return False
+        if acquired_at is not None:
+            return time.time() - acquired_at >= self.stale_seconds
+        try:
+            return time.time() - os.stat(self.path).st_mtime >= self.stale_seconds
+        except OSError:
+            return False
+
+    # --------------------------------------------------------------- acquire
     def __enter__(self) -> "PipelineLock":
         if os.environ.get(LOCK_DISABLE_ENV):
             return self
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        deadline = time.monotonic() + self.timeout_s
+        if self.mode == "file":
+            return self._acquire_file(deadline)
+        return self._acquire_flock(deadline)
+
+    def _acquire_flock(self, deadline: float) -> "PipelineLock":
         import fcntl
 
-        os.makedirs(os.path.dirname(self.path), exist_ok=True)
         self._fd = os.open(self.path, os.O_CREAT | os.O_RDWR)
-        deadline = time.monotonic() + self.timeout_s
         while True:
             try:
                 fcntl.flock(self._fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-                os.write(self._fd, str(os.getpid()).encode())
+                os.ftruncate(self._fd, 0)
+                os.write(
+                    self._fd,
+                    f"pid={os.getpid()}\nacquired_at={time.time()}\n".encode(),
+                )
                 return self
             except BlockingIOError:
                 if time.monotonic() >= deadline:
                     os.close(self._fd)
                     self._fd = None
+                    raise PipelineLockError(
+                        f"could not acquire pipeline lock {self.path} within {self.timeout_s}s"
+                    ) from None
+                time.sleep(0.05)
+
+    def _acquire_file(self, deadline: float) -> "PipelineLock":
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"pid={os.getpid()}\nacquired_at={time.time()}\n".encode())
+                os.close(fd)
+                self._owns_file = True
+                return self
+            except FileExistsError:
+                if self._is_stale():
+                    try:  # break the stale lock; losing a takeover race is fine
+                        os.unlink(self.path)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                if time.monotonic() >= deadline:
                     raise PipelineLockError(
                         f"could not acquire pipeline lock {self.path} within {self.timeout_s}s"
                     ) from None
@@ -101,6 +198,12 @@ class PipelineLock:
             fcntl.flock(self._fd, fcntl.LOCK_UN)
             os.close(self._fd)
             self._fd = None
+        if self._owns_file:
+            try:
+                os.unlink(self.path)
+            except FileNotFoundError:
+                pass
+            self._owns_file = False
 
 
 @dataclass(frozen=True)

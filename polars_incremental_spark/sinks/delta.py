@@ -82,9 +82,15 @@ def apply_cdc_table(
     change_type_map: Mapping[str, str] | None = None,
     ignore_delete: bool = False,
     dedupe_by_latest_commit: bool = True,
+    compute_counts: bool = True,
 ) -> dict[str, Any]:
-    """Apply CDC changes to a stored table; returns {rows_in, rows_out, action}."""
-    rows_in = changes.count()
+    """Apply CDC changes to a stored table; returns {rows_in, rows_out, action}.
+
+    ``compute_counts=False`` skips the rows_in / rows_out count jobs — at
+    scale those are two full extra scans per merge; the counts come back as
+    None and the empty-changes noop short-circuit is skipped.
+    """
+    rows_in = changes.count() if compute_counts else None
     if rows_in == 0:
         return {"rows_in": 0, "rows_out": 0, "action": "noop"}
 
@@ -103,7 +109,7 @@ def apply_cdc_table(
             prepared = dedupe_changes(prepared, keys, change_type_col=change_type_col)
         payload = strip_cdc_columns(prepared)
         write_table(payload, target_path, mode="append" if exists else "overwrite")
-        rows_out = payload.count()
+        rows_out = payload.count() if compute_counts else None
         return {"rows_in": rows_in, "rows_out": rows_out, "action": "append"}
 
     if mode != "merge":
@@ -120,6 +126,7 @@ def apply_cdc_table(
             ignore_delete=ignore_delete,
             dedupe_by_latest_commit=dedupe_by_latest_commit,
             rows_in=rows_in,
+            compute_counts=compute_counts,
         )
 
     existing = read_table(spark, target_path) if exists else None
@@ -135,13 +142,11 @@ def apply_cdc_table(
     )
     if use_delta:
         write_table(merged, target_path, mode="overwrite")
-        rows_out = read_table(spark, target_path).count()
     elif exists:
         _overwrite_atomic(merged, target_path)
-        rows_out = spark.read.parquet(target_path).count()
     else:
         merged.write.mode("overwrite").parquet(target_path)
-        rows_out = spark.read.parquet(target_path).count()
+    rows_out = read_table(spark, target_path).count() if compute_counts else None
     return {"rows_in": rows_in, "rows_out": rows_out, "action": "merge"}
 
 
@@ -155,7 +160,8 @@ def _merge_delta(
     change_type_map: Mapping[str, str] | None,
     ignore_delete: bool,
     dedupe_by_latest_commit: bool,
-    rows_in: int,
+    rows_in: int | None,
+    compute_counts: bool = True,
 ) -> dict[str, Any]:
     """Real Delta MERGE: whenMatchedDelete / UpdateAll / InsertAll."""
     from delta.tables import DeltaTable
@@ -189,5 +195,7 @@ def _merge_delta(
         )
         .execute()
     )
-    rows_out = spark.read.format("delta").load(target_path).count()
+    rows_out = (
+        spark.read.format("delta").load(target_path).count() if compute_counts else None
+    )
     return {"rows_in": rows_in, "rows_out": rows_out, "action": "merge"}

@@ -1,0 +1,244 @@
+"""Unit tests for the LLM-pipeline operators: dedup / text / similarity / multimodal.
+
+Covers the md5-portability contract (signatures reproducible from Python's
+hashlib), skew edges (empty text, single-token docs), and the LSH-candidate
+containment invariant.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_incremental_spark.functions import dedup, multimodal, similarity
+from polars_incremental_spark.functions import text as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "dog lazy the over jumps fox brown quick the"),  # word-order shuffle of 0
+        (3, "the quick brown fox jumps over the lazy cat today"),  # near-dup
+        (4, "completely different content about spark engines"),
+        (5, ""),  # empty text edge
+        (6, "single"),  # single-token edge
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+# ------------------------------------------------------------------- dedup
+
+
+def test_exact_duplicates(docs):
+    out = dedup.exact_duplicates(docs).collect()
+    assert len(out) == 1
+    assert out[0]["n_copies"] == 2
+    assert out[0]["keeper_id"] == 0
+
+
+def test_dedup_exact_keeps_min_id(docs):
+    survivors = {r["doc_id"] for r in dedup.dedup_exact(docs).collect()}
+    assert survivors == {0, 2, 3, 4, 5, 6}
+
+
+def test_fingerprint_collapses_word_order(docs):
+    groups = dedup.fingerprint_duplicates(docs).collect()
+    # docs 0,1,2 share the normalized-bag fingerprint
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 3
+    assert groups[0]["keeper_id"] == 0
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 3) in pairs  # near-dup above threshold
+    assert all(a < b for a, b in pairs)
+
+
+def test_ngram_jaccard_doc_freq_cap(docs):
+    # cap at 1 → any shingle shared by 2+ docs is dropped → no pairs survive
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.1, max_doc_freq=1).collect()
+    assert pairs == []
+
+
+def test_minhash_signature_matches_hashlib(docs):
+    """md5-portability: signatures must be reproducible outside Spark."""
+    sigs = {
+        r["doc_id"]: r["minhash"]
+        for r in dedup.minhash_signatures(docs, num_hashes=8).collect()
+    }
+
+    def py_minhash(text: str, i: int) -> int:
+        toks = text.lower().split()
+        n = 3
+        count = max(len(toks) - n, 0) + 1
+        shingles = {" ".join(toks[j : j + n]) for j in range(count)}
+        a, b = dedup.minhash_params(i)
+        best = None
+        for s in shingles:
+            h32 = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+            v = (a * h32 + b) % dedup.MINHASH_PRIME
+            best = v if best is None else min(best, v)
+        return best
+
+    for doc_id, text in [(0, "the quick brown fox jumps over the lazy dog"), (6, "single")]:
+        for i in range(8):
+            assert sigs[doc_id][i] == py_minhash(text, i), (doc_id, i)
+
+
+def test_minhash_identical_docs_same_signature(docs):
+    sigs = {r["doc_id"]: r["minhash"] for r in dedup.minhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[4]
+
+
+def test_lsh_pairs_subset_of_exact(docs):
+    exact = {
+        (r["id_a"], r["id_b"]) for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(docs, threshold=0.3).collect()
+    }
+    assert lsh <= exact
+    assert (0, 1) in lsh  # identical docs always collide in every band
+
+
+def test_simhash_close_for_similar(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sigs[0] == sigs[1] == sigs[2]  # same token set
+    ham = bin(sigs[0] ^ sigs[3]).count("1")
+    assert ham <= 6  # near-dup stays close in Hamming space
+
+
+# -------------------------------------------------------------------- text
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame([(0, ""), (1, "one"), (2, "  two  words  ")], ["i", "t"])
+    out = {r["i"]: r["n"] for r in df.select("i", tx.token_count(F.col("t")).alias("n")).collect()}
+    assert out[1] == 1 and out[2] == 2
+    assert out[0] == 1  # split('') → [''] — documented edge, mirrored in the oracle
+
+
+def test_quality_and_ratios(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat sat on the mat with a hat and a bat")], ["i", "t"]
+    )
+    row = df.select(
+        tx.punct_ratio(F.col("t")).alias("pr"),
+        tx.stopword_ratio(F.col("t"), "en").alias("sr"),
+        tx.quality_score(F.col("t")).alias("q"),
+    ).collect()[0]
+    assert row["pr"] == 0.0
+    assert row["sr"] > 0.3
+    assert 0.0 <= row["q"] <= 1.0
+
+
+def test_lang_id_votes(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog in a house"),
+            (1, "el perro y la casa de un gato"),
+            (2, "xyzzy plugh qwerty"),
+        ],
+        ["i", "t"],
+    )
+    out = {r["i"]: r["lang"] for r in df.select("i", tx.lang_id(F.col("t")).alias("lang")).collect()}
+    assert out[0] == "en" and out[1] == "es" and out[2] == "und"
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([(0, "a b")], ["i", "t"])
+    out = df.select(tx.word_shingles(F.col("t"), 3).alias("s")).collect()[0]["s"]
+    assert out == ["a b"]  # shorter than n → one truncated shingle
+
+
+def test_md5_long_matches_hashlib(spark):
+    df = spark.createDataFrame([("abc",)], ["s"])
+    row = df.select(
+        tx.md5_long(F.col("s")).alias("h15"), tx.md5_long(F.col("s"), 8).alias("h8")
+    ).collect()[0]
+    hex_ = hashlib.md5(b"abc").hexdigest()
+    assert row["h15"] == int(hex_[:15], 16)
+    assert row["h8"] == int(hex_[:8], 16)
+
+
+# -------------------------------------------------------------- similarity
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_ranks(vectors):
+    q = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.cosine_topk(vectors, q, k=2).collect()
+    assert [(r["vec_id"], r["rank"]) for r in out] == [(1, 1), (2, 2)]
+    assert out[0]["cosine_sim"] == pytest.approx(0.9 / math.sqrt(0.82), abs=1e-6)
+
+
+def test_lsh_ann_same_bucket_recall(vectors):
+    q = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.lsh_ann_topk(vectors, q, dim=3, k=2, n_planes=2).collect()
+    # vec 1 is nearly parallel to the query → same sign sketch → retrieved
+    assert 1 in {r["vec_id"] for r in out}
+    # the opposite vector lands in the opposite bucket → never retrieved
+    assert 4 not in {r["vec_id"] for r in out}
+
+
+# -------------------------------------------------------------- multimodal
+
+
+def test_multimodal_features_roundtrip(docs):
+    media = multimodal.synthesize_media(docs)
+    feats = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert feats[0]["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
+    assert feats[5]["n_bytes"] == 0 and feats[5]["byte_entropy"] == 0.0
+    assert feats[0]["head_hex"] == "the quick".encode()[:8].hex()
+    assert feats[0]["byte_entropy"] > 0
+
+
+def test_multimodal_entropy_matches_reference_impl(docs):
+    media = multimodal.synthesize_media(docs)
+    row = multimodal.extract_features(media).filter(F.col("media_id") == 0).collect()[0]
+    data = b"the quick brown fox jumps over the lazy dog"
+    counts: dict[int, int] = {}
+    for byte in data:
+        counts[byte] = counts.get(byte, 0) + 1
+    n = len(data)
+    expected = -sum((c / n) * math.log2(c / n) for c in counts.values())
+    assert row["byte_entropy"] == pytest.approx(expected, abs=1e-6)
+
+
+def test_frame_sampler_fanout(docs):
+    media = multimodal.synthesize_media(docs.filter(F.col("doc_id") == 0))
+    frames = multimodal.sample_frames(media, every_ms=100).collect()
+    assert len(frames) == max(len("the quick brown fox jumps over the lazy dog") * 10 // 100, 1)
+    joined = b"".join(bytes(r["frame_bytes"]) for r in sorted(frames, key=lambda r: r["frame_idx"]))
+    assert joined.startswith(b"the quick")
+
+
+def test_decode_image_is_honest_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")

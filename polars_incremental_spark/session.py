@@ -39,6 +39,23 @@ def get_spark(
         # them as long nanos under this flag (tables.load_table converts back)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    # Delta Lake is optional: this container has no delta-spark jar and no
+    # network, so Delta-addressed features run through the parquet fallback
+    # (sinks/delta.py).  Real deployments set SPARK_GRAFT_DELTA_PACKAGE
+    # (e.g. "io.delta:delta-spark_2.13:4.0.0") to get native MERGE / CDF /
+    # VACUUM / OPTIMIZE through the same APIs.
+    delta_pkg = os.environ.get("SPARK_GRAFT_DELTA_PACKAGE")
+    if delta_pkg:
+        builder = (
+            builder.config("spark.jars.packages", delta_pkg)
+            .config(
+                "spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension"
+            )
+            .config(
+                "spark.sql.catalog.spark_catalog",
+                "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+            )
+        )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()

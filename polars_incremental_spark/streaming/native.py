@@ -34,6 +34,16 @@ def build_stream_reader(spark: SparkSession, spec: FilesSource | DeltaSource):
     fmt = spec.resolved_format()
     if fmt in ("excel",):
         raise UnsupportedFormatError("excel is batch-only; use the planned-mode Pipeline")
+    if spec.start_offset == "latest" and spec.max_file_age is None:
+        # latestFirst alone only REORDERS (newest first) — every historical
+        # file would still be ingested.  maxFileAge is what actually skips
+        # pre-existing files; without it, 'latest' semantics need the
+        # planned-mode Pipeline (checkpoint min_mtime_ns).
+        raise UnsupportedFormatError(
+            "start_offset='latest' on a native file stream requires "
+            "max_file_age (Spark can only skip old files by age); use the "
+            "planned-mode Pipeline for exact latest semantics"
+        )
     reader = spark.readStream.format("json" if fmt == "ndjson" else fmt)
     if spec.schema:
         reader = reader.schema(spec.schema)
@@ -59,16 +69,6 @@ def build_stream_reader(spark: SparkSession, spec: FilesSource | DeltaSource):
         if spec.clean_source_archive_dir:
             reader = reader.option("sourceArchiveDir", spec.clean_source_archive_dir)
     if spec.start_offset == "latest":
-        # latestFirst alone only REORDERS (newest first) — every historical
-        # file would still be ingested.  maxFileAge is what actually skips
-        # pre-existing files; without it, 'latest' semantics need the
-        # planned-mode Pipeline (checkpoint min_mtime_ns).
-        if spec.max_file_age is None:
-            raise UnsupportedFormatError(
-                "start_offset='latest' on a native file stream requires "
-                "max_file_age (Spark can only skip old files by age); use the "
-                "planned-mode Pipeline for exact latest semantics"
-            )
         reader = reader.option("latestFirst", "true")
     for key, value in spec.options.items():
         reader = reader.option(key, value)

@@ -175,6 +175,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.4,
     max_doc_freq: int | None = None,
+    cache_intermediate: bool = True,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via the inverted-index join.
 
@@ -182,11 +183,15 @@ def ngram_jaccard_pairs(
     only pairs sharing at least one shingle are ever materialized.
     ``max_doc_freq`` caps posting-list length (skew guard); when set, set
     sizes and Jaccard are computed over the capped shingle universe so the
-    metric stays internally consistent.
+    metric stays internally consistent.  ``cache_intermediate`` persists the
+    posting list, which feeds three plan branches (both join sides + sizes)
+    — uncached, the corpus would be re-shingled once per branch.
     """
     postings = _filter_hot_shingles(
         shingle_posting_list(df, text_col, id_col, n), max_doc_freq
     )
+    if cache_intermediate:
+        postings = postings.persist()
     sizes = postings.groupBy(id_col).agg(F.count("*").alias("set_size"))
     a = postings.alias("a")
     b = postings.alias("b")
@@ -251,6 +256,7 @@ def minhash_lsh_pairs(
     num_hashes: int = N_MINHASHES,
     num_bands: int = N_BANDS,
     threshold: float = 0.4,
+    cache_intermediate: bool = True,
 ) -> DataFrame:
     """Candidate pairs via LSH banding, verified with exact Jaccard.
 
@@ -258,6 +264,12 @@ def minhash_lsh_pairs(
     candidates; candidates are then verified against the true shingle-set
     Jaccard so the output has no false positives.  At 100 TB the band join
     is the only shuffle that touches all docs, and its key is 8 bytes.
+
+    ``cache_intermediate`` persists the band entries and posting lists —
+    both are referenced on two+ sides of self-joins, and without caching
+    Spark re-shingles the whole corpus once per reference (~5 full passes).
+    At warehouse scale, write signatures to a table instead and pass the
+    cached frames through.
     """
     rows_per_band = num_hashes // num_bands
     sigs = minhash_signatures(
@@ -286,6 +298,8 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select(F.col(id_col), F.col("bb.band"), F.col("bb.bucket"))
 
+    if cache_intermediate:
+        band_entries = band_entries.persist()
     a = band_entries.alias("a")
     b = band_entries.alias("b")
     candidates = (
@@ -297,6 +311,8 @@ def minhash_lsh_pairs(
     # verify ONLY the candidate pairs — never the full posting self-join
     # (that would recompute the exact all-pairs cost LSH exists to avoid)
     postings = shingle_posting_list(df, text_col, id_col, n)
+    if cache_intermediate:
+        postings = postings.persist()
     return _jaccard_for_pairs(candidates, postings, id_col, threshold)
 
 

@@ -1,0 +1,427 @@
+"""Planned-mode Delta-log tailer — no delta-spark jar required.
+
+The Delta transaction log is an open spec: one JSON-lines file per commit
+under ``_delta_log/`` carrying ``protocol`` / ``metaData`` / ``add`` /
+``remove`` / ``cdc`` / ``commitInfo`` actions.  The log is tiny metadata
+(KBs per commit) so the driver reads it directly — exactly what
+delta-spark's own DeltaSource does — while the DATA files it names are read
+by Spark in parallel.
+
+Capability parity with the reference's ``DeltaTableCheckpoint``
+(reference: src/polars_incremental/checkpoints/delta.py:32-1040, C10-C16):
+
+- initial-snapshot batching in deterministic file order, resumable by
+  ``(version, index)`` (C11/C12)
+- log-tail batching: error on removes unless ``ignore_deletes`` /
+  ``ignore_changes``; ``dataChange=false`` (compaction) commits are skipped
+  (C13)
+- CDF batching from ``cdc`` actions, falling back to add-only commits as
+  inserts, raising ``ChangeDataFeedError`` on deletes without CDF files
+  (C14)
+- start offsets: snapshot (default) / earliest / latest /
+  ``starting_version`` / ``starting_timestamp``, sticky in checkpoint
+  metadata (C15)
+- table-id guard: refuse to continue a checkpoint if the table id changed
+  (C16)
+
+When delta-spark IS on the classpath, prefer the native streaming source
+(``sources/delta.build_delta_stream_reader``); this tailer makes Delta
+sources work without the jar and serves planned-mode features (file-list
+injection, writer-metadata commits).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+from ..errors import ChangeDataFeedError, PlanningError
+from .types import BatchInfo, atomic_write_json, read_json
+
+LOG_DIR = "_delta_log"
+
+
+def _version_of(name: str) -> int | None:
+    stem, ext = os.path.splitext(name)
+    if ext == ".json" and stem.isdigit() and len(stem) == 20:
+        return int(stem)
+    return None
+
+
+class DeltaLog:
+    """Reader for a Delta table's transaction log (JSON commits only).
+
+    Parquet log checkpoints (``_last_checkpoint``) are not consumed: tables
+    whose early JSON commits were vacuumed away raise a clear PlanningError.
+    (delta-spark reads those natively; this tailer targets jar-less
+    environments where tables are written by this library or delta-rs with
+    default log retention.)
+    """
+
+    def __init__(self, table_path: str) -> None:
+        self.table_path = table_path
+        self.log_dir = os.path.join(table_path, LOG_DIR)
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.log_dir)
+
+    def versions(self) -> list[int]:
+        if not self.exists():
+            return []
+        out = []
+        for name in os.listdir(self.log_dir):
+            v = _version_of(name)
+            if v is not None:
+                out.append(v)
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        versions = self.versions()
+        return versions[-1] if versions else None
+
+    def actions(self, version: int) -> list[dict[str, Any]]:
+        path = os.path.join(self.log_dir, f"{version:020d}.json")
+        if not os.path.exists(path):
+            raise PlanningError(
+                f"delta log version {version} missing under {self.log_dir} "
+                "(vacuumed log checkpoints are not supported without delta-spark)"
+            )
+        out = []
+        with open(path) as handle:
+            for line in handle:
+                line = line.strip()
+                if line:
+                    out.append(json.loads(line))
+        return out
+
+    # --------------------------------------------------------------- lookups
+    def table_metadata(self) -> dict[str, Any] | None:
+        """Latest metaData action (id, schemaString, partitionColumns, …)."""
+        for version in reversed(self.versions()):
+            for action in self.actions(version):
+                if "metaData" in action:
+                    return action["metaData"]
+        return None
+
+    def table_id(self) -> str | None:
+        meta = self.table_metadata()
+        return meta.get("id") if meta else None
+
+    def commit_timestamp_ms(self, version: int) -> int:
+        for action in self.actions(version):
+            info = action.get("commitInfo")
+            if info and "timestamp" in info:
+                return int(info["timestamp"])
+        path = os.path.join(self.log_dir, f"{version:020d}.json")
+        return int(os.stat(path).st_mtime * 1000)
+
+    def version_at_or_after_timestamp(self, ts_ms: int) -> int | None:
+        for version in self.versions():
+            if self.commit_timestamp_ms(version) >= ts_ms:
+                return version
+        return None
+
+    # -------------------------------------------------------------- snapshot
+    def snapshot_files(self, version: int) -> list[dict[str, Any]]:
+        """Active ``add`` actions at ``version`` (log replay), path-sorted."""
+        active: dict[str, dict[str, Any]] = {}
+        for v in self.versions():
+            if v > version:
+                break
+            for action in self.actions(v):
+                if "add" in action:
+                    add = action["add"]
+                    active[add["path"]] = {**add, "commit_version": v}
+                elif "remove" in action:
+                    active.pop(action["remove"]["path"], None)
+        return [active[p] for p in sorted(active)]
+
+    def abs_path(self, rel_path: str) -> str:
+        return os.path.join(self.table_path, rel_path)
+
+
+class DeltaTableCheckpoint:
+    """Offset/commit WAL for planned Delta micro-batches.
+
+    Same offsets/ + commits/ + metadata.json layout as the file checkpoint;
+    each offset stores the batch's file list plus the POSITION reached
+    after it: ``{version, index, snapshot_done}``.
+    """
+
+    def __init__(self, checkpoint_dir: str, table_path: str) -> None:
+        self.dir = checkpoint_dir
+        self.offsets_dir = os.path.join(checkpoint_dir, "offsets")
+        self.commits_dir = os.path.join(checkpoint_dir, "commits")
+        self.metadata_path = os.path.join(checkpoint_dir, "metadata.json")
+        os.makedirs(self.offsets_dir, exist_ok=True)
+        os.makedirs(self.commits_dir, exist_ok=True)
+        self.log = DeltaLog(table_path)
+
+    # ---------------------------------------------------------------- layout
+    @staticmethod
+    def _ids_in(directory: str) -> list[int]:
+        out = []
+        for name in os.listdir(directory):
+            if name.endswith(".json") and name[:-5].isdigit():
+                out.append(int(name[:-5]))
+        return sorted(out)
+
+    def latest_offset_batch_id(self) -> int | None:
+        ids = self._ids_in(self.offsets_dir)
+        return ids[-1] if ids else None
+
+    def latest_commit_batch_id(self) -> int | None:
+        ids = self._ids_in(self.commits_dir)
+        return ids[-1] if ids else None
+
+    def offset_batch(self, batch_id: int) -> BatchInfo | None:
+        payload = read_json(os.path.join(self.offsets_dir, f"{batch_id}.json"))
+        return BatchInfo.from_json(payload) if payload else None
+
+    def pending_batch(self) -> BatchInfo | None:
+        latest_offset = self.latest_offset_batch_id()
+        latest_commit = self.latest_commit_batch_id()
+        if latest_offset is None:
+            return None
+        if latest_commit is None or latest_offset > latest_commit:
+            return self.offset_batch(latest_offset)
+        return None
+
+    def load_metadata(self) -> dict[str, Any]:
+        return read_json(self.metadata_path) or {}
+
+    def update_metadata(self, **kwargs: Any) -> dict[str, Any]:
+        meta = self.load_metadata()
+        meta.update(kwargs)
+        atomic_write_json(self.metadata_path, meta)
+        return meta
+
+    def get_schema(self) -> str | None:
+        return self.load_metadata().get("schema")
+
+    def set_schema(self, schema_json: str) -> None:
+        self.update_metadata(schema=schema_json)
+
+    # --------------------------------------------------------- start offsets
+    def _resolve_start(self, spec) -> dict[str, Any]:
+        """Sticky start-position decision (C15): persisted on first run."""
+        meta = self.load_metadata()
+        stored = meta.get("delta_start")
+        if stored is not None:
+            return stored
+        latest = self.log.latest_version()
+        if latest is None:
+            raise PlanningError(f"not a delta table: {self.log.table_path}")
+        if spec.starting_version is not None:
+            start = {"mode": "version", "tail_from": int(spec.starting_version)}
+        elif spec.starting_timestamp is not None:
+            ts = spec.starting_timestamp
+            try:
+                ts_ms = int(float(ts) * 1000)
+            except (TypeError, ValueError):
+                import datetime as _dt
+
+                ts_ms = int(_dt.datetime.fromisoformat(str(ts)).timestamp() * 1000)
+            version = self.log.version_at_or_after_timestamp(ts_ms)
+            start = {
+                "mode": "timestamp",
+                "tail_from": version if version is not None else latest + 1,
+            }
+        elif spec.start_offset == "earliest":
+            start = {"mode": "earliest", "tail_from": 0}
+        elif spec.start_offset == "latest":
+            start = {"mode": "latest", "tail_from": latest + 1}
+        else:  # snapshot (default): current snapshot, then tail
+            start = {"mode": "snapshot", "snapshot_version": latest}
+        self.update_metadata(delta_start=start)
+        return start
+
+    def _guard_table_id(self) -> str | None:
+        """C16: a checkpoint follows exactly one table incarnation."""
+        current = self.log.table_id()
+        meta = self.load_metadata()
+        stored = meta.get("table_id")
+        if stored is None:
+            if current is not None:
+                self.update_metadata(table_id=current)
+            return current
+        if current is not None and current != stored:
+            raise PlanningError(
+                f"delta table id changed ({stored} -> {current}); the table was "
+                "replaced — reset the checkpoint to reprocess"
+            )
+        return stored
+
+    # -------------------------------------------------------------- planning
+    def _position(self) -> dict[str, Any] | None:
+        """Position reached by the last committed batch (None before any)."""
+        latest_commit = self.latest_commit_batch_id()
+        if latest_commit is None:
+            return None
+        batch = self.offset_batch(latest_commit)
+        return batch.metadata.get("position") if batch else None
+
+    def plan_batch(self, spec) -> BatchInfo | None:
+        pending = self.pending_batch()
+        if pending is not None:
+            return pending
+        self._guard_table_id()
+        start = self._resolve_start(spec)
+        position = self._position()
+
+        if position is None:
+            if start["mode"] == "snapshot":
+                return self._plan_snapshot(
+                    spec, start["snapshot_version"], index=0
+                )
+            return self._plan_tail(spec, start["tail_from"])
+        if start["mode"] == "snapshot" and not position.get("snapshot_done", True):
+            return self._plan_snapshot(
+                spec, position["version"], index=position["index"]
+            )
+        return self._plan_tail(spec, position["version"] + 1)
+
+    def _emit(self, files: list[str], position: dict[str, Any], extra: dict[str, Any] | None = None) -> BatchInfo:
+        latest_commit = self.latest_commit_batch_id()
+        batch_id = 0 if latest_commit is None else latest_commit + 1
+        batch = BatchInfo(
+            batch_id=batch_id,
+            files=files,
+            created_at=time.time(),
+            metadata={"position": position, **(extra or {})},
+        )
+        atomic_write_json(
+            os.path.join(self.offsets_dir, f"{batch_id}.json"), batch.to_json()
+        )
+        return batch
+
+    def _plan_snapshot(self, spec, version: int, index: int) -> BatchInfo | None:
+        adds = self.log.snapshot_files(version)
+        remaining = adds[index:]
+        if not remaining:
+            # empty table: mark snapshot served so tail starts after it
+            return self._plan_tail(spec, version + 1)
+        cap = spec.max_files_per_trigger or len(remaining)
+        picked = remaining[: max(cap, 1)]
+        new_index = index + len(picked)
+        done = new_index >= len(adds)
+        return self._emit(
+            [self.log.abs_path(a["path"]) for a in picked],
+            {"version": version, "index": new_index, "snapshot_done": done},
+            {"is_initial_snapshot": True},
+        )
+
+    def _plan_tail(self, spec, from_version: int) -> BatchInfo | None:
+        """Serve the next log version that yields files; skip empty ones.
+
+        Versions that yield nothing (compaction with dataChange=false,
+        remove-only commits under ignore_deletes) are skipped WITHOUT
+        emitting a batch; the position jump rides the next non-empty batch's
+        metadata, so a crash never loses progress — idle polls simply
+        re-scan the (tiny) skipped log entries.
+        """
+        latest = self.log.latest_version()
+        if latest is None:
+            return None
+        version = from_version
+        while version <= latest:
+            actions = self.log.actions(version)
+            if spec.read_change_feed:
+                entries = self._cdf_entries(version, actions)
+            else:
+                entries = self._tail_entries(version, actions, spec)
+            if entries:
+                # one log version per batch: the version boundary is the
+                # natural replay unit (max_files_per_trigger bounds snapshot
+                # batches, where files have no transactional grouping)
+                return self._emit(
+                    [e["abs_path"] for e in entries],
+                    {"version": version, "snapshot_done": True},
+                    {
+                        "entries": [
+                            {k: v for k, v in e.items() if k != "abs_path"}
+                            for e in entries
+                        ],
+                        "is_initial_snapshot": False,
+                    },
+                )
+            version += 1
+        return None
+
+    def _tail_entries(self, version: int, actions: list[dict], spec) -> list[dict]:
+        adds = [a["add"] for a in actions if "add" in a]
+        removes = [a["remove"] for a in actions if "remove" in a]
+        data_adds = [a for a in adds if a.get("dataChange", True)]
+        data_removes = [r for r in removes if r.get("dataChange", True)]
+        if data_removes:
+            if data_adds and not spec.ignore_changes:
+                raise PlanningError(
+                    f"delta version {version} rewrites data (update/merge); set "
+                    "ignore_changes=True to stream the new files (downstream "
+                    "must tolerate re-delivered rows)"
+                )
+            if not data_adds and not (spec.ignore_deletes or spec.ignore_changes):
+                raise PlanningError(
+                    f"delta version {version} deletes data; set "
+                    "ignore_deletes=True to skip delete-only commits"
+                )
+        ts = self.log.commit_timestamp_ms(version)
+        return [
+            {
+                "abs_path": self.log.abs_path(a["path"]),
+                "path": a["path"],
+                "change_type": None,
+                "commit_version": version,
+                "commit_timestamp_ms": ts,
+            }
+            for a in data_adds
+        ]
+
+    def _cdf_entries(self, version: int, actions: list[dict]) -> list[dict]:
+        """C14: cdc actions; add-only commits fall back to inserts; deletes
+        without CDF files raise."""
+        cdcs = [a["cdc"] for a in actions if "cdc" in a]
+        ts = self.log.commit_timestamp_ms(version)
+        if cdcs:
+            return [
+                {
+                    "abs_path": self.log.abs_path(c["path"]),
+                    "path": c["path"],
+                    "change_type": None,  # _change_type column lives in the file
+                    "commit_version": version,
+                    "commit_timestamp_ms": ts,
+                }
+                for c in cdcs
+            ]
+        adds = [a["add"] for a in actions if "add" in a and a["add"].get("dataChange", True)]
+        removes = [
+            a["remove"] for a in actions if "remove" in a and a["remove"].get("dataChange", True)
+        ]
+        if removes:
+            raise ChangeDataFeedError(
+                f"delta version {version} removes data but carries no change-data "
+                "files; enable delta.enableChangeDataFeed on the writer"
+            )
+        return [
+            {
+                "abs_path": self.log.abs_path(a["path"]),
+                "path": a["path"],
+                "change_type": "insert",  # injected at read time
+                "commit_version": version,
+                "commit_timestamp_ms": ts,
+            }
+            for a in adds
+        ]
+
+    # ---------------------------------------------------------------- commit
+    def commit_batch(self, batch: BatchInfo, metadata: dict[str, Any] | None = None) -> None:
+        payload = {
+            "batch_id": batch.batch_id,
+            "committed_at": time.time(),
+            "metadata": metadata or {},
+        }
+        atomic_write_json(
+            os.path.join(self.commits_dir, f"{batch.batch_id}.json"), payload
+        )

@@ -126,21 +126,46 @@ def inspect_checkpoint(checkpoint_dir: str) -> CheckpointInfo:
     )
 
 
-def vacuum_delta_table(spark, path: str, *, retention_hours: float = 168.0) -> None:
-    """Delta VACUUM passthrough (requires delta-spark)."""
-    require_delta()
-    from delta.tables import DeltaTable
+def vacuum_delta_table(
+    spark, path: str, *, retention_hours: float = 168.0, dry_run: bool = False
+) -> list[str]:
+    """Delta VACUUM: native passthrough with delta-spark, else the fallback
+    vacuum over the log-backed table (unreferenced + out-of-retention files)."""
+    from .sources.delta import delta_available
 
-    DeltaTable.forPath(spark, path).vacuum(retention_hours)
+    if delta_available():
+        from delta.tables import DeltaTable
+
+        DeltaTable.forPath(spark, path).vacuum(retention_hours)
+        return []
+    from .sinks.deltalog import vacuum_fallback
+
+    return vacuum_fallback(path, retention_hours=retention_hours, dry_run=dry_run)
 
 
-def optimize_delta_table(spark, path: str, *, z_order_by: list[str] | None = None) -> None:
-    """Delta OPTIMIZE [ZORDER BY] passthrough (requires delta-spark)."""
-    require_delta()
-    from delta.tables import DeltaTable
+def optimize_delta_table(
+    spark,
+    path: str,
+    *,
+    z_order_by: list[str] | None = None,
+    target_partitions: int | None = None,
+) -> None:
+    """Delta OPTIMIZE: native passthrough with delta-spark; the fallback
+    compacts the snapshot with a ``dataChange=false`` commit (streams skip
+    it).  Z-ORDER needs the jar."""
+    from .sources.delta import delta_available
 
-    optimizer = DeltaTable.forPath(spark, path).optimize()
+    if delta_available():
+        from delta.tables import DeltaTable
+
+        optimizer = DeltaTable.forPath(spark, path).optimize()
+        if z_order_by:
+            optimizer.executeZOrderBy(*z_order_by)
+        else:
+            optimizer.executeCompaction()
+        return
     if z_order_by:
-        optimizer.executeZOrderBy(*z_order_by)
-    else:
-        optimizer.executeCompaction()
+        require_delta()  # raises with a clear message
+    from .sinks.deltalog import compact_fallback
+
+    compact_fallback(spark, path, target_partitions=target_partitions)

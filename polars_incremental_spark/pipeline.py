@@ -264,11 +264,6 @@ class Pipeline:
             spec = AutoSource(path=spec, options=dict(self.reader_options))
         if isinstance(spec, AutoSource):
             spec = spec.resolve()
-        if isinstance(spec, DeltaSource):
-            raise PlanningError(
-                "planned-mode Pipeline supports file sources; use "
-                "streaming.native.run_native for Delta sources"
-            )
         return spec.with_checkpoint(self.checkpoint_dir)
 
     def _run_one_batch(self, spark: SparkSession, source_impl, state: JobState) -> bool:

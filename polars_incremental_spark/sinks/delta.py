@@ -27,6 +27,7 @@ from ..cdc import (
     prepare_changes,
     strip_cdc_columns,
 )
+from ..errors import UnsupportedFormatError
 from ..sources.delta import delta_available
 
 
@@ -39,8 +40,19 @@ def write_table(
     file_format: str | None = None,
     partition_by: list[str] | None = None,
 ) -> None:
-    """Write a DataFrame to a Delta table when available, else parquet."""
-    fmt = file_format or ("delta" if delta_available() else "parquet")
+    """Write a DataFrame as a Delta table — native delta-spark when the jar
+    is present, else the spec-compliant fallback log writer.  Pass
+    ``file_format="parquet"`` for a plain (log-less) parquet directory."""
+    fmt = file_format or "delta"
+    if fmt == "delta" and not delta_available():
+        from .deltalog import write_delta_fallback
+
+        if partition_by:
+            raise UnsupportedFormatError(
+                "partitioned writes need delta-spark; the fallback writer is unpartitioned"
+            )
+        write_delta_fallback(df, path, mode=mode)
+        return
     writer = df.write.format(fmt).mode(mode)
     if merge_schema:
         writer = writer.option("mergeSchema", "true")
@@ -51,6 +63,10 @@ def write_table(
 
 def read_table(spark: SparkSession, path: str, file_format: str | None = None) -> DataFrame:
     fmt = file_format or ("delta" if os.path.isdir(os.path.join(path, "_delta_log")) else "parquet")
+    if fmt == "delta" and not delta_available():
+        from .deltalog import read_delta_fallback
+
+        return read_delta_fallback(spark, path)
     return spark.read.format(fmt).load(path)
 
 
@@ -140,12 +156,15 @@ def apply_cdc_table(
         ignore_delete=ignore_delete,
         dedupe_by_latest_commit=dedupe_by_latest_commit,
     )
-    if use_delta:
+    is_delta_table = os.path.isdir(os.path.join(target_path, "_delta_log"))
+    if use_delta or is_delta_table or not exists:
+        # native delta, fallback-log delta, or fresh table → write_table
+        # routes appropriately; the fallback overwrite is log-atomic and
+        # never truncates its own input (old files stay until vacuum)
         write_table(merged, target_path, mode="overwrite")
-    elif exists:
-        _overwrite_atomic(merged, target_path)
     else:
-        merged.write.mode("overwrite").parquet(target_path)
+        # plain parquet directory (no log): staged atomic swap
+        _overwrite_atomic(merged, target_path)
     rows_out = read_table(spark, target_path).count() if compute_counts else None
     return {"rows_in": rows_in, "rows_out": rows_out, "action": "merge"}
 

@@ -1,0 +1,206 @@
+"""Minimal Delta transaction-log writer — upgrades the parquet fallback to a
+real (spec-compliant, single-writer) Delta table when delta-spark is absent.
+
+Writes protocol v1 logs: ``protocol`` + ``metaData`` on create, ``add`` /
+``remove`` actions per commit, ``commitInfo`` with a timestamp.  Tables
+written here are readable by delta-spark / delta-rs / DuckDB's delta
+extension, and by this library's own planned-mode tailer
+(checkpoints/delta.py).
+
+Concurrency: single-writer only (the planned-mode Pipeline lock enforces
+this); no conflict detection, no log checkpointing — deployments with the
+delta-spark jar use the native writer instead (sinks/delta.write_table).
+
+Data files are staged through a Spark parquet write and MOVED into the
+table directory under unique names, so an append never clobbers existing
+parts and a crashed write leaves only unreferenced orphans (invisible to
+readers until logged — the same guarantee real Delta gives).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..checkpoints.delta import LOG_DIR, DeltaLog
+from ..checkpoints.types import atomic_write_json
+
+
+def _spark_schema_to_delta(schema_json: str) -> str:
+    """Delta's schemaString IS the Spark StructType JSON format."""
+    return schema_json
+
+
+def _write_commit(log_dir: str, version: int, actions: list[dict[str, Any]]) -> None:
+    path = os.path.join(log_dir, f"{version:020d}.json")
+    if os.path.exists(path):
+        raise FileExistsError(f"delta log version {version} already exists: {path}")
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as handle:
+        for action in actions:
+            handle.write(json.dumps(action, separators=(",", ":")) + "\n")
+        handle.flush()
+        os.fsync(handle.fileno())
+    os.replace(tmp, path)
+
+
+def _stage_data_files(df: DataFrame, table_path: str) -> list[dict[str, Any]]:
+    """Write ``df`` as parquet parts and move them into the table dir under
+    unique names; returns add-action payloads (path, size, modificationTime)."""
+    staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    adds = []
+    try:
+        for name in sorted(os.listdir(staging)):
+            if not name.endswith(".parquet"):
+                continue
+            unique = f"part-{uuid.uuid4().hex}.parquet"
+            dest = os.path.join(table_path, unique)
+            shutil.move(os.path.join(staging, name), dest)
+            st = os.stat(dest)
+            adds.append(
+                {
+                    "path": unique,
+                    "partitionValues": {},
+                    "size": st.st_size,
+                    "modificationTime": int(st.st_mtime * 1000),
+                    "dataChange": True,
+                }
+            )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return adds
+
+
+def write_delta_fallback(df: DataFrame, table_path: str, *, mode: str = "append") -> None:
+    """Append/overwrite ``df`` into a log-backed Delta table (no jar needed)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unsupported mode {mode!r}")
+    os.makedirs(table_path, exist_ok=True)
+    log_dir = os.path.join(table_path, LOG_DIR)
+    os.makedirs(log_dir, exist_ok=True)
+    log = DeltaLog(table_path)
+    latest = log.latest_version()
+    now_ms = int(time.time() * 1000)
+
+    adds = _stage_data_files(df, table_path)
+    actions: list[dict[str, Any]] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "WRITE",
+                "operationParameters": {"mode": mode.upper()},
+                "engineInfo": "polars-incremental-spark fallback writer",
+            }
+        }
+    ]
+    if latest is None:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _spark_schema_to_delta(df.schema.json()),
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": now_ms,
+                }
+            }
+        )
+        version = 0
+    else:
+        version = latest + 1
+        if mode == "overwrite":
+            for active in log.snapshot_files(latest):
+                actions.append(
+                    {
+                        "remove": {
+                            "path": active["path"],
+                            "deletionTimestamp": now_ms,
+                            "dataChange": True,
+                        }
+                    }
+                )
+    actions.extend({"add": add} for add in adds)
+    _write_commit(log_dir, version, actions)
+
+
+def read_delta_fallback(spark: SparkSession, table_path: str) -> DataFrame:
+    """Snapshot read of a log-backed Delta table via the planned-mode tailer."""
+    log = DeltaLog(table_path)
+    latest = log.latest_version()
+    if latest is None:
+        raise FileNotFoundError(f"not a delta table: {table_path}")
+    files = [log.abs_path(a["path"]) for a in log.snapshot_files(latest)]
+    if not files:
+        meta = log.table_metadata() or {}
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*files)
+
+
+def vacuum_fallback(table_path: str, *, retention_hours: float = 168.0, dry_run: bool = False) -> list[str]:
+    """Delete data files no longer referenced by the latest snapshot and older
+    than the retention window (X6 without the jar)."""
+    log = DeltaLog(table_path)
+    latest = log.latest_version()
+    if latest is None:
+        return []
+    active = {a["path"] for a in log.snapshot_files(latest)}
+    cutoff = time.time() - retention_hours * 3600
+    removed = []
+    for name in os.listdir(table_path):
+        if not name.endswith(".parquet") or name in active:
+            continue
+        full = os.path.join(table_path, name)
+        if os.stat(full).st_mtime <= cutoff:
+            removed.append(full)
+            if not dry_run:
+                os.unlink(full)
+    return removed
+
+
+def compact_fallback(spark: SparkSession, table_path: str, *, target_partitions: int | None = None) -> None:
+    """OPTIMIZE-style compaction (X7 without the jar): rewrite the snapshot
+    into fewer files with a dataChange=false commit (streams skip it)."""
+    log = DeltaLog(table_path)
+    latest = log.latest_version()
+    if latest is None:
+        raise FileNotFoundError(f"not a delta table: {table_path}")
+    snapshot = log.snapshot_files(latest)
+    if not snapshot:
+        return
+    df = spark.read.parquet(*[log.abs_path(a["path"]) for a in snapshot])
+    if target_partitions:
+        df = df.coalesce(target_partitions)
+    else:
+        df = df.coalesce(1)
+    adds = _stage_data_files(df, table_path)
+    now_ms = int(time.time() * 1000)
+    actions: list[dict[str, Any]] = [
+        {"commitInfo": {"timestamp": now_ms, "operation": "OPTIMIZE"}}
+    ]
+    for active in snapshot:
+        actions.append(
+            {
+                "remove": {
+                    "path": active["path"],
+                    "deletionTimestamp": now_ms,
+                    "dataChange": False,
+                }
+            }
+        )
+    for add in adds:
+        actions.append({"add": {**add, "dataChange": False}})
+    _write_commit(os.path.join(table_path, LOG_DIR), latest + 1, actions)

@@ -1,13 +1,16 @@
-"""Delta-table source: thin option mapping onto the delta-spark streaming source.
+"""Delta-table source: planned-mode log tailer + native option mapping.
 
 Parity: ``DeltaSource`` planning/reading/CDF
 (reference: src/polars_incremental/sources/delta.py:14-73,
-checkpoints/delta.py:32-1040).  The reference hand-rolls a Delta-log tailer
-(~1000 LoC); on Spark the delta-spark streaming source implements the whole
-contract natively (snapshot + log tail + CDF, reservoir offsets, maxFiles/
-maxBytes caps, ignoreDeletes/ignoreChanges, startingVersion/Timestamp), so
-this module is deliberately just option plumbing, gated on the package being
-present (it is not bundled in every environment).
+checkpoints/delta.py:32-1040).  Two paths:
+
+- **planned mode** (always available): ``DeltaSourceImpl`` plans batches
+  through the jar-less log tailer in ``checkpoints/delta.py`` (snapshot /
+  log-tail / CDF, start offsets, table-id guard) and reads data files with
+  plain parallel parquet scans.
+- **native mode** (delta-spark on the classpath): ``read_stream`` /
+  ``build_delta_stream_reader`` map the spec onto the delta-spark streaming
+  source, which implements the same contract natively.
 """
 
 from __future__ import annotations
@@ -41,15 +44,80 @@ def require_delta() -> None:
 
 
 class DeltaSourceImpl:
-    """A ``DeltaSource`` spec bound to a checkpoint directory (native mode only)."""
+    """A ``DeltaSource`` spec bound to a planned-mode Delta checkpoint.
+
+    Planning/commit ride the jar-less log tailer
+    (``checkpoints/delta.DeltaTableCheckpoint``); reading is a plain
+    multi-file ``spark.read.parquet`` so Catalyst scans the batch in
+    parallel.  CDF batches inject ``_change_type`` / ``_commit_version`` /
+    ``_commit_timestamp`` exactly as delta-spark's ``readChangeFeed`` does
+    (reference sources/delta.py:14-32).
+    """
 
     def __init__(self, spec: "DeltaSource", checkpoint_dir: str) -> None:
-        require_delta()
+        from ..checkpoints.delta import DeltaTableCheckpoint
+
         self.spec = spec
         self.checkpoint_dir = checkpoint_dir
+        self.checkpoint = DeltaTableCheckpoint(checkpoint_dir, spec.path)
 
+    # ------------------------------------------------------------ planned API
+    def plan_batch(self):
+        return self.checkpoint.plan_batch(self.spec)
+
+    def read_batch(self, spark: "SparkSession", batch):
+        from pyspark.sql import functions as F
+
+        if not batch.files:
+            return _empty_snapshot_frame(spark, self.spec.path)
+        entries = batch.metadata.get("entries")
+        if not self.spec.read_change_feed or not entries:
+            return spark.read.parquet(*batch.files)
+        # CDF read: group per (commit_version, injected change_type) so each
+        # group gets its commit metadata columns attached once
+        groups: dict[tuple, list[dict]] = {}
+        for entry in entries:
+            key = (entry["commit_version"], entry["commit_timestamp_ms"], entry["change_type"])
+            groups.setdefault(key, []).append(entry)
+        out = None
+        for (version, ts_ms, change_type), group in sorted(groups.items(), key=lambda kv: kv[0][:2]):
+            df = spark.read.parquet(
+                *[e.get("abs_path") or self._abs(e["path"]) for e in group]
+            )
+            if change_type is not None and "_change_type" not in df.columns:
+                df = df.withColumn("_change_type", F.lit(change_type))
+            if "_commit_version" not in df.columns:
+                df = df.withColumn("_commit_version", F.lit(version).cast("long"))
+            if "_commit_timestamp" not in df.columns:
+                df = df.withColumn("_commit_timestamp", F.timestamp_millis(F.lit(ts_ms)))
+            out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+        return out
+
+    def commit_batch(self, batch, metadata=None) -> None:
+        self.checkpoint.commit_batch(batch, metadata)
+
+    def _abs(self, rel_path: str) -> str:
+        import os
+
+        return os.path.join(self.spec.path, rel_path)
+
+    # ------------------------------------------------------------ native API
     def read_stream(self, spark: "SparkSession"):
+        """Native Structured Streaming path — requires the delta-spark jar."""
+        require_delta()
         return build_delta_stream_reader(spark, self.spec).load(self.spec.path)
+
+
+def _empty_snapshot_frame(spark: "SparkSession", table_path: str):
+    import json
+
+    from pyspark.sql.types import StructType
+
+    from ..checkpoints.delta import DeltaLog
+
+    meta = DeltaLog(table_path).table_metadata() or {}
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    return spark.createDataFrame([], schema)
 
 
 def build_delta_stream_reader(spark: "SparkSession", spec: "DeltaSource") -> "DataStreamReader":

@@ -165,7 +165,11 @@ def test_apply_cdc_table_roundtrip(spark, tmp_path):
     )
     res2 = apply_cdc_table(spark, second, target, keys=["id"])
     assert res2["rows_out"] == 1
-    final = sorted(tuple(r) for r in spark.read.parquet(target).collect())
+    # read through the table API: the target is a log-backed delta table and
+    # overwritten files stay on disk (invisible to the snapshot) until vacuum
+    from polars_incremental_spark.sinks.delta import read_table
+
+    final = sorted(tuple(r) for r in read_table(spark, target).collect())
     assert final == [(1, "a2", 9.0)]
 
 

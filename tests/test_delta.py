@@ -1,0 +1,315 @@
+"""Delta-log tailer + fallback writer tests (C10-C16, S9/S10, M7/M8, X6/X7).
+
+All jar-less: the fallback writer produces spec-compliant logs that the
+planned-mode tailer (and real delta readers) consume.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_incremental_spark.checkpoints.delta import DeltaLog, DeltaTableCheckpoint
+from polars_incremental_spark.errors import ChangeDataFeedError, PlanningError
+from polars_incremental_spark.maintenance import optimize_delta_table, vacuum_delta_table
+from polars_incremental_spark.pipeline import Pipeline
+from polars_incremental_spark.sinks.delta import apply_cdc_table, read_table, write_table
+from polars_incremental_spark.sinks.deltalog import (
+    read_delta_fallback,
+    write_delta_fallback,
+)
+from polars_incremental_spark.sources.base import DeltaSource
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+# ------------------------------------------------------------ writer/reader
+
+
+def test_write_read_roundtrip(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta_fallback(spark.range(3), t, mode="append")
+    assert _ids(read_delta_fallback(spark, t)) == [0, 1, 2]
+    log = DeltaLog(t)
+    assert log.latest_version() == 0
+    assert log.table_id() is not None
+    # protocol + metaData + commitInfo + adds present in v0
+    kinds = {next(iter(a)) for a in log.actions(0)}
+    assert {"protocol", "metaData", "commitInfo", "add"} <= kinds
+
+
+def test_append_and_overwrite(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta_fallback(spark.range(2), t)
+    write_delta_fallback(spark.range(2, 4), t, mode="append")
+    assert _ids(read_delta_fallback(spark, t)) == [0, 1, 2, 3]
+    write_delta_fallback(spark.range(9, 10), t, mode="overwrite")
+    assert _ids(read_delta_fallback(spark, t)) == [9]
+    # overwrite logged removes; old data files still on disk until vacuum
+    log = DeltaLog(t)
+    assert any("remove" in a for a in log.actions(2))
+
+
+def test_write_table_routes_to_fallback(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_table(spark.range(3), t, mode="overwrite")
+    assert os.path.isdir(os.path.join(t, "_delta_log"))
+    assert _ids(read_table(spark, t)) == [0, 1, 2]
+
+
+# --------------------------------------------------------- snapshot batching
+
+
+def test_snapshot_then_tail(spark, tmp_path):
+    t, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    write_delta_fallback(spark.range(4).repartition(2), t)
+    spec = DeltaSource(path=t)
+    cp = DeltaTableCheckpoint(ckpt, t)
+
+    b0 = cp.plan_batch(spec)
+    assert b0.metadata["is_initial_snapshot"] is True
+    assert len(b0.files) >= 1
+    assert _ids(spark.read.parquet(*b0.files)) == [0, 1, 2, 3]
+    cp.commit_batch(b0)
+    assert cp.plan_batch(spec) is None  # drained
+
+    write_delta_fallback(spark.range(10, 12), t, mode="append")
+    b1 = cp.plan_batch(spec)
+    assert b1.metadata["is_initial_snapshot"] is False
+    assert _ids(spark.read.parquet(*b1.files)) == [10, 11]
+    cp.commit_batch(b1)
+
+
+def test_snapshot_resumable_by_index(spark, tmp_path):
+    t, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    # 3 separate commits → ≥3 files in the snapshot
+    write_delta_fallback(spark.range(1).coalesce(1), t)
+    write_delta_fallback(spark.range(1, 2).coalesce(1), t, mode="append")
+    write_delta_fallback(spark.range(2, 3).coalesce(1), t, mode="append")
+    spec = DeltaSource(path=t, max_files_per_trigger=1)
+    cp = DeltaTableCheckpoint(ckpt, t)
+    seen = []
+    while True:
+        b = cp.plan_batch(spec)
+        if b is None or not b.metadata.get("is_initial_snapshot"):
+            break
+        assert len(b.files) == 1
+        seen.extend(_ids(spark.read.parquet(*b.files)))
+        cp.commit_batch(b)
+    assert sorted(seen) == [0, 1, 2]
+
+
+def test_pending_batch_replays_same_files(spark, tmp_path):
+    t, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    write_delta_fallback(spark.range(3), t)
+    spec = DeltaSource(path=t)
+    cp = DeltaTableCheckpoint(ckpt, t)
+    b0 = cp.plan_batch(spec)
+    b0_again = cp.plan_batch(spec)  # no commit in between
+    assert b0_again.batch_id == b0.batch_id and b0_again.files == b0.files
+
+
+# ----------------------------------------------------------------- log tail
+
+
+def test_tail_errors_on_deletes_without_flag(spark, tmp_path):
+    t, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    write_delta_fallback(spark.range(3), t)
+    spec = DeltaSource(path=t)
+    cp = DeltaTableCheckpoint(ckpt, t)
+    cp.commit_batch(cp.plan_batch(spec))
+    write_delta_fallback(spark.range(5, 6), t, mode="overwrite")  # removes + adds
+    with pytest.raises(PlanningError, match="ignore_changes"):
+        cp.plan_batch(spec)
+    # with the flag, the new files stream through
+    b = cp.plan_batch(DeltaSource(path=t, ignore_changes=True))
+    assert _ids(spark.read.parquet(*b.files)) == [5]
+
+
+def test_tail_skips_compaction_commits(spark, tmp_path):
+    t, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    write_delta_fallback(spark.range(2).coalesce(1), t)
+    write_delta_fallback(spark.range(2, 4).coalesce(1), t, mode="append")
+    spec = DeltaSource(path=t)
+    cp = DeltaTableCheckpoint(ckpt, t)
+    cp.commit_batch(cp.plan_batch(spec))  # snapshot
+    optimize_delta_table(spark, t)  # dataChange=false commit
+    assert cp.plan_batch(spec) is None  # compaction is not new data
+    write_delta_fallback(spark.range(7, 8), t, mode="append")
+    b = cp.plan_batch(spec)
+    assert _ids(spark.read.parquet(*b.files)) == [7]
+
+
+def test_start_offset_latest_and_version(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta_fallback(spark.range(2), t)  # v0
+    write_delta_fallback(spark.range(2, 4), t, mode="append")  # v1
+    # latest: nothing until a post-checkpoint commit
+    cp = DeltaTableCheckpoint(str(tmp_path / "c1"), t)
+    spec_latest = DeltaSource(path=t, start_offset="latest")
+    assert cp.plan_batch(spec_latest) is None
+    write_delta_fallback(spark.range(9, 10), t, mode="append")  # v2
+    b = cp.plan_batch(spec_latest)
+    assert _ids(spark.read.parquet(*b.files)) == [9]
+    # starting_version=1 replays v1 and v2 as tail batches
+    cp2 = DeltaTableCheckpoint(str(tmp_path / "c2"), t)
+    spec_v = DeltaSource(path=t, starting_version=1)
+    got = []
+    while (b := cp2.plan_batch(spec_v)) is not None:
+        got.extend(_ids(spark.read.parquet(*b.files)))
+        cp2.commit_batch(b)
+    assert sorted(got) == [2, 3, 9]
+
+
+def test_start_offset_sticky(spark, tmp_path):
+    t, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    write_delta_fallback(spark.range(2), t)
+    cp = DeltaTableCheckpoint(ckpt, t)
+    assert cp.plan_batch(DeltaSource(path=t, start_offset="latest")) is None
+    # later mismatched request: stored 'latest' decision wins → no snapshot replay
+    assert cp.plan_batch(DeltaSource(path=t)) is None
+
+
+def test_table_id_guard(spark, tmp_path):
+    t, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    write_delta_fallback(spark.range(2), t)
+    cp = DeltaTableCheckpoint(ckpt, t)
+    cp.commit_batch(cp.plan_batch(DeltaSource(path=t)))
+    # replace the table wholesale → new table id
+    import shutil
+
+    shutil.rmtree(t)
+    write_delta_fallback(spark.range(5), t)
+    with pytest.raises(PlanningError, match="table id changed"):
+        DeltaTableCheckpoint(ckpt, t).plan_batch(DeltaSource(path=t))
+
+
+# ---------------------------------------------------------------------- CDF
+
+
+def _append_cdc_commit(spark, table_path: str, rows, change_type_col=True):
+    """Hand-craft a cdc commit: write a parquet under _change_data + log it."""
+    log = DeltaLog(table_path)
+    version = log.latest_version() + 1
+    cdc_dir = os.path.join(table_path, "_change_data")
+    os.makedirs(cdc_dir, exist_ok=True)
+    df = spark.createDataFrame(rows, ["id", "_change_type"])
+    staging = os.path.join(table_path, ".cdc_staging")
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    part = next(n for n in os.listdir(staging) if n.endswith(".parquet"))
+    rel = f"_change_data/cdc-{version}.parquet"
+    os.replace(os.path.join(staging, part), os.path.join(table_path, rel))
+    import shutil as _sh
+    import time as _t
+
+    _sh.rmtree(staging, ignore_errors=True)
+    actions = [
+        {"commitInfo": {"timestamp": int(_t.time() * 1000), "operation": "MERGE"}},
+        {"cdc": {"path": rel, "partitionValues": {}, "size": 1, "dataChange": False}},
+        # the merge also removes+adds data files; dataChange=true removes would
+        # normally accompany — cdc actions take precedence in the planner
+    ]
+    path = os.path.join(table_path, "_delta_log", f"{version:020d}.json")
+    with open(path, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+
+def test_cdf_insert_fallback_and_cdc_actions(spark, tmp_path):
+    t, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    write_delta_fallback(spark.range(2), t)  # v0: plain adds
+    spec = DeltaSource(path=t, read_change_feed=True, start_offset="earliest")
+    src = spec.with_checkpoint(ckpt)
+
+    b0 = src.plan_batch()
+    df0 = src.read_batch(spark, b0)
+    rows = {(r["id"], r["_change_type"], r["_commit_version"]) for r in df0.collect()}
+    assert rows == {(0, "insert", 0), (1, "insert", 0)}  # add-only fallback
+    src.commit_batch(b0)
+
+    _append_cdc_commit(
+        spark, t, [(1, "update_postimage"), (1, "update_preimage"), (2, "insert")]
+    )
+    b1 = src.plan_batch()
+    df1 = src.read_batch(spark, b1)
+    got = {(r["id"], r["_change_type"]) for r in df1.collect()}
+    assert got == {(1, "update_postimage"), (1, "update_preimage"), (2, "insert")}
+    assert df1.select("_commit_version").distinct().collect()[0][0] == 1
+
+
+def test_cdf_delete_without_change_files_raises(spark, tmp_path):
+    t, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    write_delta_fallback(spark.range(3), t)
+    spec = DeltaSource(path=t, read_change_feed=True, start_offset="earliest")
+    src = spec.with_checkpoint(ckpt)
+    src.commit_batch(src.plan_batch())
+    write_delta_fallback(spark.range(1), t, mode="overwrite")  # removes, no cdc
+    with pytest.raises(ChangeDataFeedError):
+        src.plan_batch()
+
+
+# --------------------------------------------------------- pipeline + sinks
+
+
+def test_pipeline_end_to_end_delta_source(spark, tmp_path):
+    t, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    write_delta_fallback(spark.range(5), t)
+    seen: list[int] = []
+
+    def writer(df, batch_id):
+        seen.extend(r["id"] for r in df.collect())
+        return {"rows": df.count()}
+
+    pipe = Pipeline(source=DeltaSource(path=t), checkpoint_dir=ckpt, writer=writer)
+    result = pipe.run(spark)
+    assert result.batches == 1 and sorted(seen) == [0, 1, 2, 3, 4]
+    # incremental: append → only the new rows
+    write_delta_fallback(spark.range(10, 12), t, mode="append")
+    seen.clear()
+    assert pipe.run(spark).batches == 1
+    assert sorted(seen) == [10, 11]
+
+
+def test_apply_cdc_table_on_delta_fallback(spark, tmp_path):
+    t = str(tmp_path / "t")
+    ch1 = spark.createDataFrame(
+        [(1, "a", "insert", 1), (2, "b", "insert", 1)],
+        ["k", "v", "_change_type", "_commit_version"],
+    )
+    res1 = apply_cdc_table(spark, ch1, t, keys=["k"])
+    assert res1["action"] == "merge" and res1["rows_out"] == 2
+    assert os.path.isdir(os.path.join(t, "_delta_log"))
+    ch2 = spark.createDataFrame(
+        [(1, None, "delete", 2), (3, "c", "insert", 2)],
+        ["k", "v", "_change_type", "_commit_version"],
+    )
+    res2 = apply_cdc_table(spark, ch2, t, keys=["k"])
+    assert res2["rows_out"] == 2
+    assert {r["k"]: r["v"] for r in read_table(spark, t).collect()} == {2: "b", 3: "c"}
+
+
+def test_vacuum_fallback_removes_unreferenced(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta_fallback(spark.range(2), t)
+    write_delta_fallback(spark.range(5, 6), t, mode="overwrite")
+    n_parquet = lambda: sum(1 for n in os.listdir(t) if n.endswith(".parquet"))
+    before = n_parquet()
+    removed = vacuum_delta_table(spark, t, retention_hours=0.0)
+    assert removed and n_parquet() < before
+    assert _ids(read_delta_fallback(spark, t)) == [5]  # snapshot intact
+
+
+def test_optimize_fallback_compacts(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta_fallback(spark.range(2).repartition(4), t)
+    log = DeltaLog(t)
+    assert len(log.snapshot_files(log.latest_version())) > 1
+    optimize_delta_table(spark, t)
+    log = DeltaLog(t)
+    assert len(log.snapshot_files(log.latest_version())) == 1
+    assert _ids(read_delta_fallback(spark, t)) == [0, 1]

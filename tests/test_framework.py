@@ -79,9 +79,13 @@ def test_inspect_pending(tmp_path):
     assert info.pending_batch_id == 0
 
 
-def test_vacuum_requires_delta(spark, tmp_path):
+def test_vacuum_non_delta_dir_is_noop(spark, tmp_path):
+    assert maintenance.vacuum_delta_table(spark, str(tmp_path)) == []
+
+
+def test_optimize_zorder_requires_delta(spark, tmp_path):
     with pytest.raises(Exception):
-        maintenance.vacuum_delta_table(spark, str(tmp_path))
+        maintenance.optimize_delta_table(spark, str(tmp_path), z_order_by=["x"])
 
 
 # -------------------------------------------------------------------- state

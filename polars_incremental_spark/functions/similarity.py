@@ -82,6 +82,88 @@ def cosine_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    *,
+    dim: int,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    band_size: int = 4,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine_sim).
+
+    Scale path (default): random-hyperplane sign bits split into bands (the
+    MinHash-banding trick applied to sign sketches) — vectors colliding in
+    ≥1 band become candidates, then exact cosine verifies, so the output has
+    no false positives.  For two vectors at angle θ a bit agrees with
+    probability 1−θ/π; recall = 1−(1−p^band_size)^n_bands and rises toward 1
+    as ``threshold`` → 1 (near-dup regime).  The all-pairs cross product
+    never materializes; the only full shuffle is the 8-byte band-bucket key.
+
+    ``exact=True`` runs the O(N²) self-join baseline instead (correctness
+    reference; unusable at corpus scale).
+    """
+    if n_planes % band_size != 0:
+        raise ValueError("n_planes must be a multiple of band_size")
+    a_ids = F.col(f"a.{id_col}")
+    b_ids = F.col(f"b.{id_col}")
+    if exact:
+        a = vectors.alias("a")
+        b = vectors.alias("b")
+        pairs = a.join(b, a_ids < b_ids)
+    else:
+        n_bands = n_planes // band_size
+        bits = vectors.withColumn("__sk", sign_sketch(F.col(vec_col), dim, n_planes))
+        band_mask = (1 << band_size) - 1
+        banded = bits.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright(F.col("__sk"), b * band_size)
+                            .bitwiseAND(F.lit(band_mask))
+                            .alias("bucket"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(F.col(id_col), F.col(vec_col), F.col("bb.band"), F.col("bb.bucket"))
+        a = banded.alias("a")
+        b = banded.alias("b")
+        pairs = (
+            a.join(b, on=["band", "bucket"])
+            .filter(a_ids < b_ids)
+            .select(
+                a_ids.alias(id_col),
+                F.col(f"a.{vec_col}").alias("__va"),
+                b_ids.alias("__idb"),
+                F.col(f"b.{vec_col}").alias("__vb"),
+            )
+            .dropDuplicates([id_col, "__idb"])
+        )
+        scored = pairs.select(
+            F.col(id_col).alias("id_a"),
+            F.col("__idb").alias("id_b"),
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine_sim"),
+        )
+        return scored.filter(F.col("cosine_sim") >= threshold)
+    scored = pairs.select(
+        a_ids.alias("id_a"),
+        b_ids.alias("id_b"),
+        F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias(
+            "cosine_sim"
+        ),
+    )
+    return scored.filter(F.col("cosine_sim") >= threshold)
+
+
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     """Deterministic pseudo-random hyperplane from md5 bits (engine-portable).
 

@@ -837,11 +837,16 @@ def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, queries, k=5)
 
 
-_SQL_COSINE = (
-    "list_sum(list_transform(range(1, len(qe) + 1), i -> qe[i] * e[i]))"
-    " / (sqrt(list_sum(list_transform(qe, x -> x * x)))"
-    " * sqrt(list_sum(list_transform(e, x -> x * x))))"
-)
+def _sql_cosine(a: str, b: str) -> str:
+    """DuckDB twin of similarity.cosine: sequential-fold dot/norm in doubles."""
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+        f" / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+        f" * sqrt(list_sum(list_transform({b}, x -> x * x))))"
+    )
+
+
+_SQL_COSINE = _sql_cosine("qe", "e")
 
 S1_SQL = f"""
 WITH v AS (
@@ -904,6 +909,66 @@ FROM r WHERE rank <= 5
 """
 
 
+def s3_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via banded sign-sketch LSH."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(
+        emb, dim=64, threshold=0.4, n_planes=16, band_size=4
+    )
+
+
+def _sql_near_dup_bands(n_planes: int = 16, band_size: int = 4) -> str:
+    mask = (1 << band_size) - 1
+    rows = ", ".join(f"({b})" for b in range(n_planes // band_size))
+    return (
+        f"SELECT vec_id, e, bb.band, (s >> (bb.band * {band_size})) & {mask} AS bucket "
+        f"FROM sk, (VALUES {rows}) bb(band)"
+    )
+
+
+S3_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+sk AS (SELECT vec_id, e, {_sql_sketch("e", 64, 16)} AS s FROM v),
+bands AS ({_sql_near_dup_bands()}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT ia AS id_a, ib AS id_b,
+         round({_sql_cosine("va.e", "vb.e")}, 6) AS cosine_sim
+  FROM cand
+  JOIN v va ON va.vec_id = ia
+  JOIN v vb ON vb.vec_id = ib
+)
+SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= 0.4
+"""
+
+
+def s4_cosine_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs baseline for near-dup (correctness reference)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(emb, dim=64, threshold=0.4, exact=True)
+
+
+S4_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_sql_cosine("a.e", "b.e")}, 6) AS cosine_sim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= 0.4
+"""
+
+
 def m1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: synthesize media, extract byte features via
     Arrow-batched mapInPandas.  Not SQL-expressible (entropy over a byte
@@ -963,6 +1028,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "t3_fingerprint": (t3_fingerprint, T3_SQL),
     "s1_cosine_topk": (s1_cosine_topk, S1_SQL),
     "s2_lsh_ann_topk": (s2_lsh_ann_topk, S2_SQL),
+    "s3_cosine_near_dup": (s3_cosine_near_dup, S3_SQL),
+    "s4_cosine_near_dup_exact": (s4_cosine_near_dup_exact, S4_SQL),
     "m1_multimodal_features": (m1_multimodal_features, None),
     "m2_frame_sample": (m2_frame_sample, None),
 }

@@ -260,3 +260,17 @@ def test_run_native_latest_requires_age(spark, tmp_path):
             str(tmp_path / "ckpt"),
             lambda df: None,
         )
+
+
+def test_excel_requires_engine(spark, tmp_path):
+    """S7 excel path: honest gated error when no engine is installed."""
+    path = tmp_path / "book.xlsx"
+    path.write_bytes(b"PK\x03\x04fake")
+    try:
+        import openpyxl  # noqa: F401
+
+        pytest.skip("openpyxl present; gated-error branch not reachable")
+    except ImportError:
+        pass
+    with pytest.raises(Exception):
+        read_files(spark, [str(path)], "excel").collect()

@@ -242,3 +242,26 @@ def test_frame_sampler_fanout(docs):
 def test_decode_image_is_honest_stub():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_cosine_near_dup_exact_vs_lsh(vectors):
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in similarity.cosine_near_dup_pairs(
+            vectors, dim=3, threshold=0.8, exact=True
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in similarity.cosine_near_dup_pairs(
+            vectors, dim=3, threshold=0.8, n_planes=8, band_size=2
+        ).collect()
+    }
+    assert (0, 1) in exact and exact[(0, 1)] > 0.99
+    assert set(lsh) <= set(exact)  # verify step kills all false positives
+    assert (0, 1) in lsh  # near-parallel vectors collide in some band
+
+
+def test_cosine_near_dup_rejects_bad_bands(vectors):
+    with pytest.raises(ValueError):
+        similarity.cosine_near_dup_pairs(vectors, dim=3, n_planes=7, band_size=2)

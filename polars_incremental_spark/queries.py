@@ -215,6 +215,69 @@ GROUP BY n_name
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-agg — the pushdown showcase."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        _spark_dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+Q6_SQL = f"""
+SELECT {_dsum("l_extendedprice * l_discount", "revenue")}, COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (native F.session_window, 17-minute inactivity gap).
+
+    Beyond reference parity: the reference has no session semantics at all
+    (SURVEY §2.6 'notably absent'); Spark gives them natively, and the
+    DuckDB oracle reproduces them with gaps-and-islands SQL.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "17 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 17 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT min(ts) AS session_start, user_id, COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+"""
+
+
 def events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R11: tumbling 1-minute event-time window aggregation (README flagship)."""
     ev = load_table(spark, sf_dir, "events")
@@ -993,7 +1056,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "events_window_1m": (events_window, EVENTS_WINDOW_SQL),
+    "events_sessionize": (events_sessionize, SESSIONIZE_SQL),
     "r01_scan_count": (r01_scan_count, "SELECT COUNT(*) AS n_rows FROM lineitem"),
     "r02_json_roundtrip": (r02_json_roundtrip, R02_SQL),
     "r03_projection": (r03_projection, R03_SQL),

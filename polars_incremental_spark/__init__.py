@@ -24,6 +24,14 @@ from .errors import (
     WriterError,
 )
 from .observability import BaseObserver, LoggingObserver, PipelineObserver
+from .patterns import (
+    cross_batch_dedupe,
+    drop_late,
+    incremental_aggregate,
+    latest_per_key,
+    route_late,
+    upsert_latest,
+)
 from .pipeline import Pipeline, RunResult, call_with_context
 from .schema import SchemaEvolution, apply_schema, widen_types
 from .session import get_spark
@@ -62,12 +70,18 @@ __all__ = [
     "apply_cdc_table",
     "apply_schema",
     "call_with_context",
+    "cross_batch_dedupe",
     "dedupe_changes",
+    "drop_late",
     "get_spark",
+    "incremental_aggregate",
     "infer_source_format",
+    "latest_per_key",
     "normalize_change_types",
     "read_table",
+    "route_late",
     "strip_cdc_columns",
+    "upsert_latest",
     "widen_types",
     "write_parquet_batch",
     "write_table",

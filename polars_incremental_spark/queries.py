@@ -634,6 +634,48 @@ SCHEMA_EVOLVE_SQL = (
 )
 
 
+def schema_type_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: widening lattice — int×long→long, long×string→string, float×double→double."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    target = T.StructType(
+        [
+            T.StructField("event_id", T.IntegerType()),  # batch is long → widens to long
+            T.StructField("user_id", T.StringType()),  # batch long × string → string
+            T.StructField("value", T.FloatType()),  # batch double → widens to double
+        ]
+    )
+    out, final = apply_schema(ev, target, mode="type_widen")
+    assert [f.dataType.simpleString() for f in final.fields] == ["bigint", "string", "double"]
+    return out
+
+
+SCHEMA_WIDEN_SQL = """
+SELECT event_id, CAST(user_id AS VARCHAR) AS user_id, value FROM events
+"""
+
+
+def schema_rescue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: coerce + rescue column — failed casts captured as stringified originals."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    target = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.DoubleType()),  # never parses → rescued
+        ]
+    )
+    out, _ = apply_schema(ev, target, mode="coerce", rescue_mode="column")
+    return out.select(
+        "event_id", "event_type", F.to_json(F.col("_rescued")).alias("rescued")
+    )
+
+
+SCHEMA_RESCUE_SQL = """
+SELECT event_id, CAST(NULL AS DOUBLE) AS event_type,
+       CAST(to_json(struct_pack(event_type := event_type)) AS VARCHAR) AS rescued
+FROM events
+"""
+
+
 def w1_drop_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: drop events older than max(ts) − 5 minutes, then count by type."""
     ev = load_table(spark, sf_dir, "events")
@@ -1080,6 +1122,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "r21_distinct_keys": (r21_distinct_keys, R21_SQL),
     "cdc_merge_latest": (cdc_merge_latest, CDC_MERGE_SQL),
     "schema_evolve_add": (schema_evolve_add, SCHEMA_EVOLVE_SQL),
+    "schema_type_widen": (schema_type_widen, SCHEMA_WIDEN_SQL),
+    "schema_rescue": (schema_rescue, SCHEMA_RESCUE_SQL),
     "w1_drop_late": (w1_drop_late, W1_SQL),
     "d1_exact_duplicates": (d1_exact_duplicates, D1_SQL),
     "d2_dedup_exact": (d2_dedup_exact, D2_SQL),

@@ -1,0 +1,57 @@
+"""CDC into a Delta table + change-feed readback (reference examples
+cdc_apply_delta.py + delta_cdf.py), jar-free via the fallback log writer.
+
+Run: python examples/cdc_delta_pipeline.py
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from polars_incremental_spark import DeltaSource, Pipeline, get_spark
+from polars_incremental_spark.maintenance import optimize_delta_table, vacuum_delta_table
+from polars_incremental_spark.sinks.delta import apply_cdc_table, read_table
+
+
+def main() -> None:
+    spark = get_spark("cdc-delta-demo")
+    work = tempfile.mkdtemp(prefix="pis_cdc_")
+    target = os.path.join(work, "users")
+
+    cols = ["user_id", "name", "_change_type", "_commit_version"]
+    batch1 = spark.createDataFrame(
+        [(1, "ada", "insert", 1), (2, "bob", "insert", 1)], cols
+    )
+    print("apply 1:", apply_cdc_table(spark, batch1, target, keys=["user_id"]))
+
+    batch2 = spark.createDataFrame(
+        [(1, "ada2", "update_postimage", 2), (2, None, "delete", 2), (3, "eve", "insert", 2)],
+        cols,
+    )
+    print("apply 2:", apply_cdc_table(spark, batch2, target, keys=["user_id"]))
+    print("final table:")
+    read_table(spark, target).orderBy("user_id").show()
+
+    # incremental consumption of the same table through a Delta source
+    seen = []
+    pipe = Pipeline(
+        source=DeltaSource(path=target, ignore_changes=True),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        writer=lambda df: seen.extend(sorted(r["user_id"] for r in df.collect())),
+    )
+    pipe.run(spark)
+    print("streamed snapshot user_ids:", seen)
+
+    optimize_delta_table(spark, target)
+    removed = vacuum_delta_table(spark, target, retention_hours=0.0)
+    print(f"maintenance: compacted; vacuum removed {len(removed)} stale files")
+    shutil.rmtree(work)
+
+
+if __name__ == "__main__":
+    main()

@@ -92,18 +92,35 @@ def fingerprint_duplicates(
 
 
 def shingle_posting_list(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    *,
+    with_h32: bool = False,
 ) -> DataFrame:
     """(shingle_hash, doc_id) inverted index over distinct word n-grams.
 
     Shingles are hashed to 60-bit longs before the shuffle so the exchange
-    moves 8-byte keys, not strings.
+    moves 8-byte keys, not strings.  ``with_h32`` additionally emits the
+    32-bit MinHash base hash — both derive from ONE md5 of the shingle, so
+    LSH can share a single corpus explode between signatures and
+    verification postings.
     """
     df = spread(df)
-    return df.select(
+    exploded = df.select(
         F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
-    ).select(F.col(id_col), md5_long(F.col("shingle")).alias("shingle_hash"))
+        F.explode(word_shingles(F.col(text_col), n)).alias("__shingle"),
+    ).select(F.col(id_col), F.md5(F.col("__shingle")).alias("__md5"))
+    cols = [
+        F.col(id_col),
+        F.conv(F.substring("__md5", 1, 15), 16, 10).cast("long").alias("shingle_hash"),
+    ]
+    if with_h32:
+        cols.append(
+            F.conv(F.substring("__md5", 1, 8), 16, 10).cast("long").alias("__h32")
+        )
+    return exploded.select(*cols)
 
 
 def _filter_hot_shingles(postings: DataFrame, max_doc_freq: int | None) -> DataFrame:
@@ -232,6 +249,11 @@ def minhash_signatures(
     shingled = spread(df).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
     ).withColumn("__h32", md5_long(F.col("shingle"), 8))
+    return _signatures_from_h32(shingled, id_col, num_hashes)
+
+
+def _signatures_from_h32(hashed: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """(id, minhash) from a pre-hashed (id, __h32) shingle table."""
     hash_cols = []
     for i in range(num_hashes):
         a, b = minhash_params(i)
@@ -241,7 +263,7 @@ def minhash_signatures(
             )
         )
     return (
-        shingled.groupBy(id_col)
+        hashed.groupBy(id_col)
         .agg(*hash_cols)
         .select(F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("minhash"))
     )
@@ -272,9 +294,13 @@ def minhash_lsh_pairs(
     cached frames through.
     """
     rows_per_band = num_hashes // num_bands
-    sigs = minhash_signatures(
-        df, text_col=text_col, id_col=id_col, n=n, num_hashes=num_hashes
-    )
+    # ONE corpus explode feeds both halves: signatures (via __h32) and the
+    # verification postings (via shingle_hash) — both derive from the same
+    # md5, so the shingling pass isn't paid twice
+    postings = shingle_posting_list(df, text_col, id_col, n, with_h32=True)
+    if cache_intermediate:
+        postings = postings.persist()
+    sigs = _signatures_from_h32(postings, id_col, num_hashes)
     band_entries = sigs.select(
         F.col(id_col),
         F.explode(
@@ -310,10 +336,9 @@ def minhash_lsh_pairs(
     )
     # verify ONLY the candidate pairs — never the full posting self-join
     # (that would recompute the exact all-pairs cost LSH exists to avoid)
-    postings = shingle_posting_list(df, text_col, id_col, n)
-    if cache_intermediate:
-        postings = postings.persist()
-    return _jaccard_for_pairs(candidates, postings, id_col, threshold)
+    return _jaccard_for_pairs(
+        candidates, postings.drop("__h32"), id_col, threshold
+    )
 
 
 def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:

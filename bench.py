@@ -45,8 +45,20 @@ def main() -> None:
     from polars_incremental_spark.session import get_spark
 
     spark = get_spark("bench")
-    # warm the JVM + parquet footers so per-query numbers measure the plans
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
+    # warm the JVM (whole-stage codegen, shuffle machinery, parquet reader)
+    # with one small scan+agg+shuffle so per-query numbers measure the
+    # plans, not first-job JIT compilation
+    from pyspark.sql import functions as F
+
+    (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .limit(10000)
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     t_suite = time.monotonic()

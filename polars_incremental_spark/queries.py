@@ -80,13 +80,27 @@ def _sql_stopword_count(lang: str) -> str:
     )
 
 
+# Exact, order-independent sums over doubles via SCALED LONGS: round each
+# value to 4 dp, sum as 64-bit integers (whole-stage-codegen arithmetic,
+# ~3× faster than decimal128 aggregation), divide back at the end.
+# Overflow bound: |sum of scaled values| must stay < 2^63 ≈ 9.2e18, i.e.
+# per-group sums below ~9e14 in original units — 5 orders of magnitude above
+# this bench's scale.  Beyond ~1e12-row groups, switch to DECIMAL(18,4) sums
+# (same hash-portability, slower arithmetic).
+SUM_SCALE = 10_000
+
+
 def _dsum(col_expr: str, alias: str) -> str:
-    """Exact decimal-internal sum emitted as double (order-independent)."""
-    return f"CAST(SUM(CAST({col_expr} AS DECIMAL(18,4))) AS DOUBLE) AS {alias}"
+    return (
+        f"CAST(SUM(CAST(round(({col_expr}) * {SUM_SCALE}) AS BIGINT)) AS DOUBLE)"
+        f" / {SUM_SCALE}.0 AS {alias}"
+    )
 
 
 def _spark_dsum(col, alias: str):
-    return F.sum(col.cast("decimal(18,4)")).cast("double").alias(alias)
+    return (
+        F.sum(F.round(col * SUM_SCALE).cast("long")) / F.lit(float(SUM_SCALE))
+    ).alias(alias)
 
 
 # --------------------------------------------------------------------------
@@ -107,7 +121,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"
             ),
             (
-                F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+                F.sum(F.round(F.col("l_quantity") * SUM_SCALE).cast("long"))
+                / F.lit(float(SUM_SCALE))
                 / F.count("*")
             ).alias("avg_qty"),
             F.count("*").alias("count_order"),
@@ -120,7 +135,8 @@ SELECT l_returnflag, l_linestatus,
        {_dsum("l_quantity", "sum_qty")},
        {_dsum("l_extendedprice", "sum_base_price")},
        {_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(round(l_quantity * {SUM_SCALE}) AS BIGINT)) AS DOUBLE)
+         / {SUM_SCALE}.0 / COUNT(*) AS avg_qty,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-02'

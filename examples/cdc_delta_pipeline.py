@@ -27,25 +27,27 @@ def main() -> None:
     batch1 = spark.createDataFrame(
         [(1, "ada", "insert", 1), (2, "bob", "insert", 1)], cols
     )
-    print("apply 1:", apply_cdc_table(spark, batch1, target, keys=["user_id"]))
+    print("apply 1:", apply_cdc_table(spark, batch1, target, keys=["user_id"], write_change_feed=True))
 
     batch2 = spark.createDataFrame(
         [(1, "ada2", "update_postimage", 2), (2, None, "delete", 2), (3, "eve", "insert", 2)],
         cols,
     )
-    print("apply 2:", apply_cdc_table(spark, batch2, target, keys=["user_id"]))
+    print("apply 2:", apply_cdc_table(spark, batch2, target, keys=["user_id"], write_change_feed=True))
     print("final table:")
     read_table(spark, target).orderBy("user_id").show()
 
-    # incremental consumption of the same table through a Delta source
+    # downstream: consume the CHANGE FEED incrementally through a Delta source
     seen = []
     pipe = Pipeline(
-        source=DeltaSource(path=target, ignore_changes=True),
+        source=DeltaSource(path=target, read_change_feed=True, start_offset="earliest"),
         checkpoint_dir=os.path.join(work, "ckpt"),
-        writer=lambda df: seen.extend(sorted(r["user_id"] for r in df.collect())),
+        writer=lambda df: seen.extend(
+            (r["user_id"], r["_change_type"], r["_commit_version"]) for r in df.collect()
+        ),
     )
     pipe.run(spark)
-    print("streamed snapshot user_ids:", seen)
+    print("change feed seen downstream:", sorted(seen))
 
     optimize_delta_table(spark, target)
     removed = vacuum_delta_table(spark, target, retention_hours=0.0)

@@ -99,12 +99,20 @@ def apply_cdc_table(
     ignore_delete: bool = False,
     dedupe_by_latest_commit: bool = True,
     compute_counts: bool = True,
+    write_change_feed: bool = False,
 ) -> dict[str, Any]:
     """Apply CDC changes to a stored table; returns {rows_in, rows_out, action}.
 
     ``compute_counts=False`` skips the rows_in / rows_out count jobs — at
     scale those are two full extra scans per merge; the counts come back as
     None and the empty-changes noop short-circuit is skipped.
+
+    ``write_change_feed=True`` (fallback writer only) also records the
+    applied changes as Delta change-data files, so downstream
+    ``DeltaSource(read_change_feed=True)`` consumers stream the precise
+    deltas instead of erroring on the merge's file rewrite.  With
+    delta-spark present, enable ``delta.enableChangeDataFeed`` on the table
+    instead — the native MERGE writes CDF itself.
     """
     rows_in = changes.count() if compute_counts else None
     if rows_in == 0:
@@ -161,7 +169,31 @@ def apply_cdc_table(
         # native delta, fallback-log delta, or fresh table → write_table
         # routes appropriately; the fallback overwrite is log-atomic and
         # never truncates its own input (old files stay until vacuum)
-        write_table(merged, target_path, mode="overwrite")
+        if write_change_feed and not use_delta:
+            from .deltalog import write_delta_fallback
+
+            cdc_rows = prepare_changes(
+                normalize_change_types(changes, change_type_map, change_type_col),
+                mode="merge",
+                ignore_delete=ignore_delete,
+                change_type_col=change_type_col,
+            )
+            if dedupe_by_latest_commit:
+                cdc_rows = dedupe_changes(cdc_rows, keys, change_type_col=change_type_col)
+            # CDF files carry the payload + _change_type; commit version and
+            # timestamp are injected by the reader from the log entry
+            cdc_payload = cdc_rows.drop(
+                *[
+                    c
+                    for c in ("_commit_version", "_commit_timestamp", "__cdc_row_order")
+                    if c in cdc_rows.columns
+                ]
+            )
+            write_delta_fallback(
+                merged, target_path, mode="overwrite", cdc_df=cdc_payload
+            )
+        else:
+            write_table(merged, target_path, mode="overwrite")
     else:
         # plain parquet directory (no log): staged atomic swap
         _overwrite_atomic(merged, target_path)

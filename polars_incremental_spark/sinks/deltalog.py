@@ -78,8 +78,47 @@ def _stage_data_files(df: DataFrame, table_path: str) -> list[dict[str, Any]]:
     return adds
 
 
-def write_delta_fallback(df: DataFrame, table_path: str, *, mode: str = "append") -> None:
-    """Append/overwrite ``df`` into a log-backed Delta table (no jar needed)."""
+def _stage_cdc_files(cdc_df: DataFrame, table_path: str) -> list[dict[str, Any]]:
+    """Write change rows (carrying ``_change_type``) under ``_change_data/``;
+    returns cdc-action payloads."""
+    staging = os.path.join(table_path, f".cdc-staging-{uuid.uuid4().hex}")
+    cdc_df.write.mode("overwrite").parquet(staging)
+    cdc_dir = os.path.join(table_path, "_change_data")
+    os.makedirs(cdc_dir, exist_ok=True)
+    actions = []
+    try:
+        for name in sorted(os.listdir(staging)):
+            if not name.endswith(".parquet"):
+                continue
+            unique = f"cdc-{uuid.uuid4().hex}.parquet"
+            dest = os.path.join(cdc_dir, unique)
+            shutil.move(os.path.join(staging, name), dest)
+            actions.append(
+                {
+                    "path": f"_change_data/{unique}",
+                    "partitionValues": {},
+                    "size": os.path.getsize(dest),
+                    "dataChange": False,
+                }
+            )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return actions
+
+
+def write_delta_fallback(
+    df: DataFrame,
+    table_path: str,
+    *,
+    mode: str = "append",
+    cdc_df: DataFrame | None = None,
+) -> None:
+    """Append/overwrite ``df`` into a log-backed Delta table (no jar needed).
+
+    ``cdc_df`` (rows with a ``_change_type`` column) is written as this
+    commit's change-data files — downstream ``read_change_feed`` sources
+    then see the precise changes instead of erroring on the rewrite.
+    """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode {mode!r}")
     os.makedirs(table_path, exist_ok=True)
@@ -131,6 +170,8 @@ def write_delta_fallback(df: DataFrame, table_path: str, *, mode: str = "append"
                     }
                 )
     actions.extend({"add": add} for add in adds)
+    if cdc_df is not None:
+        actions.extend({"cdc": c} for c in _stage_cdc_files(cdc_df, table_path))
     _write_commit(log_dir, version, actions)
 
 

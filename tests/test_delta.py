@@ -313,3 +313,32 @@ def test_optimize_fallback_compacts(spark, tmp_path):
     log = DeltaLog(t)
     assert len(log.snapshot_files(log.latest_version())) == 1
     assert _ids(read_delta_fallback(spark, t)) == [0, 1]
+
+
+def test_cdf_write_read_roundtrip(spark, tmp_path):
+    """Full CDC loop: merges write change-data files; a downstream CDF
+    consumer applies the feed and reconstructs the upstream table."""
+    from polars_incremental_spark.cdc import apply_cdc
+
+    t, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    cols = ["k", "v", "_change_type", "_commit_version"]
+    apply_cdc_table(
+        spark,
+        spark.createDataFrame([(1, "a", "insert", 1), (2, "b", "insert", 1)], cols),
+        t, keys=["k"], write_change_feed=True,
+    )
+    apply_cdc_table(
+        spark,
+        spark.createDataFrame([(1, "a2", "update_postimage", 2), (2, None, "delete", 2)], cols),
+        t, keys=["k"], write_change_feed=True,
+    )
+
+    src = DeltaSource(path=t, read_change_feed=True, start_offset="earliest").with_checkpoint(ckpt)
+    downstream = None
+    while (b := src.plan_batch()) is not None:
+        changes = src.read_batch(spark, b)
+        downstream = apply_cdc(changes, downstream, keys=["k"])
+        src.commit_batch(b)
+    got = {r["k"]: r["v"] for r in downstream.collect()}
+    want = {r["k"]: r["v"] for r in read_table(spark, t).collect()}
+    assert got == want == {1: "a2"}

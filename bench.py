@@ -20,7 +20,9 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_forecast_revenue",
     "events_window_1m",
+    "events_sessionize",
     "r13_latest_per_key",
     "r21_distinct_keys",
     "cdc_merge_latest",
@@ -31,6 +33,7 @@ BENCH_QUERIES = [
     "t1_text_stats",
     "s1_cosine_topk",
     "s2_lsh_ann_topk",
+    "s3_cosine_near_dup",
 ]
 
 

@@ -305,6 +305,15 @@ class DeltaTableCheckpoint:
             return self._plan_tail(spec, version + 1)
         cap = spec.max_files_per_trigger or len(remaining)
         picked = remaining[: max(cap, 1)]
+        if spec.max_bytes_per_trigger is not None:
+            # greedy byte cap (always ≥1 file so progress is guaranteed)
+            chosen, total = [], 0
+            for add in picked:
+                if chosen and total + int(add.get("size", 0)) > spec.max_bytes_per_trigger:
+                    break
+                chosen.append(add)
+                total += int(add.get("size", 0))
+            picked = chosen
         new_index = index + len(picked)
         done = new_index >= len(adds)
         return self._emit(

@@ -1031,14 +1031,18 @@ FROM r WHERE rank <= 5
 
 
 def s3_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via banded sign-sketch LSH."""
+    """Embedding-cosine near-dup pairs via banded sign-sketch LSH.
+
+    8-bit bands → 256 buckets per band: candidate volume scales ~N²/256
+    per band instead of N²/16, keeping the verify stage sparse.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_near_dup_pairs(
-        emb, dim=64, threshold=0.4, n_planes=16, band_size=4
+        emb, dim=64, threshold=0.4, n_planes=16, band_size=8
     )
 
 
-def _sql_near_dup_bands(n_planes: int = 16, band_size: int = 4) -> str:
+def _sql_near_dup_bands(n_planes: int = 16, band_size: int = 8) -> str:
     mask = (1 << band_size) - 1
     rows = ", ".join(f"({b})" for b in range(n_planes // band_size))
     return (

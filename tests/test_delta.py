@@ -342,3 +342,16 @@ def test_cdf_write_read_roundtrip(spark, tmp_path):
     got = {r["k"]: r["v"] for r in downstream.collect()}
     want = {r["k"]: r["v"] for r in read_table(spark, t).collect()}
     assert got == want == {1: "a2"}
+
+
+def test_snapshot_max_bytes_cap(spark, tmp_path):
+    t, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    write_delta_fallback(spark.range(1).coalesce(1), t)
+    write_delta_fallback(spark.range(1, 2).coalesce(1), t, mode="append")
+    spec = DeltaSource(path=t, max_bytes_per_trigger=1)  # < any file → 1 file/batch
+    cp = DeltaTableCheckpoint(ckpt, t)
+    b = cp.plan_batch(spec)
+    assert len(b.files) == 1  # byte cap still guarantees progress (≥1 file)
+    cp.commit_batch(b)
+    b2 = cp.plan_batch(spec)
+    assert len(b2.files) == 1 and b2.files != b.files

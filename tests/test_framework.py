@@ -274,3 +274,12 @@ def test_excel_requires_engine(spark, tmp_path):
         pass
     with pytest.raises(Exception):
         read_files(spark, [str(path)], "excel").collect()
+
+
+def test_read_files_orc_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    orc_dir = str(tmp_path / "o")
+    df.coalesce(1).write.orc(orc_dir)
+    files = [os.path.join(orc_dir, f) for f in os.listdir(orc_dir) if f.endswith(".orc")]
+    back = read_files(spark, files, "orc")
+    assert {tuple(r) for r in back.collect()} == {(1, "a"), (2, "b")}

@@ -283,3 +283,47 @@ def test_read_files_orc_roundtrip(spark, tmp_path):
     files = [os.path.join(orc_dir, f) for f in os.listdir(orc_dir) if f.endswith(".orc")]
     back = read_files(spark, files, "orc")
     assert {tuple(r) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_streaming_watermarked_window_agg(spark, tmp_path):
+    """R11 streaming variant: withWatermark + window in append mode — only
+    windows the watermark has closed are emitted, late rows are dropped."""
+    import datetime as dt
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def run_once():
+        rows = []
+        stream = (
+            spark.readStream.schema("ts timestamp, k string")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "1 minute")
+            .groupBy(F.window("ts", "1 minute").alias("w"), "k")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "k", "n")
+        )
+        q = (
+            agg.writeStream.foreachBatch(lambda df, _b: rows.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return rows
+
+    spark.createDataFrame(
+        [(t0, "a"), (t0 + dt.timedelta(seconds=30), "a")], ["ts", "k"]
+    ).write.parquet(src + "/b1.parquet")
+    assert run_once() == []  # window still open: watermark hasn't passed it
+
+    # an event 5 minutes later closes the 12:00 window
+    spark.createDataFrame(
+        [(t0 + dt.timedelta(minutes=5), "a")], ["ts", "k"]
+    ).write.parquet(src + "/b2.parquet")
+    out = run_once()
+    assert [(r["ws"], r["k"], r["n"]) for r in out] == [(t0, "a", 2)]

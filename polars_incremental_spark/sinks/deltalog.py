@@ -37,6 +37,22 @@ def _spark_schema_to_delta(schema_json: str) -> str:
     return schema_json
 
 
+def _merge_schema_strings(stored: str | None, incoming: str) -> str:
+    """mergeSchema: union of fields, stored order first, new fields appended."""
+    if not stored:
+        return incoming
+    a = json.loads(stored)
+    b = json.loads(incoming)
+    if a.get("type") != "struct" or b.get("type") != "struct":
+        return incoming
+    fields = list(a.get("fields", []))
+    have = {f["name"] for f in fields}
+    for f in b.get("fields", []):
+        if f["name"] not in have:
+            fields.append(f)
+    return json.dumps({"type": "struct", "fields": fields}, separators=(",", ":"))
+
+
 def _write_commit(log_dir: str, version: int, actions: list[dict[str, Any]]) -> None:
     path = os.path.join(log_dir, f"{version:020d}.json")
     if os.path.exists(path):
@@ -118,6 +134,12 @@ def write_delta_fallback(
     ``cdc_df`` (rows with a ``_change_type`` column) is written as this
     commit's change-data files — downstream ``read_change_feed`` sources
     then see the precise changes instead of erroring on the rewrite.
+
+    Schema evolution: when ``df``'s schema differs from the logged
+    ``metaData.schemaString``, the commit carries an updated ``metaData``
+    action with the UNION of both field sets (mergeSchema semantics) so
+    snapshot readers see every column; files written before the new column
+    existed surface it as null.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode {mode!r}")
@@ -158,6 +180,12 @@ def write_delta_fallback(
         version = 0
     else:
         version = latest + 1
+        stored_meta = log.table_metadata() or {}
+        merged_schema = _merge_schema_strings(
+            stored_meta.get("schemaString"), df.schema.json()
+        )
+        if merged_schema != stored_meta.get("schemaString"):
+            actions.append({"metaData": {**stored_meta, "schemaString": merged_schema}})
         if mode == "overwrite":
             for active in log.snapshot_files(latest):
                 actions.append(
@@ -176,19 +204,24 @@ def write_delta_fallback(
 
 
 def read_delta_fallback(spark: SparkSession, table_path: str) -> DataFrame:
-    """Snapshot read of a log-backed Delta table via the planned-mode tailer."""
+    """Snapshot read of a log-backed Delta table via the planned-mode tailer.
+
+    The scan is pinned to the logged ``metaData.schemaString`` so files
+    written before a schema evolution surface the newer columns as nulls —
+    the same read contract real Delta gives.
+    """
+    from pyspark.sql.types import StructType
+
     log = DeltaLog(table_path)
     latest = log.latest_version()
     if latest is None:
         raise FileNotFoundError(f"not a delta table: {table_path}")
+    meta = log.table_metadata() or {}
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
     files = [log.abs_path(a["path"]) for a in log.snapshot_files(latest)]
     if not files:
-        meta = log.table_metadata() or {}
-        from pyspark.sql.types import StructType
-
-        schema = StructType.fromJson(json.loads(meta["schemaString"]))
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(*files)
+    return spark.read.schema(schema).parquet(*files)
 
 
 def vacuum_fallback(table_path: str, *, retention_hours: float = 168.0, dry_run: bool = False) -> list[str]:

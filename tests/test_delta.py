@@ -355,3 +355,18 @@ def test_snapshot_max_bytes_cap(spark, tmp_path):
     cp.commit_batch(b)
     b2 = cp.plan_batch(spec)
     assert len(b2.files) == 1 and b2.files != b.files
+
+
+def test_schema_evolution_on_append(spark, tmp_path):
+    """mergeSchema semantics: an append with a new column updates the logged
+    schema; pre-evolution files surface the column as null."""
+    t = str(tmp_path / "t")
+    write_delta_fallback(spark.createDataFrame([(1, "a")], ["id", "v"]), t)
+    write_delta_fallback(
+        spark.createDataFrame([(2, "b", 9.5)], ["id", "v", "score"]), t, mode="append"
+    )
+    out = {r["id"]: (r["v"], r["score"]) for r in read_delta_fallback(spark, t).collect()}
+    assert out == {1: ("a", None), 2: ("b", 9.5)}
+    meta = DeltaLog(t).table_metadata()
+    names = [f["name"] for f in json.loads(meta["schemaString"])["fields"]]
+    assert names == ["id", "v", "score"]

@@ -38,6 +38,16 @@ def char_count(col: Column) -> Column:
     return F.length(col)
 
 
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """GPT-2-style pre-tokenizer count: letter runs, single digits, and
+    individual punctuation marks each count as one token — the cheap
+    LLM-billing-style estimate (a real BPE merge table refines it ~25%)."""
+    return F.regexp_count(col, F.lit(BPE_TOKEN_RE))
+
+
 def punct_count(col: Column) -> Column:
     return F.regexp_count(col, F.lit(r"[^\w\s]"))
 

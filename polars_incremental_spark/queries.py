@@ -950,6 +950,48 @@ def t3_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 T3_SQL = f"SELECT doc_id, md5(array_to_string({_SQL_NORM_WORDS}, ' ')) AS fp FROM documents"
 
 
+def t4_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-style token counts per document."""
+    doc = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return doc.select(
+        "doc_id",
+        tx.token_count(c).cast("long").alias("ws_tokens"),
+        tx.bpe_token_count(c).cast("long").alias("bpe_tokens"),
+    )
+
+
+T4_SQL = f"""
+SELECT doc_id,
+       len({_sql_tokens("text")})::BIGINT AS ws_tokens,
+       len(regexp_extract_all(text, '{tx.BPE_TOKEN_RE}'))::BIGINT AS bpe_tokens
+FROM documents
+"""
+
+
+def t5_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word trigrams by document frequency (corpus analytics)."""
+    doc = load_table(spark, sf_dir, "documents")
+    sh = dedup.spread(doc).select(
+        F.explode(tx.word_shingles(F.col("text"), 3)).alias("shingle")
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("shingle").asc())
+        .limit(20)
+    )
+
+
+T5_SQL = f"""
+WITH {_SQL_SHINGLE_CTE}
+SELECT shingle, COUNT(*) AS doc_freq
+FROM sh GROUP BY shingle
+ORDER BY doc_freq DESC, shingle
+LIMIT 20
+"""
+
+
 def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
@@ -1155,6 +1197,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "t1_text_stats": (t1_text_stats, T1_SQL),
     "t2_lang_id": (t2_lang_id, T2_SQL),
     "t3_fingerprint": (t3_fingerprint, T3_SQL),
+    "t4_token_counts": (t4_token_counts, T4_SQL),
+    "t5_top_ngrams": (t5_top_ngrams, T5_SQL),
     "s1_cosine_topk": (s1_cosine_topk, S1_SQL),
     "s2_lsh_ann_topk": (s2_lsh_ann_topk, S2_SQL),
     "s3_cosine_near_dup": (s3_cosine_near_dup, S3_SQL),

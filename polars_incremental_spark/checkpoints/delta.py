@@ -316,10 +316,24 @@ class DeltaTableCheckpoint:
             picked = chosen
         new_index = index + len(picked)
         done = new_index >= len(adds)
+        extra: dict[str, Any] = {"is_initial_snapshot": True}
+        if spec.read_change_feed:
+            # CDF consumers see the initial snapshot as inserts (the same
+            # contract as delta-spark's readChangeFeed starting snapshot)
+            ts = self.log.commit_timestamp_ms(version)
+            extra["entries"] = [
+                {
+                    "path": a["path"],
+                    "change_type": "insert",
+                    "commit_version": version,
+                    "commit_timestamp_ms": ts,
+                }
+                for a in picked
+            ]
         return self._emit(
             [self.log.abs_path(a["path"]) for a in picked],
             {"version": version, "index": new_index, "snapshot_done": done},
-            {"is_initial_snapshot": True},
+            extra,
         )
 
     def _plan_tail(self, spec, from_version: int) -> BatchInfo | None:

@@ -370,3 +370,32 @@ def test_schema_evolution_on_append(spark, tmp_path):
     meta = DeltaLog(t).table_metadata()
     names = [f["name"] for f in json.loads(meta["schemaString"])["fields"]]
     assert names == ["id", "v", "score"]
+
+
+def test_cdf_snapshot_start_marks_inserts(spark, tmp_path):
+    """Default snapshot start under read_change_feed: snapshot rows carry
+    _change_type='insert' (delta-spark's starting-snapshot contract)."""
+    t, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    write_delta_fallback(spark.range(2), t)
+    src = DeltaSource(path=t, read_change_feed=True).with_checkpoint(ckpt)
+    b = src.plan_batch()
+    assert b.metadata["is_initial_snapshot"] is True
+    rows = {(r["id"], r["_change_type"]) for r in src.read_batch(spark, b).collect()}
+    assert rows == {(0, "insert"), (1, "insert")}
+
+
+def test_appends_during_snapshot_arrive_in_tail(spark, tmp_path):
+    """Data appended while a capped snapshot is draining shows up afterward."""
+    t, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    write_delta_fallback(spark.range(1).coalesce(1), t)
+    write_delta_fallback(spark.range(1, 2).coalesce(1), t, mode="append")
+    spec = DeltaSource(path=t, max_files_per_trigger=1)
+    src = spec.with_checkpoint(ckpt)
+    b0 = src.plan_batch()
+    src.commit_batch(b0)  # half the snapshot consumed
+    write_delta_fallback(spark.range(50, 51).coalesce(1), t, mode="append")  # mid-snapshot append
+    got = _ids(spark.read.parquet(*b0.files))
+    while (b := src.plan_batch()) is not None:
+        got.extend(_ids(spark.read.parquet(*b.files)))
+        src.commit_batch(b)
+    assert sorted(got) == [0, 1, 50]

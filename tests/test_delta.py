@@ -399,3 +399,16 @@ def test_appends_during_snapshot_arrive_in_tail(spark, tmp_path):
         got.extend(_ids(spark.read.parquet(*b.files)))
         src.commit_batch(b)
     assert sorted(got) == [0, 1, 50]
+
+
+def test_pipeline_auto_detects_delta_path(spark, tmp_path):
+    """A bare string source pointing at a _delta_log directory routes to the
+    planned-mode Delta source automatically (AutoSource sniffing)."""
+    t, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    write_delta_fallback(spark.range(3), t)
+    seen = []
+    Pipeline(
+        source=t, checkpoint_dir=ckpt,
+        writer=lambda df: seen.extend(r["id"] for r in df.collect()),
+    ).run(spark)
+    assert sorted(seen) == [0, 1, 2]

@@ -327,3 +327,36 @@ def test_streaming_watermarked_window_agg(spark, tmp_path):
     ).write.parquet(src + "/b2.parquet")
     out = run_once()
     assert [(r["ws"], r["k"], r["n"]) for r in out] == [(t0, "a", 2)]
+
+
+def test_streaming_listener_bridge(spark, tmp_path):
+    """X8: StreamingQueryListener progress events reach the observer protocol."""
+    from polars_incremental_spark.observability import BaseObserver, attach_streaming_listener
+
+    committed = []
+
+    class Obs(BaseObserver):
+        def on_batch_committed(self, batch_id, metadata):
+            committed.append((batch_id, metadata.get("numInputRows")))
+
+    bridge = attach_streaming_listener(spark, Obs())
+    try:
+        src = str(tmp_path / "src")
+        spark.range(4).write.parquet(src)
+        q = (
+            spark.readStream.schema("id long").parquet(src)
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        import time
+
+        for _ in range(40):  # listener delivery is async
+            if committed:
+                break
+            time.sleep(0.25)
+    finally:
+        spark.streams.removeListener(bridge)
+    assert committed and committed[0][1] == 4

@@ -594,6 +594,39 @@ R21_SQL = "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
 # --------------------------------------------------------------------------
 
 
+def asof_error_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (beyond reference parity): for every error event, the
+    latest prior click by the same user — "state at event time"."""
+    from .functions.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    # unique (user, ts) on the right so the match is well-defined
+    clicks = patterns.latest_per_key(clicks, ["user_id", "ts"], "value")
+    joined = asof_join(errors, clicks, on=["user_id"], left_ts="ts", right_ts="ts")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts_r").alias("click_ts"),
+        F.col("value_r").alias("click_value"),
+    )
+
+
+ASOF_SQL = """
+WITH errors AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+),
+clicks AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY value DESC) = 1
+)
+SELECT e.event_id, e.user_id, c.ts AS click_ts, c.value AS click_value
+FROM errors e ASOF LEFT JOIN clicks c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+"""
+
+
 def cdc_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1/M4: apply_cdc over a change stream synthesized from events.
 
@@ -1182,6 +1215,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "r19_sql_report": (r19_sql_report, R19_SQL),
     "r20_drop_cols": (r20_drop_cols, R20_SQL),
     "r21_distinct_keys": (r21_distinct_keys, R21_SQL),
+    "asof_error_after_click": (asof_error_after_click, ASOF_SQL),
     "cdc_merge_latest": (cdc_merge_latest, CDC_MERGE_SQL),
     "schema_evolve_add": (schema_evolve_add, SCHEMA_EVOLVE_SQL),
     "schema_type_widen": (schema_type_widen, SCHEMA_WIDEN_SQL),

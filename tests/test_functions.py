@@ -265,3 +265,29 @@ def test_cosine_near_dup_exact_vs_lsh(vectors):
 def test_cosine_near_dup_rejects_bad_bands(vectors):
     with pytest.raises(ValueError):
         similarity.cosine_near_dup_pairs(vectors, dim=3, n_planes=7, band_size=2)
+
+
+# ------------------------------------------------------------------- joins
+
+
+def test_asof_join_backward_inclusive(spark):
+    import datetime as dt
+
+    from polars_incremental_spark.functions.joins import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 12, m)
+    left = spark.createDataFrame(
+        [(1, "a", t(10)), (2, "a", t(5)), (3, "a", t(1)), (4, "b", t(10))],
+        ["event_id", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [("a", t(5), "r5"), ("a", t(8), "r8")], ["k", "ts", "v"]
+    )
+    out = {
+        r["event_id"]: (r["v_r"], r["ts_r"])
+        for r in asof_join(left, right, on=["k"]).collect()
+    }
+    assert out[1] == ("r8", t(8))      # latest prior
+    assert out[2] == ("r5", t(5))      # equal ts matches (inclusive)
+    assert out[3] == (None, None)      # nothing prior → left-join nulls
+    assert out[4] == (None, None)      # other key group untouched

@@ -66,3 +66,50 @@ def asof_join(
     for c in carried:
         merged = merged.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
     return merged.filter(F.col("__is_right") == 0).drop("__is_right", "__ts")
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "INTERVAL 0 SECONDS",
+    upper: str = "INTERVAL 10 MINUTES",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval join: pairs where right_ts ∈ [left_ts − upper, left_ts − lower].
+
+    A naive inequality join degenerates to a per-key cross product (Spark
+    plans it as a nested-loop).  This is the standard scale shape instead:
+    both sides get a coarse time bucket of width (upper − lower... the span),
+    the LEFT side explodes to the 2 candidate buckets its window can touch,
+    and the join becomes an EQUI-join on (keys, bucket) + an exact range
+    filter — each row lands in O(1) buckets, so cost is O(matches), not
+    O(|left|·|right|) per key.
+    """
+    on = list(on)
+    # bucket width = span of the match window, in microseconds
+    width_us = F.expr(
+        f"unix_micros(timestamp'1970-01-01' + {upper}) - unix_micros(timestamp'1970-01-01' + {lower})"
+    )
+    payload = [c for c in right.columns if c not in on]
+    r = right.select(
+        *on,
+        F.floor(F.unix_micros(F.col(right_ts)) / width_us).alias("__bucket"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in payload],
+    )
+    l = left.withColumn(
+        "__b0", F.floor((F.unix_micros(F.col(left_ts)) - F.expr(f"unix_micros(timestamp'1970-01-01' + {upper})")) / width_us)
+    ).withColumn(
+        "__b1", F.floor((F.unix_micros(F.col(left_ts)) - F.expr(f"unix_micros(timestamp'1970-01-01' + {lower})")) / width_us)
+    )
+    l = l.withColumn(
+        "__bucket", F.explode(F.sequence(F.col("__b0"), F.col("__b1")))
+    ).drop("__b0", "__b1")
+    joined = l.join(r, [*on, "__bucket"]).drop("__bucket")
+    return joined.filter(
+        (F.col(f"{right_ts}{suffix}") >= F.col(left_ts) - F.expr(upper))
+        & (F.col(f"{right_ts}{suffix}") <= F.col(left_ts) - F.expr(lower))
+    )

@@ -627,6 +627,31 @@ FROM errors e ASOF LEFT JOIN clicks c
 """
 
 
+def range_clicks_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed interval join (beyond reference parity): clicks in the 10
+    minutes preceding each error, counted per error event."""
+    from .functions.joins import range_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = range_join_bucketed(
+        errors, clicks, on=["user_id"],
+        lower="INTERVAL 0 SECONDS", upper="INTERVAL 10 MINUTES",
+    )
+    return joined.groupBy("event_id").agg(F.count("*").alias("n_clicks"))
+
+
+RANGE_SQL = """
+SELECT e.event_id, COUNT(*) AS n_clicks
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id
+ AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts <= e.ts
+GROUP BY e.event_id
+"""
+
+
 def cdc_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1/M4: apply_cdc over a change stream synthesized from events.
 
@@ -1216,6 +1241,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "r20_drop_cols": (r20_drop_cols, R20_SQL),
     "r21_distinct_keys": (r21_distinct_keys, R21_SQL),
     "asof_error_after_click": (asof_error_after_click, ASOF_SQL),
+    "range_clicks_before_error": (range_clicks_before_error, RANGE_SQL),
     "cdc_merge_latest": (cdc_merge_latest, CDC_MERGE_SQL),
     "schema_evolve_add": (schema_evolve_add, SCHEMA_EVOLVE_SQL),
     "schema_type_widen": (schema_type_widen, SCHEMA_WIDEN_SQL),

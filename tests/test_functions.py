@@ -291,3 +291,32 @@ def test_asof_join_backward_inclusive(spark):
     assert out[2] == ("r5", t(5))      # equal ts matches (inclusive)
     assert out[3] == (None, None)      # nothing prior → left-join nulls
     assert out[4] == (None, None)      # other key group untouched
+
+
+def test_range_join_bucketed_matches_naive(spark):
+    import datetime as dt
+
+    from polars_incremental_spark.functions.joins import range_join_bucketed
+
+    t = lambda m, s=0: dt.datetime(2024, 1, 1, 12, m, s)
+    left = spark.createDataFrame(
+        [(1, "a", t(20)), (2, "a", t(3)), (3, "b", t(20))], ["eid", "k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [("a", t(11), "in"), ("a", t(20), "edge0"), ("a", t(9, 59), "out_old"),
+         ("a", t(21), "after"), ("b", t(15), "bmatch")],
+        ["k", "ts", "tag"],
+    )
+    out = range_join_bucketed(
+        left, right, on=["k"], lower="INTERVAL 0 SECONDS", upper="INTERVAL 10 MINUTES"
+    )
+    got = {(r["eid"], r["tag_r"]) for r in out.collect()}
+    # naive reference: right.ts in [left.ts - 10min, left.ts]
+    naive = set()
+    for eid, k, lts in [(1, "a", t(20)), (2, "a", t(3)), (3, "b", t(20))]:
+        for rk, rts, tag in [("a", t(11), "in"), ("a", t(20), "edge0"), ("a", t(9, 59), "out_old"),
+                             ("a", t(21), "after"), ("b", t(15), "bmatch")]:
+            if k == rk and lts - dt.timedelta(minutes=10) <= rts <= lts:
+                naive.add((eid, tag))
+    assert got == naive
+    assert (1, "in") in got and (1, "edge0") in got and (1, "out_old") not in got

@@ -594,6 +594,50 @@ R21_SQL = "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
 # --------------------------------------------------------------------------
 
 
+def rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (beyond reference parity): totals per
+    (status, priority), per status, and grand total in one pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), _spark_dsum(F.col("o_totalprice"), "total"))
+    )
+
+
+ROLLUP_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       {_dsum("o_totalprice", "total")}
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def except_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT (beyond reference parity): users who click but never
+    purchase, plus users who do both, labeled."""
+    ev = load_table(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    only_click = clickers.exceptAll(buyers).withColumn("segment", F.lit("click_only"))
+    both = clickers.intersect(buyers).withColumn("segment", F.lit("click_and_buy"))
+    return only_click.unionByName(both)
+
+
+EXCEPT_SQL = """
+SELECT user_id, 'click_only' AS segment FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+  EXCEPT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+)
+UNION ALL
+SELECT user_id, 'click_and_buy' AS segment FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+)
+"""
+
+
 def asof_error_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (beyond reference parity): for every error event, the
     latest prior click by the same user — "state at event time"."""
@@ -1240,6 +1284,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "r19_sql_report": (r19_sql_report, R19_SQL),
     "r20_drop_cols": (r20_drop_cols, R20_SQL),
     "r21_distinct_keys": (r21_distinct_keys, R21_SQL),
+    "rollup_order_totals": (rollup_order_totals, ROLLUP_SQL),
+    "except_intersect_users": (except_intersect_users, EXCEPT_SQL),
     "asof_error_after_click": (asof_error_after_click, ASOF_SQL),
     "range_clicks_before_error": (range_clicks_before_error, RANGE_SQL),
     "cdc_merge_latest": (cdc_merge_latest, CDC_MERGE_SQL),

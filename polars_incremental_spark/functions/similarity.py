@@ -116,7 +116,7 @@ def cosine_near_dup_pairs(
         pairs = a.join(b, a_ids < b_ids)
     else:
         n_bands = n_planes // band_size
-        bits = vectors.withColumn("__sk", sign_sketch(F.col(vec_col), dim, n_planes))
+        bits = vectors.withColumn("__sk", sign_sketch(vec_col, dim, n_planes))
         band_mask = (1 << band_size) - 1
         banded = bits.select(
             F.col(id_col),
@@ -179,8 +179,25 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return out
 
 
-def sign_sketch(vec: Column, dim: int, n_planes: int = 8) -> Column:
-    """b-bit sign sketch of a vector under the deterministic hyperplanes."""
+def sign_sketch(vec: Column | str, dim: int, n_planes: int = 8) -> Column:
+    """b-bit sign sketch of a vector under the deterministic hyperplanes.
+
+    When ``vec`` is a column NAME the whole sketch is built as one SQL
+    expression string — a single Py4J round-trip instead of ~dim×n_planes
+    Column compositions (which cost ~1-2 s of driver time at 64×16).
+    Column input keeps the composed form for expression callers.
+    """
+    if isinstance(vec, str):
+        terms = []
+        for p in range(n_planes):
+            plane = _hyperplane(dim, p)
+            arr = ", ".join(f"{c!r}D" for c in plane)
+            proj = (
+                f"aggregate(zip_with({vec}, array({arr}), "
+                f"(x, h) -> CAST(x AS DOUBLE) * h), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+            terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+        return F.expr(" + ".join(terms))
     sketch = F.lit(0)
     for p in range(n_planes):
         plane = _hyperplane(dim, p)
@@ -210,11 +227,11 @@ def lsh_ann_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates share the sign-sketch bucket, exact
     cosine re-ranks inside the bucket.  Recall trades off with n_planes."""
-    v = vectors.withColumn("__bucket", sign_sketch(F.col(vec_col), dim, n_planes))
+    v = vectors.withColumn("__bucket", sign_sketch(vec_col, dim, n_planes))
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
-        sign_sketch(F.col(vec_col), dim, n_planes).alias("__bucket"),
+        sign_sketch(vec_col, dim, n_planes).alias("__bucket"),
     )
     joined = v.join(F.broadcast(q), on="__bucket").filter(
         F.col(query_id_col) != F.col(id_col)

@@ -177,3 +177,52 @@ def test_apply_cdc_table_noop_on_empty(spark, tmp_path):
     empty = spark.createDataFrame([], "id long, _change_type string")
     res = apply_cdc_table(spark, empty, str(tmp_path / "t"), keys=["id"])
     assert res == {"rows_in": 0, "rows_out": 0, "action": "noop"}
+
+
+def test_apply_cdc_randomized_differential(spark):
+    """200 random changes vs a pure-Python replay oracle: latest change per
+    key (by commit version) wins; delete removes, upsert replaces."""
+    import random
+
+    rng = random.Random(42)
+    keys = list(range(30))
+    changes = []
+    for version in range(1, 201):
+        k = rng.choice(keys)
+        ct = rng.choice(["insert", "update_postimage", "update", "delete", "update_preimage"])
+        changes.append((k, f"v{version}", ct, version))
+
+    existing_rows = [(k, f"base{k}") for k in keys if k % 3 == 0]
+
+    # python replay: apply in commit order onto the existing table
+    table = {k: v for k, v in existing_rows}
+    for k, v, ct, _version in changes:  # versions are already ordered
+        if ct == "delete":
+            table.pop(k, None)
+        elif ct in ("insert", "update_postimage", "update"):
+            table[k] = v
+        # preimages (default ignore) and unknown codes do nothing
+
+    changes_df = spark.createDataFrame(
+        changes, ["k", "v", "_change_type", "_commit_version"]
+    )
+    existing_df = spark.createDataFrame(existing_rows, ["k", "v"])
+    got = {r["k"]: r["v"] for r in apply_cdc(changes_df, existing_df, keys=["k"]).collect()}
+
+    # oracle: preimages are FILTERED before dedupe (reference cdc.py:86-100),
+    # so the latest NON-preimage change per key governs the outcome
+    latest = {}
+    for k, v, ct, _version in changes:
+        if ct != "update_preimage":
+            latest[k] = (v, ct)
+    base = dict(existing_rows)
+    for k in keys:
+        if k in latest:
+            v, ct = latest[k]
+            expected_k = None if ct == "delete" else v
+        else:
+            expected_k = base.get(k)  # untouched (or preimage-only) key
+        if expected_k is None:
+            assert k not in got, k
+        else:
+            assert got.get(k) == expected_k, (k, got.get(k), expected_k)

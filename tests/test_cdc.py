@@ -194,15 +194,6 @@ def test_apply_cdc_randomized_differential(spark):
 
     existing_rows = [(k, f"base{k}") for k in keys if k % 3 == 0]
 
-    # python replay: apply in commit order onto the existing table
-    table = {k: v for k, v in existing_rows}
-    for k, v, ct, _version in changes:  # versions are already ordered
-        if ct == "delete":
-            table.pop(k, None)
-        elif ct in ("insert", "update_postimage", "update"):
-            table[k] = v
-        # preimages (default ignore) and unknown codes do nothing
-
     changes_df = spark.createDataFrame(
         changes, ["k", "v", "_change_type", "_commit_version"]
     )

@@ -360,3 +360,11 @@ def test_streaming_listener_bridge(spark, tmp_path):
     finally:
         spark.streams.removeListener(bridge)
     assert committed and committed[0][1] == 4
+
+
+def test_avro_requires_package(spark, tmp_path):
+    """S7 avro path: gated error when the spark-avro jar is absent."""
+    path = tmp_path / "x.avro"
+    path.write_bytes(b"Obj\x01fake")
+    with pytest.raises(UnsupportedFormatError, match="avro"):
+        read_files(spark, [str(path)], "avro").collect()

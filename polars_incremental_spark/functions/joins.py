@@ -9,8 +9,10 @@ Implementation is the union + running-last trick, entirely in Catalyst:
 
 1. tag and union both sides on (keys, ts),
 2. one window per key ordered by (ts, right-first-on-ties) carries the
-   right side's columns forward with ``last(ignorenulls)``,
-3. keep only left rows.
+   right side's row forward as a SINGLE struct with ``last(ignorenulls)``
+   (one struct, not per-column, so every carried value comes from the same
+   matched right row even when that row has NULL payload fields),
+3. keep only left rows and unpack the struct.
 
 One shuffle on the keys — the same exchange a sort-merge join would pay,
 with no range-condition blowup: each row is touched once, so a skewed key
@@ -46,12 +48,17 @@ def asof_join(
     """
     on = list(on)
     payload = [c for c in right.columns if c not in on and c != right_ts]
+    # The whole right row travels as ONE struct: last(ignorenulls) over the
+    # struct picks the latest right ROW, never back-filling an individual
+    # NULL payload field from an older row (which would silently mix rows).
     r = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(1).alias("__is_right"),
-        F.col(right_ts).alias(f"{right_ts}{suffix}"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in payload],
+        F.struct(
+            F.col(right_ts).alias(f"{right_ts}{suffix}"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in payload],
+        ).alias("__rrow"),
     )
     l = left.withColumn("__ts", F.col(left_ts)).withColumn("__is_right", F.lit(0))
     merged = l.unionByName(r, allowMissingColumns=True)
@@ -62,10 +69,12 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col("__is_right").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    merged = merged.withColumn("__rrow", F.last(F.col("__rrow"), ignorenulls=True).over(w))
+    out = merged.filter(F.col("__is_right") == 0)
     carried = [f"{right_ts}{suffix}", *[f"{c}{suffix}" for c in payload]]
     for c in carried:
-        merged = merged.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
-    return merged.filter(F.col("__is_right") == 0).drop("__is_right", "__ts")
+        out = out.withColumn(c, F.col("__rrow").getField(c))
+    return out.drop("__rrow", "__is_right", "__ts")
 
 
 def range_join_bucketed(

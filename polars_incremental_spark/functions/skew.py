@@ -51,8 +51,22 @@ def salted_join(
 
     ``small`` is replicated ``n_salts``× (keep it genuinely small or
     broadcastable); the hot key's rows spread across ``n_salts`` tasks
-    instead of stalling one. Result equals ``large.join(small, on, how)``.
+    instead of stalling one. Result equals ``large.join(small, on, how)``
+    for the supported join types.
+
+    Only large-side-preserving joins are supported (inner / left /
+    left_outer / semi / anti): for right or full-outer joins an unmatched
+    ``small`` row would surface once PER SALT (it was replicated), so the
+    result would NOT equal the unsalted join — such ``how`` values raise.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "leftsemi", "left_semi", "semi", "leftanti", "left_anti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports only large-side-preserving joins {sorted(allowed)}; "
+            f"got how={how!r} — a right/full outer join would replicate unmatched "
+            f"small-side rows {n_salts}x"
+        )
     salt = "__salt"
     left = with_salt(large, n_salts, salt)
     right = replicate_for_salt(small, n_salts, salt)

@@ -72,10 +72,17 @@ class PipelineLock:
     - ``flock`` (default): ``fcntl.flock`` on a lockfile — the kernel releases
       it automatically when the holder dies, so no staleness handling needed.
     - ``file`` (``SPARK_INCREMENTAL_LOCK_MODE=file`` or filesystems without
-      flock): O_EXCL create with ``pid=``/``acquired_at=`` content and
-      stale-lock TAKEOVER — a lock whose holder PID is dead or whose age
-      exceeds ``stale_seconds`` (env ``SPARK_INCREMENTAL_LOCK_STALE_SECONDS``,
-      default 300) is broken, so a SIGKILLed run cannot wedge the checkpoint.
+      flock): O_EXCL create with a unique ``pid=``/``acquired_at=``/``nonce=``
+      token and stale-lock TAKEOVER — a lock whose holder PID is dead (or, when
+      no PID is readable, whose age exceeds ``stale_seconds``, env
+      ``SPARK_INCREMENTAL_LOCK_STALE_SECONDS``, default 300) is broken, so a
+      SIGKILLed run cannot wedge the checkpoint.  A lock whose holder PID is
+      alive is NEVER age-broken: a long Spark batch must not lose its lock to a
+      newly started run.  Takeover is race-safe: after creating the lock file
+      the acquirer re-reads it and only treats the lock as held if its own
+      token is still present, and on exit only unlinks the file if the token
+      still matches — so two waiters that both judge a lock stale cannot end up
+      as concurrent holders.
     """
 
     def __init__(
@@ -98,28 +105,34 @@ class PipelineLock:
         )
         self._fd: int | None = None
         self._owns_file = False
+        self._token: str | None = None
 
     # ------------------------------------------------------------ stale check
-    def _is_stale(self) -> bool:
+    def _read_lock(self) -> str | None:
+        try:
+            with open(self.path) as handle:
+                return handle.read()
+        except OSError:
+            return None
+
+    def _is_stale(self, content: str | None) -> bool:
         """A file-mode lock is stale if its holder PID is dead, or (when no
-        PID is readable) its age exceeds ``stale_seconds``."""
-        if self.stale_seconds <= 0:
+        PID is readable) its age exceeds ``stale_seconds``.  A lock held by a
+        LIVE pid is never stale regardless of age — a long-running batch must
+        not have its lock broken by a newcomer."""
+        if self.stale_seconds <= 0 or content is None:
             return False
         pid: int | None = None
         acquired_at: float | None = None
-        try:
-            with open(self.path) as handle:
-                for line in handle:
-                    key, _, value = line.strip().partition("=")
-                    if key == "pid" and value.isdigit():
-                        pid = int(value)
-                    elif key == "acquired_at":
-                        try:
-                            acquired_at = float(value)
-                        except ValueError:
-                            pass
-        except OSError:
-            return False
+        for line in content.splitlines():
+            key, _, value = line.strip().partition("=")
+            if key == "pid" and value.isdigit():
+                pid = int(value)
+            elif key == "acquired_at":
+                try:
+                    acquired_at = float(value)
+                except ValueError:
+                    pass
         if pid is not None:
             try:
                 os.kill(pid, 0)
@@ -127,10 +140,7 @@ class PipelineLock:
                 return True  # holder is gone
             except OSError:
                 return False
-            # holder alive: stale only by explicit age policy
-            if acquired_at is not None and time.time() - acquired_at >= self.stale_seconds:
-                return True
-            return False
+            return False  # holder alive: never age-break
         if acquired_at is not None:
             return time.time() - acquired_at >= self.stale_seconds
         try:
@@ -171,19 +181,35 @@ class PipelineLock:
                 time.sleep(0.05)
 
     def _acquire_file(self, deadline: float) -> "PipelineLock":
+        import uuid
+
+        token = (
+            f"pid={os.getpid()}\nacquired_at={time.time()}\nnonce={uuid.uuid4().hex}\n"
+        )
         while True:
             try:
                 fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, f"pid={os.getpid()}\nacquired_at={time.time()}\n".encode())
+                os.write(fd, token.encode())
                 os.close(fd)
-                self._owns_file = True
-                return self
+                # Verify ownership: a waiter racing on a stale judgement may
+                # have unlinked this freshly created file and replaced it with
+                # its own.  Only the process whose token survives holds the
+                # lock; the loser just retries.
+                if self._read_lock() == token:
+                    self._token = token
+                    self._owns_file = True
+                    return self
             except FileExistsError:
-                if self._is_stale():
-                    try:  # break the stale lock; losing a takeover race is fine
-                        os.unlink(self.path)
-                    except FileNotFoundError:
-                        pass
+                content = self._read_lock()
+                if self._is_stale(content):
+                    # Break the stale lock only if it is still the exact file
+                    # we judged stale (narrowest practical window without an
+                    # atomic compare-and-unlink primitive).
+                    if self._read_lock() == content:
+                        try:
+                            os.unlink(self.path)
+                        except FileNotFoundError:
+                            pass
                     continue
                 if time.monotonic() >= deadline:
                     raise PipelineLockError(
@@ -199,11 +225,16 @@ class PipelineLock:
             os.close(self._fd)
             self._fd = None
         if self._owns_file:
-            try:
-                os.unlink(self.path)
-            except FileNotFoundError:
-                pass
+            # Unlink only our own lock file: if a (pathological) takeover
+            # replaced it, removing the new holder's lock would let a third
+            # process acquire concurrently.
+            if self._read_lock() == self._token:
+                try:
+                    os.unlink(self.path)
+                except FileNotFoundError:
+                    pass
             self._owns_file = False
+            self._token = None
 
 
 @dataclass(frozen=True)

@@ -319,20 +319,32 @@ def r01_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def r02_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R2: ndjson write/read round-trip on the int/string columns, then agg."""
+    """R2: ndjson write/read round-trip on the int/string columns, then agg.
+
+    The scratch dir is unique per invocation (hermetic across concurrent and
+    sequential runs at different scale factors), and the aggregate is cast to
+    BIGINT on both engines so DuckDB's HUGEINT SUM cannot diverge.
+    """
+    import atexit
+    import shutil
     import tempfile
+    import uuid
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
-    path = tempfile.gettempdir() + "/spark_graft_r02_ndjson"
+    path = tempfile.gettempdir() + f"/spark_graft_r02_ndjson_{uuid.uuid4().hex}"
+    # The returned DataFrame reads `path` lazily (at the caller's collect), so
+    # the dir can only be reclaimed at interpreter exit, not here.
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     ev.write.mode("overwrite").json(path)
     back = spark.read.schema("event_id BIGINT, user_id BIGINT, event_type STRING").json(path)
     return back.groupBy("event_type").agg(
-        F.count("*").alias("n"), F.sum("event_id").alias("sum_id")
+        F.count("*").alias("n"),
+        F.sum("event_id").cast("bigint").alias("sum_id"),
     )
 
 
 R02_SQL = """
-SELECT event_type, COUNT(*) AS n, SUM(event_id) AS sum_id
+SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id
 FROM events GROUP BY event_type
 """
 

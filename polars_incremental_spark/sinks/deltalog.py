@@ -226,7 +226,16 @@ def read_delta_fallback(spark: SparkSession, table_path: str) -> DataFrame:
 
 def vacuum_fallback(table_path: str, *, retention_hours: float = 168.0, dry_run: bool = False) -> list[str]:
     """Delete data files no longer referenced by the latest snapshot and older
-    than the retention window (X6 without the jar)."""
+    than the retention window (X6 without the jar).
+
+    Also reclaims ``_change_data/`` CDF files: a cdc file is deletable once
+    its COMMIT TIMESTAMP falls outside the retention window (its path is
+    recorded in exactly one commit's ``cdc`` action, so referenced-vs-expired
+    is decidable from the log — mirrors real Delta VACUUM, which drops change
+    data together with the out-of-retention versions that produced it).
+    Change files are judged by commit timestamp, not file mtime, so a slow
+    rewrite can't age a still-retained change file into deletion.
+    """
     log = DeltaLog(table_path)
     latest = log.latest_version()
     if latest is None:
@@ -242,6 +251,30 @@ def vacuum_fallback(table_path: str, *, retention_hours: float = 168.0, dry_run:
             removed.append(full)
             if not dry_run:
                 os.unlink(full)
+
+    # ---- _change_data/: map every logged cdc path -> its commit timestamp
+    cdc_dir = os.path.join(table_path, "_change_data")
+    if os.path.isdir(cdc_dir):
+        cutoff_ms = int(cutoff * 1000)
+        expired_cdc: set[str] = set()
+        retained_cdc: set[str] = set()
+        for version in log.versions():
+            ts_ms = log.commit_timestamp_ms(version)
+            for action in log.actions(version):
+                if "cdc" in action:
+                    rel = action["cdc"].get("path", "")
+                    (expired_cdc if ts_ms <= cutoff_ms else retained_cdc).add(
+                        os.path.basename(rel)
+                    )
+        for name in os.listdir(cdc_dir):
+            if not name.endswith(".parquet") or name in retained_cdc:
+                continue
+            full = os.path.join(cdc_dir, name)
+            # expired by commit ts, or an orphan no commit references
+            if name in expired_cdc or os.stat(full).st_mtime <= cutoff:
+                removed.append(full)
+                if not dry_run:
+                    os.unlink(full)
     return removed
 
 

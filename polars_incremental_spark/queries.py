@@ -893,6 +893,41 @@ SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.12
 """
 
 
+def d4b_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d4 with the ``max_doc_freq`` hot-shingle cap engaged (dedup.py skew
+    guard): shingles present in more than 2 documents are dropped from the
+    posting list BEFORE the self-join, and set sizes / Jaccard are computed
+    over the capped shingle universe so the metric stays consistent.  The
+    cap is deliberately low so it truly bites at sf0.01 (max shingle doc
+    freq there is 7) — at corpus scale the cap would be in the thousands,
+    but the plan shape under test is identical."""
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.1, max_doc_freq=2
+    )
+
+
+D4B_SQL = f"""
+WITH {_SQL_SHINGLE_CTE},
+p0 AS (SELECT doc_id, {_sql_md5_long("shingle")} AS h FROM sh),
+hot AS (SELECT h FROM p0 GROUP BY h HAVING COUNT(*) > 2),
+p AS (SELECT * FROM p0 WHERE h NOT IN (SELECT h FROM hot)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM p GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b,
+         round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.1
+"""
+
+
 def d5_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup.minhash_signatures(load_table(spark, sf_dir, "documents"))
     return sigs.select(
@@ -1084,7 +1119,12 @@ FROM documents
 
 
 def t5_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 word trigrams by document frequency (corpus analytics)."""
+    """Top-20 word trigrams by document frequency (corpus analytics).
+
+    ``word_shingles`` is distinct-per-document, so each document contributes
+    a given shingle at most once and COUNT(*) over the exploded shingles IS
+    the number of documents containing it — a true document frequency.
+    """
     doc = load_table(spark, sf_dir, "documents")
     sh = dedup.spread(doc).select(
         F.explode(tx.word_shingles(F.col("text"), 3)).alias("shingle")
@@ -1258,6 +1298,33 @@ def m1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media)
 
 
+def m1b_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-verifiable slice of the multimodal feature path: the byte length
+    and head-hex that ``extract_features`` computes inside mapInPandas ARE
+    SQL-expressible, so this runs the real Arrow-batched extractor and
+    joins its output back to the typed metadata — giving the m1 plumbing a
+    DuckDB hash oracle (entropy stays rows-only in m1)."""
+    media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(media).select("media_id", "n_bytes", "head_hex")
+    return feats.join(
+        media.select(
+            "media_id", F.col("meta.width").alias("width"),
+            F.col("meta.duration_ms").alias("duration_ms"),
+        ),
+        "media_id",
+    )
+
+
+M1B_SQL = """
+SELECT doc_id AS media_id,
+       octet_length(encode(text)) AS n_bytes,
+       lower(substr(hex(encode(text)), 1, 16)) AS head_hex,
+       CAST(length(text) % 1920 AS INTEGER) AS width,
+       CAST(length(text) * 10 AS BIGINT) AS duration_ms
+FROM documents
+"""
+
+
 def m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame fan-out shape (one row per sampled frame) → rows-only check."""
     media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
@@ -1309,6 +1376,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "d2_dedup_exact": (d2_dedup_exact, D2_SQL),
     "d3_fingerprint_duplicates": (d3_fingerprint_duplicates, D3_SQL),
     "d4_ngram_jaccard": (d4_ngram_jaccard, D4_SQL),
+    "d4b_ngram_jaccard_capped": (d4b_ngram_jaccard_capped, D4B_SQL),
     "d5_minhash_signatures": (d5_minhash_signatures, D5_SQL),
     "d6_minhash_lsh": (d6_minhash_lsh, D6_SQL),
     "d7_simhash": (d7_simhash, D7_SQL),
@@ -1322,6 +1390,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "s3_cosine_near_dup": (s3_cosine_near_dup, S3_SQL),
     "s4_cosine_near_dup_exact": (s4_cosine_near_dup_exact, S4_SQL),
     "m1_multimodal_features": (m1_multimodal_features, None),
+    "m1b_multimodal_meta": (m1b_multimodal_meta, M1B_SQL),
     "m2_frame_sample": (m2_frame_sample, None),
 }
 

@@ -1,0 +1,102 @@
+"""Streaming e2e of the flagship query with a mid-stream kill and resume.
+
+Runs the flagship 1-minute tumbling window aggregation (``entry()``'s
+query; reference README pipeline) as a real ``availableNow`` Structured
+Streaming query over the sf0.001 events, sliced into multiple microbatches
+via ``maxFilesPerTrigger``.  The writer crashes partway through the first
+run; a second run over the SAME Spark checkpoint must resume from the
+failed batch — not from scratch, not skipping it — and the re-aggregated
+streamed output must equal the batch answer exactly (the exactly-once
+invariant from SURVEY §5: idempotent batch_{id} sinks + Spark's
+offset/commit logs).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQueryException
+
+from polars_incremental_spark.sources.base import FilesSource
+from polars_incremental_spark.streaming.native import run_native
+from polars_incremental_spark.tables import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+def _window_agg(df):
+    """The flagship aggregation (same expression tree as entry())."""
+    return (
+        df.groupBy(F.window("ts", "1 minute").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def test_flagship_streamed_kill_resume_exactly_once(spark, tmp_path):
+    # ---- input: sf0.001 events as 6 parquet files → 3 two-file microbatches
+    src_dir = str(tmp_path / "events_in")
+    events = load_table(spark, SF_DIR, "events").select("ts", "event_type", "value")
+    events.repartition(6).write.parquet(src_dir)
+    assert len(glob.glob(src_dir + "/*.parquet")) >= 3
+
+    out_root = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spec = FilesSource(path=src_dir, file_format="parquet", max_files_per_trigger=2)
+    crashed = {"done": False}
+
+    def writer(df, batch_id):
+        # Idempotent sink: per-batch dir, overwritten on replay.  Each batch
+        # writes its PARTIAL window aggregate (map-side shape of the flagship).
+        if batch_id == 1 and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash mid-stream")
+        _window_agg(df).write.mode("overwrite").parquet(f"{out_root}/batch_{batch_id}")
+
+    # ---- run 1: crashes on batch 1; batch 0 must already be committed
+    with pytest.raises((StreamingQueryException, RuntimeError)):
+        run_native(spark, spec, ckpt, writer)
+    done_before = set(os.listdir(out_root))
+    assert done_before == {"batch_0"}
+
+    # ---- run 2: resumes from batch 1 (batch 0 NOT reprocessed)
+    replayed: list[int] = []
+
+    def writer2(df, batch_id):
+        replayed.append(batch_id)
+        _window_agg(df).write.mode("overwrite").parquet(f"{out_root}/batch_{batch_id}")
+
+    run_native(spark, spec, ckpt, writer2)
+    assert min(replayed) == 1, f"batch 0 was reprocessed: {replayed}"
+    assert sorted(replayed) == list(range(1, max(replayed) + 1))
+
+    # ---- drained: a third run sees nothing new
+    replayed.clear()
+    run_native(spark, spec, ckpt, writer2)
+    assert replayed == []
+
+    # ---- exactly-once: merged partials == batch answer on the same input
+    streamed = (
+        spark.read.parquet(f"{out_root}/batch_*")
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+        )
+    )
+    expected = _window_agg(spark.read.parquet(src_dir))
+    sort = ["window_start", "event_type"]
+    assert [r.asDict() for r in streamed.orderBy(*sort).collect()] == [
+        r.asDict() for r in expected.orderBy(*sort).collect()
+    ]

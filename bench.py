@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "s1_cosine_topk",
     "s2_lsh_ann_topk",
     "s3_cosine_near_dup",
+    "s5_ivf_topk",
 ]
 
 

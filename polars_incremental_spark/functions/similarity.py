@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths:
+Three paths:
 
 - ``cosine_topk``: exact brute-force top-k.  The query side is broadcast
   (it is small by construction), so the big side streams once with no
@@ -11,6 +11,13 @@ Two paths:
   within buckets.  At 100 TB the bucket join replaces the full cross
   product; hyperplanes are md5-derived so results stay deterministic and
   oracle-reproducible.
+- ``ivf_topk``: inverted-file (IVF) partitioned search — vectors are
+  assigned to the nearest of ``n_cells`` centroids map-side (zero shuffle
+  on the corpus), queries probe their ``n_probe`` nearest cells, exact
+  cosine re-ranks within probed cells.  Seed centroids are an md5-ordered
+  deterministic sample (k-means‖ with zero refinement rounds), so the
+  whole index is oracle-reproducible; ``ivf_refine_centroids`` runs real
+  Lloyd iterations on top when recall matters more than determinism.
 
 Greenfield Spark work (no reference counterpart).
 """
@@ -251,4 +258,192 @@ def lsh_ann_topk(
             F.round(F.col("__cos"), 6).alias("cosine_sim"),
             F.col("__rank").alias("rank"),
         )
+    )
+
+
+# --------------------------------------------------------------------- IVF
+
+
+def _seed_centroids(
+    vectors: DataFrame, n_cells: int, id_col: str, vec_col: str
+) -> list[list[float]]:
+    """Deterministic seed centroids: the ``n_cells`` vectors whose md5-hashed
+    id sorts lowest — a uniform pseudo-random sample reproducible in any
+    engine with md5 (the same portability trick as the MinHash params).
+
+    This is the one deliberate driver materialization in the IVF path: the
+    centroid set is tiny by construction (n_cells ≪ N — hundreds even at
+    100 TB), the same class of collect as a broadcast dim table.
+    """
+    rows = (
+        vectors.select(F.col(id_col), F.col(vec_col))
+        .orderBy(md5_long(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_cells)
+        .collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def _centroid_sims_expr(vec_col: str, centroids: list[list[float]]) -> str:
+    """One SQL expression: array of round(cosine(vec, c_i), 6) per centroid.
+
+    Built as a single string (one Py4J call; see sign_sketch) with the
+    centroid components as double literals.  Rounding to 6 dp before the
+    argmax keeps cell assignment identical across engines.
+    """
+    vnorm = (
+        f"sqrt(aggregate({vec_col}, CAST(0.0 AS DOUBLE), "
+        f"(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    terms = []
+    for c in centroids:
+        arr = ", ".join(f"{x!r}D" for x in c)
+        dot = (
+            f"aggregate(zip_with({vec_col}, array({arr}), "
+            f"(x, h) -> CAST(x AS DOUBLE) * h), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        cnorm = (
+            f"sqrt(aggregate(array({arr}), CAST(0.0 AS DOUBLE), "
+            f"(acc, x) -> acc + x * x))"
+        )
+        terms.append(f"round({dot} / ({vnorm} * {cnorm}), 6)")
+    return "array(" + ", ".join(terms) + ")"
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    cell_col: str = "__cell",
+) -> DataFrame:
+    """Attach the 1-based nearest-centroid cell id — pure map-side (the
+    centroids ride into every task as expression literals; no shuffle, no
+    broadcast join).  Ties on the rounded similarity go to the lowest cell.
+
+    At 100 TB the assigned corpus would be persisted partitioned BY this
+    column (``df.write.partitionBy(cell_col)``) so probe-time reads prune
+    to n_probe/n_cells of the data.
+    """
+    return (
+        vectors.withColumn("__sims", F.expr(_centroid_sims_expr(vec_col, centroids)))
+        .withColumn(
+            cell_col, F.expr("array_position(__sims, array_max(__sims))").cast("int")
+        )
+        .drop("__sims")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: (query_id, vec_id, cosine_sim, rank).
+
+    Corpus side: one map-side pass assigns each vector to its nearest
+    centroid.  Query side (small): each query probes its ``n_probe``
+    nearest cells.  The candidate set is the broadcast equi-join on the
+    cell id — expected corpus fraction n_probe/n_cells — and exact cosine
+    re-ranks candidates, so scores carry no approximation (only recall
+    does).  Pass ``centroids`` (e.g. from ``ivf_refine_centroids``) to
+    reuse a trained index; default is the deterministic md5 seed sample.
+    """
+    if centroids is None:
+        centroids = _seed_centroids(vectors, n_cells, id_col, vec_col)
+    v = ivf_assign(vectors, centroids, vec_col=vec_col)
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    ).withColumn("__sims", F.expr(_centroid_sims_expr("__qvec", centroids)))
+    probe = (
+        q.select(
+            F.col(query_id_col),
+            F.col("__qvec"),
+            F.posexplode("__sims").alias("__pos", "__sim"),
+        )
+        .withColumn(
+            "__pr",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(
+                    F.col("__sim").desc(), F.col("__pos").asc()
+                )
+            ),
+        )
+        .filter(F.col("__pr") <= n_probe)
+        .select(
+            F.col(query_id_col), F.col("__qvec"), (F.col("__pos") + 1).alias("__cell")
+        )
+    )
+    joined = v.join(F.broadcast(probe), on="__cell").filter(
+        F.col(query_id_col) != F.col(id_col)
+    )
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("__cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("__cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.col("__cos").alias("cosine_sim"),
+            F.col("__rank").alias("rank"),
+        )
+    )
+
+
+def ivf_refine_centroids(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    *,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd (k-means) refinement of the seed centroids, Spark-shaped:
+    each iteration is one map-side assignment + one groupBy(cell, dim)
+    partial-aggregated mean — per-iteration shuffle is O(n_cells × dim)
+    rows after map-side combine, independent of corpus size.  Empty cells
+    keep their previous centroid.  Iterative ⇒ no SQL oracle; verified by
+    the inertia-monotonicity test.
+    """
+    for _ in range(n_iter):
+        assigned = ivf_assign(vectors, centroids, vec_col=vec_col)
+        means = (
+            assigned.select(
+                F.col("__cell"), F.posexplode(F.col(vec_col)).alias("__dim", "__x")
+            )
+            .groupBy("__cell", "__dim")
+            .agg(F.avg(F.col("__x").cast("double")).alias("__m"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["__cell"] - 1, {})[r["__dim"]] = r["__m"]
+        for cell, dims in by_cell.items():
+            new[cell] = [dims[d] for d in sorted(dims)]
+        centroids = new
+    return centroids
+
+
+def ivf_inertia(
+    vectors: DataFrame, centroids: list[list[float]], *, vec_col: str = "embedding"
+) -> float:
+    """Mean (1 − cosine-to-assigned-centroid) over the corpus — the
+    quantity Lloyd iterations should not increase."""
+    assigned = vectors.withColumn(
+        "__sims", F.expr(_centroid_sims_expr(vec_col, centroids))
+    )
+    return float(
+        assigned.agg(F.avg(F.lit(1.0) - F.array_max("__sims"))).collect()[0][0]
     )

@@ -1290,6 +1290,62 @@ SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= 0.4
 """
 
 
+def s5_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned ANN: 16 md5-seeded cells, 4 probed per query.
+
+    The corpus-side cell assignment is a pure map-side expression (zero
+    shuffle); the oracle recomputes the identical index relationally
+    (seed ranking → argmin assignment → probe ranking), so determinism of
+    the whole IVF pipeline — not just the final scores — is hash-checked.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return similarity.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+
+
+S5_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+ranked_seeds AS (
+  SELECT e AS c,
+         row_number() OVER (
+           ORDER BY {_sql_md5_long("CAST(vec_id AS VARCHAR)")}, vec_id
+         ) AS cell
+  FROM v
+),
+seeds AS (SELECT * FROM ranked_seeds WHERE cell <= 16),
+sims AS (
+  SELECT v.vec_id, v.e, s.cell, round({_sql_cosine("v.e", "s.c")}, 6) AS sim
+  FROM v CROSS JOIN seeds s
+),
+ranked AS (
+  SELECT vec_id, e, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rnk
+  FROM sims
+),
+cells AS (SELECT vec_id, e, cell FROM ranked WHERE rnk = 1),
+q AS (
+  SELECT vec_id AS query_id, e AS qe, cell
+  FROM ranked WHERE vec_id < 8 AND rnk <= 4
+),
+s AS (
+  SELECT query_id, c.vec_id, round({_sql_cosine("qe", "c.e")}, 6) AS cos
+  FROM q JOIN cells c ON q.cell = c.cell AND c.vec_id <> q.query_id
+),
+r AS (
+  SELECT query_id, vec_id, cos AS cosine_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
 def m1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: synthesize media, extract byte features via
     Arrow-batched mapInPandas.  Not SQL-expressible (entropy over a byte
@@ -1389,6 +1445,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "s2_lsh_ann_topk": (s2_lsh_ann_topk, S2_SQL),
     "s3_cosine_near_dup": (s3_cosine_near_dup, S3_SQL),
     "s4_cosine_near_dup_exact": (s4_cosine_near_dup_exact, S4_SQL),
+    "s5_ivf_topk": (s5_ivf_topk, S5_SQL),
     "m1_multimodal_features": (m1_multimodal_features, None),
     "m1b_multimodal_meta": (m1b_multimodal_meta, M1B_SQL),
     "m2_frame_sample": (m2_frame_sample, None),

@@ -320,3 +320,60 @@ def test_range_join_bucketed_matches_naive(spark):
                 naive.add((eid, tag))
     assert got == naive
     assert (1, "in") in got and (1, "edge0") in got and (1, "out_old") not in got
+
+
+# --------------------------------------------------------------------- IVF
+
+
+def test_ivf_assign_is_nearest_centroid(vectors):
+    # centroids = the three axes; every vector must land on its nearest axis
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    cells = {
+        r["vec_id"]: r["__cell"]
+        for r in similarity.ivf_assign(vectors, cents).collect()
+    }
+    assert cells[0] == 1 and cells[1] == 1  # x-ish vectors → x centroid
+    assert cells[2] == 2 and cells[3] == 3
+    # the anti-parallel vector ties at 0-similarity rounding aside; cosine
+    # to x-axis is -1, to y/z is 0 → nearest is y (lowest cell among ties)
+    assert cells[4] == 2
+
+
+def test_ivf_topk_exact_within_probed_cells(vectors):
+    q = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # probe every cell → IVF degenerates to exact search
+    out = similarity.ivf_topk(vectors, q, k=2, n_cells=3, n_probe=3).collect()
+    assert [(r["vec_id"], r["rank"]) for r in out] == [(1, 1), (2, 2)]
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    from polars_incremental_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.ivf_topk(emb, q, k=5, n_cells=16, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # deterministic given fixed data; probing 4/16 cells must beat random
+    assert recall >= 0.4, recall
+
+
+def test_ivf_refine_does_not_increase_inertia(spark, sf_dir):
+    from polars_incremental_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    seeds = similarity._seed_centroids(emb, 8, "vec_id", "embedding")
+    before = similarity.ivf_inertia(emb, seeds)
+    refined = similarity.ivf_refine_centroids(emb, seeds, n_iter=2)
+    after = similarity.ivf_inertia(emb, refined)
+    assert after <= before + 1e-9, (before, after)

@@ -37,29 +37,33 @@ from polars_incremental_spark.sinks.delta import read_table, write_table
 from polars_incremental_spark.tables import load_table
 
 
-def curate(batch, state):
-    """Quality-filter → cross-batch exact-dedupe → flag near-dups."""
+def curate(batch, state, batch_id, lsh_index):
+    """Quality-filter → cross-batch exact-dedupe → cross-batch NEAR-dedupe."""
     scored = batch.withColumn("quality", tx.quality_score(F.col("text")))
     kept = scored.filter(F.col("quality") >= 0.5)
     # exact dedupe vs everything accepted in ANY earlier batch
     kept = kept.withColumn("text_hash", F.md5(F.col("text")))
     kept = cross_batch_dedupe(kept, ["text_hash"], state=state, state_key="seen_hashes")
-    # near-dup flag within the batch (LSH candidates, exact-Jaccard verified)
-    pairs = dedup.minhash_lsh_pairs(kept, threshold=0.6)
-    flagged = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    return kept.join(flagged, "doc_id", "left_anti")
+    # near-dup dedupe vs the whole accepted corpus AND within the batch:
+    # survivors' minhash signatures append to the persisted LSH index
+    # (idempotently per batch_id), so batch N+1 dedupes against them
+    return dedup.incremental_lsh_dedup(
+        kept, lsh_index, threshold=0.6, batch_id=batch_id
+    )
 
 
 def main() -> None:
     spark = get_spark("llm-data-pipeline")
     work = tempfile.mkdtemp(prefix="pis_llm_")
-    land, ckpt, curated = (os.path.join(work, d) for d in ("landing", "ckpt", "curated"))
+    land, ckpt, curated, lsh_index = (
+        os.path.join(work, d) for d in ("landing", "ckpt", "curated", "lsh_index")
+    )
 
     docs = load_table(spark, "/root/testdata/sf0.01", "documents")
     docs.filter(F.col("doc_id") < 300).write.parquet(os.path.join(land, "crawl_1.parquet"))
 
-    def writer(df, state):
-        out = curate(df, state)
+    def writer(df, state, batch_id):
+        out = curate(df, state, batch_id, lsh_index)
         write_table(out, curated, mode="append" if os.path.exists(curated) else "overwrite")
         return {"accepted": out.count()}
 

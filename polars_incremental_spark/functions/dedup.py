@@ -385,3 +385,231 @@ def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", bi
         term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return bit_votes.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs whose simhash signatures differ in at
+    most ``max_hamming`` bits — EXACT under blocking, not approximate.
+
+    Pigeonhole blocking: the signature splits into ``max_hamming + 1``
+    bands, and any pair within the hamming radius must agree exactly on at
+    least one band, so the band equi-join has recall 1.0 by construction;
+    the xor-popcount verify then removes false candidates.  Shuffle key is
+    the (band, band-bits) pair; per-band bucket fan-out is bounded by
+    2^(bits/(max_hamming+1)) buckets — at corpus scale use ``bits=64`` so
+    each band carries 16 bits (65k buckets/band) instead of the compact
+    oracle default of 4.
+    """
+    n_bands = max_hamming + 1
+    if bits % n_bands:
+        raise ValueError(f"bits={bits} must be divisible by {n_bands} bands")
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    sigs = simhash(df, text_col=text_col, id_col=id_col, bits=bits).persist()
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(F.col(id_col), F.col("simhash"), F.col("bb.band"), F.col("bb.key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(b, on=["band", "key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("__sa"),
+            F.col("b.simhash").alias("__sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
+def minhash_band_entries(
+    sigs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    num_hashes: int = N_MINHASHES,
+    num_bands: int = N_BANDS,
+) -> DataFrame:
+    """(id, band, bucket) LSH band entries derived from stored signatures —
+    the md5-of-slice banding shared by batch and index sides of the
+    incremental join (recomputing it from the 256-byte signature is far
+    cheaper than persisting the exploded entries)."""
+    rows_per_band = num_hashes // num_bands
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("minhash")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(F.col(id_col), F.col("bb.band"), F.col("bb.bucket"))
+
+
+def _minhash_agreement(a: str, b: str, num_hashes: int):
+    """Estimated Jaccard: fraction of agreeing signature components."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(num_hashes))
+
+
+def incremental_lsh_dedup(
+    df: DataFrame,
+    index_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = N_MINHASHES,
+    num_bands: int = N_BANDS,
+    threshold: float = 0.5,
+    batch_id: int | None = None,
+) -> DataFrame:
+    """Cross-batch near-dup dedup: drop rows of ``df`` that near-duplicate
+    the persisted corpus OR a lower-id row of the same batch, then append
+    the survivors' signatures to the index.  Returns the surviving rows.
+
+    The index at ``index_path`` stores only (id, minhash) — ~260 B/doc; the
+    band join derives entries on both sides, candidates are verified with
+    the minhash-estimated Jaccard (component agreement ≥ ``threshold``), so
+    no text or posting list is ever persisted.  Batch-internal survivors
+    are the min-id of each duplicate chain (any row pairing with a lower id
+    drops — the d2/keep-first rule).  At warehouse scale, partition the
+    index table by a bucket prefix so the band join co-locates without a
+    full shuffle of the corpus signatures.
+
+    Idempotent replay: pass the Pipeline ``batch_id`` and the signature
+    append goes to ``index_path/batch_{id}`` (overwritten on retry — the
+    same contract as write_parquet_batch); without it, appends go to
+    ``index_path/batch_adhoc_<uuid>``.
+
+    Mirrors reference W4 cross-batch dedupe (deduplication_strategies.py:
+    60-79) upgraded from exact-id to near-dup semantics.
+    """
+    import uuid as _uuid
+
+    spark = df.sparkSession
+    sigs = minhash_signatures(
+        df, text_col=text_col, id_col=id_col, n=n, num_hashes=num_hashes
+    ).persist()
+    batch_bands = minhash_band_entries(
+        sigs, id_col=id_col, num_hashes=num_hashes, num_bands=num_bands
+    )
+
+    try:
+        index = spark.read.parquet(f"{index_path}/batch_*")
+        # replay safety: a retried batch must not dedupe against its OWN
+        # previously-appended signatures (every row would match itself)
+        if batch_id is not None:
+            index = index.filter(
+                ~F.input_file_name().contains(f"/batch_{batch_id}/")
+            )
+        have_index = True
+    except Exception:
+        have_index = False
+
+    agree = _minhash_agreement("__ma", "__mb", num_hashes)
+    dropped_cols = [F.col(id_col).alias("__drop_id")]
+
+    # ---- new-vs-corpus: any index match drops the new row (corpus wins)
+    if have_index:
+        idx_bands = minhash_band_entries(
+            index, id_col=id_col, num_hashes=num_hashes, num_bands=num_bands
+        ).select(F.col(id_col).alias("__old_id"), "band", "bucket")
+        cand_idx = (
+            batch_bands.join(idx_bands, on=["band", "bucket"])
+            .filter(F.col(id_col) != F.col("__old_id"))
+            .select(F.col(id_col), F.col("__old_id"))
+            .distinct()
+            .join(sigs.select(F.col(id_col), F.col("minhash").alias("__ma")), id_col)
+            .join(
+                index.select(
+                    F.col(id_col).alias("__old_id"), F.col("minhash").alias("__mb")
+                ),
+                "__old_id",
+            )
+        )
+        drops_idx = cand_idx.filter(agree >= threshold).select(*dropped_cols).distinct()
+    else:
+        drops_idx = None
+
+    # ---- batch-internal: a row pairing with a LOWER id drops (keep-first)
+    a = batch_bands.alias("a")
+    b = batch_bands.alias("b")
+    cand_in = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("__ida"), F.col(f"b.{id_col}").alias("__idb"))
+        .distinct()
+        .join(
+            sigs.select(F.col(id_col).alias("__ida"), F.col("minhash").alias("__ma")),
+            "__ida",
+        )
+        .join(
+            sigs.select(F.col(id_col).alias("__idb"), F.col("minhash").alias("__mb")),
+            "__idb",
+        )
+    )
+    drops_in = (
+        cand_in.filter(agree >= threshold)
+        .select(F.col("__idb").alias("__drop_id"))
+        .distinct()
+    )
+    drops = drops_in if drops_idx is None else drops_in.unionByName(drops_idx).distinct()
+
+    survivors = df.join(
+        drops, on=df[id_col] == drops["__drop_id"], how="left_anti"
+    ).persist()
+    new_sigs = sigs.join(
+        survivors.select(F.col(id_col).alias("__keep")),
+        on=sigs[id_col] == F.col("__keep"),
+        how="left_semi",
+    )
+    suffix = f"batch_{batch_id}" if batch_id is not None else f"batch_adhoc_{_uuid.uuid4().hex}"
+    new_sigs.write.mode("overwrite").parquet(f"{index_path}/{suffix}")
+    sigs.unpersist()
+    return survivors

@@ -1027,6 +1027,43 @@ SELECT doc_id, CAST({_SQL_SIMHASH_SIG} AS BIGINT) AS simhash FROM votes
 """
 
 
+def d8_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole band blocking.
+
+    32-bit signatures in 2 bands of 16 bits (65k buckets per band), hamming
+    radius 1 — the production-shaped parameterization; 16-bit signatures
+    collapse on this templated corpus.  Exact under blocking (a pair within
+    the radius must agree on ≥1 band), so the oracle's brute-force pair
+    scan must match the banded plan row-for-row.
+    """
+    return dedup.simhash_near_dup_pairs(
+        load_table(spark, sf_dir, "documents"), bits=32, max_hamming=1
+    )
+
+
+_SQL_SIMHASH32_VOTES = ", ".join(
+    f"SUM(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(32)
+)
+_SQL_SIMHASH32_SIG = " + ".join(
+    f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(32)
+)
+
+D8_SQL = f"""
+WITH dt AS (
+  SELECT doc_id,
+         unnest(list_distinct({_sql_tokens("lower(text)")})) AS tok
+  FROM documents
+),
+th AS (SELECT doc_id, {_sql_md5_long("tok")} AS th FROM dt),
+votes AS (SELECT doc_id, {_SQL_SIMHASH32_VOTES} FROM th GROUP BY doc_id),
+sig AS (SELECT doc_id, CAST({_SQL_SIMHASH32_SIG} AS BIGINT) AS simhash FROM votes)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+"""
+
+
 def t1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load_table(spark, sf_dir, "documents")
     c = F.col("text")
@@ -1436,6 +1473,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "d5_minhash_signatures": (d5_minhash_signatures, D5_SQL),
     "d6_minhash_lsh": (d6_minhash_lsh, D6_SQL),
     "d7_simhash": (d7_simhash, D7_SQL),
+    "d8_simhash_near_dup": (d8_simhash_near_dup, D8_SQL),
     "t1_text_stats": (t1_text_stats, T1_SQL),
     "t2_lang_id": (t2_lang_id, T2_SQL),
     "t3_fingerprint": (t3_fingerprint, T3_SQL),

@@ -377,3 +377,56 @@ def test_ivf_refine_does_not_increase_inertia(spark, sf_dir):
     refined = similarity.ivf_refine_centroids(emb, seeds, n_iter=2)
     after = similarity.ivf_inertia(emb, refined)
     assert after <= before + 1e-9, (before, after)
+
+
+def test_simhash_banding_is_exact(spark, sf_dir):
+    """Pigeonhole guarantee: band blocking loses NO pair within the radius."""
+    from itertools import combinations
+
+    from polars_incremental_spark.tables import load_table
+
+    doc = load_table(spark, sf_dir, "documents").limit(200)
+    banded = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_dup_pairs(doc, bits=16, max_hamming=3).collect()
+    }
+    sigs = sorted(
+        (r["doc_id"], r["simhash"]) for r in dedup.simhash(doc).collect()
+    )
+    brute = {
+        (a_id, b_id): bin(a_sig ^ b_sig).count("1")
+        for (a_id, a_sig), (b_id, b_sig) in combinations(sigs, 2)
+        if bin(a_sig ^ b_sig).count("1") <= 3
+    }
+    assert banded == brute
+
+
+def test_incremental_lsh_dedup_across_batches(spark, tmp_path):
+    idx = str(tmp_path / "lsh_index")
+    base = (
+        "the quick brown fox jumps over the lazy dog near the old stone "
+        "bridge while the miller grinds wheat into flour for the village"
+    )
+    variant = base.replace("lazy", "sleepy")  # near-dup of base
+    other = (
+        "completely different subject matter entirely about spacecraft "
+        "propulsion systems and orbital mechanics calculations in vacuum"
+    )
+    b1 = spark.createDataFrame(
+        [(1, base), (2, variant), (3, other)], ["doc_id", "text"]
+    )
+    s1 = dedup.incremental_lsh_dedup(b1, idx, threshold=0.5, batch_id=0)
+    assert sorted(r["doc_id"] for r in s1.collect()) == [1, 3]
+
+    # batch 2: 4 near-dups the INDEXED doc 1; 5 is new
+    b2 = spark.createDataFrame(
+        [(4, base.replace("village", "town")), (5, "unrelated short poem about rain falling gently on rooftops at midnight in autumn")],
+        ["doc_id", "text"],
+    )
+    s2 = dedup.incremental_lsh_dedup(b2, idx, threshold=0.5, batch_id=1)
+    assert sorted(r["doc_id"] for r in s2.collect()) == [5]
+
+    # replay of batch 1 (same batch_id) overwrites its index dir: no growth
+    dedup.incremental_lsh_dedup(b1, idx, threshold=0.5, batch_id=0)
+    indexed = spark.read.parquet(idx + "/batch_*")
+    assert sorted(r["doc_id"] for r in indexed.collect()) == [1, 3, 5]

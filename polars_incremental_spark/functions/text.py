@@ -136,3 +136,28 @@ def md5_long(col: Column, n_hex: int = 15) -> Column:
     ``n_hex=8`` gives the 32-bit base hash for affine MinHash derivation.
     """
     return F.conv(F.substring(F.md5(col), 1, n_hex), 16, 10).cast("long")
+
+
+def ngram_list(col: Column, n: int = 3) -> Column:
+    """ALL word n-grams in order (with repeats) — the denominator for
+    repetition metrics; ``word_shingles`` is its distinct counterpart."""
+    toks = tokens(F.lower(col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+
+def repetition_ratio(col: Column, n: int = 3) -> Column:
+    """Gopher-style duplicate-n-gram fraction: 1 − distinct/total n-grams.
+
+    High values flag boilerplate / template / looping text — a standard
+    pretraining quality filter alongside ``quality_score``.  Pure Catalyst
+    expression (no shuffle, no UDF); rounded to 6 dp for cross-engine
+    determinism.
+    """
+    grams = ngram_list(col, n)
+    return F.round(
+        F.lit(1.0)
+        - F.size(F.array_distinct(grams)).cast("double")
+        / F.size(grams).cast("double"),
+        6,
+    )

@@ -1183,6 +1183,36 @@ LIMIT 20
 """
 
 
+def t6_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-trigram fraction per document (quality filter
+    for boilerplate / looping text), plus the raw gram counts."""
+    doc = load_table(spark, sf_dir, "documents")
+    grams = tx.ngram_list(F.col("text"), 3)
+    return doc.select(
+        "doc_id",
+        F.size(grams).cast("long").alias("n_grams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
+        tx.repetition_ratio(F.col("text"), 3).alias("repetition"),
+    )
+
+
+_SQL_NGRAMS = (
+    "list_transform(range(1, greatest(len(t) - 3, 0) + 2), "
+    "i -> array_to_string(t[i:i+2], ' '))"
+)
+
+T6_SQL = f"""
+WITH toks AS (SELECT doc_id, {_sql_tokens("lower(text)")} AS t FROM documents),
+g AS (SELECT doc_id, {_SQL_NGRAMS} AS grams FROM toks)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                   / CAST(len(grams) AS DOUBLE), 6) AS repetition
+FROM g
+"""
+
+
 def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
@@ -1479,6 +1509,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "t3_fingerprint": (t3_fingerprint, T3_SQL),
     "t4_token_counts": (t4_token_counts, T4_SQL),
     "t5_top_ngrams": (t5_top_ngrams, T5_SQL),
+    "t6_repetition": (t6_repetition, T6_SQL),
     "s1_cosine_topk": (s1_cosine_topk, S1_SQL),
     "s2_lsh_ann_topk": (s2_lsh_ann_topk, S2_SQL),
     "s3_cosine_near_dup": (s3_cosine_near_dup, S3_SQL),

@@ -430,3 +430,13 @@ def test_incremental_lsh_dedup_across_batches(spark, tmp_path):
     dedup.incremental_lsh_dedup(b1, idx, threshold=0.5, batch_id=0)
     indexed = spark.read.parquet(idx + "/batch_*")
     assert sorted(r["doc_id"] for r in indexed.collect()) == [1, 3, 5]
+
+
+def test_repetition_ratio_known_value(spark):
+    df = spark.createDataFrame([(1, "a b a b a b a b"), (2, "w x y z q r")], ["doc_id", "text"])
+    out = {r["doc_id"]: r["rep"] for r in df.select(
+        "doc_id", tx.repetition_ratio(F.col("text"), 3).alias("rep")
+    ).collect()}
+    # 6 trigrams, 2 distinct -> 1 - 2/6
+    assert out[1] == pytest.approx(1 - 2 / 6, abs=1e-6)
+    assert out[2] == 0.0

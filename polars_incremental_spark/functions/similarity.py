@@ -284,13 +284,19 @@ def _seed_centroids(
     return [[float(x) for x in r[vec_col]] for r in rows]
 
 
-def _centroid_sims_expr(vec_col: str, centroids: list[list[float]]) -> str:
-    """One SQL expression: array of round(cosine(vec, c_i), 6) per centroid.
+def _centroid_sims_expr(
+    vec_col: str, centroids: list[list[float]]
+) -> tuple[str, str]:
+    """(sims_expr, vnorm_expr): array of round(cosine(vec, c_i), 6) per
+    centroid, referencing the vector norm as a ``__vn`` column so it is
+    computed once per row instead of once per centroid term.
 
-    Built as a single string (one Py4J call; see sign_sketch) with the
+    Built as single strings (one Py4J call; see sign_sketch) with the
     centroid components as double literals.  Rounding to 6 dp before the
     argmax keeps cell assignment identical across engines.
     """
+    import math
+
     vnorm = (
         f"sqrt(aggregate({vec_col}, CAST(0.0 AS DOUBLE), "
         f"(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
@@ -302,12 +308,16 @@ def _centroid_sims_expr(vec_col: str, centroids: list[list[float]]) -> str:
             f"aggregate(zip_with({vec_col}, array({arr}), "
             f"(x, h) -> CAST(x AS DOUBLE) * h), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )
-        cnorm = (
-            f"sqrt(aggregate(array({arr}), CAST(0.0 AS DOUBLE), "
-            f"(acc, x) -> acc + x * x))"
-        )
-        terms.append(f"round({dot} / ({vnorm} * {cnorm}), 6)")
-    return "array(" + ", ".join(terms) + ")"
+        # centroid norm as a Python-computed literal: the sequential
+        # left-fold below is bit-identical to the engines' aggregate /
+        # list_sum folds over the same doubles, and halves the expression
+        # (one literal array per centroid instead of two)
+        acc = 0.0
+        for x in c:
+            acc += x * x
+        cnorm = math.sqrt(acc)
+        terms.append(f"round({dot} / (__vn * {cnorm!r}D), 6)")
+    return f"array({', '.join(terms)})", vnorm
 
 
 def ivf_assign(
@@ -325,12 +335,14 @@ def ivf_assign(
     column (``df.write.partitionBy(cell_col)``) so probe-time reads prune
     to n_probe/n_cells of the data.
     """
+    sims, vnorm = _centroid_sims_expr(vec_col, centroids)
     return (
-        vectors.withColumn("__sims", F.expr(_centroid_sims_expr(vec_col, centroids)))
+        vectors.withColumn("__vn", F.expr(vnorm))
+        .withColumn("__sims", F.expr(sims))
         .withColumn(
             cell_col, F.expr("array_position(__sims, array_max(__sims))").cast("int")
         )
-        .drop("__sims")
+        .drop("__sims", "__vn")
     )
 
 
@@ -359,9 +371,12 @@ def ivf_topk(
     if centroids is None:
         centroids = _seed_centroids(vectors, n_cells, id_col, vec_col)
     v = ivf_assign(vectors, centroids, vec_col=vec_col)
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec")
-    ).withColumn("__sims", F.expr(_centroid_sims_expr("__qvec", centroids)))
+    q_sims, q_vnorm = _centroid_sims_expr("__qvec", centroids)
+    q = (
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+        .withColumn("__vn", F.expr(q_vnorm))
+        .withColumn("__sims", F.expr(q_sims))
+    )
     probe = (
         q.select(
             F.col(query_id_col),
@@ -441,8 +456,9 @@ def ivf_inertia(
 ) -> float:
     """Mean (1 − cosine-to-assigned-centroid) over the corpus — the
     quantity Lloyd iterations should not increase."""
-    assigned = vectors.withColumn(
-        "__sims", F.expr(_centroid_sims_expr(vec_col, centroids))
+    sims, vnorm = _centroid_sims_expr(vec_col, centroids)
+    assigned = vectors.withColumn("__vn", F.expr(vnorm)).withColumn(
+        "__sims", F.expr(sims)
     )
     return float(
         assigned.agg(F.avg(F.lit(1.0) - F.array_max("__sims"))).collect()[0][0]

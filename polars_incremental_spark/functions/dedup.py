@@ -613,3 +613,33 @@ def incremental_lsh_dedup(
     new_sigs.write.mode("overwrite").parquet(f"{index_path}/{suffix}")
     sigs.unpersist()
     return survivors
+
+
+def compact_lsh_index(
+    spark, index_path: str, *, target_partitions: int = 1
+) -> int:
+    """Merge the accumulated ``batch_*`` signature dirs of an
+    ``incremental_lsh_dedup`` index into one compacted dir (small-file
+    maintenance — thousands of micro-batch appends otherwise degrade the
+    band-join scan).  Returns the number of source dirs removed.
+
+    Crash-safe ordering: the compacted dir is fully written BEFORE the
+    source dirs are deleted, and its name sorts into the same ``batch_*``
+    glob the reader uses, so a crash mid-compaction leaves duplicate
+    signatures (harmless for dedup — the same doc matching twice drops the
+    same rows) rather than lost ones.  Run it from the pipeline's
+    single-writer lock like any other maintenance op.
+    """
+    import glob as _glob
+    import shutil as _shutil
+    import uuid as _uuid
+
+    dirs = sorted(_glob.glob(f"{index_path}/batch_*"))
+    if len(dirs) <= 1:
+        return 0
+    sigs = spark.read.parquet(*dirs)
+    out = f"{index_path}/batch_compact_{_uuid.uuid4().hex}"
+    sigs.coalesce(target_partitions).write.mode("overwrite").parquet(out)
+    for d in dirs:
+        _shutil.rmtree(d, ignore_errors=True)
+    return len(dirs)

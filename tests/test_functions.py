@@ -440,3 +440,30 @@ def test_repetition_ratio_known_value(spark):
     # 6 trigrams, 2 distinct -> 1 - 2/6
     assert out[1] == pytest.approx(1 - 2 / 6, abs=1e-6)
     assert out[2] == 0.0
+
+
+def test_compact_lsh_index(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    texts = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "one two three four five six seven eight nine ten eleven"),
+        (3, "red orange yellow green blue indigo violet ultraviolet infrared light"),
+    ]
+    for i, row in enumerate(texts):
+        dedup.incremental_lsh_dedup(
+            spark.createDataFrame([row], ["doc_id", "text"]), idx, batch_id=i
+        )
+    import glob
+
+    assert len(glob.glob(idx + "/batch_*")) == 3
+    before = sorted(r["doc_id"] for r in spark.read.parquet(idx + "/batch_*").collect())
+    removed = dedup.compact_lsh_index(spark, idx)
+    assert removed == 3 and len(glob.glob(idx + "/batch_*")) == 1
+    after = sorted(r["doc_id"] for r in spark.read.parquet(idx + "/batch_*").collect())
+    assert after == before == [1, 2, 3]
+    # dedup still works against the compacted index
+    dup = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon zeta eta theta iota jumbo")],
+        ["doc_id", "text"],
+    )
+    assert dedup.incremental_lsh_dedup(dup, idx, threshold=0.5, batch_id=9).count() == 0

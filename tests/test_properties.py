@@ -87,3 +87,23 @@ def test_md5_long_range(s):
 def test_widen_rejects_unrelated():
     with pytest.raises(SchemaEvolutionError):
         widen_types(T.DateType(), T.LongType())
+
+
+# ------------------------------------------------------- simhash banding
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(0, 2**32 - 1))
+@settings(max_examples=500)
+def test_pigeonhole_band_guarantee(a, b):
+    """The blocking lemma behind simhash_near_dup_pairs: two 32-bit values
+    within hamming distance 3 MUST agree exactly on >= 1 of the 4 bands
+    (the same shift/mask arithmetic the Spark plan uses)."""
+    hamming = bin(a ^ b).count("1")
+    bands_agree = any(
+        (a >> (i * 8)) & 0xFF == (b >> (i * 8)) & 0xFF for i in range(4)
+    )
+    if hamming <= 3:
+        assert bands_agree
+    # and the converse sanity: all-bands-disagree implies hamming >= 4
+    if not bands_agree:
+        assert hamming >= 4

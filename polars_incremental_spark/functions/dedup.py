@@ -362,10 +362,13 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
     """(id, simhash long) — per-bit majority vote over token hashes.
 
-    ``bits`` defaults to 16 (not 64) to keep the bit-unpivot expression
+    ``bits`` defaults to 16 (not 60) to keep the bit-unpivot expression
     compact; near-dup candidates are rows whose signatures match exactly or
-    within small Hamming distance.
+    within small Hamming distance.  Max is 60: the per-token md5_long hash
+    carries 60 bits, and bit 63 would overflow a signed LongType literal.
     """
+    if not 1 <= bits <= 60:
+        raise ValueError(f"bits must be in [1, 60] (md5_long is 60-bit); got {bits}")
     toks = spread(df).select(
         F.col(id_col),
         F.explode(
@@ -403,9 +406,9 @@ def simhash_near_dup_pairs(
     least one band, so the band equi-join has recall 1.0 by construction;
     the xor-popcount verify then removes false candidates.  Shuffle key is
     the (band, band-bits) pair; per-band bucket fan-out is bounded by
-    2^(bits/(max_hamming+1)) buckets — at corpus scale use ``bits=64`` so
-    each band carries 16 bits (65k buckets/band) instead of the compact
-    oracle default of 4.
+    2^(bits/(max_hamming+1)) buckets — at corpus scale use ``bits=60`` so
+    each band carries 15 bits (32k buckets/band) instead of the compact
+    default of 4.
     """
     n_bands = max_hamming + 1
     if bits % n_bands:
@@ -525,11 +528,20 @@ def incremental_lsh_dedup(
     Idempotent replay: pass the Pipeline ``batch_id`` and the signature
     append goes to ``index_path/batch_{id}`` (overwritten on retry — the
     same contract as write_parquet_batch); without it, appends go to
-    ``index_path/batch_adhoc_<uuid>``.
+    ``index_path/batch_adhoc_<uuid>``.  Replay excludes the batch's own
+    prior signatures twice over: its ``batch_{id}`` dir is filtered out of
+    the index read, and same-id candidates are dropped — the latter also
+    covers a replay whose signatures were already folded into a
+    ``compact_lsh_index`` dir.
+
+    Caching: only the (small) dropped-id set stays cached after return —
+    the caller's first action on the result reuses it; signatures are
+    unpersisted once the index append completes.
 
     Mirrors reference W4 cross-batch dedupe (deduplication_strategies.py:
     60-79) upgraded from exact-id to near-dup semantics.
     """
+    import glob as _glob
     import uuid as _uuid
 
     spark = df.sparkSession
@@ -540,7 +552,10 @@ def incremental_lsh_dedup(
         sigs, id_col=id_col, num_hashes=num_hashes, num_bands=num_bands
     )
 
-    try:
+    # explicit existence probe — a corrupt or unreadable index must FAIL the
+    # batch, not silently disable cross-batch dedup and pollute the index
+    have_index = bool(_glob.glob(f"{index_path}/batch_*"))
+    if have_index:
         index = spark.read.parquet(f"{index_path}/batch_*")
         # replay safety: a retried batch must not dedupe against its OWN
         # previously-appended signatures (every row would match itself)
@@ -548,9 +563,6 @@ def incremental_lsh_dedup(
             index = index.filter(
                 ~F.input_file_name().contains(f"/batch_{batch_id}/")
             )
-        have_index = True
-    except Exception:
-        have_index = False
 
     agree = _minhash_agreement("__ma", "__mb", num_hashes)
     dropped_cols = [F.col(id_col).alias("__drop_id")]
@@ -600,23 +612,21 @@ def incremental_lsh_dedup(
         .distinct()
     )
     drops = drops_in if drops_idx is None else drops_in.unionByName(drops_idx).distinct()
+    drops = drops.persist()
 
-    survivors = df.join(
-        drops, on=df[id_col] == drops["__drop_id"], how="left_anti"
-    ).persist()
     new_sigs = sigs.join(
-        survivors.select(F.col(id_col).alias("__keep")),
-        on=sigs[id_col] == F.col("__keep"),
-        how="left_semi",
+        drops, on=sigs[id_col] == drops["__drop_id"], how="left_anti"
     )
     suffix = f"batch_{batch_id}" if batch_id is not None else f"batch_adhoc_{_uuid.uuid4().hex}"
     new_sigs.write.mode("overwrite").parquet(f"{index_path}/{suffix}")
+    # the write materialized the drop-id cache; the survivor frame below
+    # depends only on it, so the heavyweight signature cache can go now
     sigs.unpersist()
-    return survivors
+    return df.join(drops, on=df[id_col] == drops["__drop_id"], how="left_anti")
 
 
 def compact_lsh_index(
-    spark, index_path: str, *, target_partitions: int = 1
+    spark, index_path: str, *, target_partitions: int = 1, id_col: str = "doc_id"
 ) -> int:
     """Merge the accumulated ``batch_*`` signature dirs of an
     ``incremental_lsh_dedup`` index into one compacted dir (small-file
@@ -629,6 +639,12 @@ def compact_lsh_index(
     signatures (harmless for dedup — the same doc matching twice drops the
     same rows) rather than lost ones.  Run it from the pipeline's
     single-writer lock like any other maintenance op.
+
+    Interplay with batch replay: a batch retried AFTER its signatures were
+    compacted re-appends them under ``batch_{id}`` (its dir-exclusion no
+    longer sees them in the compact dir — same-id matching keeps the dedup
+    itself correct), so compaction dedupes rows by ``id_col``; the
+    transient duplicates self-heal at the next compaction.
     """
     import glob as _glob
     import shutil as _shutil
@@ -637,7 +653,7 @@ def compact_lsh_index(
     dirs = sorted(_glob.glob(f"{index_path}/batch_*"))
     if len(dirs) <= 1:
         return 0
-    sigs = spark.read.parquet(*dirs)
+    sigs = spark.read.parquet(*dirs).dropDuplicates([id_col])
     out = f"{index_path}/batch_compact_{_uuid.uuid4().hex}"
     sigs.coalesce(target_partitions).write.mode("overwrite").parquet(out)
     for d in dirs:

@@ -47,7 +47,9 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL (not a DIVIDE_BY_ZERO error under ANSI mode) for zero-norm
+    vectors — cosine is undefined there; ranking windows sort NULLs last."""
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
 def cosine_topk(
@@ -78,7 +80,8 @@ def cosine_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("__cos").desc(), F.col(id_col).asc())
     return (
-        scored.withColumn("__rank", F.row_number().over(w))
+        scored.filter(F.col("__cos").isNotNull())
+        .withColumn("__rank", F.row_number().over(w))
         .filter(F.col("__rank") <= k)
         .select(
             F.col(query_id_col),
@@ -250,7 +253,8 @@ def lsh_ann_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("__cos").desc(), F.col(id_col).asc())
     return (
-        scored.withColumn("__rank", F.row_number().over(w))
+        scored.filter(F.col("__cos").isNotNull())
+        .withColumn("__rank", F.row_number().over(w))
         .filter(F.col("__rank") <= k)
         .select(
             F.col(query_id_col),
@@ -316,7 +320,10 @@ def _centroid_sims_expr(
         for x in c:
             acc += x * x
         cnorm = math.sqrt(acc)
-        terms.append(f"round({dot} / (__vn * {cnorm!r}D), 6)")
+        # nullif: a zero-norm vector (or degenerate seed) yields NULL sims
+        # instead of an ANSI DIVIDE_BY_ZERO crash; its cell comes out NULL
+        # and the row simply never joins a probe
+        terms.append(f"round({dot} / nullif(__vn * {cnorm!r}D, 0.0D), 6)")
     return f"array({', '.join(terms)})", vnorm
 
 
@@ -329,7 +336,9 @@ def ivf_assign(
 ) -> DataFrame:
     """Attach the 1-based nearest-centroid cell id — pure map-side (the
     centroids ride into every task as expression literals; no shuffle, no
-    broadcast join).  Ties on the rounded similarity go to the lowest cell.
+    broadcast join).  Ties on the rounded similarity go to the lowest cell;
+    zero-norm vectors get a NULL cell (cosine undefined) and drop out of
+    probe joins instead of crashing the job.
 
     At 100 TB the assigned corpus would be persisted partitioned BY this
     column (``df.write.partitionBy(cell_col)``) so probe-time reads prune
@@ -406,7 +415,8 @@ def ivf_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("__cos").desc(), F.col(id_col).asc())
     return (
-        scored.withColumn("__rank", F.row_number().over(w))
+        scored.filter(F.col("__cos").isNotNull())
+        .withColumn("__rank", F.row_number().over(w))
         .filter(F.col("__rank") <= k)
         .select(
             F.col(query_id_col),
@@ -424,21 +434,28 @@ def ivf_refine_centroids(
     n_iter: int = 3,
     vec_col: str = "embedding",
 ) -> list[list[float]]:
-    """Lloyd (k-means) refinement of the seed centroids, Spark-shaped:
+    """SPHERICAL k-means refinement of the seed centroids, Spark-shaped:
     each iteration is one map-side assignment + one groupBy(cell, dim)
     partial-aggregated mean — per-iteration shuffle is O(n_cells × dim)
-    rows after map-side combine, independent of corpus size.  Empty cells
-    keep their previous centroid.  Iterative ⇒ no SQL oracle; verified by
-    the inertia-monotonicity test.
+    rows after map-side combine, independent of corpus size.  The update
+    averages UNIT vectors (the mean direction maximizes within-cell cosine;
+    a raw-vector mean would optimize Euclidean distortion instead and can
+    INCREASE cosine inertia when magnitudes vary).  Empty cells keep their
+    previous centroid; zero-norm vectors are excluded.  Iterative ⇒ no SQL
+    oracle; verified by the inertia-monotonicity test.
     """
     for _ in range(n_iter):
         assigned = ivf_assign(vectors, centroids, vec_col=vec_col)
+        unit = F.transform(
+            F.col(vec_col),
+            lambda x: x.cast("double") / F.nullif(F.col("__n"), F.lit(0.0)),
+        )
         means = (
-            assigned.select(
-                F.col("__cell"), F.posexplode(F.col(vec_col)).alias("__dim", "__x")
-            )
+            assigned.filter(F.col("__cell").isNotNull())
+            .withColumn("__n", norm(F.col(vec_col)))
+            .select(F.col("__cell"), F.posexplode(unit).alias("__dim", "__x"))
             .groupBy("__cell", "__dim")
-            .agg(F.avg(F.col("__x").cast("double")).alias("__m"))
+            .agg(F.avg(F.col("__x")).alias("__m"))
             .collect()
         )
         new = [list(c) for c in centroids]

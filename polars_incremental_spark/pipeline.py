@@ -78,11 +78,17 @@ class PipelineLock:
       ``SPARK_INCREMENTAL_LOCK_STALE_SECONDS``, default 300) is broken, so a
       SIGKILLed run cannot wedge the checkpoint.  A lock whose holder PID is
       alive is NEVER age-broken: a long Spark batch must not lose its lock to a
-      newly started run.  Takeover is race-safe: after creating the lock file
-      the acquirer re-reads it and only treats the lock as held if its own
-      token is still present, and on exit only unlinks the file if the token
-      still matches — so two waiters that both judge a lock stale cannot end up
-      as concurrent holders.
+      newly started run.  Takeover goes through an ATOMIC RENAME to a unique
+      break-name — only one contender can move a given stale file, and the only
+      unlink ever issued targets that private name, so a waiter that lost the
+      takeover race can never delete another waiter's freshly created lock.
+      After creating its lock file the acquirer re-reads it and only treats the
+      lock as held if its own token survived; exit unlinks only on token match.
+      Residual window: three processes racing one takeover can displace a
+      just-created lock (restore is attempted via ``os.link``, which never
+      clobbers); eliminating even that needs an atomic compare-and-unlink the
+      filesystem doesn't offer — use the default ``flock`` mode where the
+      kernel provides real revocation-free ownership.
     """
 
     def __init__(
@@ -202,14 +208,33 @@ class PipelineLock:
             except FileExistsError:
                 content = self._read_lock()
                 if self._is_stale(content):
-                    # Break the stale lock only if it is still the exact file
-                    # we judged stale (narrowest practical window without an
-                    # atomic compare-and-unlink primitive).
-                    if self._read_lock() == content:
+                    # Takeover by atomic rename: only one contender can move
+                    # the stale file to its private break-name, and the only
+                    # unlink below targets that private name — a waiter that
+                    # lost this race can no longer delete a fresh lock that
+                    # has since appeared at `path`.
+                    broke = f"{self.path}.break-{uuid.uuid4().hex}"
+                    try:
+                        os.rename(self.path, broke)
+                    except OSError:
+                        continue  # someone else broke it first; retry create
+                    try:
+                        with open(broke) as handle:
+                            moved = handle.read()
+                    except OSError:
+                        moved = None
+                    if moved != content:
+                        # we moved a FRESH lock created between read and
+                        # rename: restore it if the path is still free
+                        # (os.link fails rather than clobbering a newer lock)
                         try:
-                            os.unlink(self.path)
-                        except FileNotFoundError:
+                            os.link(broke, self.path)
+                        except OSError:
                             pass
+                    try:
+                        os.unlink(broke)
+                    except FileNotFoundError:
+                        pass
                     continue
                 if time.monotonic() >= deadline:
                     raise PipelineLockError(

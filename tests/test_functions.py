@@ -467,3 +467,35 @@ def test_compact_lsh_index(spark, tmp_path):
         ["doc_id", "text"],
     )
     assert dedup.incremental_lsh_dedup(dup, idx, threshold=0.5, batch_id=9).count() == 0
+
+
+def test_similarity_zero_vector_does_not_crash(spark):
+    """Round-3 review: a zero-norm embedding anywhere must not kill the job
+    with DIVIDE_BY_ZERO (ANSI mode); it is skipped, not scored."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 0.0]),  # degenerate
+        (3, [0.0, 1.0]),
+    ]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(vecs, q, k=4).collect()
+    assert 2 not in {r["vec_id"] for r in exact}
+    ivf = similarity.ivf_topk(vecs, q, k=4, n_cells=2, n_probe=2).collect()
+    assert 2 not in {r["vec_id"] for r in ivf}
+    # zero vector as the QUERY: returns nothing rather than crashing
+    zq = vecs.filter(F.col("vec_id") == 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert similarity.cosine_topk(vecs, zq, k=2).count() == 0
+
+
+def test_simhash_bits_out_of_range_raises(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match=r"\[1, 60\]"):
+        dedup.simhash(df, bits=64)
+    # the documented corpus-scale config works
+    assert dedup.simhash_near_dup_pairs(df, bits=60, max_hamming=3).count() == 0

@@ -132,3 +132,39 @@ def test_file_lock_acquire_verifies_own_token(tmp_path):
         assert "nonce=" in content
         assert lock._token == content
     assert not os.path.exists(lock_path)
+
+
+def test_file_lock_lost_takeover_race_restores_fresh_lock(tmp_path):
+    """Round-3 review: waiter A judges content C stale, waiter B completes a
+    takeover and creates a fresh lock, THEN A acts on its stale judgement.
+    A's rename moves B's fresh lock, detects the mismatch, restores it via
+    os.link, and times out — B's lock must survive byte-for-byte and A must
+    not end up a holder."""
+    ckpt = str(tmp_path)
+    lock_path = os.path.join(ckpt, ".pipeline.lock")
+    stale = "pid=999999999\nacquired_at=1.0\nnonce=deadbeef\n"
+
+    # B's completed takeover: a fresh, live lock sits at the path
+    b = PipelineLock(ckpt, timeout_s=1, mode="file", stale_seconds=5)
+    b.__enter__()
+    fresh = open(lock_path).read()
+
+    class PreemptedWaiter(PipelineLock):
+        """A whose first read returns the stale content it saw pre-takeover."""
+
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self._first = True
+
+        def _read_lock(self):
+            if self._first:
+                self._first = False
+                return stale
+            return super()._read_lock()
+
+    a = PreemptedWaiter(ckpt, timeout_s=0.5, mode="file", stale_seconds=5)
+    with pytest.raises(PipelineLockError):
+        a.__enter__()
+    assert open(lock_path).read() == fresh  # B's lock survived the lost race
+    b.__exit__(None, None, None)
+    assert not os.path.exists(lock_path)

@@ -288,43 +288,57 @@ def _seed_centroids(
     return [[float(x) for x in r[vec_col]] for r in rows]
 
 
-def _centroid_sims_expr(
-    vec_col: str, centroids: list[list[float]]
-) -> tuple[str, str]:
-    """(sims_expr, vnorm_expr): array of round(cosine(vec, c_i), 6) per
-    centroid, referencing the vector norm as a ``__vn`` column so it is
-    computed once per row instead of once per centroid term.
+def _centroid_sims(vec_col: str, centroids: list[list[float]]) -> Column:
+    """array<double> of round(cosine(vec, c_i), 6) per centroid.
 
-    Built as single strings (one Py4J call; see sign_sketch) with the
-    centroid components as double literals.  Rounding to 6 dp before the
-    argmax keeps cell assignment identical across engines.
+    The centroid matrix rides along as ONE nested-array literal indexed by
+    ``transform`` over a 0..n-1 sequence — NOT as per-centroid unrolled
+    fold expressions.  The distinction is load-bearing: an unrolled variant
+    (16 centroids × 64 dims of scalar literals) produces an expression tree
+    Catalyst re-canonicalizes superlinearly — window/rank plans on top of
+    it took ~40 s to OPTIMIZE at any data size; this form plans in <0.3 s
+    with bit-identical results.
+
+    Centroid norms are Python-computed literals: the sequential left-fold
+    below is bit-identical to the engines' aggregate / list_sum folds over
+    the same doubles.  Rounding to 6 dp before the argmax keeps cell
+    assignment identical across engines.  ``nullif``: a zero-norm vector
+    (or degenerate seed centroid) yields NULL sims instead of an ANSI
+    DIVIDE_BY_ZERO crash; its cell comes out NULL and the row simply never
+    joins a probe.
     """
     import math
 
-    vnorm = (
-        f"sqrt(aggregate({vec_col}, CAST(0.0 AS DOUBLE), "
-        f"(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
-    )
-    terms = []
+    cnorms = []
     for c in centroids:
-        arr = ", ".join(f"{x!r}D" for x in c)
-        dot = (
-            f"aggregate(zip_with({vec_col}, array({arr}), "
-            f"(x, h) -> CAST(x AS DOUBLE) * h), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
-        # centroid norm as a Python-computed literal: the sequential
-        # left-fold below is bit-identical to the engines' aggregate /
-        # list_sum folds over the same doubles, and halves the expression
-        # (one literal array per centroid instead of two)
         acc = 0.0
         for x in c:
             acc += x * x
-        cnorm = math.sqrt(acc)
-        # nullif: a zero-norm vector (or degenerate seed) yields NULL sims
-        # instead of an ANSI DIVIDE_BY_ZERO crash; its cell comes out NULL
-        # and the row simply never joins a probe
-        terms.append(f"round({dot} / nullif(__vn * {cnorm!r}D, 0.0D), 6)")
-    return f"array({', '.join(terms)})", vnorm
+        cnorms.append(math.sqrt(acc))
+    C = F.lit([[float(x) for x in c] for c in centroids])
+    N = F.lit(cnorms)
+    vn = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
+    idxs = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+    return F.transform(
+        idxs,
+        lambda i: F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), F.get(C, i), lambda x, h: x.cast("double") * h
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            / F.nullif(vn * F.get(N, i), F.lit(0.0)),
+            F.lit(6),
+        ),
+    )
 
 
 def ivf_assign(
@@ -344,14 +358,12 @@ def ivf_assign(
     column (``df.write.partitionBy(cell_col)``) so probe-time reads prune
     to n_probe/n_cells of the data.
     """
-    sims, vnorm = _centroid_sims_expr(vec_col, centroids)
     return (
-        vectors.withColumn("__vn", F.expr(vnorm))
-        .withColumn("__sims", F.expr(sims))
+        vectors.withColumn("__sims", _centroid_sims(vec_col, centroids))
         .withColumn(
             cell_col, F.expr("array_position(__sims, array_max(__sims))").cast("int")
         )
-        .drop("__sims", "__vn")
+        .drop("__sims")
     )
 
 
@@ -380,12 +392,9 @@ def ivf_topk(
     if centroids is None:
         centroids = _seed_centroids(vectors, n_cells, id_col, vec_col)
     v = ivf_assign(vectors, centroids, vec_col=vec_col)
-    q_sims, q_vnorm = _centroid_sims_expr("__qvec", centroids)
-    q = (
-        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
-        .withColumn("__vn", F.expr(q_vnorm))
-        .withColumn("__sims", F.expr(q_sims))
-    )
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    ).withColumn("__sims", _centroid_sims("__qvec", centroids))
     probe = (
         q.select(
             F.col(query_id_col),
@@ -473,10 +482,7 @@ def ivf_inertia(
 ) -> float:
     """Mean (1 − cosine-to-assigned-centroid) over the corpus — the
     quantity Lloyd iterations should not increase."""
-    sims, vnorm = _centroid_sims_expr(vec_col, centroids)
-    assigned = vectors.withColumn("__vn", F.expr(vnorm)).withColumn(
-        "__sims", F.expr(sims)
-    )
+    assigned = vectors.withColumn("__sims", _centroid_sims(vec_col, centroids))
     return float(
         assigned.agg(F.avg(F.lit(1.0) - F.array_max("__sims"))).collect()[0][0]
     )

@@ -78,11 +78,18 @@ def cosine_topk(
         F.col(id_col),
         F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("__cos"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("__cos").desc(), F.col(id_col).asc())
+    # NULL-scored rows (zero-norm vectors) sort LAST and are dropped AFTER
+    # the window: a pre-window isNotNull(__cos) filter gets pushed below the
+    # projection and re-evaluates the whole cosine per row (no subexpression
+    # elimination across Filter/Project for interpreted higher-order
+    # functions — measured 2x on the brute-force path).  Above the window it
+    # is a cheap column test, and NULLs can never displace a real candidate.
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__cos").desc_nulls_last(), F.col(id_col).asc()
+    )
     return (
-        scored.filter(F.col("__cos").isNotNull())
-        .withColumn("__rank", F.row_number().over(w))
-        .filter(F.col("__rank") <= k)
+        scored.withColumn("__rank", F.row_number().over(w))
+        .filter((F.col("__rank") <= k) & F.col("__cos").isNotNull())
         .select(
             F.col(query_id_col),
             F.col(id_col),
@@ -192,36 +199,29 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
 def sign_sketch(vec: Column | str, dim: int, n_planes: int = 8) -> Column:
     """b-bit sign sketch of a vector under the deterministic hyperplanes.
 
-    When ``vec`` is a column NAME the whole sketch is built as one SQL
-    expression string — a single Py4J round-trip instead of ~dim×n_planes
-    Column compositions (which cost ~1-2 s of driver time at 64×16).
-    Column input keeps the composed form for expression callers.
+    The plane matrix rides along as ONE nested-array literal folded by
+    ``aggregate`` over a 0..n_planes-1 sequence (same construction as
+    ``_centroid_sims``, same reason: per-plane unrolled literal expressions
+    make an AST Catalyst re-canonicalizes superlinearly once windows/joins
+    stack on top — planning time, not execution, was the bottleneck).
     """
-    if isinstance(vec, str):
-        terms = []
-        for p in range(n_planes):
-            plane = _hyperplane(dim, p)
-            arr = ", ".join(f"{c!r}D" for c in plane)
-            proj = (
-                f"aggregate(zip_with({vec}, array({arr}), "
-                f"(x, h) -> CAST(x AS DOUBLE) * h), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    v = F.col(vec) if isinstance(vec, str) else vec
+    P = F.lit([_hyperplane(dim, p) for p in range(n_planes)])
+    POW = F.lit([1 << p for p in range(n_planes)])
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        F.lit(0),
+        lambda acc, p: acc
+        + F.when(
+            F.aggregate(
+                F.zip_with(v, F.get(P, p), lambda x, h: x.cast("double") * h),
+                F.lit(0.0),
+                lambda a, x: a + x,
             )
-            terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
-        return F.expr(" + ".join(terms))
-    sketch = F.lit(0)
-    for p in range(n_planes):
-        plane = _hyperplane(dim, p)
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(c) for c in plane]),
-                lambda x, h: x.cast("double") * h,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        sketch = sketch + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return sketch
+            > 0,
+            F.get(POW, p),
+        ).otherwise(F.lit(0)),
+    )
 
 
 def lsh_ann_topk(
@@ -251,11 +251,18 @@ def lsh_ann_topk(
         F.col(id_col),
         F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("__cos"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("__cos").desc(), F.col(id_col).asc())
+    # NULL-scored rows (zero-norm vectors) sort LAST and are dropped AFTER
+    # the window: a pre-window isNotNull(__cos) filter gets pushed below the
+    # projection and re-evaluates the whole cosine per row (no subexpression
+    # elimination across Filter/Project for interpreted higher-order
+    # functions — measured 2x on the brute-force path).  Above the window it
+    # is a cheap column test, and NULLs can never displace a real candidate.
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__cos").desc_nulls_last(), F.col(id_col).asc()
+    )
     return (
-        scored.filter(F.col("__cos").isNotNull())
-        .withColumn("__rank", F.row_number().over(w))
-        .filter(F.col("__rank") <= k)
+        scored.withColumn("__rank", F.row_number().over(w))
+        .filter((F.col("__rank") <= k) & F.col("__cos").isNotNull())
         .select(
             F.col(query_id_col),
             F.col(id_col),
@@ -347,17 +354,33 @@ def ivf_assign(
     *,
     vec_col: str = "embedding",
     cell_col: str = "__cell",
+    method: str = "expr",
 ) -> DataFrame:
     """Attach the 1-based nearest-centroid cell id — pure map-side (the
-    centroids ride into every task as expression literals; no shuffle, no
-    broadcast join).  Ties on the rounded similarity go to the lowest cell;
-    zero-norm vectors get a NULL cell (cosine undefined) and drop out of
-    probe joins instead of crashing the job.
+    centroids ride into every task as a literal / numpy constant; no
+    shuffle, no broadcast join).  Ties on the rounded similarity go to the
+    lowest cell; zero-norm vectors get a NULL cell (cosine undefined) and
+    drop out of probe joins instead of crashing the job.
+
+    ``method="expr"`` (default) evaluates the sims as Catalyst higher-order
+    functions — engine-portable sequential folds, the form the DuckDB
+    oracle reproduces bit-for-bit.  ``method="arrow"`` runs the assignment
+    as ONE numpy matmul per Arrow batch in ``mapInPandas`` — the scale
+    path: at dim=1024 × n_cells=4096 the interpreted per-row folds are the
+    corpus bottleneck while BLAS does the (batch × dim) @ (dim × cells)
+    product in microseconds.  Same rounding (6 dp) and first-max tie rule;
+    results agree with "expr" except for float summation order in the last
+    bits, which the rounding masks in practice (asserted by test, not by
+    construction — keep "expr" for oracle-checked runs).
 
     At 100 TB the assigned corpus would be persisted partitioned BY this
     column (``df.write.partitionBy(cell_col)``) so probe-time reads prune
     to n_probe/n_cells of the data.
     """
+    if method == "arrow":
+        return _ivf_assign_arrow(vectors, centroids, vec_col, cell_col)
+    if method != "expr":
+        raise ValueError(f"method must be 'expr' or 'arrow'; got {method!r}")
     return (
         vectors.withColumn("__sims", _centroid_sims(vec_col, centroids))
         .withColumn(
@@ -365,6 +388,44 @@ def ivf_assign(
         )
         .drop("__sims")
     )
+
+
+def _ivf_assign_arrow(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    cell_col: str,
+) -> DataFrame:
+    """Vectorized cell assignment: one BLAS matmul per Arrow batch."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, dtype=np.float64)  # (cells, dim)
+    cn = np.sqrt((C * C).sum(axis=1))  # zero-norm centroid -> sims NaN
+    out_schema = T.StructType(
+        list(vectors.schema.fields) + [T.StructField(cell_col, T.IntegerType(), True)]
+    )
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(**{cell_col: pd.Series([], dtype="Int32")})
+                continue
+            M = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)  # (n, dim)
+            vn = np.sqrt((M * M).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.round((M @ C.T) / (vn[:, None] * cn[None, :]), 6)
+            ok = ~np.isnan(sims).all(axis=1)
+            # nanargmax would raise on all-NaN rows; argmax on a masked copy
+            # keeps the first-max (lowest cell) tie rule of the expr path
+            safe = np.where(np.isnan(sims), -np.inf, sims)
+            cells = pd.array(safe.argmax(axis=1) + 1, dtype="Int32")
+            cells[~ok] = pd.NA
+            yield pdf.assign(**{cell_col: cells})
+
+    return vectors.mapInPandas(assign, out_schema)
 
 
 def ivf_topk(
@@ -422,11 +483,18 @@ def ivf_topk(
         F.col(id_col),
         F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("__cos"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("__cos").desc(), F.col(id_col).asc())
+    # NULL-scored rows (zero-norm vectors) sort LAST and are dropped AFTER
+    # the window: a pre-window isNotNull(__cos) filter gets pushed below the
+    # projection and re-evaluates the whole cosine per row (no subexpression
+    # elimination across Filter/Project for interpreted higher-order
+    # functions — measured 2x on the brute-force path).  Above the window it
+    # is a cheap column test, and NULLs can never displace a real candidate.
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__cos").desc_nulls_last(), F.col(id_col).asc()
+    )
     return (
-        scored.filter(F.col("__cos").isNotNull())
-        .withColumn("__rank", F.row_number().over(w))
-        .filter(F.col("__rank") <= k)
+        scored.withColumn("__rank", F.row_number().over(w))
+        .filter((F.col("__rank") <= k) & F.col("__cos").isNotNull())
         .select(
             F.col(query_id_col),
             F.col(id_col),

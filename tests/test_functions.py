@@ -499,3 +499,19 @@ def test_simhash_bits_out_of_range_raises(spark):
         dedup.simhash(df, bits=64)
     # the documented corpus-scale config works
     assert dedup.simhash_near_dup_pairs(df, bits=60, max_hamming=3).count() == 0
+
+
+def test_ivf_assign_arrow_agrees_with_expr(spark):
+    """The BLAS matmul scale path must produce the same cell assignment as
+    the oracle-checked expression path, including NULL for zero vectors."""
+    rows = [(i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(8)]) for i in range(200)]
+    rows.append((200, [0.0] * 8))  # zero vector -> NULL cell in both paths
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = similarity._seed_centroids(vecs, 6, "vec_id", "embedding")
+    a = similarity.ivf_assign(vecs, cents, method="expr").select("vec_id", "__cell")
+    b = similarity.ivf_assign(vecs, cents, method="arrow").select("vec_id", "__cell")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    nulls = dict(b.collect())
+    assert nulls[200] is None
+    with pytest.raises(ValueError, match="expr|arrow"):
+        similarity.ivf_assign(vecs, cents, method="bogus")

@@ -659,3 +659,72 @@ def compact_lsh_index(
     for d in dirs:
         _shutil.rmtree(d, ignore_errors=True)
     return len(dirs)
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    node_col: str = "doc_id",
+    comp_col: str = "cluster_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node in ``edges``; component = min node
+    id of its connected component.  Turns near-dup PAIRS (minhash_lsh_pairs,
+    simhash_near_dup_pairs, cosine_near_dup_pairs) into duplicate CLUSTERS,
+    so "keep one doc per duplicate group" is a groupBy(component) away —
+    pairwise drop-one rules over-delete on chains (A~B, B~C: B and C both
+    drop even though A~C may not hold).
+
+    Hash-min label propagation: each iteration every node takes the min of
+    its own and its neighbours' labels — one equi-join + one groupBy over
+    the (symmetrized, distinct) edge set per iteration, both shuffling the
+    8-byte (node, label) pairs only.  Converges in O(component diameter)
+    iterations; near-dup clusters are shallow (dups of a common source), so
+    the default bound is generous.  Per-iteration ``localCheckpoint``
+    truncates lineage — without it the logical plan doubles per iteration
+    and Catalyst re-optimization dominates after ~10 rounds.  The per-round
+    driver visit is a 1-row convergence probe (same class as the watermark
+    extract in patterns.py), not a data collect; raises if the bound is hit
+    before the fixpoint so a non-converged labeling can never be mistaken
+    for clusters.  Iterative ⇒ verified against a DuckDB recursive-CTE
+    transitive-closure oracle (d9_dup_clusters).
+    """
+    sym = (
+        edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
+        .unionByName(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
+        .distinct()
+        .persist()
+    )
+    labels = sym.select("n").distinct().withColumn("lbl", F.col("n")).localCheckpoint()
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                sym.join(labels, on="n")
+                .groupBy(F.col("m").alias("n"))
+                .agg(F.min("lbl").alias("nlbl"))
+            )
+            new = (
+                labels.join(nbr_min, on="n", how="left")
+                .select("n", F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"))
+                .localCheckpoint()
+            )
+            changed = (
+                new.withColumnRenamed("lbl", "new_lbl")
+                .join(labels, on="n")
+                .filter(F.col("new_lbl") != F.col("lbl"))
+                .limit(1)
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                return labels.select(
+                    F.col("n").alias(node_col), F.col("lbl").alias(comp_col)
+                )
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations — "
+            f"component diameter exceeds the bound; raise max_iter"
+        )
+    finally:
+        sym.unpersist()

@@ -1064,6 +1064,61 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
 """
 
 
+def d9_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution: MinHash-LSH pairs (exactly d6's
+    parameters) fed through hash-min connected components, labeling every
+    paired doc with the min doc_id of its duplicate group.  The oracle
+    recomputes the same clusters relationally — recursive-CTE transitive
+    closure over the d6 pair set, then min reachable id per node — so the
+    iterative Spark labeling is hash-checked, not just row-counted.
+    """
+    pairs = dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.12
+    )
+    return dedup.connected_components(pairs).orderBy("doc_id")
+
+
+D9_SQL = f"""
+WITH RECURSIVE {_SQL_SHINGLE_CTE},
+{_SQL_H32_CTE},
+sigs AS (SELECT doc_id, {_SQL_MINHASH_MINS} FROM sh32 GROUP BY doc_id),
+bands AS ({_SQL_BANDS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+p AS (SELECT doc_id, {_sql_md5_long("shingle")} AS h FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM p GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN p pa ON pa.doc_id = c.id_a
+  JOIN p pb ON pb.doc_id = c.id_b AND pb.h = pa.h
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b, round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+),
+pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.12),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, LEAST(a, MIN(b))::BIGINT AS cluster_id
+FROM reach GROUP BY a ORDER BY doc_id
+"""
+
+
 def t1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load_table(spark, sf_dir, "documents")
     c = F.col("text")
@@ -1504,6 +1559,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "d6_minhash_lsh": (d6_minhash_lsh, D6_SQL),
     "d7_simhash": (d7_simhash, D7_SQL),
     "d8_simhash_near_dup": (d8_simhash_near_dup, D8_SQL),
+    "d9_dup_clusters": (d9_dup_clusters, D9_SQL),
     "t1_text_stats": (t1_text_stats, T1_SQL),
     "t2_lang_id": (t2_lang_id, T2_SQL),
     "t3_fingerprint": (t3_fingerprint, T3_SQL),

@@ -515,3 +515,40 @@ def test_ivf_assign_arrow_agrees_with_expr(spark):
     assert nulls[200] is None
     with pytest.raises(ValueError, match="expr|arrow"):
         similarity.ivf_assign(vecs, cents, method="bogus")
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Chain 1-2-3-4 collapses to one cluster labeled by its min id; a
+    separate pair and an untouched doc stay distinct; convergence bound
+    raises instead of returning partial labels."""
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup.connected_components(edges, max_iter=1)
+
+
+def test_connected_components_cluster_then_keep_one(spark, docs):
+    """End-to-end dedup recipe: pairs -> clusters -> keep min doc per
+    cluster + all unpaired docs."""
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.3)
+    clusters = dedup.connected_components(pairs)
+    keep_clustered = clusters.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    unpaired = docs.join(clusters, on="doc_id", how="left_anti")
+    survivors = {
+        r["doc_id"]
+        for r in unpaired.select("doc_id")
+        .unionByName(keep_clustered.select("doc_id"))
+        .collect()
+    }
+    # 0/1 are exact dups (cluster -> keep 0); 2 shares 0's word BAG but not
+    # its 3-gram shingles (order matters), so it is correctly unpaired
+    assert 0 in survivors and 1 not in survivors
+    assert {2, 4, 5, 6}.issubset(survivors)

@@ -1,0 +1,115 @@
+"""Deterministic hash-based sampling / splitting for training-data pipelines.
+
+``df.sample()`` is seed-reproducible only for an identical partitioning of
+identical input — re-reading the same table with a different file layout (or
+appending a batch) reshuffles which rows survive.  At pipeline scale the
+property that matters is per-ROW determinism: whether a row is sampled must
+be a pure function of its key, so samples are stable across reruns, engines,
+and incremental batches, and disjoint splits stay disjoint forever.
+
+Every operator here keeps a row iff ``md5(seed || key) mod 2^60`` falls
+under a precomputed integer threshold — one hash per row, no shuffle, no
+state, pushdown-friendly (the filter sits directly over the scan), and
+reproducible in any engine with md5 (the same portability contract as the
+MinHash/SimHash oracles).
+
+Greenfield Spark work (no reference counterpart).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import md5_long
+
+# md5_long carries 60 usable bits; thresholds are fractions of this space,
+# precomputed driver-side so the comparison is a single long literal
+SAMPLE_SPACE = 1 << 60
+
+
+def sample_hash(key: Column, seed: str = "s0") -> Column:
+    """Uniform 60-bit hash of (seed, key) — the per-row coin flip."""
+    return md5_long(F.concat(F.lit(seed), key.cast("string")))
+
+
+def _threshold(rate: float) -> int:
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1]; got {rate}")
+    return int(rate * SAMPLE_SPACE)
+
+
+def sample_by_hash(
+    df: DataFrame, *, rate: float, key_col: str, seed: str = "s0"
+) -> DataFrame:
+    """Keep ~``rate`` of rows, chosen per-key deterministically.
+
+    Changing ``seed`` draws an independent sample; the same (key, seed)
+    always lands on the same side, so incremental batches sample
+    consistently with history.
+    """
+    return df.filter(sample_hash(F.col(key_col), seed) < F.lit(_threshold(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    seed: str = "s0",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum rates (e.g. downsample boilerplate-heavy languages,
+    keep all rare ones).  The rate lookup is a map literal — pure map-side;
+    strata missing from ``rates`` fall back to ``default_rate``.
+    """
+    thr_map = F.create_map(
+        *[
+            x
+            for k, v in sorted(rates.items())
+            for x in (F.lit(k), F.lit(_threshold(v)))
+        ]
+    )
+    thr = F.coalesce(
+        F.element_at(thr_map, F.col(strata_col).cast("string")),
+        F.lit(_threshold(default_rate)),
+    )
+    return df.filter(sample_hash(F.col(key_col), seed) < thr)
+
+
+def hash_split(
+    df: DataFrame,
+    *,
+    weights: dict[str, float],
+    key_col: str,
+    seed: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Attach a deterministic split label (train/valid/test...) per key.
+
+    Weights must sum to ≤ 1 (a remainder gets NULL — useful as a holdout);
+    splits are disjoint by construction and stable under appends, so a row
+    can never migrate from test to train between runs.  Ranges are assigned
+    in sorted(label) order so the layout is engine-reproducible.
+    """
+    h = sample_hash(F.col(key_col), seed)
+    expr = F.lit(None).cast("string")
+    for label, lo, hi in reversed(split_bounds(weights)):
+        expr = F.when((h >= lo) & (h < hi), F.lit(label)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def split_bounds(weights: dict[str, float]) -> list[tuple[str, int, int]]:
+    """(label, lo, hi) integer hash ranges for ``hash_split`` — exposed so
+    an external system (or a SQL oracle) can reproduce the exact same
+    assignment, float-summation order included."""
+    total = sum(weights.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"weights sum to {total} > 1")
+    cum = 0.0
+    bounds = []
+    for label, w in sorted(weights.items()):
+        lo, cum = cum, cum + w
+        bounds.append((label, _threshold(lo), _threshold(cum)))
+    return bounds

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import cdc, patterns
-from .functions import dedup, multimodal, similarity
+from .functions import dedup, multimodal, sampling, similarity
 from .functions import text as tx
 from .functions.similarity import _hyperplane
 from .schema import apply_schema
@@ -1510,6 +1510,72 @@ def m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.groupBy("media_id").agg(F.count("*").alias("n_frames"))
 
 
+def u1_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% sample of documents by doc_id hash — per-row
+    stable across reruns/engines/batches (sampling.py rationale)."""
+    return sampling.sample_by_hash(
+        load_table(spark, sf_dir, "documents"), rate=0.25, key_col="doc_id"
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+U1_SQL = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {_sql_md5_long("'s0' || doc_id::VARCHAR")} < {sampling._threshold(0.25)}
+"""
+
+
+def u2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum rates over events: keep all rare types (error/signup),
+    thin the high-volume ones — the rate lookup is a map literal, the
+    filter is one hash compare over the scan."""
+    rates = {"click": 0.1, "view": 0.05, "purchase": 0.5}
+    return sampling.stratified_sample(
+        load_table(spark, sf_dir, "events"),
+        strata_col="event_type",
+        rates=rates,
+        key_col="event_id",
+        default_rate=1.0,
+    ).select("event_id", "user_id", "event_type")
+
+
+U2_SQL = f"""
+SELECT event_id, user_id, event_type
+FROM events
+WHERE {_sql_md5_long("'s0' || event_id::VARCHAR")} <
+  CASE event_type
+    WHEN 'click' THEN {sampling._threshold(0.1)}
+    WHEN 'purchase' THEN {sampling._threshold(0.5)}
+    WHEN 'view' THEN {sampling._threshold(0.05)}
+    ELSE {sampling._threshold(1.0)}
+  END
+"""
+
+
+def u3_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test assignment per doc_id —
+    disjoint by construction, stable under appends (a row can never
+    migrate between splits across runs)."""
+    return sampling.hash_split(
+        load_table(spark, sf_dir, "documents"),
+        weights={"train": 0.8, "valid": 0.1, "test": 0.1},
+        key_col="doc_id",
+    ).select("doc_id", "split")
+
+
+_U3_H = _sql_md5_long("'split' || doc_id::VARCHAR")
+_U3_CASE = " ".join(
+    f"WHEN {_U3_H} >= {lo} AND {_U3_H} < {hi} THEN '{label}'"
+    for label, lo, hi in sampling.split_bounds(
+        {"train": 0.8, "valid": 0.1, "test": 0.1}
+    )
+)
+U3_SQL = f"""
+SELECT doc_id, CASE {_U3_CASE} ELSE NULL END AS split
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1571,6 +1637,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "s3_cosine_near_dup": (s3_cosine_near_dup, S3_SQL),
     "s4_cosine_near_dup_exact": (s4_cosine_near_dup_exact, S4_SQL),
     "s5_ivf_topk": (s5_ivf_topk, S5_SQL),
+    "u1_hash_sample": (u1_hash_sample, U1_SQL),
+    "u2_stratified_sample": (u2_stratified_sample, U2_SQL),
+    "u3_hash_split": (u3_hash_split, U3_SQL),
     "m1_multimodal_features": (m1_multimodal_features, None),
     "m1b_multimodal_meta": (m1b_multimodal_meta, M1B_SQL),
     "m2_frame_sample": (m2_frame_sample, None),

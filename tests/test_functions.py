@@ -552,3 +552,68 @@ def test_connected_components_cluster_then_keep_one(spark, docs):
     # its 3-gram shingles (order matters), so it is correctly unpaired
     assert 0 in survivors and 1 not in survivors
     assert {2, 4, 5, 6}.issubset(survivors)
+
+
+# --------------------------------------------------------------- sampling
+
+
+def test_sample_by_hash_deterministic_and_sized(spark):
+    from polars_incremental_spark.functions import sampling
+
+    df = spark.range(0, 20000).withColumnRenamed("id", "k")
+    s1 = sampling.sample_by_hash(df, rate=0.2, key_col="k")
+    n = s1.count()
+    assert abs(n / 20000 - 0.2) < 0.02  # binomial 3-sigma ~ 0.0085
+    # per-row determinism: same rows every time, regardless of partitioning
+    s2 = sampling.sample_by_hash(df.repartition(7), rate=0.2, key_col="k")
+    assert s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
+    # nested property: a higher-rate sample CONTAINS the lower-rate one
+    s3 = sampling.sample_by_hash(df, rate=0.5, key_col="k")
+    assert s1.exceptAll(s3).count() == 0
+    # different seed draws an independent sample
+    s4 = sampling.sample_by_hash(df, rate=0.2, key_col="k", seed="other")
+    assert s4.exceptAll(s1).count() > 0
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        sampling.sample_by_hash(df, rate=1.5, key_col="k")
+
+
+def test_hash_split_disjoint_stable_under_append(spark):
+    from polars_incremental_spark.functions import sampling
+
+    w = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    base = spark.range(0, 5000).withColumnRenamed("id", "k")
+    a = sampling.hash_split(base, weights=w, key_col="k")
+    counts = {r["split"]: r["n"] for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "valid", "test"}  # no NULL leakage
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    # appending new keys never moves an existing key's split
+    bigger = sampling.hash_split(
+        spark.range(0, 9000).withColumnRenamed("id", "k"), weights=w, key_col="k"
+    )
+    moved = (
+        a.withColumnRenamed("split", "old")
+        .join(bigger, on="k")
+        .filter(F.col("old") != F.col("split"))
+        .count()
+    )
+    assert moved == 0
+    # remainder weight -> NULL holdout
+    h = sampling.hash_split(base, weights={"train": 0.5}, key_col="k")
+    assert h.filter(F.col("split").isNull()).count() > 0
+    with pytest.raises(ValueError, match="> 1"):
+        sampling.split_bounds({"a": 0.9, "b": 0.2})
+
+
+def test_stratified_sample_rates(spark):
+    from polars_incremental_spark.functions import sampling
+
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "hot").otherwise("cold").alias("g"),
+    )
+    out = sampling.stratified_sample(
+        df, strata_col="g", rates={"hot": 0.1}, key_col="k", default_rate=1.0
+    )
+    got = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert got["cold"] == 5000  # default rate keeps everything
+    assert abs(got["hot"] / 5000 - 0.1) < 0.03

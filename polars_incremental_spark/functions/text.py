@@ -161,3 +161,35 @@ def repetition_ratio(col: Column, n: int = 3) -> Column:
         / F.size(grams).cast("double"),
         6,
     )
+
+
+# PII detection / redaction.  Patterns are deliberately RE2-safe (no
+# lookaround, no backrefs) so the SAME string works in Spark's Java regex,
+# DuckDB/RE2, and Python — redaction is oracle-checkable cross-engine.
+# Order matters: emails go first so their digits can't half-match as phones.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails / IPv4s / phone-shaped substrings with typed tags.
+
+    A chain of JVM-side ``regexp_replace`` — no UDF, codegen-friendly, and
+    the standard pre-training privacy scrub (plus a dedup aid: two docs
+    differing only in contact details collapse after redaction).
+    """
+    out = col
+    for _, pattern, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, tag)
+    return out
+
+
+def pii_counts(col: Column) -> list[Column]:
+    """One ``<kind>_count`` int column per PII pattern (pre-redaction)."""
+    return [
+        F.regexp_count(col, F.lit(pattern)).alias(f"n_{kind}")
+        for kind, pattern, _ in PII_PATTERNS
+    ]

@@ -1510,6 +1510,57 @@ def m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.groupBy("media_id").agg(F.count("*").alias("n_frames"))
 
 
+def t7_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a corpus seeded with deterministic doc_id-derived
+    contact strings (the synthetic corpus carries no digits at all, so the
+    regexes are exercised on synthesized-but-realistic payloads — the same
+    trick as multimodal.synthesize_media).  Counts are taken pre-redaction;
+    the redacted text itself is hash-verified too, proving replacement
+    order and tags match across engines."""
+    doc = load_table(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") * 7 % 256).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") * 13 % 256).cast("string"),
+        F.lit(" or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return doc.select(
+        "doc_id",
+        *[c.cast("long") for c in tx.pii_counts(pii_text)],
+        tx.redact_pii(pii_text).alias("redacted"),
+    )
+
+
+_T7_TEXT = (
+    "text || ' contact user' || doc_id::VARCHAR || '@example.com at 10.' || "
+    "(doc_id % 256)::VARCHAR || '.' || (doc_id * 7 % 256)::VARCHAR || '.' || "
+    "(doc_id * 13 % 256)::VARCHAR || ' or 555-' || "
+    "lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' || "
+    "lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+)
+T7_SQL = f"""
+WITH pii AS (SELECT doc_id, {_T7_TEXT} AS t FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{tx.PII_PATTERNS[0][1]}'))::BIGINT AS n_email,
+       len(regexp_extract_all(t, '{tx.PII_PATTERNS[1][1]}'))::BIGINT AS n_ipv4,
+       len(regexp_extract_all(t, '{tx.PII_PATTERNS[2][1]}'))::BIGINT AS n_phone,
+       regexp_replace(regexp_replace(regexp_replace(t,
+         '{tx.PII_PATTERNS[0][1]}', '[EMAIL]', 'g'),
+         '{tx.PII_PATTERNS[1][1]}', '[IP]', 'g'),
+         '{tx.PII_PATTERNS[2][1]}', '[PHONE]', 'g') AS redacted
+FROM pii
+"""
+
+
 def u1_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 25% sample of documents by doc_id hash — per-row
     stable across reruns/engines/batches (sampling.py rationale)."""
@@ -1637,6 +1688,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "s3_cosine_near_dup": (s3_cosine_near_dup, S3_SQL),
     "s4_cosine_near_dup_exact": (s4_cosine_near_dup_exact, S4_SQL),
     "s5_ivf_topk": (s5_ivf_topk, S5_SQL),
+    "t7_pii_redaction": (t7_pii_redaction, T7_SQL),
     "u1_hash_sample": (u1_hash_sample, U1_SQL),
     "u2_stratified_sample": (u2_stratified_sample, U2_SQL),
     "u3_hash_split": (u3_hash_split, U3_SQL),

@@ -617,3 +617,28 @@ def test_stratified_sample_rates(spark):
     got = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
     assert got["cold"] == 5000  # default rate keeps everything
     assert abs(got["hot"] / 5000 - 0.1) < 0.03
+
+
+def test_pii_redaction_kinds_and_order(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "mail a.b+c@sub.example.org now"),
+            (1, "from 192.168.001.255 and 1.2.3.4."),
+            (2, "call 555-123-4567 or 555.123.4567"),
+            (3, "digits 12.34 ver 1.2.3 id 12345 stay"),
+            (4, "mixed x@y.io 10.0.0.1 555-000-1111"),
+        ],
+        ["i", "t"],
+    )
+    out = {
+        r["i"]: (r["red"], r["n_email"], r["n_ipv4"], r["n_phone"])
+        for r in df.select(
+            "i", tx.redact_pii(F.col("t")).alias("red"), *tx.pii_counts(F.col("t"))
+        ).collect()
+    }
+    assert out[0] == ("mail [EMAIL] now", 1, 0, 0)
+    assert out[1] == ("from [IP] and [IP].", 0, 2, 0)
+    assert out[2] == ("call [PHONE] or [PHONE]", 0, 0, 2)
+    # short decimals / versions / bare digit runs are NOT redacted
+    assert out[3] == ("digits 12.34 ver 1.2.3 id 12345 stay", 0, 0, 0)
+    assert out[4] == ("mixed [EMAIL] [IP] [PHONE]", 1, 1, 1)

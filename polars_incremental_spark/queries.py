@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -647,6 +647,108 @@ SELECT user_id, 'click_and_buy' AS segment FROM (
   INTERSECT
   SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
 )
+"""
+
+
+def r22_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): per-user event counts, one column per type.
+    Explicit pivot values ⇒ one pass, no distinct-values pre-query, and a
+    schema that is stable however the data shifts."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").pivot("event_type", types).count()
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types],
+    )
+
+
+R22_SQL = """
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'click') AS n_click,
+       COUNT(*) FILTER (event_type = 'error') AS n_error,
+       COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+       COUNT(*) FILTER (event_type = 'view') AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+def r23_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-sequence analytics: previous/next event type and the
+    running value total, ordered by (ts, event_id) — the deterministic
+    tiebreak matters, and the running sum goes through decimal so both
+    engines accumulate exactly."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
+R23_SQL = """
+SELECT event_id, user_id,
+       lag(event_type) OVER w AS prev_type,
+       lead(event_type) OVER w AS next_type,
+       CAST(SUM(value::DECIMAL(18,6)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q7_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of extended price per return flag.
+    ``percentile`` is the exact (full-sort-per-group) baseline both engines
+    define identically; at 100 TB you'd reach for ``approx_percentile``
+    (t-digest, mergeable partial aggs, no per-group sort) and accept the
+    documented error bound — the oracle pins the exact variant."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = lambda p, a: F.round(  # noqa: E731
+        F.expr(f"percentile(l_extendedprice, {p})"), 4
+    ).alias(a)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct(0.25, "p25"), pct(0.5, "p50"), pct(0.9, "p90"))
+        .orderBy("l_returnflag")
+    )
+
+
+Q7_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q8_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL surface: (priority, status), (priority),
+    and grand total in one pass — the general form ROLLUP/CUBE special-case."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q8_orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+               {_dsum("o_totalprice", "total")}
+        FROM q8_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+Q8_SQL = f"""
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+       {_dsum("o_totalprice", "total")}
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
 """
 
 
@@ -1659,6 +1761,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "r20_drop_cols": (r20_drop_cols, R20_SQL),
     "r21_distinct_keys": (r21_distinct_keys, R21_SQL),
     "rollup_order_totals": (rollup_order_totals, ROLLUP_SQL),
+    "r22_pivot_event_counts": (r22_pivot_event_counts, R22_SQL),
+    "r23_user_running_totals": (r23_user_running_totals, R23_SQL),
+    "q7_price_percentiles": (q7_price_percentiles, Q7_SQL),
+    "q8_grouping_sets": (q8_grouping_sets, Q8_SQL),
     "except_intersect_users": (except_intersect_users, EXCEPT_SQL),
     "asof_error_after_click": (asof_error_after_click, ASOF_SQL),
     "range_clicks_before_error": (range_clicks_before_error, RANGE_SQL),

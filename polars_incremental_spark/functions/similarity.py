@@ -554,3 +554,104 @@ def ivf_inertia(
     return float(
         assigned.agg(F.avg(F.lit(1.0) - F.array_max("__sims"))).collect()[0][0]
     )
+
+
+# ------------------------------------------------------------ quantization
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    q_col: str = "q_embedding",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: q = round(x / s), s =
+    max|x| / 127 — a 4× (vs float32) / 8× (vs float64) storage cut, the
+    difference between an embedding corpus fitting executor memory or not
+    at 100 TB.  Pure Catalyst expressions; zero vectors get a NULL scale
+    and NULL codes (nothing to preserve).  Cosine between quantized
+    vectors needs NO dequantization: the per-vector scales cancel in
+    dot/(|a||b|), so scoring runs on exact integer arithmetic
+    (``quantized_cosine``) and only the final division is floating.
+    """
+    absmax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+    s = F.nullif(absmax, F.lit(0.0)) / F.lit(127.0)
+    q = F.when(
+        s.isNotNull(),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double") / s).cast("tinyint")
+        ),
+    )
+    return df.withColumn(q_col, q).withColumn(scale_col, s)
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    *,
+    q_col: str = "q_embedding",
+    scale_col: str = "q_scale",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """x ≈ q * s (max reconstruction error s/2 per component)."""
+    return df.withColumn(
+        vec_col,
+        F.transform(F.col(q_col), lambda x: x.cast("double") * F.col(scale_col)),
+    )
+
+
+def quantized_cosine(qa: Column, qb: Column) -> Column:
+    """Cosine over int8 codes — integer dot and norms (exact, engine-
+    portable), one floating division at the end.  Scales cancel."""
+    d = F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    na = F.aggregate(
+        qa, F.lit(0).cast("long"), lambda acc, v: acc + v.cast("long") * v.cast("long")
+    )
+    nb = F.aggregate(
+        qb, F.lit(0).cast("long"), lambda acc, v: acc + v.cast("long") * v.cast("long")
+    )
+    return d.cast("double") / F.nullif(
+        F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")), F.lit(0.0)
+    )
+
+
+def quantized_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Brute-force top-k over int8-quantized vectors: same plan shape as
+    ``cosine_topk`` (broadcast queries, corpus streams once) at a quarter
+    of the memory traffic; scores differ from exact float cosine only by
+    quantization error (~1e-2 at dim 64)."""
+    qv = quantize_embeddings(vectors, vec_col=vec_col)
+    qq = quantize_embeddings(
+        queries.select(F.col(query_id_col), F.col(vec_col)), vec_col=vec_col
+    ).select(F.col(query_id_col), F.col("q_embedding").alias("__qq"))
+    joined = qv.join(F.broadcast(qq), F.col(query_id_col) != F.col(id_col))
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(quantized_cosine(F.col("__qq"), F.col("q_embedding")), 6).alias("__cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__cos").desc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .filter((F.col("__rank") <= k) & F.col("__cos").isNotNull())
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.col("__cos").alias("cosine_sim"),
+            F.col("__rank").alias("rank"),
+        )
+    )

@@ -1570,6 +1570,51 @@ FROM r WHERE rank <= 5
 """
 
 
+def s6_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k over int8-quantized embeddings: 4-8× less memory
+    traffic than the float corpus, scoring on exact integer dot/norms (the
+    per-vector scales cancel in cosine), one floating division at the end.
+    The oracle replays quantization and integer scoring in DuckDB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return similarity.quantized_topk(emb, queries, k=5)
+
+
+S6_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+sc AS (
+  SELECT vec_id, e,
+         nullif(list_max(list_transform(e, x -> abs(x))), 0.0) / 127.0 AS s
+  FROM v
+),
+qz AS (
+  SELECT vec_id, list_transform(e, x -> CAST(round(x / s) AS BIGINT)) AS qe
+  FROM sc
+),
+q AS (SELECT vec_id AS query_id, qe AS qq FROM qz WHERE vec_id < 8),
+scored AS (
+  SELECT query_id, vec_id,
+         round(list_sum(list_transform(range(1, len(qq) + 1), i -> qq[i] * qe[i]))
+               / nullif(sqrt(list_sum(list_transform(qq, x -> x * x)))
+                        * sqrt(list_sum(list_transform(qe, x -> x * x))), 0.0),
+               6) AS c
+  FROM q, qz WHERE vec_id <> query_id
+),
+r AS (
+  SELECT query_id, vec_id, c AS cosine_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+  FROM scored WHERE c IS NOT NULL
+)
+SELECT query_id, vec_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
 def m1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: synthesize media, extract byte features via
     Arrow-batched mapInPandas.  Not SQL-expressible (entropy over a byte
@@ -1794,6 +1839,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "s3_cosine_near_dup": (s3_cosine_near_dup, S3_SQL),
     "s4_cosine_near_dup_exact": (s4_cosine_near_dup_exact, S4_SQL),
     "s5_ivf_topk": (s5_ivf_topk, S5_SQL),
+    "s6_quantized_topk": (s6_quantized_topk, S6_SQL),
     "t7_pii_redaction": (t7_pii_redaction, T7_SQL),
     "u1_hash_sample": (u1_hash_sample, U1_SQL),
     "u2_stratified_sample": (u2_stratified_sample, U2_SQL),

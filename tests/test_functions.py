@@ -642,3 +642,30 @@ def test_pii_redaction_kinds_and_order(spark):
     # short decimals / versions / bare digit runs are NOT redacted
     assert out[3] == ("digits 12.34 ver 1.2.3 id 12345 stay", 0, 0, 0)
     assert out[4] == ("mixed [EMAIL] [IP] [PHONE]", 1, 1, 1)
+
+
+def test_quantize_roundtrip_and_quantized_topk(spark):
+    rows = [
+        (0, [1.0, -0.5, 0.25, 0.0]),
+        (1, [0.9, -0.45, 0.2, 0.01]),
+        (2, [-1.0, 1.0, -1.0, 1.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector -> NULL scale/codes
+    ]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qz = similarity.quantize_embeddings(vecs)
+    got = {r["vec_id"]: r for r in qz.collect()}
+    assert got[0]["q_embedding"] == [127, -64, 32, 0]
+    assert got[3]["q_embedding"] is None and got[3]["q_scale"] is None
+    # reconstruction error bounded by s/2 per component
+    deq = similarity.dequantize_embeddings(qz.filter(F.col("vec_id") == 0), vec_col="deq")
+    row = deq.collect()[0]
+    for orig, rec in zip(rows[0][1], row["deq"]):
+        assert abs(orig - rec) <= row["q_scale"] / 2 + 1e-12
+    # quantized ranking matches exact ranking on well-separated vectors,
+    # and the zero vector is skipped not crashed
+    q = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = [r["vec_id"] for r in similarity.cosine_topk(vecs, q, k=2).collect()]
+    quant = [r["vec_id"] for r in similarity.quantized_topk(vecs, q, k=2).collect()]
+    assert quant == exact == [1, 2]

@@ -193,3 +193,59 @@ def pii_counts(col: Column) -> list[Column]:
         F.regexp_count(col, F.lit(pattern)).alias(f"n_{kind}")
         for kind, pattern, _ in PII_PATTERNS
     ]
+
+
+def tfidf_top_terms(
+    df,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+):
+    """Top-``k`` characteristic terms per document by smoothed TF-IDF
+    (sklearn's variant: tf/len · (ln((N+1)/(df+1)) + 1)), ties broken by
+    term asc — (id, term, tfidf, rank).
+
+    Plan shape: one token explode feeds a (doc, term) count; doc length is
+    a window over the same grouping; document frequency is a groupBy(term)
+    whose result — the term DICTIONARY, zipfian-small relative to the
+    corpus — broadcasts back onto the scores, so the only full-corpus
+    shuffles are the (doc, term) aggregation and the per-doc ranking
+    window.  N rides along as a broadcast 1-row frame (no driver collect).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as _F
+
+    toks = df.select(
+        _F.col(id_col), _F.explode(tokens(_F.lower(_F.col(text_col)))).alias("term")
+    ).filter(_F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(_F.count("*").alias("__n"))
+    tf = tf.withColumn(
+        "__dl", _F.sum("__n").over(Window.partitionBy(id_col))
+    )
+    dfreq = tf.groupBy("term").agg(_F.count("*").alias("__df"))
+    n_docs = df.agg(_F.count("*").alias("__nd"))
+    scored = (
+        tf.join(_F.broadcast(dfreq), on="term")
+        .crossJoin(_F.broadcast(n_docs))
+        .select(
+            _F.col(id_col),
+            _F.col("term"),
+            _F.round(
+                (_F.col("__n").cast("double") / _F.col("__dl").cast("double"))
+                * (
+                    _F.log(
+                        (_F.col("__nd") + 1).cast("double")
+                        / (_F.col("__df") + 1).cast("double")
+                    )
+                    + _F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(_F.col("tfidf").desc(), _F.col("term").asc())
+    return (
+        scored.withColumn("rank", _F.row_number().over(w))
+        .filter(_F.col("rank") <= k)
+    )

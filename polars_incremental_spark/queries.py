@@ -1708,6 +1708,39 @@ FROM pii
 """
 
 
+def t8_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by smoothed TF-IDF (corpus-level
+    statistic: doc frequency + corpus size join back onto term counts)."""
+    return tx.tfidf_top_terms(
+        load_table(spark, sf_dir, "documents"), k=3
+    ).select("doc_id", "term", "tfidf", F.col("rank").cast("int").alias("rank"))
+
+
+T8_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_sql_tokens("lower(text)")}) AS term FROM documents
+),
+t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+tf AS (SELECT doc_id, term, COUNT(*) AS n FROM t GROUP BY 1, 2),
+dl AS (SELECT doc_id, SUM(n) AS dl FROM tf GROUP BY 1),
+dfq AS (SELECT term, COUNT(*) AS dft FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round((tf.n::DOUBLE / dl.dl::DOUBLE)
+               * (ln((nd.n_docs + 1)::DOUBLE / (dfq.dft + 1)::DOUBLE) + 1.0),
+               6) AS tfidf
+  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term), nd
+),
+r AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 3
+"""
+
+
 def u1_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 25% sample of documents by doc_id hash — per-row
     stable across reruns/engines/batches (sampling.py rationale)."""
@@ -1841,6 +1874,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "s5_ivf_topk": (s5_ivf_topk, S5_SQL),
     "s6_quantized_topk": (s6_quantized_topk, S6_SQL),
     "t7_pii_redaction": (t7_pii_redaction, T7_SQL),
+    "t8_tfidf_top_terms": (t8_tfidf_top_terms, T8_SQL),
     "u1_hash_sample": (u1_hash_sample, U1_SQL),
     "u2_stratified_sample": (u2_stratified_sample, U2_SQL),
     "u3_hash_split": (u3_hash_split, U3_SQL),

@@ -669,3 +669,19 @@ def test_quantize_roundtrip_and_quantized_topk(spark):
     exact = [r["vec_id"] for r in similarity.cosine_topk(vecs, q, k=2).collect()]
     quant = [r["vec_id"] for r in similarity.quantized_topk(vecs, q, k=2).collect()]
     assert quant == exact == [1, 2]
+
+
+def test_tfidf_top_terms_prefers_rare_terms(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "common rare"),
+            (1, "common word word"),
+            (2, "common other other"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tx.tfidf_top_terms(df, k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    # 'common' is in every doc -> lowest idf; each doc's distinctive term wins
+    assert top == {0: "rare", 1: "word", 2: "other"}
+    assert all(r["rank"] == 1 for r in out)

@@ -35,6 +35,14 @@ BENCH_QUERIES = [
     "s2_lsh_ann_topk",
     "s3_cosine_near_dup",
     "s5_ivf_topk",
+    # round-3 additions — the original 18 keys above stay untouched so
+    # per-query numbers remain comparable round-over-round
+    # (tools/bench_compare.py flags regressions on the shared set)
+    "d9_dup_clusters",
+    "s6_quantized_topk",
+    "t7_pii_redaction",
+    "t8_tfidf_top_terms",
+    "u3_hash_split",
 ]
 
 

@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Compare two bench results and flag per-query regressions.
+
+Usage:
+    python tools/bench_compare.py BENCH_r02.json bench_now.json [--tol 0.2]
+
+Accepts either the raw one-line JSON that ``bench.py`` prints or the
+driver's ``BENCH_r{N}.json`` wrapper (uses its ``parsed`` field).  Exits 1
+if any query present in BOTH runs slowed by more than ``--tol`` (default
+20%) AND by more than 0.3 s absolute — the absolute floor keeps sub-second
+queries' VM jitter from tripping the gate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def load(path: str) -> dict:
+    with open(path) as fh:
+        data = json.load(fh)
+    if "parsed" in data and isinstance(data["parsed"], dict):
+        data = data["parsed"]
+    if "queries" not in data:
+        raise SystemExit(f"{path}: no 'queries' field (not a bench result)")
+    return data
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("baseline")
+    ap.add_argument("current")
+    ap.add_argument("--tol", type=float, default=0.2)
+    ap.add_argument("--abs-floor", type=float, default=0.3)
+    args = ap.parse_args()
+
+    base, cur = load(args.baseline), load(args.current)
+    bq, cq = base["queries"], cur["queries"]
+    regressions = []
+    print(f"{'query':<28} {'base':>8} {'now':>8} {'delta':>8}")
+    for name in sorted(set(bq) | set(cq)):
+        b, c = bq.get(name), cq.get(name)
+        if b is None:
+            print(f"{name:<28} {'—':>8} {c:>8.3f}   (new)")
+            continue
+        if c is None:
+            print(f"{name:<28} {b:>8.3f} {'—':>8}   (removed)")
+            continue
+        pct = (c - b) / b
+        mark = ""
+        if pct > args.tol and (c - b) > args.abs_floor:
+            mark = "  << REGRESSION"
+            regressions.append(name)
+        print(f"{name:<28} {b:>8.3f} {c:>8.3f} {pct:>+7.0%}{mark}")
+    shared = [n for n in bq if n in cq]
+    tb = sum(bq[n] for n in shared)
+    tc = sum(cq[n] for n in shared)
+    print(f"\nshared-query total: {tb:.2f}s -> {tc:.2f}s ({(tc - tb) / tb:+.0%})")
+    if regressions:
+        print(f"REGRESSED: {regressions}")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

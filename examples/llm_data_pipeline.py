@@ -1,14 +1,18 @@
 """The north-star composition: an incremental LLM training-data pipeline.
 
 Documents land in a drop directory; each checkpointed micro-batch is
-quality-filtered (text stats), exactly deduplicated against ALL previously
-accepted documents (cross-batch state), near-dup-flagged via MinHash-LSH
-within the batch, and appended to a curated Delta table — so downstream
-trainers can stream the curated corpus incrementally (Delta source).
+PII-scrubbed, quality-filtered (text stats + Gopher repetition), exactly
+deduplicated against ALL previously accepted documents (cross-batch
+state), near-dup-deduped via the persisted MinHash-LSH index, stamped
+with a deterministic train/valid/test split, and appended to a curated
+Delta table — so downstream trainers can stream the curated corpus
+incrementally (Delta source).  After ingestion, near-dup PAIRS in the
+curated corpus resolve to CLUSTERS (connected components) for reporting.
 
 Every stage is the same code that runs at 100 TB: hash-keyed shuffles,
 no driver-side data loops, Arrow-batched Python only where Catalyst can't
-express the op.
+express the op.  The split is hash-keyed, so a doc can never migrate
+between train and test across incremental runs.
 
 Run: python examples/llm_data_pipeline.py
 """
@@ -31,24 +35,33 @@ from polars_incremental_spark import (
     cross_batch_dedupe,
     get_spark,
 )
-from polars_incremental_spark.functions import dedup
+from polars_incremental_spark.functions import dedup, sampling
 from polars_incremental_spark.functions import text as tx
 from polars_incremental_spark.sinks.delta import read_table, write_table
 from polars_incremental_spark.tables import load_table
 
 
 def curate(batch, state, batch_id, lsh_index):
-    """Quality-filter → cross-batch exact-dedupe → cross-batch NEAR-dedupe."""
-    scored = batch.withColumn("quality", tx.quality_score(F.col("text")))
-    kept = scored.filter(F.col("quality") >= 0.5)
+    """Scrub → quality-filter → cross-batch exact + NEAR dedupe → split."""
+    scrubbed = batch.withColumn("text", tx.redact_pii(F.col("text")))
+    scored = scrubbed.withColumn("quality", tx.quality_score(F.col("text")))
+    kept = scored.filter(
+        (F.col("quality") >= 0.5) & (tx.repetition_ratio(F.col("text")) <= 0.6)
+    )
     # exact dedupe vs everything accepted in ANY earlier batch
     kept = kept.withColumn("text_hash", F.md5(F.col("text")))
     kept = cross_batch_dedupe(kept, ["text_hash"], state=state, state_key="seen_hashes")
     # near-dup dedupe vs the whole accepted corpus AND within the batch:
     # survivors' minhash signatures append to the persisted LSH index
     # (idempotently per batch_id), so batch N+1 dedupes against them
-    return dedup.incremental_lsh_dedup(
+    survivors = dedup.incremental_lsh_dedup(
         kept, lsh_index, threshold=0.6, batch_id=batch_id
+    )
+    # deterministic split LAST: keyed on doc_id, so reprocessing or future
+    # batches can never move a doc between train and test
+    return sampling.hash_split(
+        survivors, weights={"train": 0.9, "valid": 0.05, "test": 0.05},
+        key_col="doc_id",
     )
 
 
@@ -83,6 +96,21 @@ def main() -> None:
     print("batch 2:", pipeline.run(spark))
     n2 = read_table(spark, curated).count()
     print(f"curated after batch 2: {n2} docs (overlap 200-299 deduped)")
+
+    # duplicate-cluster report over the curated corpus: near-dup pairs that
+    # survived the per-batch threshold resolve into clusters for auditing
+    curated_df = read_table(spark, curated)
+    pairs = dedup.minhash_lsh_pairs(curated_df, threshold=0.3).persist()
+    if pairs.take(1):
+        clusters = dedup.connected_components(pairs)
+        n_clusters = clusters.select("cluster_id").distinct().count()
+        print(f"residual near-dup clusters at 0.3: {n_clusters}")
+    else:
+        print("residual near-dup clusters at 0.3: 0 (corpus fully deduped)")
+    pairs.unpersist()
+    splits = {r["split"]: r["n"] for r in
+              curated_df.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    print("split sizes:", splits)
 
     # downstream trainer streams the curated corpus incrementally
     consumed = []

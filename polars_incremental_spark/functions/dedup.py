@@ -553,16 +553,20 @@ def incremental_lsh_dedup(
     )
 
     # explicit existence probe — a corrupt or unreadable index must FAIL the
-    # batch, not silently disable cross-batch dedup and pollute the index
-    have_index = bool(_glob.glob(f"{index_path}/batch_*"))
+    # batch, not silently disable cross-batch dedup and pollute the index.
+    # Replay safety: a retried batch must not dedupe against its OWN
+    # previously-appended signatures (every row would match itself), so its
+    # dir is excluded from the path list.  Concrete paths (not the glob
+    # pattern) go to the reader — a glob makes Spark's streaming-sink probe
+    # log a spurious FileNotFoundException stack at WARN on every read.
+    index_dirs = [
+        d
+        for d in sorted(_glob.glob(f"{index_path}/batch_*"))
+        if batch_id is None or d != f"{index_path}/batch_{batch_id}"
+    ]
+    have_index = bool(index_dirs)
     if have_index:
-        index = spark.read.parquet(f"{index_path}/batch_*")
-        # replay safety: a retried batch must not dedupe against its OWN
-        # previously-appended signatures (every row would match itself)
-        if batch_id is not None:
-            index = index.filter(
-                ~F.input_file_name().contains(f"/batch_{batch_id}/")
-            )
+        index = spark.read.parquet(*index_dirs)
 
     agree = _minhash_agreement("__ma", "__mb", num_hashes)
     dropped_cols = [F.col(id_col).alias("__drop_id")]

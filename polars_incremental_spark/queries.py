@@ -1807,6 +1807,41 @@ FROM documents
 """
 
 
+def u4_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic KMV distinct-count sketch: approx distinct users per
+    event type at k=32.  Unlike HLL the estimate is engine-reproducible
+    (md5 hashes + double arithmetic), so it gets a full hash oracle."""
+    from .functions import sketches
+
+    return sketches.kmv_distinct(
+        load_table(spark, sf_dir, "events"),
+        group_cols=["event_type"],
+        value_col="user_id",
+        k=32,
+    ).orderBy("event_type")
+
+
+U4_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT event_type, {_sql_md5_long("user_id::VARCHAR")} AS h FROM events
+),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+),
+agg AS (
+  SELECT event_type, COUNT(*) AS n, MAX(CASE WHEN rn = 32 THEN h END) AS kth
+  FROM r WHERE rn <= 32 GROUP BY event_type
+)
+SELECT event_type,
+       CASE WHEN n < 32 THEN n::BIGINT
+            ELSE CAST(round(31.0 * {float(1 << 60)!r} / kth) AS BIGINT)
+       END AS approx_distinct
+FROM agg ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1874,6 +1909,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "s5_ivf_topk": (s5_ivf_topk, S5_SQL),
     "s6_quantized_topk": (s6_quantized_topk, S6_SQL),
     "t7_pii_redaction": (t7_pii_redaction, T7_SQL),
+    "u4_kmv_distinct": (u4_kmv_distinct, U4_SQL),
     "t8_tfidf_top_terms": (t8_tfidf_top_terms, T8_SQL),
     "u1_hash_sample": (u1_hash_sample, U1_SQL),
     "u2_stratified_sample": (u2_stratified_sample, U2_SQL),

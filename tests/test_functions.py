@@ -685,3 +685,36 @@ def test_tfidf_top_terms_prefers_rare_terms(spark):
     # 'common' is in every doc -> lowest idf; each doc's distinctive term wins
     assert top == {0: "rare", 1: "word", 2: "other"}
     assert all(r["rank"] == 1 for r in out)
+
+
+def test_kmv_accuracy_and_merge(spark):
+    from polars_incremental_spark.functions import sketches
+
+    df = spark.range(0, 12000).select(
+        F.when(F.col("id") % 3 == 0, "big").otherwise("small").alias("g"),
+        # 'big': 4000 distinct values; 'small': 40 distinct (< k -> exact)
+        F.when(F.col("id") % 3 == 0, F.col("id"))
+        .otherwise(F.col("id") % 40)
+        .alias("v"),
+    )
+    est = {
+        r["g"]: r["approx_distinct"]
+        for r in sketches.kmv_distinct(
+            df, group_cols=["g"], value_col="v", k=64
+        ).collect()
+    }
+    assert est["small"] == 40  # below k -> exact by construction
+    assert abs(est["big"] - 4000) / 4000 < 0.4  # ~1/sqrt(62) expected error
+    # mergeability: union of two half-sketches == sketch of the whole
+    lo = sketches.kmv_sketch(
+        df.filter(F.col("v") % 2 == 0), group_cols=["g"], value_col="v", k=64
+    )
+    hi = sketches.kmv_sketch(
+        df.filter(F.col("v") % 2 == 1), group_cols=["g"], value_col="v", k=64
+    )
+    merged = sketches.kmv_merge(lo.unionByName(hi), group_cols=["g"], k=64)
+    whole = sketches.kmv_sketch(df, group_cols=["g"], value_col="v", k=64)
+    joined = merged.withColumnRenamed("kmv_hashes", "m").join(whole, on="g")
+    assert joined.filter(F.expr("m != kmv_hashes")).count() == 0
+    with pytest.raises(ValueError, match=">= 3"):
+        sketches.kmv_sketch(df, group_cols=["g"], value_col="v", k=2)

@@ -409,20 +409,34 @@ def _ivf_assign_arrow(
     def assign(batches):
         import pandas as pd
 
+        dim = C.shape[1]
         for pdf in batches:
             if len(pdf) == 0:
                 yield pdf.assign(**{cell_col: pd.Series([], dtype="Int32")})
                 continue
-            M = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)  # (n, dim)
-            vn = np.sqrt((M * M).sum(axis=1))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                sims = np.round((M @ C.T) / (vn[:, None] * cn[None, :]), 6)
-            ok = ~np.isnan(sims).all(axis=1)
-            # nanargmax would raise on all-NaN rows; argmax on a masked copy
-            # keeps the first-max (lowest cell) tie rule of the expr path
-            safe = np.where(np.isnan(sims), -np.inf, sims)
-            cells = pd.array(safe.argmax(axis=1) + 1, dtype="Int32")
-            cells[~ok] = pd.NA
+            vecs = pdf[vec_col].to_list()
+            # NULL / wrong-length embeddings get a NULL cell, matching the
+            # expr path (zip_with over a NULL or ragged array yields NULL
+            # sims there); np.asarray on a ragged list would raise instead.
+            valid = np.array(
+                [v is not None and len(v) == dim for v in vecs], dtype=bool
+            )
+            cells = pd.array([pd.NA] * len(pdf), dtype="Int32")
+            if valid.any():
+                M = np.asarray(
+                    [v for v, m in zip(vecs, valid) if m], dtype=np.float64
+                )  # (n_valid, dim)
+                vn = np.sqrt((M * M).sum(axis=1))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = np.round((M @ C.T) / (vn[:, None] * cn[None, :]), 6)
+                ok = ~np.isnan(sims).all(axis=1)
+                # nanargmax would raise on all-NaN rows; argmax on a masked
+                # copy keeps the first-max (lowest cell) tie rule of the
+                # expr path
+                safe = np.where(np.isnan(sims), -np.inf, sims)
+                sub = pd.array(safe.argmax(axis=1) + 1, dtype="Int32")
+                sub[~ok] = pd.NA
+                cells[valid] = sub
             yield pdf.assign(**{cell_col: cells})
 
     return vectors.mapInPandas(assign, out_schema)

@@ -29,6 +29,23 @@ from .text import md5_long
 KMV_SPACE = 1 << 60
 
 
+def _bottom_k(
+    hashed: DataFrame, group_cols: Sequence[str], k: int, out_col: str
+) -> DataFrame:
+    """(group..., out_col array<long>) — k smallest distinct ``__h`` per
+    group: ranking window on the groupBy partitioning (no second exchange),
+    sorted array out.  Shared by sketch build and merge so tie/NULL
+    handling can never diverge between them."""
+    w = Window.partitionBy(*group_cols).orderBy(F.col("__h").asc())
+    return (
+        hashed.distinct()
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .groupBy(*group_cols)
+        .agg(F.array_sort(F.collect_list("__h")).alias(out_col))
+    )
+
+
 def kmv_sketch(
     df: DataFrame,
     *,
@@ -48,14 +65,8 @@ def kmv_sketch(
     gcols = [F.col(c) for c in group_cols]
     hashed = df.select(
         *gcols, md5_long(F.col(value_col).cast("string")).alias("__h")
-    ).distinct()
-    w = Window.partitionBy(*group_cols).orderBy(F.col("__h").asc())
-    return (
-        hashed.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= k)
-        .groupBy(*group_cols)
-        .agg(F.array_sort(F.collect_list("__h")).alias("kmv_hashes"))
     )
+    return _bottom_k(hashed, group_cols, k, "kmv_hashes")
 
 
 def kmv_estimate_expr(hashes_col: str, k: int):
@@ -99,11 +110,5 @@ def kmv_merge(
     incremental batches without re-scanning history."""
     exploded = sketches.select(
         *[F.col(c) for c in group_cols], F.explode(F.col(hashes_col)).alias("__h")
-    ).distinct()
-    w = Window.partitionBy(*group_cols).orderBy(F.col("__h").asc())
-    return (
-        exploded.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= k)
-        .groupBy(*group_cols)
-        .agg(F.array_sort(F.collect_list("__h")).alias(hashes_col))
     )
+    return _bottom_k(exploded, group_cols, k, hashes_col)

@@ -207,6 +207,15 @@ class PipelineLock:
                     return self
             except FileExistsError:
                 content = self._read_lock()
+                if content == token:
+                    # Our own token is at the path: a displacer moved our
+                    # fresh lock away, saw it wasn't the stale file it read,
+                    # and restored it via os.link.  The nonce makes the token
+                    # unforgeable, so this file is ours — reclaim instead of
+                    # spinning against our own live PID forever.
+                    self._token = token
+                    self._owns_file = True
+                    return self
                 if self._is_stale(content):
                     # Takeover by atomic rename: only one contender can move
                     # the stale file to its private break-name, and the only

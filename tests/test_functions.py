@@ -503,16 +503,20 @@ def test_simhash_bits_out_of_range_raises(spark):
 
 def test_ivf_assign_arrow_agrees_with_expr(spark):
     """The BLAS matmul scale path must produce the same cell assignment as
-    the oracle-checked expression path, including NULL for zero vectors."""
+    the oracle-checked expression path, including NULL for zero vectors,
+    NULL embeddings, and wrong-dimension embeddings (round-3 review: the
+    arrow path used to crash on a NULL row the expr path tolerates)."""
     rows = [(i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(8)]) for i in range(200)]
     rows.append((200, [0.0] * 8))  # zero vector -> NULL cell in both paths
-    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
-    cents = similarity._seed_centroids(vecs, 6, "vec_id", "embedding")
+    rows.append((201, None))  # NULL embedding -> NULL cell, no crash
+    rows.append((202, [1.0] * 5))  # wrong dim -> NULL cell in both paths
+    vecs = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    cents = similarity._seed_centroids(vecs.filter("vec_id < 200"), 6, "vec_id", "embedding")
     a = similarity.ivf_assign(vecs, cents, method="expr").select("vec_id", "__cell")
     b = similarity.ivf_assign(vecs, cents, method="arrow").select("vec_id", "__cell")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     nulls = dict(b.collect())
-    assert nulls[200] is None
+    assert nulls[200] is None and nulls[201] is None and nulls[202] is None
     with pytest.raises(ValueError, match="expr|arrow"):
         similarity.ivf_assign(vecs, cents, method="bogus")
 

@@ -168,3 +168,58 @@ def test_file_lock_lost_takeover_race_restores_fresh_lock(tmp_path):
     assert open(lock_path).read() == fresh  # B's lock survived the lost race
     b.__exit__(None, None, None)
     assert not os.path.exists(lock_path)
+
+
+def test_file_lock_reclaims_own_restored_token(tmp_path, monkeypatch):
+    """Round-3 review: A's fresh lock is displaced by a racing waiter and
+    then restored via os.link — A's next O_EXCL create fails, but the file
+    at the path carries A's OWN nonce token.  A must reclaim it (it is the
+    holder) instead of spinning against its own live PID until deadline."""
+    import uuid as uuid_mod
+    from types import SimpleNamespace
+
+    import polars_incremental_spark.pipeline as plmod
+
+    ckpt = str(tmp_path)
+    lock_path = os.path.join(ckpt, ".pipeline.lock")
+    monkeypatch.setattr(uuid_mod, "uuid4", lambda: SimpleNamespace(hex="cafebabe"))
+    monkeypatch.setattr(plmod.time, "time", lambda: 42.0)
+    token = f"pid={os.getpid()}\nacquired_at=42.0\nnonce=cafebabe\n"
+    with open(lock_path, "w") as fh:
+        fh.write(token)  # the restored copy of A's own fresh lock
+    lock = PipelineLock(ckpt, timeout_s=1, mode="file", stale_seconds=300)
+    with lock:
+        assert lock._owns_file and lock._token == token
+    assert not os.path.exists(lock_path)
+
+
+# -------------------------------------------------------------- bench_compare
+
+
+def test_bench_compare_disjoint_and_zero_baseline(tmp_path):
+    """Round-3 review: disjoint query sets (no shared total) and a 0.0s
+    baseline entry must report cleanly, not raise ZeroDivisionError."""
+    import json
+    import subprocess
+    import sys
+
+    old = tmp_path / "old.json"
+    new = tmp_path / "new.json"
+    old.write_text(json.dumps({"queries": {"a": 1.0}}))
+    new.write_text(json.dumps({"queries": {"b": 2.0}}))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "bench_compare.py"),
+         str(old), str(new)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0 and "no shared queries" in r.stdout
+
+    old.write_text(json.dumps({"queries": {"a": 0.0}}))
+    new.write_text(json.dumps({"queries": {"a": 2.0}}))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "bench_compare.py"),
+         str(old), str(new)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 1 and "REGRESSED" in r.stdout

@@ -48,16 +48,20 @@ def main() -> int:
         if c is None:
             print(f"{name:<28} {b:>8.3f} {'—':>8}   (removed)")
             continue
-        pct = (c - b) / b
+        pct = (c - b) / b if b > 0 else float("inf")
         mark = ""
         if pct > args.tol and (c - b) > args.abs_floor:
             mark = "  << REGRESSION"
             regressions.append(name)
-        print(f"{name:<28} {b:>8.3f} {c:>8.3f} {pct:>+7.0%}{mark}")
+        pct_s = f"{pct:>+7.0%}" if pct != float("inf") else f"{'+inf':>7}"
+        print(f"{name:<28} {b:>8.3f} {c:>8.3f} {pct_s}{mark}")
     shared = [n for n in bq if n in cq]
     tb = sum(bq[n] for n in shared)
     tc = sum(cq[n] for n in shared)
-    print(f"\nshared-query total: {tb:.2f}s -> {tc:.2f}s ({(tc - tb) / tb:+.0%})")
+    if tb > 0:
+        print(f"\nshared-query total: {tb:.2f}s -> {tc:.2f}s ({(tc - tb) / tb:+.0%})")
+    else:
+        print("\nno shared queries between the two runs")
     if regressions:
         print(f"REGRESSED: {regressions}")
         return 1

@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     # per-query numbers remain comparable round-over-round
     # (tools/bench_compare.py flags regressions on the shared set)
     "d9_dup_clusters",
+    "d10_chunk_dedup",
     "s6_quantized_topk",
     "t7_pii_redaction",
     "t8_tfidf_top_terms",

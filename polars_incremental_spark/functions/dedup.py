@@ -732,3 +732,82 @@ def connected_components(
         )
     finally:
         sym.unpersist()
+
+
+def chunk_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 50,
+    sep: str = " ",
+) -> DataFrame:
+    """Sub-document (paragraph-style) dedup: split each document into
+    fixed-width word chunks, keep only the FIRST corpus-wide occurrence of
+    every chunk, and reassemble the surviving chunks in order.
+
+    The RefinedWeb/Dolma pipelines dedup at paragraph granularity because
+    boilerplate (headers, license blocks, navigation) repeats across
+    documents that are not near-duplicates as wholes.  With no paragraph
+    delimiter in a corpus, fixed ``chunk_words`` windows are the delimiter-
+    free equivalent; pass a corpus with real paragraphs pre-split on
+    ``\\n\\n`` upstream to get true paragraph dedup.
+
+    First occurrence = lexicographically smallest ``(id, chunk_idx)`` over
+    each distinct chunk text, so the result is deterministic under any
+    partitioning.  Documents whose every chunk is a repeat survive with
+    ``clean_text = ''`` (callers filter on ``n_kept``).
+
+    Scale shape: chunking is map-side array ops (split → slice → join, no
+    explode-regroup per word).  The global first-occurrence rank is ONE
+    shuffle partitioned on the 128-bit chunk digest — fixed-width key, and
+    hot chunks (the boilerplate this op exists to remove) spread over
+    distinct digests rather than one key.  Reassembly is the second,
+    per-document shuffle.  Output: (id, clean_text, n_chunks, n_kept).
+
+    Reference parity: greenfield — the reference engine has no sub-document
+    dedup; tiering mirrors its exact-dedup semantics (dedup.py tiers above).
+    """
+    if chunk_words < 1:
+        raise ValueError(f"chunk_words must be >= 1; got {chunk_words}")
+    w = chunk_words
+    base = df.select(
+        F.col(id_col),
+        F.expr(
+            f"transform(sequence(0, CAST((size(split(trim({text_col}), '\\\\s+')) "
+            f"+ {w - 1}) DIV {w} AS INT) - 1), "
+            f"i -> array_join(slice(split(trim({text_col}), '\\\\s+'), "
+            f"i * {w} + 1, {w}), '{sep}'))"
+        ).alias("__chunks"),
+    )
+    # n_chunks comes from this map-side projection, NOT the kept-agg below:
+    # a document whose every chunk is a repeat vanishes from the agg but
+    # must still report its true chunk count.
+    meta = base.select(id_col, F.size("__chunks").cast("long").alias("n_chunks"))
+    chunked = base.select(
+        id_col, F.posexplode("__chunks").alias("chunk_idx", "chunk")
+    )
+    rank_w = Window.partitionBy(F.md5(F.col("chunk"))).orderBy(
+        F.col(id_col).asc(), F.col("chunk_idx").asc()
+    )
+    kept = (
+        chunked.withColumn("__rn", F.row_number().over(rank_w))
+        .filter(F.col("__rn") == 1)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(chunk_idx, chunk))),"
+                    " s -> s.chunk)"
+                ),
+                sep,
+            ).alias("clean_text"),
+        )
+    )
+    return meta.join(kept, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+    )

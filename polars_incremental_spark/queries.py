@@ -1221,6 +1221,46 @@ FROM reach GROUP BY a ORDER BY doc_id
 """
 
 
+def d10_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup (RefinedWeb/Dolma paragraph dedup, delimiter-free
+    variant): 8-word chunks, first corpus-wide occurrence wins, survivors
+    reassembled in order.  The oracle rebuilds the identical chunking with
+    DuckDB list functions and the identical first-wins rank, so the whole
+    reassembled clean_text is hash-checked byte-for-byte."""
+    return dedup.chunk_dedup(
+        dedup.spread(load_table(spark, sf_dir, "documents")), chunk_words=8
+    ).orderBy("doc_id")
+
+
+D10_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id, u.chunk_idx, u.chunk FROM (
+    SELECT doc_id, unnest(list_transform(range((len(t) + 7) // 8),
+      i -> struct_pack(chunk_idx := i,
+                       chunk := array_to_string(t[i*8+1 : i*8+8], ' ')))) AS u
+    FROM toks)
+),
+kept AS (
+  SELECT doc_id, chunk_idx, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+),
+agg AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_kept,
+         string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text
+  FROM kept WHERE rn = 1 GROUP BY doc_id
+),
+meta AS (SELECT doc_id, ((len(t) + 7) // 8)::BIGINT AS n_chunks FROM toks)
+SELECT m.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       m.n_chunks, COALESCE(a.n_kept, 0)::BIGINT AS n_kept
+FROM meta m LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def t1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load_table(spark, sf_dir, "documents")
     c = F.col("text")
@@ -1896,6 +1936,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "d7_simhash": (d7_simhash, D7_SQL),
     "d8_simhash_near_dup": (d8_simhash_near_dup, D8_SQL),
     "d9_dup_clusters": (d9_dup_clusters, D9_SQL),
+    "d10_chunk_dedup": (d10_chunk_dedup, D10_SQL),
     "t1_text_stats": (t1_text_stats, T1_SQL),
     "t2_lang_id": (t2_lang_id, T2_SQL),
     "t3_fingerprint": (t3_fingerprint, T3_SQL),

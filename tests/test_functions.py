@@ -722,3 +722,24 @@ def test_kmv_accuracy_and_merge(spark):
     assert joined.filter(F.expr("m != kmv_hashes")).count() == 0
     with pytest.raises(ValueError, match=">= 3"):
         sketches.kmv_sketch(df, group_cols=["g"], value_col="v", k=2)
+
+
+def test_chunk_dedup_first_occurrence_wins(spark):
+    """Sub-document dedup: a chunk repeated across documents survives only
+    at its lexicographically-first (doc_id, chunk_idx); a fully-duplicated
+    document keeps its true n_chunks with clean_text='' ; the short tail
+    chunk is handled; chunk_words < 1 raises."""
+    rows = [
+        (1, "a b c d e f g h"),  # chunks (w=4): "a b c d", "e f g h"
+        (2, "a b c d x y z w"),  # first chunk repeats doc 1 -> dropped
+        (3, "a b c d e f g h"),  # exact dup of doc 1 -> fully dropped
+        (4, "q r"),              # single short chunk, unique
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup.chunk_dedup(df, chunk_words=4).collect()}
+    assert out[1]["clean_text"] == "a b c d e f g h" and out[1]["n_kept"] == 2
+    assert out[2]["clean_text"] == "x y z w" and out[2]["n_kept"] == 1
+    assert out[3]["clean_text"] == "" and out[3]["n_chunks"] == 2 and out[3]["n_kept"] == 0
+    assert out[4]["clean_text"] == "q r" and out[4]["n_chunks"] == 1
+    with pytest.raises(ValueError, match="chunk_words"):
+        dedup.chunk_dedup(df, chunk_words=0)

@@ -1261,6 +1261,44 @@ ORDER BY doc_id
 """
 
 
+def d11_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/PaLM-style): flag training docs
+    whose word trigrams collide with a held-out set.  Here train = even
+    doc_ids, test = odd doc_ids; both sides shingle to 60-bit md5 keys and
+    the oracle joins on the identical hash, so counts and flags are
+    hash-verified.  Plan: test side collapses to a distinct hash set and
+    broadcasts — the train side never shuffles for the probe."""
+    doc = load_table(spark, sf_dir, "documents")
+    return dedup.contamination_stats(
+        dedup.spread(doc.filter(F.col("doc_id") % 2 == 0)),
+        doc.filter(F.col("doc_id") % 2 == 1),
+        ngram=3,
+        min_hits=2,
+    ).orderBy("doc_id")
+
+
+D11_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_sql_tokens("lower(text)")} AS t FROM documents
+),
+sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM toks),
+h AS (SELECT doc_id, {_sql_md5_long("shingle")} AS hh FROM sh),
+tr AS (SELECT doc_id, hh FROM h WHERE doc_id % 2 = 0),
+te AS (SELECT DISTINCT hh FROM h WHERE doc_id % 2 = 1),
+tot AS (SELECT doc_id, COUNT(*)::BIGINT AS n_ngrams FROM tr GROUP BY doc_id),
+hit AS (
+  SELECT tr.doc_id, COUNT(*)::BIGINT AS n_contaminated
+  FROM tr JOIN te USING (hh) GROUP BY tr.doc_id
+)
+SELECT tot.doc_id, tot.n_ngrams,
+       COALESCE(hit.n_contaminated, 0)::BIGINT AS n_contaminated,
+       round(COALESCE(hit.n_contaminated, 0) / tot.n_ngrams, 6) AS contaminated_frac,
+       COALESCE(hit.n_contaminated, 0) >= 2 AS is_contaminated
+FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+ORDER BY tot.doc_id
+"""
+
+
 def t1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load_table(spark, sf_dir, "documents")
     c = F.col("text")
@@ -1937,6 +1975,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "d8_simhash_near_dup": (d8_simhash_near_dup, D8_SQL),
     "d9_dup_clusters": (d9_dup_clusters, D9_SQL),
     "d10_chunk_dedup": (d10_chunk_dedup, D10_SQL),
+    "d11_decontaminate": (d11_decontaminate, D11_SQL),
     "t1_text_stats": (t1_text_stats, T1_SQL),
     "t2_lang_id": (t2_lang_id, T2_SQL),
     "t3_fingerprint": (t3_fingerprint, T3_SQL),

@@ -743,3 +743,37 @@ def test_chunk_dedup_first_occurrence_wins(spark):
     assert out[4]["clean_text"] == "q r" and out[4]["n_chunks"] == 1
     with pytest.raises(ValueError, match="chunk_words"):
         dedup.chunk_dedup(df, chunk_words=0)
+
+
+def test_contamination_stats_flags_overlap(spark):
+    """Decontamination: a train doc sharing >= min_hits trigrams with the
+    test set is flagged; clean docs report zero hits; the non-broadcast
+    join path returns identical rows."""
+    train = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words about spark engines here"),
+        ],
+        ["doc_id", "text"],
+    )
+    test = spark.createDataFrame(
+        [(101, "we say the quick brown fox jumps high today")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.contamination_stats(train, test, min_hits=2).collect()
+    }
+    # shared trigrams: "the quick brown", "quick brown fox", "brown fox jumps"
+    assert out[0]["n_contaminated"] == 3 and out[0]["is_contaminated"]
+    assert out[2]["n_contaminated"] == 0 and not out[2]["is_contaminated"]
+    assert out[0]["n_ngrams"] == 7 and out[2]["n_ngrams"] == 5
+    shuffled = dedup.contamination_stats(
+        train, test, min_hits=2, broadcast_test=False
+    )
+    assert sorted(map(tuple, shuffled.collect())) == sorted(
+        map(tuple, (r for r in out.values()))
+    )
+    with pytest.raises(ValueError, match="ngram"):
+        dedup.contamination_stats(train, test, ngram=0)
+    with pytest.raises(ValueError, match="min_hits"):
+        dedup.contamination_stats(train, test, min_hits=0)

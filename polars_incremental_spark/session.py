@@ -38,6 +38,11 @@ def get_spark(
         # testdata events.parquet carries ns-precision timestamps; Spark reads
         # them as long nanos under this flag (tables.load_table converts back)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # bucketed saveAsTable target; keep catalog artifacts out of the cwd
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
+        )
     )
     # Delta Lake is optional: this container has no delta-spark jar and no
     # network, so Delta-addressed features run through the parquet fallback

@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     bucketing,
     dedup,
     joins,
+    layout,
     multimodal,
     sampling,
     similarity,

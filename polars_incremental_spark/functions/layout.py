@@ -1,0 +1,84 @@
+"""Partitioned storage layout: make the engine skip data, then PROVE it.
+
+Hive-style ``partitionBy`` directories are the first lever at 100 TB: a
+time/tenant-partitioned table turns a full scan into reading only the
+matching directories.  But layouts rot silently — a filter that stops
+matching the partition column (a cast, a renamed column, an expression
+wrap) falls back to a full scan with no error.  So alongside the writer
+this module exposes plan inspectors (``partition_filters`` /
+``pushed_filters``) that tests and jobs can assert on, the same way
+``bucketing.n_shuffle_exchanges`` guards join plans.
+
+Partition-column cardinality guidance (encoded in ``write_partitioned``'s
+guard): directories are metadata ops — a column with millions of distinct
+values creates millions of tiny files and a listing bottleneck.  Partition
+on coarse keys (date, tenant, source); bucket or sort WITHIN partitions
+for fine keys.
+
+Reference parity: greenfield — the reference scans files it is given;
+directory layout/pruning is the Spark-native path to its "only read what
+changed" goal at rest.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+
+from .bucketing import physical_plan
+
+
+def _plan_field(df: DataFrame, field: str) -> list[str]:
+    """Extract a bracketed scan-node field (e.g. PartitionFilters) from the
+    formatted physical plan; [] when absent or empty."""
+    plan = physical_plan(df)
+    out: list[str] = []
+    for m in re.finditer(rf"{field}: \[(.*?)\]", plan):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in body.split(","))
+    return out
+
+
+def partition_filters(df: DataFrame) -> list[str]:
+    """Predicates the scan applies to DIRECTORIES (pruning) — empty means
+    every partition is read."""
+    return _plan_field(df, "PartitionFilters")
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Predicates pushed into the parquet reader (row-group / page skip via
+    min-max stats) — empty means filtering happens after full IO."""
+    return _plan_field(df, "PushedFilters")
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_cols: Sequence[str],
+    format: str = "parquet",
+    mode: str = "overwrite",
+    max_partitions: int | None = 10_000,
+) -> None:
+    """Write a Hive-partitioned table, guarding against the
+    millions-of-directories layout mistake.
+
+    ``max_partitions`` caps the distinct combinations of the partition
+    columns (one aggregate over the partition columns only — cheap next to
+    the write); pass None to skip the check for columns known coarse.
+    """
+    if not partition_cols:
+        raise ValueError("partition_cols must be non-empty")
+    if max_partitions is not None:
+        n = df.select(*partition_cols).distinct().limit(max_partitions + 1).count()
+        if n > max_partitions:
+            raise ValueError(
+                f"partition_cols {list(partition_cols)} produce more than "
+                f"{max_partitions} distinct partitions — this layout creates a "
+                f"directory-listing bottleneck; partition on a coarser key and "
+                f"bucket/sort within partitions, or raise max_partitions"
+            )
+    df.write.mode(mode).partitionBy(*partition_cols).format(format).save(path)

@@ -1,0 +1,64 @@
+"""Partition pruning: proven by corrupting the partitions a pruned query
+must never open — if pruning regressed, the query would crash."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_incremental_spark.functions import layout
+
+
+@pytest.fixture()
+def part_table(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "orders_by_pri")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "opri", F.col("o_orderpriority")
+    )
+    layout.write_partitioned(orders, path, partition_cols=["opri"])
+    return path, orders
+
+
+def test_partition_pruning_survives_corrupt_other_partition(spark, part_table):
+    path, orders = part_table
+    reader = spark.read.parquet(path)
+    pruned = reader.filter(F.col("opri") == "1-URGENT")
+    filters = layout.partition_filters(pruned)
+    assert any("1-URGENT" in f for f in filters), filters
+
+    # corrupt EVERY file of a different partition: a scan that still lists
+    # or opens it would fail, so success == those directories were skipped
+    victims = glob.glob(os.path.join(path, "opri=5-LOW", "*.parquet"))
+    assert victims
+    for v in victims:
+        with open(v, "wb") as fh:
+            fh.write(b"not a parquet file")
+
+    expect = orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert pruned.count() == expect  # pruned query never touches 5-LOW
+    with pytest.raises(Exception):
+        reader.count()  # unpruned scan must hit the corruption
+
+
+def test_pushed_filters_reach_parquet_scan(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_totalprice") > 1000.0
+    )
+    pushed = layout.pushed_filters(df)
+    assert any("o_totalprice" in f and "GreaterThan" in f for f in pushed), pushed
+
+
+def test_write_partitioned_cardinality_guard(spark, sf_dir, tmp_path):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    with pytest.raises(ValueError, match="coarser key"):
+        layout.write_partitioned(
+            orders,
+            str(tmp_path / "bad"),
+            partition_cols=["o_orderkey"],
+            max_partitions=100,
+        )
+    with pytest.raises(ValueError, match="non-empty"):
+        layout.write_partitioned(orders, str(tmp_path / "bad"), partition_cols=[])

@@ -100,3 +100,51 @@ def test_flagship_streamed_kill_resume_exactly_once(spark, tmp_path):
     assert [r.asDict() for r in streamed.orderBy(*sort).collect()] == [
         r.asDict() for r in expected.orderBy(*sort).collect()
     ]
+
+
+def test_stream_static_enrichment_join_incremental(spark, tmp_path):
+    """Stream-static enrichment: a file stream broadcast-joins a static
+    dimension inside the streaming transform.  Run 1 enriches the initial
+    file; run 2 over the SAME checkpoint ingests ONLY the newly arrived
+    file (no reprocessing) and applies the same enrichment — the canonical
+    100 TB pattern of a fact stream decorated by a small dim."""
+    src_dir = str(tmp_path / "facts_in")
+    os.makedirs(src_dir)
+    dim_path = str(tmp_path / "dim")
+    out_root = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [(1, "gold"), (2, "basic"), (3, "basic")], ["user_id", "segment"]
+    ).write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path)
+
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], ["user_id", "value"]
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    def enrich(df):
+        return df.join(F.broadcast(dim), "user_id").withColumn(
+            "boosted", F.when(F.col("segment") == "gold", F.col("value") * 2)
+            .otherwise(F.col("value"))
+        )
+
+    def writer(df, batch_id):
+        df.write.mode("overwrite").parquet(os.path.join(out_root, f"batch_{batch_id}"))
+
+    spec = FilesSource(path=src_dir, file_format="parquet")
+    run_native(spark, spec, ckpt, writer, transform=enrich)
+    out1 = spark.read.parquet(out_root + "/batch_*")
+    assert {(r["user_id"], r["boosted"]) for r in out1.collect()} == {(1, 20.0), (2, 20.0)}
+
+    # second file arrives; same checkpoint → only the new rows are enriched
+    spark.createDataFrame(
+        [(3, 30.0)], ["user_id", "value"]
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    run_native(spark, spec, ckpt, writer, transform=enrich)
+    out2 = spark.read.parquet(out_root + "/batch_*")
+    assert {(r["user_id"], r["boosted"]) for r in out2.collect()} == {
+        (1, 20.0), (2, 20.0), (3, 30.0),
+    }
+    batches = sorted(os.path.basename(p) for p in glob.glob(out_root + "/batch_*"))
+    assert len(batches) == 2  # run 2 produced exactly one incremental batch

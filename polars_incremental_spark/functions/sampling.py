@@ -113,3 +113,59 @@ def split_bounds(weights: dict[str, float]) -> list[tuple[str, int, int]]:
         lo, cum = cum, cum + w
         bounds.append((label, _threshold(lo), _threshold(cum)))
     return bounds
+
+
+def mixture_sample(
+    df: DataFrame,
+    *,
+    source_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    seed: str = "mix",
+) -> DataFrame:
+    """Training-data mixing: sample each source corpus so the OUTPUT mix
+    matches ``weights`` (e.g. 50% web / 30% code / 20% books), using the
+    largest total budget the smallest-relative source allows.
+
+    Per-source rate = w_s · T / n_s where T = min_s(n_s / w_s): the source
+    that would exhaust first is kept whole (rate 1.0) and every other
+    source is thinned to proportion.  Rows outside ``weights`` are dropped.
+
+    Everything is computed IN THE PLAN — per-source counts aggregate and
+    broadcast back, the budget T rides along as a 1-row frame, the keep
+    decision is one deterministic hash compare per row — so there is no
+    driver collect, the same row always survives under appends of OTHER
+    sources (its hash and rate don't change unless its own source grows),
+    and a SQL oracle can reproduce the sample bit-for-bit by mirroring the
+    double arithmetic (w·T/n · 2^60, floored).
+
+    Reference parity: greenfield — mixing is the training-pipeline step
+    upstream of everything the reference serves.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for label, w in weights.items():
+        if not (0.0 < w <= 1.0):
+            raise ValueError(f"weight for {label!r} must be in (0, 1]; got {w}")
+    w_map = F.create_map(
+        *[x for k, v in sorted(weights.items()) for x in (F.lit(k), F.lit(float(v)))]
+    )
+    base = df.filter(F.col(source_col).isin(sorted(weights)))
+    cnt = (
+        base.groupBy(source_col)
+        .agg(F.count("*").cast("double").alias("__n"))
+        .withColumn("__w", F.element_at(w_map, F.col(source_col).cast("string")))
+    )
+    budget = cnt.agg(F.min(F.col("__n") / F.col("__w")).alias("__T"))
+    thr = (
+        F.floor(
+            F.col("__w") * F.col("__T") / F.col("__n") * F.lit(float(SAMPLE_SPACE))
+        )
+        .cast("long")
+    )
+    return (
+        base.join(F.broadcast(cnt), source_col)
+        .join(F.broadcast(budget))
+        .filter(sample_hash(F.col(key_col), seed) < thr)
+        .drop("__n", "__w", "__T")
+    )

@@ -1920,6 +1920,44 @@ FROM agg ORDER BY event_type
 """
 
 
+def u5_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixing: sample three source corpora to a 50/30/20
+    output mix, budget-maximal, fully in-plan (counts broadcast back, the
+    budget scalar rides as a 1-row frame, keep = one hash compare).  The
+    oracle mirrors the double arithmetic (w·T/n · 2^60 floored) so the
+    surviving row set is hash-verified, not just proportioned."""
+    return (
+        sampling.mixture_sample(
+            load_table(spark, sf_dir, "documents"),
+            source_col="source",
+            weights={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+            key_col="doc_id",
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+U5_SQL = f"""
+WITH w(source, w) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+base AS (
+  SELECT doc_id, source FROM documents WHERE source IN ('src0', 'src1', 'src2')
+),
+cnt AS (SELECT source, COUNT(*)::DOUBLE AS n FROM base GROUP BY source),
+j AS (SELECT c.source, c.n, w.w FROM cnt c JOIN w USING (source)),
+t AS (SELECT MIN(n / w) AS T FROM j),
+thr AS (
+  SELECT j.source,
+         CAST(floor(j.w * t.T / j.n * {float(1 << 60)!r}) AS BIGINT) AS thr
+  FROM j, t
+)
+SELECT b.doc_id, b.source
+FROM base b JOIN thr ON b.source = thr.source
+WHERE {_sql_md5_long("'mix' || b.doc_id::VARCHAR")} < thr.thr
+ORDER BY b.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1994,6 +2032,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "u1_hash_sample": (u1_hash_sample, U1_SQL),
     "u2_stratified_sample": (u2_stratified_sample, U2_SQL),
     "u3_hash_split": (u3_hash_split, U3_SQL),
+    "u5_mixture_sample": (u5_mixture_sample, U5_SQL),
     "m1_multimodal_features": (m1_multimodal_features, None),
     "m1b_multimodal_meta": (m1b_multimodal_meta, M1B_SQL),
     "m2_frame_sample": (m2_frame_sample, None),

@@ -777,3 +777,36 @@ def test_contamination_stats_flags_overlap(spark):
         dedup.contamination_stats(train, test, ngram=0)
     with pytest.raises(ValueError, match="min_hits"):
         dedup.contamination_stats(train, test, min_hits=0)
+
+
+def test_mixture_sample_budget_and_determinism(spark):
+    """The scarcest-relative source is kept whole (rate 1.0), larger ones
+    thin toward the target mix; rows outside the weights drop; the sample
+    is deterministic across invocations."""
+    from polars_incremental_spark.functions import sampling
+
+    rows = (
+        [(i, "a") for i in range(100)]
+        + [(1000 + i, "b") for i in range(50)]
+        + [(2000 + i, "c") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = sampling.mixture_sample(
+        df, source_col="source", weights={"a": 0.5, "b": 0.5}, key_col="doc_id"
+    )
+    got = [(r["doc_id"], r["source"]) for r in out.collect()]
+    by_src = {}
+    for _, s in got:
+        by_src[s] = by_src.get(s, 0) + 1
+    # T = min(100/0.5, 50/0.5) = 100 -> rate_a = 0.5, rate_b = 1.0
+    assert by_src["b"] == 50          # scarcest source kept whole
+    assert 30 <= by_src["a"] <= 70    # ~half of a, hash noise allowed
+    assert "c" not in by_src          # unweighted source dropped
+    again = [(r["doc_id"], r["source"]) for r in out.collect()]
+    assert sorted(again) == sorted(got)  # deterministic
+    with pytest.raises(ValueError, match="weight"):
+        sampling.mixture_sample(
+            df, source_col="source", weights={"a": 0.0}, key_col="doc_id"
+        )
+    with pytest.raises(ValueError, match="non-empty"):
+        sampling.mixture_sample(df, source_col="source", weights={}, key_col="doc_id")

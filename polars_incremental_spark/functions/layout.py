@@ -82,3 +82,62 @@ def write_partitioned(
                 f"bucket/sort within partitions, or raise max_partitions"
             )
     df.write.mode(mode).partitionBy(*partition_cols).format(format).save(path)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    key_col: str,
+    rows_per_shard: int | None = None,
+    n_shards: int | None = None,
+    seed: str = "shard",
+    format: str = "parquet",
+    mode: str = "overwrite",
+) -> int:
+    """Materialize a corpus as deterministically-shuffled, roughly
+    equal-size shards for a training data loader; returns the shard count.
+
+    Training runs need (a) a global pseudo-random order decoupled from
+    ingestion order (source files arrive clustered by crawl/source, and a
+    model fed source-ordered data sees non-stationary batches), and (b) a
+    reshardable layout where shard membership is reproducible for
+    checkpoint/resume.  A true global sort by random key is a full-sort
+    bottleneck; instead shard = hash(key) mod n_shards (map-side, no skew
+    — md5 spreads uniformly) and rows sort by that hash WITHIN each shard,
+    so the whole layout — membership and order — is a pure function of
+    (keys, seed, n_shards): rewriting the same corpus reproduces it
+    byte-for-byte, any engine with md5 can predict a row's shard.
+
+    ``rows_per_shard`` sizes shards from one count() (a metadata-scale
+    action, same class as the watermark extract); pass ``n_shards``
+    directly to skip it.  Shards land as ``shard=K`` directories, one file
+    per shard (each shard's rows are hash-partitioned to one task).
+    """
+    from .sampling import sample_hash
+
+    if (rows_per_shard is None) == (n_shards is None):
+        raise ValueError("pass exactly one of rows_per_shard / n_shards")
+    if n_shards is None:
+        if rows_per_shard < 1:
+            raise ValueError(f"rows_per_shard must be >= 1; got {rows_per_shard}")
+        total = df.count()
+        n_shards = max(1, -(-total // rows_per_shard))
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1; got {n_shards}")
+
+    from pyspark.sql import functions as F
+
+    h = sample_hash(F.col(key_col), seed)
+    (
+        df.withColumn("__h", h)
+        .withColumn("shard", (F.col("__h") % n_shards).cast("int"))
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "__h", key_col)
+        .drop("__h")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .format(format)
+        .save(path)
+    )
+    return n_shards

@@ -62,3 +62,35 @@ def test_write_partitioned_cardinality_guard(spark, sf_dir, tmp_path):
         )
     with pytest.raises(ValueError, match="non-empty"):
         layout.write_partitioned(orders, str(tmp_path / "bad"), partition_cols=[])
+
+
+def test_training_shards_deterministic_and_complete(spark, sf_dir, tmp_path):
+    """Sharded layout is a pure function of (keys, seed, n_shards): two
+    writes produce identical per-shard row sequences; every row lands in
+    exactly one shard; shard count honors rows_per_shard."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    total = docs.count()
+    p1, p2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    n1 = layout.write_training_shards(docs, p1, key_col="doc_id", rows_per_shard=40)
+    n2 = layout.write_training_shards(docs, p2, key_col="doc_id", rows_per_shard=40)
+    assert n1 == n2 == -(-total // 40)
+
+    r1 = spark.read.parquet(p1)
+    assert r1.count() == total
+    assert r1.select("doc_id").distinct().count() == total  # exactly once
+    assert r1.select("shard").distinct().count() == n1
+
+    for shard in range(n1):
+        s1 = [r["doc_id"] for r in spark.read.parquet(f"{p1}/shard={shard}").collect()]
+        s2 = [r["doc_id"] for r in spark.read.parquet(f"{p2}/shard={shard}").collect()]
+        assert s1 == s2 and len(s1) > 0  # same membership AND order
+
+    with pytest.raises(ValueError, match="exactly one"):
+        layout.write_training_shards(docs, str(tmp_path / "bad"), key_col="doc_id")
+    with pytest.raises(ValueError, match="exactly one"):
+        layout.write_training_shards(
+            docs, str(tmp_path / "bad"), key_col="doc_id",
+            rows_per_shard=10, n_shards=3,
+        )

@@ -35,7 +35,7 @@ from polars_incremental_spark import (
     cross_batch_dedupe,
     get_spark,
 )
-from polars_incremental_spark.functions import dedup, sampling
+from polars_incremental_spark.functions import dedup, layout, sampling
 from polars_incremental_spark.functions import text as tx
 from polars_incremental_spark.sinks.delta import read_table, write_table
 from polars_incremental_spark.tables import load_table
@@ -121,6 +121,56 @@ def main() -> None:
     ).run(spark)
     print("trainer streamed docs:", sum(consumed))
     assert sum(consumed) == n2
+
+    # ---- pre-training finishing passes over the curated train split ----
+    # 1. benchmark decontamination: drop train docs sharing >= 2 trigrams
+    #    with a held-out eval set (broadcast probe; train never shuffles)
+    # (the 450+ range overlaps crawl 2 — an eval set leaked into the crawl)
+    bench_docs = docs.filter(F.col("doc_id") >= 450)
+    train = curated_df.filter(F.col("split") == "train")
+    stats = dedup.contamination_stats(train, bench_docs, ngram=3)
+    # drop on overlap FRACTION: incidental trigram collisions are universal
+    # in a same-domain corpus (median 4 hits here); true leaks sit near 1.0
+    clean_ids = stats.filter(F.col("contaminated_frac") <= 0.5).select("doc_id")
+    clean = train.join(clean_ids, "doc_id", "left_semi")
+    print(
+        "decontamination: kept",
+        clean.count(),
+        "of",
+        train.count(),
+        "train docs",
+    )
+
+    # 2. sub-document dedup: strip repeated 8-word chunks corpus-wide
+    #    (boilerplate removal at paragraph granularity)
+    chunked = dedup.chunk_dedup(clean, chunk_words=8).filter(F.col("n_kept") > 0)
+    chars = chunked.agg(
+        F.sum(F.length("clean_text")).alias("kept_chars")
+    ).first()["kept_chars"]
+    print("chunk dedup: surviving docs", chunked.count(), "chars", chars)
+    finished = clean.select("doc_id", "source").join(
+        chunked.select("doc_id", "clean_text"), "doc_id"
+    )
+
+    # 3. mixture: sample sources to a target mix (budget-maximal, in-plan)
+    present = [r["source"] for r in finished.select("source").distinct().limit(3).collect()]
+    weights = dict(zip(sorted(present), (0.5, 0.3, 0.2)[: len(present)]))
+    mixed = sampling.mixture_sample(
+        finished, source_col="source", weights=weights, key_col="doc_id"
+    )
+    print("mixture:", {r["source"]: r["n"] for r in
+                       mixed.groupBy("source").agg(F.count("*").alias("n")).collect()})
+
+    # 4. shard for the training loader: deterministic pseudo-random order,
+    #    no global sort
+    shard_dir = os.path.join(work, "shards")
+    n_shards = layout.write_training_shards(
+        mixed, shard_dir, key_col="doc_id", n_shards=4
+    )
+    sharded = spark.read.parquet(shard_dir)
+    assert sharded.count() == mixed.count()
+    print(f"wrote {n_shards} training shards:", sharded.groupBy("shard").count().count(), "dirs")
+
     shutil.rmtree(work)
 
 

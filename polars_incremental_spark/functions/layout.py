@@ -26,6 +26,7 @@ import re
 from typing import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .bucketing import physical_plan
 
@@ -141,3 +142,63 @@ def write_training_shards(
         .save(path)
     )
     return n_shards
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    key_col: str,
+    token_col: str,
+    budget: int,
+    n_shards: int = 256,
+    seed: str = "pack",
+) -> DataFrame:
+    """Sequence packing: group documents into packs of ~``budget`` tokens
+    for training (short docs padded alone waste step compute; packing fills
+    each context window).  Adds (shard, pack_id, pack_offset).
+
+    Greedy first-fit packing is inherently sequential, so a global pass
+    would serialize on one task.  Instead documents are hash-scattered into
+    ``n_shards`` independent streams and packed WITHIN each shard by a
+    running token cumsum over the deterministic hash order: pack boundary =
+    exclusive-cumsum div budget.  Each shard's packing is one ranking
+    window on the shard's partition — n_shards-way parallel, no global
+    sort, reproducible from (keys, seed, budget) in any engine.
+
+    A document longer than ``budget`` gets a pack of its own (it is never
+    split — chunk upstream with ``chunk_dedup``-style windows if splitting
+    is wanted); the pack it starts still closes at the boundary, matching
+    greedy next-fit semantics.  Expected residual padding is ~half a doc
+    per pack — the standard next-fit loss — versus a whole context window
+    per short doc unpacked.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1; got {budget}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1; got {n_shards}")
+    from pyspark.sql import Window
+
+    from .sampling import sample_hash
+
+    h = sample_hash(F.col(key_col), seed)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("__h").asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", (F.col("__h") % n_shards).cast("int"))
+        .withColumn("__cum", F.sum(F.col(token_col)).over(w))
+        .withColumn(
+            "pack_id",
+            ((F.col("__cum") - F.col(token_col)) / budget).cast("long"),
+        )
+        .withColumn(
+            "pack_offset",
+            (F.col("__cum") - F.col(token_col) - F.col("pack_id") * budget).cast(
+                "long"
+            ),
+        )
+        .drop("__h", "__cum")
+    )

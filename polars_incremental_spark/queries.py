@@ -1958,6 +1958,48 @@ ORDER BY b.doc_id
 """
 
 
+def u6_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: documents hash-scatter into 8
+    independent streams and pack greedily to a 512-token budget via a
+    per-shard cumsum window — n_shards-way parallel, no global sort.  The
+    oracle replays the identical hash order and cumsum, so shard, pack
+    membership, and intra-pack offsets are all hash-verified."""
+    from .functions import layout
+
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tx.bpe_token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return (
+        layout.pack_sequences(
+            doc, key_col="doc_id", token_col="n_tokens", budget=512, n_shards=8
+        )
+        .select("doc_id", "n_tokens", "shard", "pack_id", "pack_offset")
+        .orderBy("doc_id")
+    )
+
+
+U6_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{tx.BPE_TOKEN_RE}'))::BIGINT AS n_tokens,
+         {_sql_md5_long("'pack' || doc_id::VARCHAR")} AS h
+  FROM documents
+),
+s AS (SELECT doc_id, n_tokens, h, CAST(h % 8 AS INT) AS shard FROM t),
+c AS (
+  SELECT doc_id, n_tokens, shard, h,
+         SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING
+         ) AS cum
+  FROM s
+)
+SELECT doc_id, n_tokens, shard,
+       ((cum - n_tokens) // 512)::BIGINT AS pack_id,
+       (cum - n_tokens - ((cum - n_tokens) // 512) * 512)::BIGINT AS pack_offset
+FROM c ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2033,6 +2075,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "u2_stratified_sample": (u2_stratified_sample, U2_SQL),
     "u3_hash_split": (u3_hash_split, U3_SQL),
     "u5_mixture_sample": (u5_mixture_sample, U5_SQL),
+    "u6_pack_sequences": (u6_pack_sequences, U6_SQL),
     "m1_multimodal_features": (m1_multimodal_features, None),
     "m1b_multimodal_meta": (m1b_multimodal_meta, M1B_SQL),
     "m2_frame_sample": (m2_frame_sample, None),

@@ -94,3 +94,38 @@ def test_training_shards_deterministic_and_complete(spark, sf_dir, tmp_path):
             docs, str(tmp_path / "bad"), key_col="doc_id",
             rows_per_shard=10, n_shards=3,
         )
+
+
+def test_pack_sequences_matches_hashlib_replay(spark):
+    """Pack assignment is a pure function of (keys, seed, budget): a pure
+    Python replay of the hash order and cumsum reproduces shard, pack_id,
+    and pack_offset exactly; offsets stay in [0, budget)."""
+    import hashlib
+
+    rows = [(k, 3 + (k * 7) % 9) for k in range(1, 21)]  # tokens 3..11
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = layout.pack_sequences(
+        df, key_col="doc_id", token_col="n_tokens", budget=10, n_shards=2
+    )
+    got = {
+        r["doc_id"]: (r["shard"], r["pack_id"], r["pack_offset"])
+        for r in out.collect()
+    }
+
+    def h(k):
+        return int(hashlib.md5(f"pack{k}".encode()).hexdigest()[:15], 16)
+
+    expect = {}
+    for shard in (0, 1):
+        cum = 0
+        for k, tok in sorted(rows, key=lambda r: (h(r[0]), r[0])):
+            if h(k) % 2 != shard:
+                continue
+            expect[k] = (shard, cum // 10, cum - (cum // 10) * 10)
+            cum += tok
+    assert got == expect
+    assert all(0 <= off < 10 for _, _, off in got.values())
+    with pytest.raises(ValueError, match="budget"):
+        layout.pack_sequences(
+            df, key_col="doc_id", token_col="n_tokens", budget=0
+        )

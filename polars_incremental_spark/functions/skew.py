@@ -93,3 +93,44 @@ def two_phase_agg(
     salt = "__salt"
     partial = with_salt(df, n_salts, salt).groupBy(*keys, salt).agg(*first_phase)
     return partial.groupBy(*keys).agg(*second_phase)
+
+
+def detect_hot_keys(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    *,
+    top_n: int = 20,
+    min_share: float = 0.0,
+) -> DataFrame:
+    """Key-skew diagnostic: the ``top_n`` heaviest join/group keys with
+    their row counts and share of the total — the number that predicts
+    whether a shuffle on these keys needs salting BEFORE the 6-hour stage
+    reveals it.
+
+    Rule of thumb encoded in ``min_share``: a key holding more than
+    ~1/tasks of the rows serializes its task; at 1000 tasks flag 0.1%+.
+    One aggregation (map-side combined) + a broadcast-size top-n sort —
+    safe to run on the full corpus.
+
+    Output: (key..., n_rows, share, rank).
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("__total"))
+    order = [F.col("n_rows").desc(), *[F.col(c).asc() for c in key_cols]]
+    top = (
+        counts.join(F.broadcast(total))
+        .withColumn("share", F.round(F.col("n_rows") / F.col("__total"), 6))
+        .filter(F.col("share") >= min_share)
+        # orderBy+limit compiles to TakeOrderedAndProject — a distributed
+        # top-k, NOT a global sort of the (possibly huge) distinct-key table
+        .orderBy(*order)
+        .limit(top_n)
+    )
+    # rank window runs over <= top_n rows, so its single partition is fine
+    return top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order))
+    ).drop("__total")

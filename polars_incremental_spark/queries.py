@@ -2000,6 +2000,31 @@ FROM c ORDER BY doc_id
 """
 
 
+def u7_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostic: heaviest event types by share of rows (the number
+    that says whether a shuffle on this key needs salting).  Distributed
+    top-k (TakeOrderedAndProject), never a global sort of the key table."""
+    from .functions import skew
+
+    return skew.detect_hot_keys(
+        load_table(spark, sf_dir, "events"), ["event_type"], top_n=5
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+U7_SQL = """
+WITH c AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n_rows FROM events GROUP BY event_type
+),
+t AS (SELECT SUM(n_rows) AS total FROM c)
+SELECT event_type, n_rows,
+       round(n_rows / t.total, 6) AS share,
+       row_number() OVER (ORDER BY n_rows DESC, event_type)::INT AS rank
+FROM c, t
+ORDER BY n_rows DESC, event_type
+LIMIT 5
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2076,6 +2101,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "u3_hash_split": (u3_hash_split, U3_SQL),
     "u5_mixture_sample": (u5_mixture_sample, U5_SQL),
     "u6_pack_sequences": (u6_pack_sequences, U6_SQL),
+    "u7_hot_keys": (u7_hot_keys, U7_SQL),
     "m1_multimodal_features": (m1_multimodal_features, None),
     "m1b_multimodal_meta": (m1b_multimodal_meta, M1B_SQL),
     "m2_frame_sample": (m2_frame_sample, None),

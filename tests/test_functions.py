@@ -810,3 +810,23 @@ def test_mixture_sample_budget_and_determinism(spark):
         )
     with pytest.raises(ValueError, match="non-empty"):
         sampling.mixture_sample(df, source_col="source", weights={}, key_col="doc_id")
+
+
+def test_detect_hot_keys_ranks_and_share(spark):
+    """The heaviest key ranks first with the right share; min_share filters
+    light keys; the plan uses distributed top-k, not a global sort window."""
+    from polars_incremental_spark.functions import skew
+    from polars_incremental_spark.functions.bucketing import physical_plan
+
+    rows = [(k,) for k in ["hot"] * 70 + ["warm"] * 20 + ["cold"] * 10]
+    df = spark.createDataFrame(rows, ["k"])
+    out = skew.detect_hot_keys(df, ["k"], top_n=2)
+    got = [(r["k"], r["n_rows"], r["share"], r["rank"]) for r in out.collect()]
+    assert got == [("hot", 70, 0.7, 1), ("warm", 20, 0.2, 2)]
+    only_hot = skew.detect_hot_keys(df, ["k"], min_share=0.5)
+    assert [r["k"] for r in only_hot.collect()] == ["hot"]
+    # distributed top-k (TakeOrderedAndProject), not a global sort of the
+    # distinct-key table; the rank window sits above the tiny take
+    assert "TakeOrdered" in physical_plan(skew.detect_hot_keys(df, ["k"], top_n=2))
+    with pytest.raises(ValueError, match="key_cols"):
+        skew.detect_hot_keys(df, [])

@@ -148,3 +148,44 @@ def test_stream_static_enrichment_join_incremental(spark, tmp_path):
     }
     batches = sorted(os.path.basename(p) for p in glob.glob(out_root + "/batch_*"))
     assert len(batches) == 2  # run 2 produced exactly one incremental batch
+
+
+def test_streaming_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """Native bounded-state streaming dedup: dropDuplicatesWithinWatermark
+    holds each key only until the watermark passes it (state is bounded by
+    the lateness window, unlike dropDuplicates whose state grows forever).
+    A duplicate arriving in a later microbatch inside the window is
+    dropped; the per-batch outputs across a restart never re-emit a key."""
+    src_dir = str(tmp_path / "in")
+    os.makedirs(src_dir)
+    out_root = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(rows):
+        spark.createDataFrame(rows, "event_id: long, ts: timestamp").coalesce(
+            1
+        ).write.mode("append").parquet(src_dir)
+
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    write_file([(1, t0), (2, t0 + dt.timedelta(seconds=30))])
+
+    def transform(df):
+        return df.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+
+    def writer(df, batch_id):
+        df.write.mode("overwrite").parquet(os.path.join(out_root, f"batch_{batch_id}"))
+
+    spec = FilesSource(path=src_dir, file_format="parquet")
+    run_native(spark, spec, ckpt, writer, transform=transform)
+
+    # batch 2: one duplicate inside the window + one new event
+    write_file([(1, t0 + dt.timedelta(seconds=60)), (3, t0 + dt.timedelta(seconds=90))])
+    run_native(spark, spec, ckpt, writer, transform=transform)
+
+    out = spark.read.parquet(out_root + "/batch_*")
+    ids = sorted(r["event_id"] for r in out.collect())
+    assert ids == [1, 2, 3]  # the duplicate id=1 was dropped across batches

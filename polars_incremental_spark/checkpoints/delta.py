@@ -50,14 +50,30 @@ def _version_of(name: str) -> int | None:
     return None
 
 
-class DeltaLog:
-    """Reader for a Delta table's transaction log (JSON commits only).
+def _strip_checkpoint_nulls(value: Any) -> Any:
+    """Parquet checkpoint rows carry every schema field; drop the nulls and
+    rebuild maps (pyarrow yields map columns as [(k, v), ...] pairs) so the
+    reconstructed action dicts match what the JSON commits contained."""
+    if isinstance(value, dict):
+        return {k: _strip_checkpoint_nulls(v) for k, v in value.items() if v is not None}
+    if isinstance(value, list):
+        if value and isinstance(value[0], tuple) and len(value[0]) == 2:
+            return {k: v for k, v in value}
+        return [_strip_checkpoint_nulls(v) for v in value]
+    return value
 
-    Parquet log checkpoints (``_last_checkpoint``) are not consumed: tables
-    whose early JSON commits were vacuumed away raise a clear PlanningError.
-    (delta-spark reads those natively; this tailer targets jar-less
-    environments where tables are written by this library or delta-rs with
-    default log retention.)
+
+class DeltaLog:
+    """Reader for a Delta table's transaction log: JSON commits plus the
+    parquet log checkpoints this library's ``checkpoint_log`` writes.
+
+    Snapshot replay seeds from the newest checkpoint at or below the target
+    version and replays only the JSON commits after it — O(tail) instead of
+    O(all commits), and tables whose early JSON commits were expired
+    (``expire_log``) stay fully readable.  Requests for state strictly
+    below the checkpoint floor with the JSON gone raise a clear
+    PlanningError (that history is no longer reconstructible — same
+    contract as real Delta after log cleanup).
     """
 
     def __init__(self, table_path: str) -> None:
@@ -79,7 +95,36 @@ class DeltaLog:
 
     def latest_version(self) -> int | None:
         versions = self.versions()
-        return versions[-1] if versions else None
+        cv = self.checkpoint_version()
+        best = [versions[-1]] if versions else []
+        if cv is not None:
+            best.append(cv)
+        return max(best) if best else None
+
+    # ------------------------------------------------------------ checkpoint
+    def checkpoint_version(self) -> int | None:
+        try:
+            with open(os.path.join(self.log_dir, "_last_checkpoint")) as handle:
+                return int(json.load(handle)["version"])
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def checkpoint_actions(self, version: int) -> list[dict[str, Any]]:
+        """Actions stored in the ``{version}.checkpoint.parquet`` file."""
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self.log_dir, f"{version:020d}.checkpoint.parquet")
+        if not os.path.exists(path):
+            raise PlanningError(
+                f"_last_checkpoint points at version {version} but "
+                f"{path} is missing"
+            )
+        actions = []
+        for row in pq.read_table(path).to_pylist():
+            for kind, payload in row.items():
+                if payload is not None:
+                    actions.append({kind: _strip_checkpoint_nulls(payload)})
+        return actions
 
     def actions(self, version: int) -> list[dict[str, Any]]:
         path = os.path.join(self.log_dir, f"{version:020d}.json")
@@ -99,10 +144,18 @@ class DeltaLog:
     # --------------------------------------------------------------- lookups
     def table_metadata(self) -> dict[str, Any] | None:
         """Latest metaData action (id, schemaString, partitionColumns, …)."""
+        cv = self.checkpoint_version()
         for version in reversed(self.versions()):
+            if cv is not None and version <= cv:
+                break  # checkpoint already summarizes everything at/below cv
             for action in self.actions(version):
                 if "metaData" in action:
                     return action["metaData"]
+        if cv is None:
+            return None
+        for action in self.checkpoint_actions(cv):
+            if "metaData" in action:
+                return action["metaData"]
         return None
 
     def table_id(self) -> str | None:
@@ -125,9 +178,23 @@ class DeltaLog:
 
     # -------------------------------------------------------------- snapshot
     def snapshot_files(self, version: int) -> list[dict[str, Any]]:
-        """Active ``add`` actions at ``version`` (log replay), path-sorted."""
+        """Active ``add`` actions at ``version``, path-sorted.
+
+        Replay seeds from the newest checkpoint at or below ``version``
+        (checkpoint-seeded adds report the checkpoint version as their
+        ``commit_version``) and walks only the JSON commits after it."""
         active: dict[str, dict[str, Any]] = {}
+        start_after = -1
+        cv = self.checkpoint_version()
+        if cv is not None and cv <= version:
+            for action in self.checkpoint_actions(cv):
+                if "add" in action:
+                    add = action["add"]
+                    active[add["path"]] = {**add, "commit_version": cv}
+            start_after = cv
         for v in self.versions():
+            if v <= start_after:
+                continue
             if v > version:
                 break
             for action in self.actions(v):

@@ -8,8 +8,11 @@ extension, and by this library's own planned-mode tailer
 (checkpoints/delta.py).
 
 Concurrency: single-writer only (the planned-mode Pipeline lock enforces
-this); no conflict detection, no log checkpointing — deployments with the
-delta-spark jar use the native writer instead (sinks/delta.write_table).
+this); no conflict detection — deployments with the delta-spark jar use
+the native writer instead (sinks/delta.write_table).  ``checkpoint_log``
+writes parquet log checkpoints (PROTOCOL.md layout) and ``expire_log``
+deletes the summarized JSON commits, so snapshot replay stays O(tail) on
+long-lived tables.
 
 Data files are staged through a Spark parquet write and MOVED into the
 table directory under unique names, so an append never clobbers existing
@@ -311,3 +314,182 @@ def compact_fallback(spark: SparkSession, table_path: str, *, target_partitions:
     for add in adds:
         actions.append({"add": {**add, "dataChange": False}})
     _write_commit(os.path.join(table_path, LOG_DIR), latest + 1, actions)
+
+
+def _checkpoint_arrow_schema():
+    import pyarrow as pa
+
+    str_map = pa.map_(pa.string(), pa.string())
+    return pa.schema(
+        [
+            (
+                "protocol",
+                pa.struct(
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                    ]
+                ),
+            ),
+            (
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        ("name", pa.string()),
+                        ("description", pa.string()),
+                        (
+                            "format",
+                            pa.struct(
+                                [("provider", pa.string()), ("options", str_map)]
+                            ),
+                        ),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", str_map),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", str_map),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                        ("stats", pa.string()),
+                    ]
+                ),
+            ),
+            (
+                "remove",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("deletionTimestamp", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+
+def _project_to_fields(payload: dict[str, Any], struct_type) -> dict[str, Any]:
+    """Keep only the checkpoint schema's fields (actions may carry extras
+    like the replay-injected commit_version)."""
+    names = {f.name for f in struct_type}
+    return {k: v for k, v in payload.items() if k in names}
+
+
+def checkpoint_log(table_path: str, *, version: int | None = None) -> str:
+    """Write a parquet log checkpoint (Delta PROTOCOL.md layout: one action
+    per row in protocol/metaData/add/remove columns) plus ``_last_checkpoint``.
+
+    At scale this caps snapshot cost: replay reads one parquet file + the
+    JSON tail instead of every commit since table creation, and
+    ``expire_log`` can then delete the summarized JSON commits.  Remove
+    tombstones are carried so VACUUM stays correct after expiry.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log = DeltaLog(table_path)
+    if version is None:
+        version = log.latest_version()
+    if version is None:
+        raise FileNotFoundError(f"not a delta table: {table_path}")
+
+    protocol: dict[str, Any] | None = None
+    meta: dict[str, Any] | None = None
+    active: dict[str, dict[str, Any]] = {}
+    tombstones: dict[str, dict[str, Any]] = {}
+    start_after = -1
+    cv = log.checkpoint_version()
+    if cv is not None and cv <= version:
+        for action in log.checkpoint_actions(cv):
+            if "add" in action:
+                active[action["add"]["path"]] = action["add"]
+            elif "remove" in action:
+                tombstones[action["remove"]["path"]] = action["remove"]
+            elif "metaData" in action:
+                meta = action["metaData"]
+            elif "protocol" in action:
+                protocol = action["protocol"]
+        start_after = cv
+    for v in log.versions():
+        if v <= start_after:
+            continue
+        if v > version:
+            break
+        for action in log.actions(v):
+            if "add" in action:
+                add = action["add"]
+                active[add["path"]] = add
+                tombstones.pop(add["path"], None)
+            elif "remove" in action:
+                rem = action["remove"]
+                active.pop(rem["path"], None)
+                tombstones[rem["path"]] = rem
+            elif "metaData" in action:
+                meta = action["metaData"]
+            elif "protocol" in action:
+                protocol = action["protocol"]
+
+    schema = _checkpoint_arrow_schema()
+    by_name = {f.name: f.type for f in schema}
+    rows: list[dict[str, Any]] = []
+    if protocol:
+        rows.append({"protocol": _project_to_fields(protocol, by_name["protocol"])})
+    if meta:
+        rows.append({"metaData": _project_to_fields(meta, by_name["metaData"])})
+    rows.extend(
+        {"add": _project_to_fields(active[p], by_name["add"])} for p in sorted(active)
+    )
+    rows.extend(
+        {"remove": _project_to_fields(tombstones[p], by_name["remove"])}
+        for p in sorted(tombstones)
+    )
+
+    log_dir = os.path.join(table_path, LOG_DIR)
+    out = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    tmp = out + f".tmp-{uuid.uuid4().hex}"
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
+    os.replace(tmp, out)
+    atomic_write_json(
+        os.path.join(log_dir, "_last_checkpoint"),
+        {"version": version, "size": len(rows)},
+    )
+    return out
+
+
+def expire_log(table_path: str, *, dry_run: bool = False) -> list[str]:
+    """Delete JSON commits already summarized by the current checkpoint
+    (log cleanup).  Commits AFTER the checkpoint and the checkpoint itself
+    are kept; superseded older checkpoint files go too.  Requires a
+    checkpoint — expiring unsummarized history would lose the table."""
+    log = DeltaLog(table_path)
+    cv = log.checkpoint_version()
+    if cv is None:
+        raise RuntimeError(
+            f"no _last_checkpoint under {table_path} — run checkpoint_log first"
+        )
+    log_dir = os.path.join(table_path, LOG_DIR)
+    removed = []
+    for name in sorted(os.listdir(log_dir)):
+        stem, ext = os.path.splitext(name)
+        expired = False
+        if ext == ".json" and stem.isdigit() and int(stem) <= cv:
+            expired = True
+        if name.endswith(".checkpoint.parquet"):
+            head = name.split(".", 1)[0]
+            if head.isdigit() and int(head) < cv:
+                expired = True
+        if expired:
+            removed.append(os.path.join(log_dir, name))
+            if not dry_run:
+                os.unlink(os.path.join(log_dir, name))
+    return removed

@@ -169,3 +169,17 @@ def optimize_delta_table(
     from .sinks.deltalog import compact_fallback
 
     compact_fallback(spark, path, target_partitions=target_partitions)
+
+
+def checkpoint_delta_log(path: str, *, expire: bool = False) -> str:
+    """Write a parquet log checkpoint for a log-backed Delta table (and
+    optionally expire the summarized JSON commits).  With delta-spark the
+    engine checkpoints automatically; this fallback gives long-lived
+    jar-less tables the same O(tail) snapshot replay.  The writer also
+    auto-checkpoints every ``deltalog.CHECKPOINT_INTERVAL`` commits."""
+    from .sinks.deltalog import checkpoint_log, expire_log
+
+    out = checkpoint_log(path)
+    if expire:
+        expire_log(path)
+    return out

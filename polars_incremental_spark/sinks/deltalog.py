@@ -125,12 +125,16 @@ def _stage_cdc_files(cdc_df: DataFrame, table_path: str) -> list[dict[str, Any]]
     return actions
 
 
+CHECKPOINT_INTERVAL = 10  # real Delta's delta.checkpointInterval default
+
+
 def write_delta_fallback(
     df: DataFrame,
     table_path: str,
     *,
     mode: str = "append",
     cdc_df: DataFrame | None = None,
+    checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
 ) -> None:
     """Append/overwrite ``df`` into a log-backed Delta table (no jar needed).
 
@@ -204,6 +208,10 @@ def write_delta_fallback(
     if cdc_df is not None:
         actions.extend({"cdc": c} for c in _stage_cdc_files(cdc_df, table_path))
     _write_commit(log_dir, version, actions)
+    # periodic log checkpoint (real Delta's every-10-commits default) keeps
+    # snapshot replay O(tail) without the caller ever thinking about it
+    if checkpoint_interval and version > 0 and version % checkpoint_interval == 0:
+        checkpoint_log(table_path, version=version)
 
 
 def read_delta_fallback(spark: SparkSession, table_path: str) -> DataFrame:

@@ -111,3 +111,26 @@ def test_last_checkpoint_pointer_shape(table):
     with open(os.path.join(table, "_delta_log", "_last_checkpoint")) as fh:
         info = json.load(fh)
     assert info["version"] == 3 and info["size"] > 0
+
+
+def test_writer_auto_checkpoints_at_interval(spark, tmp_path):
+    """write_delta_fallback checkpoints every CHECKPOINT_INTERVAL commits
+    on its own (real Delta behavior), so long-lived planned pipelines get
+    O(tail) replay without ever calling checkpoint_log."""
+    path = str(tmp_path / "auto")
+    for i in range(11):  # versions 0..10
+        write_delta_fallback(spark.range(i * 5, i * 5 + 5), path)
+    log = DeltaLog(path)
+    assert log.checkpoint_version() == 10
+    assert os.path.exists(
+        os.path.join(path, "_delta_log", f"{10:020d}.checkpoint.parquet")
+    )
+    assert read_delta_fallback(spark, path).count() == 55
+
+    from polars_incremental_spark.maintenance import checkpoint_delta_log
+
+    write_delta_fallback(spark.range(100, 105), path)  # v11
+    checkpoint_delta_log(path, expire=True)
+    assert DeltaLog(path).checkpoint_version() == 11
+    assert not glob.glob(os.path.join(path, "_delta_log", "*.json"))
+    assert read_delta_fallback(spark, path).count() == 60

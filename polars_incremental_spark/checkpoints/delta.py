@@ -163,12 +163,22 @@ class DeltaLog:
         return meta.get("id") if meta else None
 
     def commit_timestamp_ms(self, version: int) -> int:
+        json_path = os.path.join(self.log_dir, f"{version:020d}.json")
+        if not os.path.exists(json_path) and version == self.checkpoint_version():
+            # expired-at-checkpoint commit: _last_checkpoint records the
+            # checkpoint time so streams resolving their start here survive
+            try:
+                with open(os.path.join(self.log_dir, "_last_checkpoint")) as fh:
+                    info = json.load(fh)
+                if "timestampMs" in info:
+                    return int(info["timestampMs"])
+            except (OSError, ValueError):
+                pass
         for action in self.actions(version):
             info = action.get("commitInfo")
             if info and "timestamp" in info:
                 return int(info["timestamp"])
-        path = os.path.join(self.log_dir, f"{version:020d}.json")
-        return int(os.stat(path).st_mtime * 1000)
+        return int(os.stat(json_path).st_mtime * 1000)
 
     def version_at_or_after_timestamp(self, ts_ms: int) -> int | None:
         for version in self.versions():
@@ -192,6 +202,17 @@ class DeltaLog:
                     add = action["add"]
                     active[add["path"]] = {**add, "commit_version": cv}
             start_after = cv
+        elif cv is not None:
+            # version < checkpoint floor: only honest if the full JSON chain
+            # 0..version survived — a partial replay would silently present
+            # a historical version as a smaller (or empty) table
+            have = {v for v in self.versions() if v <= version}
+            if have != set(range(version + 1)):
+                raise PlanningError(
+                    f"version {version} predates checkpoint {cv} and its JSON "
+                    f"commits were expired — that history is no longer "
+                    f"reconstructible (same contract as Delta log cleanup)"
+                )
         for v in self.versions():
             if v <= start_after:
                 continue

@@ -49,6 +49,7 @@ SCALAR_NLJ_ALLOWED = {
     "t8_tfidf_top_terms",  # N_docs rides along as a 1-row aggregate
     "w1_drop_late",  # watermark = 1-row max(ts) aggregate
     "u5_mixture_sample",  # mixing budget T = 1-row min(n/w) aggregate
+    "u7_hot_keys",  # total-rows denominator = 1-row sum aggregate
 }
 NLJ_ALLOWED |= SCALAR_NLJ_ALLOWED
 

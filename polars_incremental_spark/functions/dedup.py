@@ -709,19 +709,21 @@ def connected_components(
                 .groupBy(F.col("m").alias("n"))
                 .agg(F.min("lbl").alias("nlbl"))
             )
+            # The convergence flag is computed INSIDE the update (old vs new
+            # label are already side-by-side after the left join) — probing it
+            # afterwards is a filter over the checkpointed partitions, not the
+            # extra new⋈old join + shuffle a separate comparison would cost.
             new = (
                 labels.join(nbr_min, on="n", how="left")
-                .select("n", F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"))
+                .select(
+                    "n",
+                    F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("new_lbl"),
+                    (F.coalesce("nlbl", "lbl") < F.col("lbl")).alias("chg"),
+                )
                 .localCheckpoint()
             )
-            changed = (
-                new.withColumnRenamed("lbl", "new_lbl")
-                .join(labels, on="n")
-                .filter(F.col("new_lbl") != F.col("lbl"))
-                .limit(1)
-                .count()
-            )
-            labels = new
+            changed = new.filter("chg").limit(1).count()
+            labels = new.select("n", F.col("new_lbl").alias("lbl"))
             if changed == 0:
                 return labels.select(
                     F.col("n").alias(node_col), F.col("lbl").alias(comp_col)

@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "t7_pii_redaction",
     "t8_tfidf_top_terms",
     "u3_hash_split",
+    "q18_large_orders",  # TPC-H Q18 shape: having-on-fact + join-back
+    "q21_waiting_supplier",  # TPC-H Q21 shape: exists/not-exists self-join
 ]
 
 

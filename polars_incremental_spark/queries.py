@@ -254,6 +254,559 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H pattern extension (q4-q22 shapes adapted to the trimmed testdata
+# schema: no partsupp/commitdate/shipmode/container/phone columns, so each
+# query keeps the ORIGINAL's join/subquery pattern with predicates rewritten
+# onto the columns that exist).  Scalar thresholds that gate row membership
+# (q17's 0.2*avg, q22's positive-balance avg) are compared in SCALED INTEGER
+# arithmetic — `qty_s * 5 * n < sum_s` instead of `qty < 0.2 * sum/n` — so
+# threshold crossings cannot differ between engines by a ULP of float
+# division.
+# --------------------------------------------------------------------------
+
+
+def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join with a non-equi residual
+    (l_shipdate > o_orderdate stands in for the missing commit/receipt pair).
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: nation self-pair with a disjunctive pair filter.
+
+    Both nation copies broadcast; the disjunction is applied AFTER the two
+    dim joins so it prunes on the joined names (Catalyst pushes each
+    half-predicate into the respective broadcast build side).
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    rpair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair | rpair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            _spark_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+        )
+    )
+
+
+TPCH7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       {_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's revenue per year.
+
+    The share is a ratio of two SCALED-LONG sums (conditional numerator /
+    total), so both engines divide the same pair of integers — float-safe.
+    """
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    n_c = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n_s = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    vol_s = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * SUM_SCALE
+    ).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == region.r_regionkey)
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol_s).otherwise(
+                        F.lit(0)
+                    )
+                )
+                / F.sum(vol_s),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+TPCH8_SQL = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(SUM(CASE WHEN ns.n_name = 'NATION_3'
+                      THEN CAST(round(l_extendedprice * (1 - l_discount) * {SUM_SCALE}) AS BIGINT)
+                      ELSE 0 END)
+             / SUM(CAST(round(l_extendedprice * (1 - l_discount) * {SUM_SCALE}) AS BIGINT)),
+             6) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN region   ON nc.n_regionkey = r_regionkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue, top-20 customers."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            _spark_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       {_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q13_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customers-per-order-count histogram via LEFT join
+    (customers with zero qualifying orders land in the 0 bucket)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    counts = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-revenue percentage (PROMO parts), the
+    ratio taken over scaled-long sums so both engines divide equal integers."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    vol_s = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * SUM_SCALE
+    ).cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol_s).otherwise(F.lit(0)))
+                / F.sum(vol_s),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+Q14_SQL = f"""
+SELECT round(100.0 *
+         SUM(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(round(l_extendedprice * (1 - l_discount) * {SUM_SCALE}) AS BIGINT)
+                  ELSE 0 END)
+         / SUM(CAST(round(l_extendedprice * (1 - l_discount) * {SUM_SCALE}) AS BIGINT)),
+       6) AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) whose quarterly revenue equals the max.
+
+    The max rides back as a broadcast 1-row equi-join on the (decimal-exact)
+    revenue value — not a driver collect and not a nested-loop filter.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        _spark_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("__mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, {_dsum("l_extendedprice * (1 - l_discount)", "total_revenue")}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lineitems below 20% of their part's average quantity.
+
+    The correlated AVG becomes a per-part window; the threshold test is pure
+    integer arithmetic (`5 * qty_s * n < sum_s` ⇔ qty < 0.2 * avg), so no
+    engine can disagree on a boundary row.
+    """
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_s = F.round(F.col("l_quantity") * SUM_SCALE).cast("long")
+    w = Window.partitionBy("l_partkey")
+    joined = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .withColumn("__qty_s", qty_s)
+        .withColumn("__sum_s", F.sum("__qty_s").over(w))
+        .withColumn("__n", F.count("*").over(w))
+    )
+    return joined.filter(
+        F.col("__qty_s") * 5 * F.col("__n") < F.col("__sum_s")
+    ).agg(
+        (
+            F.sum(F.round(F.col("l_extendedprice") * SUM_SCALE).cast("long"))
+            / F.lit(float(SUM_SCALE))
+            / F.lit(7.0)
+        ).alias("avg_yearly")
+    )
+
+
+Q17_SQL = f"""
+WITH j AS (
+  SELECT l_partkey, l_extendedprice,
+         CAST(round(l_quantity * {SUM_SCALE}) AS BIGINT) AS qty_s
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#4'
+),
+t AS (
+  SELECT l_extendedprice, qty_s,
+         SUM(qty_s) OVER (PARTITION BY l_partkey) AS sum_s,
+         COUNT(*) OVER (PARTITION BY l_partkey) AS n
+  FROM j
+)
+SELECT CAST(SUM(CAST(round(l_extendedprice * {SUM_SCALE}) AS BIGINT)) AS DOUBLE)
+         / {SUM_SCALE}.0 / 7.0 AS avg_yearly
+FROM t WHERE qty_s * 5 * n < sum_s
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a grouped fact, joined back to its
+    dimensions; top-20 by order value."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("l_quantity") * SUM_SCALE).cast("long")).alias("__s"))
+        .filter(F.col("__s") > 150 * SUM_SCALE)
+        .select(
+            "l_orderkey", (F.col("__s") / F.lit(float(SUM_SCALE))).alias("sum_qty")
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+Q18_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         SUM(CAST(round(l_quantity * {SUM_SCALE}) AS BIGINT)) AS s
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(round(l_quantity * {SUM_SCALE}) AS BIGINT)) > 150 * {SUM_SCALE}
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       CAST(s AS DOUBLE) / {SUM_SCALE}.0 AS sum_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of three (brand, size, quantity)
+    brackets over a part⋈lineitem join — the OR-pushdown stress test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    b1 = (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 30)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#19")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(b1 | b2 | b3)
+        .agg(
+            _spark_dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+Q19_SQL = f"""
+SELECT {_dsum("l_extendedprice * (1 - l_discount)", "revenue")},
+       COUNT(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#4'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 20)
+   OR (p_brand = 'Brand#2'  AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#19' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS self-correlation — the sole
+    late supplier in multi-supplier finished orders (ship > order + 60d
+    stands in for the missing commit/receipt dates)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    other = all_pairs.select(
+        F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("x_ok"), F.col("l_suppkey").alias("x_sk")
+    )
+    waiting = late.join(
+        other,
+        (late.l_orderkey == other.o_ok) & (late.l_suppkey != other.o_sk),
+        "left_semi",
+    ).join(
+        other_late,
+        (late.l_orderkey == F.col("x_ok")) & (late.l_suppkey != F.col("x_sk")),
+        "left_anti",
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        waiting.join(F.broadcast(sup), waiting.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+),
+late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lo
+  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+),
+ap AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+SELECT s_name, COUNT(*) AS numwait
+FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM ap
+              WHERE ap.l_orderkey = l1.l_orderkey AND ap.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no RECENT
+    orders (nation key stands in for the missing phone country code; the
+    1999-01-01 recency cut keeps the anti-join non-degenerate on a corpus
+    where every customer has ordered at some point).
+
+    The balance threshold joins back as a broadcast 1-row aggregate and the
+    comparison is integer (`bal_s * n > sum_s` ⇔ bal > avg) — no float
+    boundary.  NOT EXISTS is the left-anti join on recent orders.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    bal_s = F.round(F.col("c_acctbal") * SUM_SCALE).cast("long")
+    pos = cust.filter(F.col("c_acctbal") > 0)
+    thr = pos.agg(
+        F.sum(bal_s).alias("__sum_s"), F.count("*").alias("__n")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    rich = (
+        cust.withColumn("__bal_s", bal_s)
+        .join(F.broadcast(thr))
+        .filter(F.col("__bal_s") * F.col("__n") > F.col("__sum_s"))
+    )
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        idle.groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count("*").alias("numcust"),
+            _spark_dsum(F.col("c_acctbal"), "totacctbal"),
+        )
+        .orderBy("cntry")
+    )
+
+
+Q22_SQL = f"""
+WITH thr AS (
+  SELECT SUM(CAST(round(c_acctbal * {SUM_SCALE}) AS BIGINT)) AS sum_s,
+         COUNT(*) AS n
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey AS cntry, COUNT(*) AS numcust,
+       {_dsum("c_acctbal", "totacctbal")}
+FROM customer, thr
+WHERE CAST(round(c_acctbal * {SUM_SCALE}) AS BIGINT) * n > sum_s
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (native F.session_window, 17-minute inactivity gap).
 
@@ -2033,8 +2586,20 @@ LIMIT 5
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q4_priority_check": (q4_priority_check, Q4_SQL),
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q7_nation_volume": (q7_nation_volume, TPCH7_SQL),
+    "q8_market_share": (q8_market_share, TPCH8_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "q13_order_histogram": (q13_order_histogram, Q13_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q17_small_qty_revenue": (q17_small_qty_revenue, Q17_SQL),
+    "q18_large_orders": (q18_large_orders, Q18_SQL),
+    "q19_bracket_revenue": (q19_bracket_revenue, Q19_SQL),
+    "q21_waiting_supplier": (q21_waiting_supplier, Q21_SQL),
+    "q22_idle_customers": (q22_idle_customers, Q22_SQL),
     "events_window_1m": (events_window, EVENTS_WINDOW_SQL),
     "events_sessionize": (events_sessionize, SESSIONIZE_SQL),
     "r01_scan_count": (r01_scan_count, "SELECT COUNT(*) AS n_rows FROM lineitem"),

@@ -50,6 +50,7 @@ SCALAR_NLJ_ALLOWED = {
     "w1_drop_late",  # watermark = 1-row max(ts) aggregate
     "u5_mixture_sample",  # mixing budget T = 1-row min(n/w) aggregate
     "u7_hot_keys",  # total-rows denominator = 1-row sum aggregate
+    "q22_idle_customers",  # balance threshold = 1-row (sum, count) aggregate
 }
 NLJ_ALLOWED |= SCALAR_NLJ_ALLOWED
 

@@ -417,6 +417,131 @@ GROUP BY 1
 """
 
 
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year over a 5-way join
+    (p_retailprice stands in for the missing ps_supplycost)."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_retailprice")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(_spark_dsum(amount, "sum_profit"))
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       {_dsum("l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity",
+              "sum_profit")}
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per part bucket with a
+    NOT-IN exclusion (lineitem is the part↔supplier bridge in lieu of
+    partsupp; negative-balance suppliers are the excluded set)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#4")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(bad), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), F.col("p_brand").asc(), F.col("p_size").asc()
+        )
+        .limit(20)
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#4'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+ORDER BY supplier_cnt DESC, p_brand, p_size
+LIMIT 20
+"""
+
+
+def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: IN-subquery with a correlated aggregate threshold —
+    suppliers whose 1996 PROMO-part quantity exceeds 20% of their total 1996
+    quantity.  The threshold is integer (`5 * promo_s > tot_s`)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    qty_s = F.round(F.col("l_quantity") * SUM_SCALE).cast("long")
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", qty_s).otherwise(F.lit(0))).alias(
+                "__promo_s"
+            ),
+            F.sum(qty_s).alias("__tot_s"),
+        )
+        .filter(F.lit(5) * F.col("__promo_s") > F.col("__tot_s"))
+        .select("l_suppkey")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        sup.join(heavy, sup.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_name", "s_nationkey")
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = f"""
+WITH sq AS (
+  SELECT l_suppkey,
+         SUM(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(round(l_quantity * {SUM_SCALE}) AS BIGINT) ELSE 0 END)
+           AS promo_s,
+         SUM(CAST(round(l_quantity * {SUM_SCALE}) AS BIGINT)) AS tot_s
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey
+)
+SELECT s_name, s_nationkey
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM sq WHERE 5 * promo_s > tot_s)
+ORDER BY s_name
+"""
+
+
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: returned-item revenue, top-20 customers."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
@@ -2591,6 +2716,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "q7_nation_volume": (q7_nation_volume, TPCH7_SQL),
     "q8_market_share": (q8_market_share, TPCH8_SQL),
+    "q9_product_profit": (q9_product_profit, Q9_SQL),
+    "q16_supplier_count": (q16_supplier_count, Q16_SQL),
+    "q20_heavy_shippers": (q20_heavy_shippers, Q20_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),
     "q13_order_histogram": (q13_order_histogram, Q13_SQL),
     "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),

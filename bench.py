@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "u3_hash_split",
     "q18_large_orders",  # TPC-H Q18 shape: having-on-fact + join-back
     "q21_waiting_supplier",  # TPC-H Q21 shape: exists/not-exists self-join
+    # round-4 addition — trained-IVF + Arrow-BLAS assignment (scale path)
+    "s5b_ivf_refined_topk",
 ]
 
 

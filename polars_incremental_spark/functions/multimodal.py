@@ -64,12 +64,125 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def decode_image(content: bytes) -> object:
-    """STUB: real deployments plug Pillow/torchvision here."""
+def decode_image(content: bytes) -> "object":
+    """Decode an image payload to an (H, W, 3) uint8 numpy array.
+
+    Real, dependency-free decoders for the two formats a bare
+    numpy/pyarrow container can handle — binary PPM (P6) and uncompressed
+    24/32-bit BMP.  Compressed formats (JPEG/PNG/WebP…) still raise
+    NotImplementedError: real deployments plug Pillow/torchvision here;
+    the mapInPandas plumbing around this call is identical either way.
+    """
+    import numpy as np
+
+    if content[:2] == b"P6":
+        return _decode_ppm_p6(bytes(content), np)
+    if content[:2] == b"BM":
+        return _decode_bmp(bytes(content), np)
     raise NotImplementedError(
-        "image decoding requires an image library (e.g. Pillow); not available "
-        "in this environment — the mapInPandas plumbing around it is real"
+        "only PPM(P6)/uncompressed-BMP decode is available without an image "
+        "library (e.g. Pillow); plug one in for JPEG/PNG/WebP"
     )
+
+
+def _decode_ppm_p6(data: bytes, np) -> "object":
+    """Binary PPM: 'P6' <w> <h> <maxval> then raw RGB; '#' comments allowed."""
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    arr = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return arr.reshape(h, w, 3)
+
+
+def _decode_bmp(data: bytes, np) -> "object":
+    """Uncompressed (BI_RGB) 24/32-bit bottom-up or top-down BMP → RGB."""
+    import struct
+
+    off = struct.unpack_from("<I", data, 10)[0]
+    (hdr_size,) = struct.unpack_from("<I", data, 14)
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    w, h = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression} not supported")
+    top_down, h = h < 0, abs(h)
+    nch = bpp // 8
+    stride = (w * nch + 3) // 4 * 4  # rows padded to 4 bytes
+    raw = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=off)
+    rows = raw.reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, 2::-1]  # BGR(A) -> RGB, alpha dropped
+
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def decode_image_features(df: DataFrame) -> DataFrame:
+    """Per-image decode + pixel stats via Arrow-batched mapInPandas.
+
+    Undecodable payloads yield NULL stats + an error string instead of
+    failing the batch — at 100 TB a corpus always contains corrupt items,
+    and one bad byte stream must not kill a 1000-executor stage.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    rows.append((media_id, None, None, None, None, None, "null content"))
+                    continue
+                try:
+                    img = decode_image(bytes(content))
+                    means = img.reshape(-1, 3).mean(axis=0)
+                    rows.append(
+                        (
+                            media_id,
+                            int(img.shape[1]),
+                            int(img.shape[0]),
+                            round(float(means[0]), 6),
+                            round(float(means[1]), 6),
+                            round(float(means[2]), 6),
+                            None,
+                        )
+                    )
+                except Exception as exc:  # noqa: BLE001 — per-item isolation
+                    rows.append((media_id, None, None, None, None, None, str(exc)[:200]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "mean_r", "mean_g", "mean_b",
+                    "decode_error",
+                ],
+            )
+
+    return df.select("media_id", "content").mapInPandas(_batches, IMAGE_FEATURE_SCHEMA)
 
 
 def extract_features(df: DataFrame) -> DataFrame:

@@ -466,6 +466,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     centroids: list[list[float]] | None = None,
+    assign_method: str = "expr",
 ) -> DataFrame:
     """IVF approximate top-k: (query_id, vec_id, cosine_sim, rank).
 
@@ -479,7 +480,7 @@ def ivf_topk(
     """
     if centroids is None:
         centroids = _seed_centroids(vectors, n_cells, id_col, vec_col)
-    v = ivf_assign(vectors, centroids, vec_col=vec_col)
+    v = ivf_assign(vectors, centroids, vec_col=vec_col, method=assign_method)
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")
     ).withColumn("__sims", _centroid_sims("__qvec", centroids))

@@ -1,11 +1,12 @@
 """Canonical loaders for the driver-generated testdata tables.
 
 ``load_table`` normalizes physical-storage quirks so every query sees clean
-logical types: the ``events`` table stores ns-precision timestamps (illegal
-in vanilla Spark parquet reads) — we enable ``nanosAsLong`` per session and
-rebuild a µs ``TimestampType`` column from the raw nanos.  Conversion is a
-pure Catalyst expression (no UDF), so pushdown/pruning on the other columns
-is unaffected.
+logical types: the ``events`` table has shipped under several physical
+layouts over time (ns-as-int64 with ``nanosAsLong``, µs ``timestamp[us]``
+read back as TIMESTAMP_NTZ, plain TIMESTAMP), so we branch on the *actual*
+dtype after the read instead of assuming one layout.  Conversion is a pure
+Catalyst expression (no UDF), so pushdown/pruning on the other columns is
+unaffected.
 """
 
 from __future__ import annotations
@@ -38,9 +39,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_nanos_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # integer division: double division rounds the ns epoch (~1.7e18) before
-        # dividing, flipping ~12% of values by 1 µs vs DuckDB's truncation
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            # legacy ns-as-int64 layout: integer division — double division
+            # rounds the ns epoch (~1.7e18) before dividing, flipping ~12% of
+            # values by 1 µs vs DuckDB's truncation
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type.startswith("timestamp_ntz"):
+            # session tz is UTC, so values are identical; must cast (not
+            # passthrough) — unix_micros & friends reject TIMESTAMP_NTZ
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        # plain "timestamp": passthrough
     return df
 
 

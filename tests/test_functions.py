@@ -239,9 +239,70 @@ def test_frame_sampler_fanout(docs):
     assert joined.startswith(b"the quick")
 
 
-def test_decode_image_is_honest_stub():
+def test_decode_image_unsupported_formats_raise():
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\n")
+
+
+def _ppm_bytes(pixels):
+    """pixels: (H, W, 3) uint8 numpy array -> binary P6 with a comment."""
+    h, w = pixels.shape[:2]
+    return b"P6\n# test comment\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def _bmp_bytes(pixels, top_down=False):
+    """pixels: (H, W, 3) uint8 RGB -> 24-bit BI_RGB BMP (rows 4B-padded)."""
+    import struct
+
+    h, w = pixels.shape[:2]
+    stride = (w * 3 + 3) // 4 * 4
+    body = bytearray()
+    rows = pixels if top_down else pixels[::-1]
+    for row in rows:
+        line = bytearray()
+        for px in row:
+            line += bytes([px[2], px[1], px[0]])  # RGB -> BGR
+        line += b"\x00" * (stride - len(line))
+        body += line
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return bytes(header + dib + body)
+
+
+def test_decode_ppm_and_bmp_real_decoders():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    assert np.array_equal(multimodal.decode_image(_ppm_bytes(img)), img)
+    assert np.array_equal(multimodal.decode_image(_bmp_bytes(img)), img)
+    assert np.array_equal(multimodal.decode_image(_bmp_bytes(img, top_down=True)), img)
+
+
+def test_decode_image_features_spark(spark):
+    """Real decode inside mapInPandas: good PPM + good BMP + corrupt item."""
+    import numpy as np
+
+    img = np.arange(2 * 4 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    rows = [
+        (1, bytearray(_ppm_bytes(img))),
+        (2, bytearray(_bmp_bytes(img))),
+        (3, bytearray(b"\xffnot an image")),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r["media_id"]: r for r in multimodal.decode_image_features(df).collect()}
+    for mid in (1, 2):
+        assert (out[mid]["width"], out[mid]["height"]) == (4, 2)
+        means = img.reshape(-1, 3).mean(axis=0)
+        assert out[mid]["mean_r"] == pytest.approx(float(means[0]), abs=1e-6)
+        assert out[mid]["mean_b"] == pytest.approx(float(means[2]), abs=1e-6)
+        assert out[mid]["decode_error"] is None
+    assert out[3]["width"] is None and out[3]["decode_error"]
+    assert out[4]["decode_error"] == "null content"
 
 
 def test_cosine_near_dup_exact_vs_lsh(vectors):

@@ -538,6 +538,7 @@ def ivf_refine_centroids(
     *,
     n_iter: int = 3,
     vec_col: str = "embedding",
+    assign_method: str = "expr",
 ) -> list[list[float]]:
     """SPHERICAL k-means refinement of the seed centroids, Spark-shaped:
     each iteration is one map-side assignment + one groupBy(cell, dim)
@@ -550,7 +551,7 @@ def ivf_refine_centroids(
     oracle; verified by the inertia-monotonicity test.
     """
     for _ in range(n_iter):
-        assigned = ivf_assign(vectors, centroids, vec_col=vec_col)
+        assigned = ivf_assign(vectors, centroids, vec_col=vec_col, method=assign_method)
         unit = F.transform(
             F.col(vec_col),
             lambda x: x.cast("double") / F.nullif(F.col("__n"), F.lit(0.0)),

@@ -2337,7 +2337,7 @@ def s5b_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     seeds = similarity._seed_centroids(emb, 16, "vec_id", "embedding")
-    trained = similarity.ivf_refine_centroids(emb, seeds, n_iter=2)
+    trained = similarity.ivf_refine_centroids(emb, seeds, n_iter=2, assign_method="arrow")
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import cdc, patterns
-from .functions import dedup, multimodal, sampling, similarity
+from .functions import curation, dedup, multimodal, sampling, similarity
 from .functions import text as tx
 from .functions.similarity import _hyperplane
 from .schema import apply_schema
@@ -1977,6 +1977,182 @@ ORDER BY tot.doc_id
 """
 
 
+def d12_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — the scale path of d11: the test-set
+    membership structure is a fixed ``m_bits``-size bloom (here 2^18 bits =
+    32 KiB) instead of an exact hash set that grows with the benchmark.
+    False positives are deterministic (salted-md5 double hashing), so the
+    oracle reproduces the bloom relationally and the flags hash-match
+    INCLUDING collisions."""
+    doc = load_table(spark, sf_dir, "documents")
+    return dedup.bloom_decontaminate(
+        dedup.spread(doc.filter(F.col("doc_id") % 2 == 0)),
+        doc.filter(F.col("doc_id") % 2 == 1),
+        ngram=3,
+        min_hits=2,
+        m_bits=1 << 18,
+        k_hashes=2,
+        probe="join",
+    ).orderBy("doc_id")
+
+
+_D12_M = 1 << 18
+D12_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_sql_tokens("lower(text)")} AS t FROM documents
+),
+sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM toks),
+te AS (SELECT shingle FROM sh WHERE doc_id % 2 = 1),
+bits AS (
+  SELECT DISTINCT p FROM (
+    SELECT {_sql_md5_long("(shingle || ':0')")} % {_D12_M} AS p FROM te
+    UNION ALL
+    SELECT {_sql_md5_long("(shingle || ':1')")} % {_D12_M} AS p FROM te
+  )
+),
+tr AS (
+  SELECT doc_id,
+         {_sql_md5_long("(shingle || ':0')")} % {_D12_M} AS p0,
+         {_sql_md5_long("(shingle || ':1')")} % {_D12_M} AS p1
+  FROM sh WHERE doc_id % 2 = 0
+),
+probed AS (
+  SELECT doc_id,
+         (p0 IN (SELECT p FROM bits) AND p1 IN (SELECT p FROM bits)) AS hit
+  FROM tr
+),
+agg AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_ngrams,
+         SUM(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT AS n_bloom_positive
+  FROM probed GROUP BY doc_id
+)
+SELECT doc_id, n_ngrams, n_bloom_positive,
+       round(n_bloom_positive / n_ngrams, 6) AS positive_frac,
+       n_bloom_positive >= 2 AS is_flagged
+FROM agg ORDER BY doc_id
+"""
+
+
+def d13_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup: d9's MinHash-LSH clusters resolved to a
+    DEDUPED CORPUS — every clustered doc except its cluster's min-id
+    canonical member is dropped, unclustered docs pass through.  The
+    oracle recomputes the clusters via recursive-CTE transitive closure
+    and anti-joins identically, so the surviving doc set is hash-checked."""
+    doc = load_table(spark, sf_dir, "documents")
+    clusters = dedup.connected_components(
+        dedup.minhash_lsh_pairs(doc, threshold=0.12)
+    )
+    return (
+        dedup.keep_canonical(doc, clusters)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+D13_SQL = f"""
+WITH RECURSIVE {_SQL_SHINGLE_CTE},
+{_SQL_H32_CTE},
+sigs AS (SELECT doc_id, {_SQL_MINHASH_MINS} FROM sh32 GROUP BY doc_id),
+bands AS ({_SQL_BANDS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+p AS (SELECT doc_id, {_sql_md5_long("shingle")} AS h FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM p GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN p pa ON pa.doc_id = c.id_a
+  JOIN p pb ON pb.doc_id = c.id_b AND pb.h = pa.h
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b, round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+),
+pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.12),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clusters AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b))::BIGINT AS cluster_id
+  FROM reach GROUP BY a
+),
+dropped AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+ORDER BY d.doc_id
+"""
+
+
+def t9_curate_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-3 documents by quality score — the curation
+    selection step, run through the SKEW-SAFE two-phase grouped_topk (a
+    corpus groups into a handful of languages; a plain per-lang window
+    would funnel the whole corpus through those few reducer keys).  The
+    salted two-phase form is provably identical to the plain window, which
+    is exactly what the oracle runs."""
+    doc = load_table(spark, sf_dir, "documents")
+    scored = doc.select(
+        "lang", "doc_id", tx.quality_score(F.col("text")).alias("quality")
+    )
+    return curation.grouped_topk(
+        scored,
+        ["lang"],
+        [F.col("quality").desc(), F.col("doc_id").asc()],
+        3,
+        salt_col="doc_id",
+        n_salts=16,
+    ).select(
+        "lang", "doc_id", "quality", F.col("rank").cast("int").alias("rank")
+    ).orderBy("lang", "rank")
+
+
+T9_SQL = f"""
+WITH base AS (
+  SELECT lang, doc_id,
+         len({_sql_tokens("text")})::BIGINT AS n_tokens,
+         length(regexp_replace(text, '\\s', '', 'g'))::BIGINT AS n_nonspace,
+         len(regexp_extract_all(text, '[^\\w\\s]'))::BIGINT AS n_punct,
+         length(text)::BIGINT AS n_chars,
+         {_sql_stopword_count("en")}::BIGINT AS n_stop
+  FROM documents
+),
+scored AS (
+  SELECT lang, doc_id,
+         round(
+           (CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END)
+           + least(round(n_stop / greatest(n_tokens, 1), 6) * 4, 0.3::DOUBLE)
+           + 0.3::DOUBLE
+           - least(round(n_punct / greatest(n_chars, 1), 6) * 2, 0.3::DOUBLE), 6
+         ) AS quality
+  FROM base
+),
+ranked AS (
+  SELECT lang, doc_id, quality,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY quality DESC, doc_id ASC
+         )::INT AS rank
+  FROM scored
+)
+SELECT lang, doc_id, quality, rank FROM ranked WHERE rank <= 3
+ORDER BY lang, rank
+"""
+
+
 def t1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load_table(spark, sf_dir, "documents")
     c = F.col("text")
@@ -2839,6 +3015,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "m1_multimodal_features": (m1_multimodal_features, None),
     "m2_frame_sample": (m2_frame_sample, None),
     "s5b_ivf_refined_topk": (s5b_ivf_refined_topk, None),
+    # --- round-4 additions (rotate into the graded window next round) ---
+    "d12_bloom_decontaminate": (d12_bloom_decontaminate, D12_SQL),
+    "d13_dedup_canonical": (d13_dedup_canonical, D13_SQL),
+    "t9_curate_topk": (t9_curate_topk, T9_SQL),
 }
 
 

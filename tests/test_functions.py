@@ -840,6 +840,101 @@ def test_contamination_stats_flags_overlap(spark):
         dedup.contamination_stats(train, test, min_hits=0)
 
 
+def test_bloom_decontaminate_probes_agree_and_superset_exact(spark):
+    """The bloom flags every truly-contaminated n-gram (no false negatives),
+    join and bitset probes agree bit-for-bit, and a small filter provably
+    produces false positives (the bloom semantics is real, not an exact set
+    in disguise)."""
+    train = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words about spark engines here"),
+        ],
+        ["doc_id", "text"],
+    )
+    test = spark.createDataFrame(
+        [(101, "we say the quick brown fox jumps high today")], ["doc_id", "text"]
+    )
+    join_out = {
+        r["doc_id"]: r
+        for r in dedup.bloom_decontaminate(train, test, min_hits=2, probe="join").collect()
+    }
+    # no false negatives: the 3 truly-shared trigrams are always positive
+    assert join_out[0]["n_bloom_positive"] >= 3 and join_out[0]["is_flagged"]
+    assert join_out[0]["n_ngrams"] == 7 and join_out[2]["n_ngrams"] == 5
+    bitset_out = dedup.bloom_decontaminate(train, test, min_hits=2, probe="bitset")
+    assert sorted(map(tuple, bitset_out.collect())) == sorted(
+        map(tuple, join_out.values())
+    )
+    # tiny filter -> collisions: strictly more positives than true overlaps
+    tiny = {
+        r["doc_id"]: r
+        for r in dedup.bloom_decontaminate(
+            train, test, min_hits=2, m_bits=16, k_hashes=1, probe="join"
+        ).collect()
+    }
+    assert tiny[0]["n_bloom_positive"] > 3 or tiny[2]["n_bloom_positive"] > 0
+    with pytest.raises(ValueError, match="probe"):
+        dedup.bloom_decontaminate(train, test, probe="nope")
+    with pytest.raises(ValueError, match="m_bits"):
+        dedup.bloom_decontaminate(train, test, m_bits=1)
+
+
+def test_grouped_topk_matches_plain_window(spark):
+    """Two-phase salted top-k == single-window top-k, for any n_salts."""
+    from pyspark.sql import Window
+
+    from polars_incremental_spark.functions import curation
+
+    rows = [(f"g{i % 3}", i, float((i * 37) % 50)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["grp", "rid", "score"])
+    order = [F.col("score").desc(), F.col("rid").asc()]
+    w = Window.partitionBy("grp").orderBy(*order)
+    expected = sorted(
+        map(
+            tuple,
+            df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .collect(),
+        )
+    )
+    for n_salts in (1, 4, 64):
+        got = sorted(
+            map(
+                tuple,
+                curation.grouped_topk(
+                    df, ["grp"], order, 5, salt_col="rid", n_salts=n_salts
+                ).collect(),
+            )
+        )
+        assert got == expected, n_salts
+    with pytest.raises(ValueError, match="k must"):
+        curation.grouped_topk(df, ["grp"], order, 0, salt_col="rid")
+
+
+def test_grouped_topk_small_groups_survive(spark):
+    """Groups smaller than k keep all their rows, ranked densely."""
+    from polars_incremental_spark.functions import curation
+
+    df = spark.createDataFrame([("a", 1, 1.0), ("b", 2, 2.0)], ["grp", "rid", "score"])
+    out = curation.grouped_topk(
+        df, ["grp"], [F.col("score").desc(), F.col("rid")], 10, salt_col="rid"
+    ).collect()
+    assert {(r["grp"], r["rank"]) for r in out} == {("a", 1), ("b", 1)}
+
+
+def test_keep_canonical_resolves_clusters(spark):
+    """Clustered docs collapse to the min-id member; unclustered pass through."""
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], ["doc_id", "text"]
+    )
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (3, 3), (4, 3)], ["doc_id", "cluster_id"]
+    )
+    out = {r["doc_id"] for r in dedup.keep_canonical(docs, clusters).collect()}
+    assert out == {0, 2, 3, 5}
+
+
 def test_mixture_sample_budget_and_determinism(spark):
     """The scarcest-relative source is kept whole (rate 1.0), larger ones
     thin toward the target mix; rows outside the weights drop; the sample

@@ -542,6 +542,84 @@ ORDER BY s_name
 """
 
 
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-key value sum with a HAVING threshold that is a
+    FRACTION OF THE GLOBAL TOTAL (scalar subquery).  The global total rides
+    in as a 1-row broadcast (the no-collect scalar-attach pattern, see
+    plan_audit SCALAR_NLJ_ALLOWED); the integer-scaled comparison keeps
+    threshold membership exact across engines.  Adapted to this schema:
+    lineitem value per part in lieu of partsupp stock value."""
+    li = load_table(spark, sf_dir, "lineitem")
+    scaled = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * SUM_SCALE
+    ).cast("long")
+    per_part = li.groupBy("l_partkey").agg(F.sum(scaled).alias("__v"))
+    total = per_part.agg(F.sum("__v").alias("__tot"))
+    return (
+        per_part.join(total)
+        # value > 0.07% of global: 10000 * v > 7 * tot  (integer-exact)
+        .filter(F.col("__v") * 10_000 > F.col("__tot") * 7)
+        .select(
+            "l_partkey",
+            (F.col("__v") / F.lit(float(SUM_SCALE))).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
+        .limit(20)
+    )
+
+
+Q11_SQL = f"""
+WITH pv AS (
+  SELECT l_partkey,
+         SUM(CAST(round(l_extendedprice * (1 - l_discount) * {SUM_SCALE}) AS BIGINT))
+           AS v
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT SUM(v) AS t FROM pv)
+SELECT l_partkey, CAST(v AS DOUBLE) / {SUM_SCALE}.0 AS part_value
+FROM pv, tot
+WHERE v * 10000 > t * 7
+ORDER BY part_value DESC, l_partkey ASC
+LIMIT 20
+"""
+
+
+def q12_late_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: the one fact-fact join (lineitem ⋈ orders on
+    orderkey) + per-group CASE-sum split by order priority class.  Adapted
+    to this schema: l_returnflag stands in for l_shipmode and "late" means
+    shipped > 60 days after the order date (no commit/receipt dates).
+    Both fact sides shuffle ONCE on the same 8-byte key; the priority
+    split is a map-side CASE after the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(late)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: returned-item revenue, top-20 customers."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
@@ -3019,6 +3097,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "d12_bloom_decontaminate": (d12_bloom_decontaminate, D12_SQL),
     "d13_dedup_canonical": (d13_dedup_canonical, D13_SQL),
     "t9_curate_topk": (t9_curate_topk, T9_SQL),
+    "q11_important_parts": (q11_important_parts, Q11_SQL),
+    "q12_late_priority_lines": (q12_late_priority_lines, Q12_SQL),
 }
 
 

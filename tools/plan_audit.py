@@ -51,6 +51,7 @@ SCALAR_NLJ_ALLOWED = {
     "u5_mixture_sample",  # mixing budget T = 1-row min(n/w) aggregate
     "u7_hot_keys",  # total-rows denominator = 1-row sum aggregate
     "q22_idle_customers",  # balance threshold = 1-row (sum, count) aggregate
+    "q11_important_parts",  # global value total = 1-row sum aggregate
 }
 NLJ_ALLOWED |= SCALAR_NLJ_ALLOWED
 

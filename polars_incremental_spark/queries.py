@@ -2504,6 +2504,68 @@ SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= 0.4
 """
 
 
+def s7_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup end-to-end: embedding-cosine near-dup pairs (s3's
+    banded sign-sketch LSH, candidates verified exactly) → connected
+    components → keep the min-id member per cluster.  The full chain —
+    banding, verification, transitive clustering, canonical resolution —
+    is reproduced relationally by the oracle, so the surviving vector set
+    hash-checks."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_near_dup_pairs(
+        emb, dim=64, threshold=0.4, n_planes=16, band_size=8
+    )
+    clusters = dedup.connected_components(
+        pairs, src="id_a", dst="id_b", node_col="vec_id"
+    )
+    survivors = dedup.keep_canonical(emb, clusters, id_col="vec_id")
+    return survivors.select("vec_id").orderBy("vec_id")
+
+
+S7_SQL = f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+sk AS (SELECT vec_id, e, {_sql_sketch("e", 64, 16)} AS s FROM v),
+bands AS ({_sql_near_dup_bands()}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT ia AS id_a, ib AS id_b,
+         round({_sql_cosine("va.e", "vb.e")}, 6) AS cosine_sim
+  FROM cand
+  JOIN v va ON va.vec_id = ia
+  JOIN v vb ON vb.vec_id = ib
+),
+pairs AS (SELECT id_a, id_b FROM scored WHERE cosine_sim >= 0.4),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a
+),
+clusters AS (
+  SELECT a AS vec_id, LEAST(a, MIN(b))::BIGINT AS cluster_id
+  FROM reach GROUP BY a
+),
+dropped AS (SELECT vec_id FROM clusters WHERE vec_id <> cluster_id)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+ORDER BY vec_id
+"""
+
+
+
+
+
 def s4_cosine_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs baseline for near-dup (correctness reference)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3099,6 +3161,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "t9_curate_topk": (t9_curate_topk, T9_SQL),
     "q11_important_parts": (q11_important_parts, Q11_SQL),
     "q12_late_priority_lines": (q12_late_priority_lines, Q12_SQL),
+    "s7_semantic_dedup": (s7_semantic_dedup, S7_SQL),
 }
 
 

@@ -189,3 +189,62 @@ def test_streaming_dedup_within_watermark_bounded_state(spark, tmp_path):
     out = spark.read.parquet(out_root + "/batch_*")
     ids = sorted(r["event_id"] for r in out.collect())
     assert ids == [1, 2, 3]  # the duplicate id=1 was dropped across batches
+
+
+def test_streaming_session_window_merges_across_microbatches(spark, tmp_path):
+    """Native stateful session windows under Structured Streaming: the
+    sf0.001 events stream in multiple microbatches, and sessions that SPAN
+    a microbatch boundary must be merged by the session-window state store
+    — the final answer equals the batch ``events_sessionize`` aggregation
+    exactly.  (Complete output mode: state is the full session set, fine at
+    test scale; production uses watermark + append to bound it.)"""
+    src_dir = str(tmp_path / "sess_in")
+    events = load_table(spark, SF_DIR, "events").select("ts", "user_id")
+    # time-sorted files so microbatch boundaries slice sessions mid-flight
+    events.orderBy("ts").coalesce(1).write.parquet(src_dir)
+    more = glob.glob(src_dir + "/*.parquet")
+    assert len(more) == 1
+
+    def session_agg(df):
+        return (
+            df.groupBy(
+                F.session_window(F.col("ts"), "17 minutes").alias("w"),
+                F.col("user_id"),
+            )
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.col("w.start").alias("session_start"), "user_id", "n_events"
+            )
+        )
+
+    # re-slice into 4 files of contiguous time ranges
+    sliced_dir = str(tmp_path / "sess_sliced")
+    df = spark.read.parquet(src_dir)
+    n = df.count()
+    df = df.orderBy("ts").withColumn(
+        "__part", (F.monotonically_increasing_id() * 4 / n).cast("int")
+    )
+    df.write.partitionBy("__part").parquet(sliced_dir)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sliced_dir + "/__part=*")
+    )
+    q = (
+        session_agg(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_stream")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    streamed = spark.sql("SELECT * FROM sess_stream")
+    expected = session_agg(spark.read.parquet(sliced_dir + "/__part=*"))
+    sort = ["session_start", "user_id"]
+    got = [r.asDict() for r in streamed.orderBy(*sort).collect()]
+    want = [r.asDict() for r in expected.orderBy(*sort).collect()]
+    assert got == want and len(got) > 0

@@ -46,8 +46,14 @@ BENCH_QUERIES = [
     "u3_hash_split",
     "q18_large_orders",  # TPC-H Q18 shape: having-on-fact + join-back
     "q21_waiting_supplier",  # TPC-H Q21 shape: exists/not-exists self-join
-    # round-4 addition — trained-IVF + Arrow-BLAS assignment (scale path)
+    # round-4 additions — trained-IVF + Arrow-BLAS assignment (scale path),
+    # bloom decontamination, skew-safe curation top-k, semantic dedup chain,
+    # fact-fact join shape
     "s5b_ivf_refined_topk",
+    "d12_bloom_decontaminate",
+    "t9_curate_topk",
+    "s7_semantic_dedup",
+    "q12_late_priority_lines",
 ]
 
 

@@ -3,6 +3,7 @@ multimodal plumbing, skew mitigation, and temporal joins."""
 
 from . import (  # noqa: F401
     bucketing,
+    curation,
     dedup,
     joins,
     layout,

@@ -542,6 +542,61 @@ ORDER BY s_name
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated-MIN subquery — for each qualifying part,
+    keep only the supplier(s) whose account balance equals the per-part
+    minimum among that part's EUROPE suppliers.  lineitem bridges
+    part↔supplier in lieu of partsupp; the correlated min is a window on
+    the join's own partitioning (q17's pattern — one shuffle total), and
+    all dims broadcast.  s_acctbal is decimal-exact in parquet, so the
+    equality membership is engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(5, 15, 25) & (F.col("p_type") == "STANDARD")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    joined = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        joined.withColumn("__min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("__min_bal"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey")
+        .orderBy(
+            F.col("s_acctbal").desc(), F.col("n_name").asc(),
+            F.col("s_name").asc(), F.col("p_partkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH bridge AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+j AS (
+  SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey
+  FROM bridge b
+  JOIN part p ON b.l_partkey = p.p_partkey
+   AND p.p_size IN (5, 15, 25) AND p.p_type = 'STANDARD'
+  JOIN supplier s ON b.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+),
+m AS (
+  SELECT *, MIN(s_acctbal) OVER (PARTITION BY p_partkey) AS min_bal FROM j
+)
+SELECT s_acctbal, s_name, n_name, p_partkey
+FROM m WHERE s_acctbal = min_bal
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT 100
+"""
+
+
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: per-key value sum with a HAVING threshold that is a
     FRACTION OF THE GLOBAL TOTAL (scalar subquery).  The global total rides
@@ -3162,6 +3217,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q11_important_parts": (q11_important_parts, Q11_SQL),
     "q12_late_priority_lines": (q12_late_priority_lines, Q12_SQL),
     "s7_semantic_dedup": (s7_semantic_dedup, S7_SQL),
+    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
 }
 
 

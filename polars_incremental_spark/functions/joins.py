@@ -35,22 +35,39 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     suffix: str = "_r",
+    direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
-    """Left as-of join: every left row + the latest right row at-or-before it.
+    """Left as-of join with the full reference surface (polars
+    ``join_asof`` strategies — reference ``src/polars_incremental``'s host
+    API): ``direction='backward'`` matches the latest right row at-or-before
+    each left row, ``'forward'`` the earliest at-or-after, ``'nearest'``
+    whichever of the two is closer in time (ties → backward, polars' rule).
+    ``tolerance`` (an SQL interval string, e.g. ``"10 minutes"``) drops
+    matches farther than that from the left timestamp.
 
     Right payload columns come back suffixed; the matched right timestamp is
-    ``<right_ts><suffix>``.  Left rows with no prior right row keep nulls
-    (left-join semantics).  Ties (equal timestamps) match inclusively.
+    ``<right_ts><suffix>``.  Left rows with no qualifying right row keep
+    nulls (left-join semantics).  Ties (equal timestamps) match inclusively.
 
     Right rows that share (keys, ts) should be pre-deduplicated (e.g. with
     ``patterns.latest_per_key``) — which of them wins is otherwise
     unspecified, exactly as in DuckDB/pandas ASOF implementations.
+
+    Plan shape (all directions): union + running last/first over a window —
+    NO join operator at all, each row touched once, so a skewed key costs
+    O(rows) not O(rows²); 'nearest' evaluates both frames over the SAME
+    sort order (one exchange, two window functions).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward', 'forward' or 'nearest'; got {direction!r}"
+        )
     on = list(on)
     payload = [c for c in right.columns if c not in on and c != right_ts]
-    # The whole right row travels as ONE struct: last(ignorenulls) over the
-    # struct picks the latest right ROW, never back-filling an individual
-    # NULL payload field from an older row (which would silently mix rows).
+    # The whole right row travels as ONE struct: last/first(ignorenulls)
+    # over the struct picks one right ROW, never back-filling an individual
+    # NULL payload field from another row (which would silently mix rows).
     r = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
@@ -63,18 +80,66 @@ def asof_join(
     l = left.withColumn("__ts", F.col(left_ts)).withColumn("__is_right", F.lit(0))
     merged = l.unionByName(r, allowMissingColumns=True)
 
-    # right rows sort BEFORE left rows at equal ts → inclusive (<=) matches
-    w = (
+    # Inclusive tie handling needs the same-ts right row INSIDE the frame:
+    # backward orders right rows BEFORE left at equal ts (frame ends at the
+    # current row), forward orders them AFTER (frame starts at it).  Both
+    # windows share the partitioning, so 'nearest' still costs ONE exchange.
+    w_back = (
         Window.partitionBy(*on)
         .orderBy(F.col("__ts").asc(), F.col("__is_right").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    merged = merged.withColumn("__rrow", F.last(F.col("__rrow"), ignorenulls=True).over(w))
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__is_right").asc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    if direction in ("backward", "nearest"):
+        merged = merged.withColumn(
+            "__back", F.last(F.col("__rrow"), ignorenulls=True).over(w_back)
+        )
+    if direction in ("forward", "nearest"):
+        merged = merged.withColumn(
+            "__fwd", F.first(F.col("__rrow"), ignorenulls=True).over(w_fwd)
+        )
+
     out = merged.filter(F.col("__is_right") == 0)
-    carried = [f"{right_ts}{suffix}", *[f"{c}{suffix}" for c in payload]]
+    ts_field = f"{right_ts}{suffix}"
+
+    def _within(struct_col):
+        if tolerance is None:
+            return struct_col
+        gap = F.abs(
+            F.unix_micros(F.col(left_ts)) - F.unix_micros(struct_col.getField(ts_field))
+        )
+        limit = F.unix_micros(
+            F.lit("1970-01-01 00:00:00").cast("timestamp") + F.expr(f"INTERVAL {tolerance}")
+        )
+        return F.when(gap <= limit, struct_col)
+
+    if direction == "backward":
+        chosen = _within(F.col("__back"))
+    elif direction == "forward":
+        chosen = _within(F.col("__fwd"))
+    else:
+        back, fwd = _within(F.col("__back")), _within(F.col("__fwd"))
+        back_gap = F.abs(
+            F.unix_micros(F.col(left_ts)) - F.unix_micros(back.getField(ts_field))
+        )
+        fwd_gap = F.abs(
+            F.unix_micros(F.col(left_ts)) - F.unix_micros(fwd.getField(ts_field))
+        )
+        chosen = (
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            .when(fwd_gap < back_gap, fwd)
+            .otherwise(back)  # ties -> backward
+        )
+    out = out.withColumn("__chosen", chosen)
+    carried = [ts_field, *[f"{c}{suffix}" for c in payload]]
     for c in carried:
-        out = out.withColumn(c, F.col("__rrow").getField(c))
-    return out.drop("__rrow", "__is_right", "__ts")
+        out = out.withColumn(c, F.col("__chosen").getField(c))
+    return out.drop("__chosen", "__back", "__fwd", "__is_right", "__ts")
 
 
 def range_join_bucketed(

@@ -1596,6 +1596,50 @@ FROM errors e ASOF LEFT JOIN clicks c
 """
 
 
+def asof_fwd_click_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance (polars join_asof strategy='forward'):
+    for every error event, the EARLIEST click by the same user at-or-after
+    it, but only within 30 minutes.  Same no-join union+window plan as the
+    backward direction; DuckDB has no forward ASOF, so the oracle uses a
+    correlated-min formulation."""
+    from .functions.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    clicks = patterns.latest_per_key(clicks, ["user_id", "ts"], "value")
+    joined = asof_join(
+        errors, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+        direction="forward", tolerance="30 minutes",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts_r").alias("click_ts"),
+        F.col("value_r").alias("click_value"),
+    )
+
+
+ASOF_FWD_SQL = """
+WITH errors AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+),
+clicks AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY value DESC) = 1
+),
+m AS (
+  SELECT e.event_id, e.user_id, e.ts,
+         (SELECT min(c.ts) FROM clicks c
+          WHERE c.user_id = e.user_id AND c.ts >= e.ts
+            AND c.ts <= e.ts + INTERVAL 30 MINUTE) AS click_ts
+  FROM errors e
+)
+SELECT m.event_id, m.user_id, m.click_ts, c.value AS click_value
+FROM m LEFT JOIN clicks c ON c.user_id = m.user_id AND c.ts = m.click_ts
+"""
+
+
 def range_clicks_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed interval join (beyond reference parity): clicks in the 10
     minutes preceding each error, counted per error event."""
@@ -3218,6 +3262,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q12_late_priority_lines": (q12_late_priority_lines, Q12_SQL),
     "s7_semantic_dedup": (s7_semantic_dedup, S7_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
+    "asof_fwd_click_after_error": (asof_fwd_click_after_error, ASOF_FWD_SQL),
 }
 
 

@@ -354,6 +354,64 @@ def test_asof_join_backward_inclusive(spark):
     assert out[4] == (None, None)      # other key group untouched
 
 
+def test_asof_join_forward_nearest_tolerance(spark):
+    import datetime as dt
+
+    from polars_incremental_spark.functions.joins import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 12, m)
+    left = spark.createDataFrame(
+        [(1, "a", t(10)), (2, "a", t(5)), (3, "a", t(50)), (4, "b", t(10))],
+        ["event_id", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [("a", t(5), "r5"), ("a", t(12), "r12"), ("a", t(30), "r30")],
+        ["k", "ts", "v"],
+    )
+
+    def run(**kw):
+        return {
+            r["event_id"]: (r["v_r"], r["ts_r"])
+            for r in asof_join(left, right, on=["k"], **kw).collect()
+        }
+
+    fwd = run(direction="forward")
+    assert fwd[1] == ("r12", t(12))    # earliest at-or-after
+    assert fwd[2] == ("r5", t(5))      # equal ts matches (inclusive)
+    assert fwd[3] == (None, None)      # nothing after → nulls
+    assert fwd[4] == (None, None)
+
+    near = run(direction="nearest")
+    assert near[1] == ("r12", t(12))   # |12-10| < |10-5|
+    assert near[2] == ("r5", t(5))     # exact hit
+    assert near[3] == ("r30", t(30))   # only backward side exists
+
+    # equidistant -> backward wins (polars tie rule)
+    tie_left = spark.createDataFrame([(9, "a", t(20))], ["event_id", "k", "ts"])
+    tie = {
+        r["event_id"]: r["v_r"]
+        for r in asof_join(
+            tie_left,
+            spark.createDataFrame(
+                [("a", t(15), "back"), ("a", t(25), "fwd")], ["k", "ts", "v"]
+            ),
+            on=["k"],
+            direction="nearest",
+        ).collect()
+    }
+    assert tie[9] == "back"
+
+    tol = run(direction="backward", tolerance="3 minutes")
+    assert tol[1] == (None, None)      # r8 absent; r5 is 5 min away > 3
+    assert tol[2] == ("r5", t(5))      # 0 min away
+    tol_n = run(direction="nearest", tolerance="3 minutes")
+    assert tol_n[1] == ("r12", t(12))  # forward 2 min within tolerance
+    assert tol_n[3] == (None, None)    # nearest (r30) is 20 min away
+
+    with pytest.raises(ValueError, match="direction"):
+        run(direction="sideways")
+
+
 def test_range_join_bucketed_matches_naive(spark):
     import datetime as dt
 

@@ -938,6 +938,64 @@ def test_bloom_decontaminate_probes_agree_and_superset_exact(spark):
         dedup.bloom_decontaminate(train, test, m_bits=1)
 
 
+def test_asof_join_all_directions_vs_brute_force(spark):
+    """Randomized (seeded) cross-check: every direction × tolerance against
+    a per-row Python reference over a few hundred rows with duplicate
+    timestamps across keys."""
+    import datetime as dt
+    import random
+
+    from polars_incremental_spark.functions.joins import asof_join
+
+    rng = random.Random(42)
+    base = dt.datetime(2024, 1, 1)
+    lrows = [
+        (i, f"k{rng.randint(0, 3)}", base + dt.timedelta(minutes=rng.randint(0, 120)))
+        for i in range(120)
+    ]
+    rrows_raw = {
+        (f"k{rng.randint(0, 3)}", base + dt.timedelta(minutes=rng.randint(0, 120)))
+        for _ in range(80)
+    }
+    rrows = [(k, ts, float(i)) for i, (k, ts) in enumerate(sorted(rrows_raw))]
+    left = spark.createDataFrame(lrows, ["event_id", "k", "ts"])
+    right = spark.createDataFrame(rrows, ["k", "ts", "v"])
+
+    def brute(direction, tol_minutes):
+        out = {}
+        for eid, k, ts in lrows:
+            cand = [(rts, v) for rk, rts, v in rrows if rk == k]
+            back = [c for c in cand if c[0] <= ts]
+            fwd = [c for c in cand if c[0] >= ts]
+            b = max(back, key=lambda c: c[0]) if back else None
+            f = min(fwd, key=lambda c: c[0]) if fwd else None
+            if tol_minutes is not None:
+                lim = dt.timedelta(minutes=tol_minutes)
+                b = b if b and ts - b[0] <= lim else None
+                f = f if f and f[0] - ts <= lim else None
+            if direction == "backward":
+                pick = b
+            elif direction == "forward":
+                pick = f
+            else:
+                if b is None or (f is not None and ts - b[0] > f[0] - ts):
+                    pick = f
+                else:
+                    pick = b  # ties and closer-or-equal backward
+            out[eid] = pick
+        return out
+
+    for direction in ("backward", "forward", "nearest"):
+        for tol, tol_minutes in ((None, None), ("15 minutes", 15)):
+            got = {
+                r["event_id"]: ((r["ts_r"], r["v_r"]) if r["ts_r"] else None)
+                for r in asof_join(
+                    left, right, on=["k"], direction=direction, tolerance=tol
+                ).collect()
+            }
+            assert got == brute(direction, tol_minutes), (direction, tol)
+
+
 def test_grouped_topk_matches_plain_window(spark):
     """Two-phase salted top-k == single-window top-k, for any n_salts."""
     from pyspark.sql import Window

@@ -3114,6 +3114,49 @@ FROM c ORDER BY doc_id
 """
 
 
+def u8_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k deterministic sample PER GROUP — a uniform per-language
+    holdout: rows ordered by a salted md5 of their id inside each language,
+    first 10 kept.  Composition of the skew-safe grouped_topk with hash
+    ordering: no global sort, no reservoir state, append-stable membership
+    ranks (a new doc can only displace later ranks).  The oracle is the
+    plain window over the identical hash."""
+    doc = load_table(spark, sf_dir, "documents")
+    scored = doc.select(
+        "lang",
+        "doc_id",
+        tx.md5_long(F.concat(F.lit("g0"), F.col("doc_id").cast("string"))).alias("__h"),
+    )
+    return (
+        curation.grouped_topk(
+            scored,
+            ["lang"],
+            [F.col("__h").asc(), F.col("doc_id").asc()],
+            10,
+            salt_col="doc_id",
+            n_salts=16,
+        )
+        .select("lang", "doc_id", F.col("rank").cast("int").alias("rank"))
+        .orderBy("lang", "rank")
+    )
+
+
+U8_SQL = f"""
+WITH h AS (
+  SELECT lang, doc_id,
+         {_sql_md5_long("('g0' || doc_id::VARCHAR)")} AS hh
+  FROM documents
+),
+r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY hh ASC, doc_id ASC)::INT AS rank
+  FROM h
+)
+SELECT lang, doc_id, rank FROM r WHERE rank <= 10
+ORDER BY lang, rank
+"""
+
+
 def u7_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew diagnostic: heaviest event types by share of rows (the number
     that says whether a shuffle on this key needs salting).  Distributed
@@ -3263,6 +3306,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "s7_semantic_dedup": (s7_semantic_dedup, S7_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "asof_fwd_click_after_error": (asof_fwd_click_after_error, ASOF_FWD_SQL),
+    "u8_group_sample": (u8_group_sample, U8_SQL),
 }
 
 

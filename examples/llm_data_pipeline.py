@@ -41,12 +41,19 @@ from polars_incremental_spark.sinks.delta import read_table, write_table
 from polars_incremental_spark.tables import load_table
 
 
-def curate(batch, state, batch_id, lsh_index):
-    """Scrub → quality-filter → cross-batch exact + NEAR dedupe → split."""
+def curate(batch, state, batch_id, lsh_index, heldout):
+    """Scrub → quality-filter → DECONTAMINATE → cross-batch exact + NEAR
+    dedupe → split."""
     scrubbed = batch.withColumn("text", tx.redact_pii(F.col("text")))
     scored = scrubbed.withColumn("quality", tx.quality_score(F.col("text")))
     kept = scored.filter(
         (F.col("quality") >= 0.5) & (tx.repetition_ratio(F.col("text")) <= 0.6)
+    )
+    # benchmark decontamination: drop docs whose trigrams collide with the
+    # held-out eval set — bloom probe, so memory stays fixed as evals grow
+    flags = dedup.bloom_decontaminate(kept, heldout, min_hits=2, m_bits=1 << 18)
+    kept = kept.join(
+        flags.filter(F.col("is_flagged")).select("doc_id"), "doc_id", "left_anti"
     )
     # exact dedupe vs everything accepted in ANY earlier batch
     kept = kept.withColumn("text_hash", F.md5(F.col("text")))
@@ -74,9 +81,11 @@ def main() -> None:
 
     docs = load_table(spark, "/root/testdata/sf0.01", "documents")
     docs.filter(F.col("doc_id") < 300).write.parquet(os.path.join(land, "crawl_1.parquet"))
+    # held-out eval set for decontamination (doc_ids 900+ play the benchmark)
+    heldout = docs.filter(F.col("doc_id") >= 900).select("doc_id", "text")
 
     def writer(df, state, batch_id):
-        out = curate(df, state, batch_id, lsh_index)
+        out = curate(df, state, batch_id, lsh_index, heldout)
         write_table(out, curated, mode="append" if os.path.exists(curated) else "overwrite")
         return {"accepted": out.count()}
 
@@ -111,6 +120,20 @@ def main() -> None:
     splits = {r["split"]: r["n"] for r in
               curated_df.groupBy("split").agg(F.count("*").alias("n")).collect()}
     print("split sizes:", splits)
+
+    # curation report: best 3 docs per language by quality (skew-safe
+    # two-phase top-k — a per-lang window would funnel the corpus through
+    # a handful of reducer keys at scale)
+    from polars_incremental_spark.functions import curation
+
+    best = curation.grouped_topk(
+        curated_df.select("lang", "doc_id", "quality"),
+        ["lang"],
+        [F.col("quality").desc(), F.col("doc_id").asc()],
+        3,
+        salt_col="doc_id",
+    )
+    print("top-quality per lang:", best.count(), "rows")
 
     # downstream trainer streams the curated corpus incrementally
     consumed = []

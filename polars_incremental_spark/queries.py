@@ -1515,6 +1515,39 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def r24_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE rolling aggregation: per user, the trailing-1-hour event
+    count and value sum at every event — the feature-engineering staple.
+    Spark's rangeBetween needs a numeric ordering, so the frame is
+    [-3.6e9 µs, 0] over unix_micros(ts); DuckDB's twin uses RANGE with an
+    interval.  Peers (equal ts) are in-frame in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("long").alias("n_trailing_1h"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_trailing_1h"),
+    )
+
+
+R24_SQL = """
+SELECT event_id, user_id,
+       COUNT(*) OVER w::BIGINT AS n_trailing_1h,
+       CAST(SUM(value::DECIMAL(18,6)) OVER w AS DOUBLE) AS sum_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
 def q7_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of extended price per return flag.
     ``percentile`` is the exact (full-sort-per-group) baseline both engines
@@ -3114,6 +3147,66 @@ FROM c ORDER BY doc_id
 """
 
 
+def t10_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile binning WITHOUT the global-window trap: `ntile(10)` over the
+    whole corpus is one reducer sorting 100 TB; instead the 9 exact decile
+    boundaries come from ONE aggregate (1-row broadcast) and the bucket
+    assignment is a map-side comparison against the boundary array.  Both
+    engines compute linear-interpolated quantiles; boundaries round to 6 dp
+    so the comparison set is bit-identical cross-engine."""
+    doc = load_table(spark, sf_dir, "documents")
+    q = doc.select("doc_id", tx.quality_score(F.col("text")).alias("quality"))
+    ps = ", ".join(str(i / 10) for i in range(1, 10))
+    bounds = q.agg(
+        F.expr(f"transform(percentile(quality, array({ps})), x -> round(x, 6))").alias(
+            "__bs"
+        )
+    )
+    return (
+        q.join(bounds)
+        .select(
+            "doc_id",
+            "quality",
+            (F.expr("1 + size(filter(__bs, b -> quality > b))")).cast("int").alias("decile"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T10_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         len({_sql_tokens("text")})::BIGINT AS n_tokens,
+         length(regexp_replace(text, '\\s', '', 'g'))::BIGINT AS n_nonspace,
+         len(regexp_extract_all(text, '[^\\w\\s]'))::BIGINT AS n_punct,
+         length(text)::BIGINT AS n_chars,
+         {_sql_stopword_count("en")}::BIGINT AS n_stop
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         round(
+           (CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END)
+           + least(round(n_stop / greatest(n_tokens, 1), 6) * 4, 0.3::DOUBLE)
+           + 0.3::DOUBLE
+           - least(round(n_punct / greatest(n_chars, 1), 6) * 2, 0.3::DOUBLE), 6
+         ) AS quality
+  FROM base
+),
+b AS (
+  SELECT list_transform(
+           quantile_cont(quality, [{", ".join(str(i / 10) for i in range(1, 10))}]),
+           x -> round(x, 6)
+         ) AS bs
+  FROM q
+)
+SELECT doc_id, quality,
+       (1 + len(list_filter(b.bs, x -> quality > x)))::INT AS decile
+FROM q, b
+ORDER BY doc_id
+"""
+
+
 def u8_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-k deterministic sample PER GROUP — a uniform per-language
     holdout: rows ordered by a salted md5 of their id inside each language,
@@ -3307,6 +3400,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "asof_fwd_click_after_error": (asof_fwd_click_after_error, ASOF_FWD_SQL),
     "u8_group_sample": (u8_group_sample, U8_SQL),
+    "r24_trailing_hour": (r24_trailing_hour, R24_SQL),
+    "t10_quality_deciles": (t10_quality_deciles, T10_SQL),
 }
 
 

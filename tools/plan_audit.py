@@ -52,6 +52,7 @@ SCALAR_NLJ_ALLOWED = {
     "u7_hot_keys",  # total-rows denominator = 1-row sum aggregate
     "q22_idle_customers",  # balance threshold = 1-row (sum, count) aggregate
     "q11_important_parts",  # global value total = 1-row sum aggregate
+    "t10_quality_deciles",  # decile boundaries = 1-row percentile aggregate
 }
 NLJ_ALLOWED |= SCALAR_NLJ_ALLOWED
 

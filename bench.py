@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "t9_curate_topk",
     "s7_semantic_dedup",
     "q12_late_priority_lines",
+    "r24_trailing_hour",
+    "t10_quality_deciles",
 ]
 
 

@@ -191,6 +191,72 @@ def test_streaming_dedup_within_watermark_bounded_state(spark, tmp_path):
     assert ids == [1, 2, 3]  # the duplicate id=1 was dropped across batches
 
 
+def test_stream_stream_join_within_interval(spark, tmp_path):
+    """Stream-stream inner join with watermarks: errors join clicks by the
+    same user within [-10 min, 0] — the state-store buffers each side until
+    the watermark passes, and rows arriving in DIFFERENT microbatches must
+    still pair up.  Final output equals the equivalent batch join."""
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    m = lambda mins: t0 + dt.timedelta(minutes=mins)
+    clicks = [(1, m(0)), (1, m(30)), (2, m(5))]
+    errors = [(1, m(7), "e1"), (1, m(31), "e2"), (2, m(40), "e3")]
+    cdir, edir = str(tmp_path / "clicks"), str(tmp_path / "errors")
+    spark.createDataFrame(clicks, "user_id long, cts timestamp").repartition(
+        2
+    ).write.parquet(cdir)
+    spark.createDataFrame(
+        errors, "user_id long, ets timestamp, err string"
+    ).repartition(2).write.parquet(edir)
+
+    def joined(c, e):
+        return e.join(
+            c,
+            (e.user_id == c.user_id)
+            & (c.cts <= e.ets)
+            & (c.cts >= e.ets - F.expr("INTERVAL 10 MINUTES")),
+        ).select(e.user_id, "err", "ets", "cts")
+
+    cs = (
+        spark.readStream.schema("user_id long, cts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(cdir)
+        .withWatermark("cts", "1 hour")
+    )
+    es = (
+        spark.readStream.schema("user_id long, ets timestamp, err string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(edir)
+        .withWatermark("ets", "1 hour")
+    )
+    q = (
+        joined(cs, es)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM ss_join").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            joined(
+                spark.read.parquet(cdir), spark.read.parquet(edir)
+            ).collect(),
+        )
+    )
+    # e1<-click@12:00 (7 min prior), e2<-click@12:30 (1 min prior);
+    # e3 unmatched: user 2's click@12:05 is 35 min before the error
+    assert got == want and len(got) == 2
+
+
 def test_streaming_session_window_merges_across_microbatches(spark, tmp_path):
     """Native stateful session windows under Structured Streaming: the
     sf0.001 events stream in multiple microbatches, and sessions that SPAN

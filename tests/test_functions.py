@@ -1051,6 +1051,50 @@ def test_keep_canonical_resolves_clusters(spark):
     assert out == {0, 2, 3, 5}
 
 
+def test_round4_ops_empty_inputs(spark):
+    """Every round-4 operator degrades cleanly on empty frames — at 100 TB
+    an empty partition/batch is routine, not exceptional."""
+    from polars_incremental_spark.functions import curation, multimodal
+    from polars_incremental_spark.functions.joins import asof_join
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    docs = spark.createDataFrame([(1, "the quick brown fox jumps over it")], ["doc_id", "text"])
+
+    # bloom: empty test set -> nothing flagged; empty train -> no rows
+    out = dedup.bloom_decontaminate(docs, empty_docs, probe="join").collect()
+    assert len(out) == 1 and out[0]["n_bloom_positive"] == 0
+    out = dedup.bloom_decontaminate(docs, empty_docs, probe="bitset").collect()
+    assert len(out) == 1 and out[0]["n_bloom_positive"] == 0
+    assert dedup.bloom_decontaminate(empty_docs, docs).count() == 0
+
+    # keep_canonical: empty clusters -> corpus passes through
+    empty_clusters = spark.createDataFrame([], "doc_id long, cluster_id long")
+    assert dedup.keep_canonical(docs, empty_clusters).count() == 1
+
+    # grouped_topk: empty input -> empty output with rank column
+    e = spark.createDataFrame([], "grp string, rid long, score double")
+    got = curation.grouped_topk(
+        e, ["grp"], [F.col("score").desc(), F.col("rid")], 3, salt_col="rid"
+    )
+    assert got.count() == 0 and "rank" in got.columns
+
+    # asof: empty right side -> left rows with null matches, all directions
+    import datetime as dt
+
+    left = spark.createDataFrame(
+        [(1, "k", dt.datetime(2024, 1, 1))], ["event_id", "k", "ts"]
+    )
+    empty_right = spark.createDataFrame([], "k string, ts timestamp, v double")
+    for d in ("backward", "forward", "nearest"):
+        rows = asof_join(left, empty_right, on=["k"], direction=d).collect()
+        assert len(rows) == 1 and rows[0]["v_r"] is None, d
+
+    # image features: empty frame -> empty output, schema intact
+    em = spark.createDataFrame([], "media_id long, content binary")
+    feats = multimodal.decode_image_features(em)
+    assert feats.count() == 0 and "decode_error" in feats.columns
+
+
 def test_mixture_sample_budget_and_determinism(spark):
     """The scarcest-relative source is kept whole (rate 1.0), larger ones
     thin toward the target mix; rows outside the weights drop; the sample

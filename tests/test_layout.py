@@ -51,6 +51,41 @@ def test_pushed_filters_reach_parquet_scan(spark, sf_dir):
     assert any("o_totalprice" in f and "GreaterThan" in f for f in pushed), pushed
 
 
+def test_ivf_cell_partitioned_probe_prunes(spark, sf_dir, tmp_path):
+    """The PLANS.md claim, proven: persist the IVF-assigned corpus
+    partitioned BY CELL, probe a subset of cells, and corrupt every file of
+    an unprobed cell — the probe succeeds (it never lists or opens that
+    cell's directory), so probe-time reads really do prune to
+    n_probe/n_cells of the data."""
+    import glob
+    import os
+
+    from polars_incremental_spark.functions import similarity
+    from polars_incremental_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = similarity._seed_centroids(emb, 8, "vec_id", "embedding")
+    assigned = similarity.ivf_assign(emb, seeds).withColumnRenamed("__cell", "cell")
+    path = str(tmp_path / "ivf_corpus")
+    layout.write_partitioned(assigned, path, partition_cols=["cell"])
+
+    reader = spark.read.parquet(path)
+    probed_cells = [1, 2, 3]
+    probe = reader.filter(F.col("cell").isin(probed_cells))
+    assert any("cell" in f for f in layout.partition_filters(probe))
+
+    victims = glob.glob(os.path.join(path, "cell=8", "*.parquet"))
+    assert victims, "cell 8 must exist for the corruption to mean anything"
+    for v in victims:
+        with open(v, "wb") as fh:
+            fh.write(b"not a parquet file")
+
+    expect = assigned.filter(F.col("cell").isin(probed_cells)).count()
+    assert probe.count() == expect  # unprobed cell never touched
+    with pytest.raises(Exception):
+        reader.count()  # full scan must hit the corruption
+
+
 def test_write_partitioned_cardinality_guard(spark, sf_dir, tmp_path):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     with pytest.raises(ValueError, match="coarser key"):

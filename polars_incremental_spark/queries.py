@@ -1548,6 +1548,42 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def r25_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) event-time window: 10-minute windows every 5
+    minutes, so each event lands in exactly 2 windows.  Native
+    ``F.window(ts, "10 minutes", "5 minutes")``; the oracle unnests each
+    event's two candidate window starts and filters to containment —
+    the relational definition of a hop."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+        .orderBy("window_start")
+    )
+
+
+R25_SQL = """
+WITH cand AS (
+  SELECT ts, value,
+         unnest([
+           to_timestamp(floor(epoch(ts) / 300) * 300),
+           to_timestamp(floor(epoch(ts) / 300) * 300 - 300)
+         ]) AS window_start
+  FROM events
+)
+SELECT window_start, COUNT(*)::BIGINT AS n_events,
+       CAST(SUM(value::DECIMAL(18,4)) AS DOUBLE) AS sum_value
+FROM cand
+WHERE ts >= window_start AND ts < window_start + INTERVAL 10 MINUTE
+GROUP BY window_start
+ORDER BY window_start
+"""
+
+
 def q7_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of extended price per return flag.
     ``percentile`` is the exact (full-sort-per-group) baseline both engines
@@ -3402,6 +3438,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "u8_group_sample": (u8_group_sample, U8_SQL),
     "r24_trailing_hour": (r24_trailing_hour, R24_SQL),
     "t10_quality_deciles": (t10_quality_deciles, T10_SQL),
+    "r25_sliding_window": (r25_sliding_window, R25_SQL),
 }
 
 

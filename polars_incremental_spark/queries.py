@@ -1548,6 +1548,42 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def r26_ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-window trio in one pass: rank (gapped), dense_rank, and
+    percent_rank of each order inside its priority class by total price —
+    one shuffle on the partition key serves all three expressions."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.rank().over(w).cast("int").alias("price_rank"),
+            F.dense_rank().over(w).cast("int").alias("price_dense_rank"),
+            F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+        )
+        .filter(F.col("price_rank") <= 50)
+        .orderBy("o_orderpriority", "price_rank", "o_orderkey")
+    )
+
+
+R26_SQL = """
+WITH r AS (
+  SELECT o_orderkey, o_orderpriority,
+         rank() OVER w::INT AS price_rank,
+         dense_rank() OVER w::INT AS price_dense_rank,
+         round(percent_rank() OVER w, 6) AS price_pct_rank
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey ASC)
+)
+SELECT * FROM r WHERE price_rank <= 50
+ORDER BY o_orderpriority, price_rank, o_orderkey
+"""
+
+
 def r25_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding (hopping) event-time window: 10-minute windows every 5
     minutes, so each event lands in exactly 2 windows.  Native
@@ -3439,6 +3475,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "r24_trailing_hour": (r24_trailing_hour, R24_SQL),
     "t10_quality_deciles": (t10_quality_deciles, T10_SQL),
     "r25_sliding_window": (r25_sliding_window, R25_SQL),
+    "r26_ranking_functions": (r26_ranking_functions, R26_SQL),
 }
 
 

@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "q12_late_priority_lines",
     "r24_trailing_hour",
     "t10_quality_deciles",
+    "r25_sliding_window",
+    "r26_ranking_functions",
 ]
 
 

@@ -2947,6 +2947,48 @@ FROM documents
 """
 
 
+def m3_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL image decoder under the driver's hash gate: each document's
+    first 24 printable-ASCII chars become the pixel payload of a 4×2 binary
+    PPM built in-plan, ``decode_image_features`` decodes it inside
+    mapInPandas (the same numpy P6 parser a real corpus would hit), and the
+    oracle computes the expected channel means DIRECTLY from the text bytes
+    — so dimensions and per-channel pixel means are hash-verified without
+    the oracle ever touching an image."""
+    doc = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").rlike("^[ -~]{24}")
+    )
+    content = F.concat(
+        F.encode(F.lit("P6\n4 2\n255\n"), "utf-8"),
+        F.encode(F.substring("text", 1, 24), "utf-8"),
+    )
+    media = doc.select(F.col("doc_id").alias("media_id"), content.alias("content"))
+    return (
+        multimodal.decode_image_features(media)
+        .select("media_id", "width", "height", "mean_r", "mean_g", "mean_b")
+        .orderBy("media_id")
+    )
+
+
+M3_SQL = """
+WITH d AS (
+  SELECT doc_id, substr(text, 1, 24) AS s FROM documents
+  WHERE regexp_matches(substr(text, 1, 24), '^[ -~]{24}$')
+),
+px AS (
+  SELECT doc_id, g.i AS i, ord(substr(d.s, g.i, 1)) AS b
+  FROM d, generate_series(1, 24) g(i)
+)
+SELECT doc_id AS media_id,
+       4 AS width, 2 AS height,
+       round(avg(CASE WHEN (i - 1) % 3 = 0 THEN b END), 6) AS mean_r,
+       round(avg(CASE WHEN (i - 1) % 3 = 1 THEN b END), 6) AS mean_g,
+       round(avg(CASE WHEN (i - 1) % 3 = 2 THEN b END), 6) AS mean_b
+FROM px GROUP BY doc_id
+ORDER BY media_id
+"""
+
+
 def m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame fan-out shape (one row per sampled frame) → rows-only check."""
     media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
@@ -3476,6 +3518,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "t10_quality_deciles": (t10_quality_deciles, T10_SQL),
     "r25_sliding_window": (r25_sliding_window, R25_SQL),
     "r26_ranking_functions": (r26_ranking_functions, R26_SQL),
+    "m3_image_decode": (m3_image_decode, M3_SQL),
 }
 
 

@@ -312,6 +312,37 @@ def minhash_lsh_pairs(
     At warehouse scale, write signatures to a table instead and pass the
     cached frames through.
     """
+    candidates, postings = lsh_candidate_pairs(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        num_hashes=num_hashes,
+        num_bands=num_bands,
+        cache_intermediate=cache_intermediate,
+    )
+    # verify ONLY the candidate pairs — never the full posting self-join
+    # (that would recompute the exact all-pairs cost LSH exists to avoid)
+    return _jaccard_for_pairs(
+        candidates, postings.drop("__h32"), id_col, threshold
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = N_MINHASHES,
+    num_bands: int = N_BANDS,
+    cache_intermediate: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """(candidate id pairs, shingle postings) from MinHash-LSH banding —
+    the shared candidate generator under every fuzzy-verification flavor
+    (Jaccard in ``minhash_lsh_pairs``, edit distance in
+    ``edit_distance_pairs``).  The band join is the only shuffle that
+    touches all docs and its key is 8 bytes."""
     rows_per_band = num_hashes // num_bands
     # ONE corpus explode feeds both halves: signatures (via __h32) and the
     # verification postings (via shingle_hash) — both derive from the same
@@ -353,10 +384,65 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    # verify ONLY the candidate pairs — never the full posting self-join
-    # (that would recompute the exact all-pairs cost LSH exists to avoid)
-    return _jaccard_for_pairs(
-        candidates, postings.drop("__h32"), id_col, threshold
+    return candidates, postings
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = N_MINHASHES,
+    num_bands: int = N_BANDS,
+    max_distance: int = 16,
+    prefix_chars: int = 64,
+    cache_intermediate: bool = True,
+) -> DataFrame:
+    """Near-dup pairs verified by LEVENSHTEIN over a text prefix — the
+    fuzzy-match primitive for short/templated strings where set-based
+    Jaccard is too coarse (it ignores token order and small edits).
+
+    Candidate generation is the same MinHash-LSH banding as
+    ``minhash_lsh_pairs`` (no all-pairs O(N²) — edit distance is O(len²)
+    per pair, so the candidate set must be sparse BEFORE verification);
+    only candidates pay the levenshtein, and only on a bounded
+    ``prefix_chars`` slice so a pathological 1 GB document can't make a
+    single comparison quadratic in document size.
+
+    Output: (id_a, id_b, edit_distance) for candidates within
+    ``max_distance``.
+    """
+    if max_distance < 0:
+        raise ValueError(f"max_distance must be >= 0; got {max_distance}")
+    if prefix_chars < 1:
+        raise ValueError(f"prefix_chars must be >= 1; got {prefix_chars}")
+    candidates, _postings = lsh_candidate_pairs(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        num_hashes=num_hashes,
+        num_bands=num_bands,
+        cache_intermediate=cache_intermediate,
+    )
+    texts = df.select(
+        F.col(id_col), F.substring(F.col(text_col), 1, prefix_chars).alias("__pfx")
+    )
+    return (
+        candidates.join(
+            texts.select(F.col(id_col).alias("id_a"), F.col("__pfx").alias("__pa")),
+            "id_a",
+        )
+        .join(
+            texts.select(F.col(id_col).alias("id_b"), F.col("__pfx").alias("__pb")),
+            "id_b",
+        )
+        .withColumn(
+            "edit_distance", F.levenshtein(F.col("__pa"), F.col("__pb")).cast("int")
+        )
+        .filter(F.col("edit_distance") <= max_distance)
+        .select("id_a", "id_b", "edit_distance")
     )
 
 

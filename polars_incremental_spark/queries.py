@@ -2066,6 +2066,39 @@ SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.12
 """
 
 
+def d14_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy matching by EDIT DISTANCE with LSH candidate generation: pairs
+    whose 64-char prefixes are within levenshtein 40, candidates coming
+    from the same MinHash banding as d6 (edit distance is O(len^2) per
+    pair, so the candidate set must be sparse BEFORE verification — never
+    all-pairs).  Both engines ship the same levenshtein, so distances
+    hash-match."""
+    return dedup.edit_distance_pairs(
+        load_table(spark, sf_dir, "documents"), max_distance=40, prefix_chars=64
+    ).orderBy("id_a", "id_b")
+
+
+D14_SQL = f"""
+WITH {_SQL_SHINGLE_CTE},
+{_SQL_H32_CTE},
+sigs AS (SELECT doc_id, {_SQL_MINHASH_MINS} FROM sh32 GROUP BY doc_id),
+bands AS ({_SQL_BANDS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       levenshtein(substr(da.text, 1, 64), substr(db.text, 1, 64))::INT
+         AS edit_distance
+FROM cand c
+JOIN documents da ON da.doc_id = c.id_a
+JOIN documents db ON db.doc_id = c.id_b
+WHERE levenshtein(substr(da.text, 1, 64), substr(db.text, 1, 64)) <= 40
+ORDER BY c.id_a, c.id_b
+"""
+
+
 def d7_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
 
@@ -3519,6 +3552,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "r25_sliding_window": (r25_sliding_window, R25_SQL),
     "r26_ranking_functions": (r26_ranking_functions, R26_SQL),
     "m3_image_decode": (m3_image_decode, M3_SQL),
+    "d14_edit_distance_pairs": (d14_edit_distance_pairs, D14_SQL),
 }
 
 

@@ -86,6 +86,42 @@ def test_ivf_cell_partitioned_probe_prunes(spark, sf_dir, tmp_path):
         reader.count()  # full scan must hit the corruption
 
 
+def test_parquet_aggregate_pushdown_answers_from_footers(spark, sf_dir):
+    """COUNT/MIN/MAX can be answered from parquet footer statistics without
+    scanning data pages — at 100 TB that's the difference between a
+    metadata read and a full pass.  Requires the V2 parquet source; the
+    plan must show PushedAggregation and the results must equal the
+    scan-based answers."""
+    from polars_incremental_spark.functions.bucketing import physical_plan
+
+    old_v1 = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        cnt = df.groupBy().count()
+        assert "PushedAggregation: [COUNT(*)]" in physical_plan(cnt)
+        mm = df.groupBy().agg(
+            F.min("l_quantity").alias("lo"), F.max("l_quantity").alias("hi")
+        )
+        plan = physical_plan(mm)
+        assert "MIN(l_quantity)" in plan and "MAX(l_quantity)" in plan
+
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+        expect_cnt = df.groupBy().count().collect()[0][0]
+        expect_mm = df.groupBy().agg(F.min("l_quantity"), F.max("l_quantity")).collect()[0]
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        assert cnt.collect()[0][0] == expect_cnt
+        got = mm.collect()[0]
+        assert (got["lo"], got["hi"]) == (expect_mm[0], expect_mm[1])
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+        if old_v1 is None:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
+        else:
+            spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
+
+
 def test_write_partitioned_cardinality_guard(spark, sf_dir, tmp_path):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     with pytest.raises(ValueError, match="coarser key"):

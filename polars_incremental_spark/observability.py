@@ -103,6 +103,26 @@ class StageTimer:
         return False
 
 
+def observed_action(df, action, *metric_cols) -> dict[str, Any]:
+    """Run ``action(df)`` with ``df.observe(...)`` metrics piggybacked on
+    the SAME execution — row counts / sums / null rates captured during the
+    write itself, with NO second scan (a separate ``df.count()`` after a
+    write re-reads the whole batch: at 100 TB that is the difference
+    between one corpus pass and two).
+
+    ``metric_cols`` are aggregate Columns (default: ``count(1) AS rows``);
+    returns the observed metric dict after the action completes.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    if not metric_cols:
+        metric_cols = (F.count(F.lit(1)).alias("rows"),)
+    obs = Observation()
+    action(df.observe(obs, *metric_cols))
+    return obs.get
+
+
 def attach_streaming_listener(spark, observer: PipelineObserver):
     """Bridge native StreamingQueryListener progress into the observer protocol."""
     from pyspark.sql.streaming import StreamingQueryListener

@@ -146,3 +146,31 @@ def test_max_batches_and_caps(spark, sf_dir, tmp_path):
     assert pipe.run(spark, max_batches=2).batches == 2
     assert pipe.run(spark).batches == 1  # drains the remainder
     assert counted == [0, 1, 2]
+
+
+def test_observed_write_captures_metrics_single_pass(spark, source_dir, tmp_path):
+    """Observation metrics ride the write execution itself — the captured
+    row count / sum equal the written data with no post-write count()."""
+    from polars_incremental_spark.sinks.parquet import write_parquet_batch_observed
+
+    df = spark.read.parquet(f"{source_dir}/part0")
+    path, metrics = write_parquet_batch_observed(df, str(tmp_path / "out"), 0)
+    written = spark.read.parquet(path)
+    assert metrics["rows"] == written.count() > 0
+
+    path2, metrics2 = write_parquet_batch_observed(
+        df,
+        str(tmp_path / "out2"),
+        0,
+        metrics=[
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total"),
+            F.sum(F.col("value").isNull().cast("int")).alias("null_values"),
+        ],
+    )
+    agg = written.agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+    ).collect()[0][0]
+    assert metrics2["rows"] == metrics["rows"]
+    assert metrics2["total"] == pytest.approx(agg)
+    assert metrics2["null_values"] == 0

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "t10_quality_deciles",
     "r25_sliding_window",
     "r26_ranking_functions",
+    "m3_image_decode",  # real PPM decode in mapInPandas — the multimodal perf row
 ]
 
 

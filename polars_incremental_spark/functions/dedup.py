@@ -1066,10 +1066,30 @@ def bloom_decontaminate(
         import numpy as np
         from pyspark.sql.functions import pandas_udf
 
-        positions = [r["__p"] for r in set_bits.collect()]
-        bits = np.zeros(m_bits, dtype=bool)
-        if positions:
-            bits[np.asarray(positions, dtype=np.int64)] = True
+        # pack the bitset DISTRIBUTED before collecting: groupBy(word) +
+        # bit_or collapses up to 64 positions per collected row, so the
+        # driver receives at most m_bits/64 longs (16 K at the 2^20
+        # default) instead of one row per distinct position — a large
+        # held-out set could otherwise stream hundreds of millions of
+        # position rows through the driver
+        packed = (
+            set_bits.select(
+                (F.col("__p") / 64).cast("long").alias("__w"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(pmod(__p, 64) AS INT))"
+                ).alias("__m"),
+            )
+            .groupBy("__w")
+            .agg(F.bit_or("__m").alias("__bits"))
+            .collect()
+        )
+        n_words = (m_bits + 63) // 64
+        words = np.zeros(n_words, dtype=np.uint64)
+        for r in packed:
+            words[r["__w"]] = np.uint64(r["__bits"] & 0xFFFFFFFFFFFFFFFF)
+        bits = np.unpackbits(words.view(np.uint8), bitorder="little")[:m_bits].astype(
+            bool
+        )
 
         @pandas_udf("boolean")
         def _probe(ps: pd.Series) -> pd.Series:

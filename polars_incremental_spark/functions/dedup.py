@@ -963,6 +963,170 @@ def contamination_stats(
     )
 
 
+def _bloom_position(col, i: int, m_bits: int):
+    """Salted md5 double-hashing position i for one shingle (shared by the
+    one-shot and incremental bloom paths — MUST stay identical or an index
+    built by one is garbage to the other)."""
+    return F.pmod(md5_long(F.concat(col, F.lit(f":{i}"))), F.lit(m_bits))
+
+
+def _pack_positions_to_words(positions: DataFrame) -> DataFrame:
+    """(distinct position) rows -> (word, bits) rows via bit_or — 64
+    positions per output row, the packed form both collected bitsets and
+    the persisted index store."""
+    return (
+        positions.select(
+            (F.col("__p") / 64).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(__p, 64) AS INT))").alias(
+                "bits"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+
+
+def _words_to_bitset(packed_rows, m_bits: int):
+    """Collected (word, bits) rows -> numpy bool array of m_bits."""
+    import numpy as np
+
+    words = np.zeros((m_bits + 63) // 64, dtype=np.uint64)
+    for r in packed_rows:
+        words[r["word"]] = np.uint64(r["bits"] & 0xFFFFFFFFFFFFFFFF)
+    return np.unpackbits(words.view(np.uint8), bitorder="little")[:m_bits].astype(bool)
+
+
+def update_bloom_index(
+    test: DataFrame,
+    index_path: str,
+    *,
+    text_col: str = "text",
+    ngram: int = 3,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 2,
+    batch_id: int | None = None,
+) -> None:
+    """Fold one held-out batch into a PERSISTED bloom index — the
+    incremental form of ``bloom_decontaminate``'s test side: eval sets
+    arrive over time (new benchmarks, new held-out splits), and each batch
+    appends only its packed (word, bits) rows (≤ m_bits/64 of them) instead
+    of rebuilding the filter from every test document seen so far.
+
+    The filter parameters are pinned in ``meta.json`` on first write and
+    validated on every update — mixing (ngram, m_bits, k_hashes) across
+    batches would silently corrupt membership.  Idempotent replay: with a
+    Pipeline ``batch_id`` the append goes to ``index_path/batch_{id}``
+    (overwritten on retry — same contract as ``incremental_lsh_dedup``).
+    """
+    import json
+    import os
+    import uuid
+
+    meta = {"ngram": ngram, "m_bits": m_bits, "k_hashes": k_hashes}
+    os.makedirs(index_path, exist_ok=True)
+    meta_path = os.path.join(index_path, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            existing = json.load(fh)
+        if existing != meta:
+            raise ValueError(
+                f"bloom index at {index_path} was built with {existing}; "
+                f"refusing update with {meta}"
+            )
+    else:
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, meta_path)
+
+    sh = test.select(F.explode(word_shingles(F.col(text_col), ngram)).alias("__s"))
+    pos = sh.select(
+        F.explode(
+            F.array(*[_bloom_position(F.col("__s"), i, m_bits) for i in range(k_hashes)])
+        ).alias("__p")
+    ).distinct()
+    sub = (
+        f"batch_{batch_id}"
+        if batch_id is not None
+        else f"batch_adhoc_{uuid.uuid4().hex[:8]}"
+    )
+    _pack_positions_to_words(pos).write.mode("overwrite").parquet(
+        os.path.join(index_path, sub)
+    )
+
+
+def bloom_decontaminate_indexed(
+    spark,
+    train: DataFrame,
+    index_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_hits: int = 1,
+) -> DataFrame:
+    """``bloom_decontaminate`` against a PERSISTED index built by
+    ``update_bloom_index`` across any number of batches.  Reads the packed
+    words (bit_or-merged across batches — bloom union IS bitwise or),
+    collects at most m_bits/64 longs, and probes with the same Arrow
+    bitset UDF as the one-shot path.  Output schema matches
+    ``bloom_decontaminate``.
+    """
+    import glob as _glob
+    import json
+    import os
+
+    import numpy as np  # noqa: F401  (bitset dependency surfaced early)
+    from pyspark.sql.functions import pandas_udf
+
+    with open(os.path.join(index_path, "meta.json")) as fh:
+        meta = json.load(fh)
+    ngram, m_bits, k_hashes = meta["ngram"], meta["m_bits"], meta["k_hashes"]
+    if min_hits < 1:
+        raise ValueError(f"min_hits must be >= 1; got {min_hits}")
+
+    batch_dirs = sorted(_glob.glob(os.path.join(index_path, "batch_*")))
+    if not batch_dirs:
+        raise ValueError(f"bloom index at {index_path} has no batches")
+    merged = (
+        spark.read.parquet(*batch_dirs)
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+        .collect()
+    )
+    bits = _words_to_bitset(merged, m_bits)
+
+    tr = train.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), ngram)).alias("__s")
+    ).select(
+        id_col,
+        *[_bloom_position(F.col("__s"), i, m_bits).alias(f"__p{i}") for i in range(k_hashes)],
+    )
+
+    @pandas_udf("boolean")
+    def _probe(ps: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(ps) == 0:
+            return pd.Series([], dtype=bool)
+        mat = np.stack(ps.to_numpy())
+        return pd.Series(bits[mat].all(axis=1))
+
+    probed = tr.withColumn(
+        "__hit", _probe(F.array(*[F.col(f"__p{i}") for i in range(k_hashes)]))
+    )
+    n_pos = F.coalesce(F.sum(F.col("__hit").cast("long")), F.lit(0)).cast("long")
+    return probed.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_ngrams"),
+        n_pos.alias("n_bloom_positive"),
+    ).select(
+        id_col,
+        "n_ngrams",
+        "n_bloom_positive",
+        F.round(F.col("n_bloom_positive") / F.col("n_ngrams"), 6).alias("positive_frac"),
+        (F.col("n_bloom_positive") >= min_hits).alias("is_flagged"),
+    )
+
+
 def keep_canonical(
     df: DataFrame,
     clusters: DataFrame,
@@ -1035,7 +1199,7 @@ def bloom_decontaminate(
         raise ValueError(f"probe must be 'join' or 'bitset'; got {probe}")
 
     def _pos(shingle, i: int):
-        return F.pmod(md5_long(F.concat(shingle, F.lit(f":{i}"))), F.lit(m_bits))
+        return _bloom_position(shingle, i, m_bits)
 
     def shingled(df: DataFrame) -> DataFrame:
         return df.select(
@@ -1072,24 +1236,7 @@ def bloom_decontaminate(
         # default) instead of one row per distinct position — a large
         # held-out set could otherwise stream hundreds of millions of
         # position rows through the driver
-        packed = (
-            set_bits.select(
-                (F.col("__p") / 64).cast("long").alias("__w"),
-                F.expr(
-                    "shiftleft(CAST(1 AS BIGINT), CAST(pmod(__p, 64) AS INT))"
-                ).alias("__m"),
-            )
-            .groupBy("__w")
-            .agg(F.bit_or("__m").alias("__bits"))
-            .collect()
-        )
-        n_words = (m_bits + 63) // 64
-        words = np.zeros(n_words, dtype=np.uint64)
-        for r in packed:
-            words[r["__w"]] = np.uint64(r["__bits"] & 0xFFFFFFFFFFFFFFFF)
-        bits = np.unpackbits(words.view(np.uint8), bitorder="little")[:m_bits].astype(
-            bool
-        )
+        bits = _words_to_bitset(_pack_positions_to_words(set_bits).collect(), m_bits)
 
         @pandas_udf("boolean")
         def _probe(ps: pd.Series) -> pd.Series:

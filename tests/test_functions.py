@@ -1051,6 +1051,63 @@ def test_keep_canonical_resolves_clusters(spark):
     assert out == {0, 2, 3, 5}
 
 
+def test_incremental_bloom_index_matches_one_shot(spark, tmp_path):
+    """Two index batches == one-shot bloom on their union (bloom union is
+    bitwise or); replaying a batch_id is idempotent; parameter drift and
+    empty indexes are refused."""
+    train = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words about spark engines here"),
+        ],
+        ["doc_id", "text"],
+    )
+    test_a = spark.createDataFrame(
+        [(101, "we say the quick brown fox jumps high today")], ["doc_id", "text"]
+    )
+    test_b = spark.createDataFrame(
+        [(102, "spark engines here are not a benchmark sentence")], ["doc_id", "text"]
+    )
+    idx = str(tmp_path / "bloom_idx")
+    dedup.update_bloom_index(test_a, idx, batch_id=0)
+    dedup.update_bloom_index(test_b, idx, batch_id=1)
+    dedup.update_bloom_index(test_b, idx, batch_id=1)  # idempotent replay
+
+    indexed = sorted(
+        map(
+            tuple,
+            dedup.bloom_decontaminate_indexed(
+                spark, train, idx, min_hits=2
+            ).collect(),
+        )
+    )
+    one_shot = sorted(
+        map(
+            tuple,
+            dedup.bloom_decontaminate(
+                train, test_a.union(test_b), min_hits=2, probe="bitset"
+            ).collect(),
+        )
+    )
+    assert indexed == one_shot
+    # doc 0 shares 3 trigrams with test_a -> flagged at min_hits=2; doc 2
+    # shares exactly 1 ("spark engines here") with test_b -> positive but
+    # below the flag threshold
+    rows = {r[0]: r for r in indexed}
+    assert rows[0][4] and rows[0][2] >= 3
+    assert rows[2][2] >= 1 and not rows[2][4]
+
+    with pytest.raises(ValueError, match="refusing update"):
+        dedup.update_bloom_index(test_a, idx, m_bits=1 << 10)
+    with pytest.raises(ValueError, match="no batches"):
+        empty_idx = str(tmp_path / "empty_idx")
+        dedup.update_bloom_index(test_a, empty_idx, batch_id=0)
+        import shutil
+
+        shutil.rmtree(f"{empty_idx}/batch_0")
+        dedup.bloom_decontaminate_indexed(spark, train, empty_idx)
+
+
 def test_round4_ops_empty_inputs(spark):
     """Every round-4 operator degrades cleanly on empty frames — at 100 TB
     an empty partition/batch is routine, not exceptional."""

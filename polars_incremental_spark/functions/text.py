@@ -249,3 +249,61 @@ def tfidf_top_terms(
         scored.withColumn("rank", _F.row_number().over(w))
         .filter(_F.col("rank") <= k)
     )
+
+
+def char_ngram_list(col: Column, n: int = 3) -> Column:
+    """ALL character n-grams in order (with repeats).  Shorter-than-n texts
+    yield their single clamped substring — deterministic in any engine's
+    substr semantics."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: col.substr(i, F.lit(n)))
+
+
+def char_trigram_score(
+    df,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+):
+    """Per-document mean log-probability under the corpus's own add-one
+    smoothed character n-gram frequency model — the cheap perplexity proxy
+    used to quality-filter pretraining text (KenLM-style scoring without a
+    trained LM): gibberish and encoding junk score far below fluent text.
+
+    Output: (id, n_grams, mean_logprob), logprob per gram rounded to 6 dp
+    and the mean computed over 1e6-scaled integer sums so partial-sum
+    ordering can never perturb the result across engines/partitionings.
+
+    Scale shape: ONE corpus explode feeds both the model counts and the
+    scoring probe; the model's vocabulary is intrinsically bounded
+    (charset^n, NOT corpus-sized — unlike word LMs), so the model table
+    broadcasts at any corpus size and the only full-corpus shuffles are
+    the count groupBy and the per-doc mean.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(char_ngram_list(F.lower(F.col(text_col)), n)).alias("__g")
+    )
+    counts = grams.groupBy("__g").agg(F.count("*").cast("long").alias("__c"))
+    totals = counts.agg(
+        F.sum("__c").cast("long").alias("__tot"),
+        F.count("*").cast("long").alias("__v"),
+    )
+    model = counts.join(totals).select(
+        "__g",
+        F.round(
+            F.log(
+                (F.col("__c") + 1).cast("double") / (F.col("__tot") + F.col("__v"))
+            ),
+            6,
+        ).alias("__lp"),
+    )
+    scored = grams.join(F.broadcast(model), "__g")
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.round(
+            F.sum(F.round(F.col("__lp") * 1_000_000).cast("long"))
+            / (F.count("*") * F.lit(1_000_000.0)),
+            6,
+        ).alias("mean_logprob"),
+    )

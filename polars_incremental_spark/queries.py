@@ -3354,6 +3354,41 @@ ORDER BY doc_id
 """
 
 
+def t11_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring: per-document mean log-probability
+    under the corpus's own add-one-smoothed char-trigram model.  The model
+    vocabulary is charset³-bounded (broadcasts at ANY corpus size); the
+    mean goes through 1e6-scaled integer sums so partial-sum order can't
+    perturb the hash."""
+    doc = load_table(spark, sf_dir, "documents")
+    return tx.char_trigram_score(doc).orderBy("doc_id")
+
+
+T11_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(length(lower(text)) - 2, 1) + 1),
+           i -> substr(lower(text), i, 3)
+         )) AS gram
+  FROM documents
+),
+counts AS (SELECT gram, COUNT(*)::BIGINT AS c FROM g GROUP BY gram),
+tot AS (SELECT SUM(c)::BIGINT AS t, COUNT(*)::BIGINT AS v FROM counts),
+model AS (
+  SELECT gram, round(ln((c + 1)::DOUBLE / (t + v)), 6) AS lp
+  FROM counts, tot
+)
+SELECT g.doc_id,
+       COUNT(*)::BIGINT AS n_grams,
+       round(SUM(CAST(round(m.lp * 1000000) AS BIGINT)) / (COUNT(*) * 1000000.0), 6)
+         AS mean_logprob
+FROM g JOIN model m ON g.gram = m.gram
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+
 def u8_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-k deterministic sample PER GROUP — a uniform per-language
     holdout: rows ordered by a salted md5 of their id inside each language,
@@ -3553,6 +3588,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "r26_ranking_functions": (r26_ranking_functions, R26_SQL),
     "m3_image_decode": (m3_image_decode, M3_SQL),
     "d14_edit_distance_pairs": (d14_edit_distance_pairs, D14_SQL),
+    "t11_char_lm_score": (t11_char_lm_score, T11_SQL),
 }
 
 

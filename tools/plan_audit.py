@@ -53,6 +53,7 @@ SCALAR_NLJ_ALLOWED = {
     "q22_idle_customers",  # balance threshold = 1-row (sum, count) aggregate
     "q11_important_parts",  # global value total = 1-row sum aggregate
     "t10_quality_deciles",  # decile boundaries = 1-row percentile aggregate
+    "t11_char_lm_score",  # LM normalizer (total, vocab) = 1-row aggregate onto the charset^3-bounded model table
 }
 NLJ_ALLOWED |= SCALAR_NLJ_ALLOWED
 

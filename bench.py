@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "r25_sliding_window",
     "r26_ranking_functions",
     "m3_image_decode",  # real PPM decode in mapInPandas — the multimodal perf row
+    "t11_char_lm_score",  # corpus LM build + per-doc scoring in one plan
 ]
 
 

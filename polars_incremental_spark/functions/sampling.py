@@ -169,3 +169,28 @@ def mixture_sample(
         .filter(sample_hash(F.col(key_col), seed) < thr)
         .drop("__n", "__w", "__T")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    *,
+    weight_col: str,
+    key_col: str,
+    alpha: float = 1.0,
+    seed: str = "s0",
+) -> DataFrame:
+    """Per-row weighted sampling: keep a row with probability
+    ``clamp(weight, 0, 1) ** alpha`` — quality-weighted corpus thinning
+    ("sample prob ∝ quality²") without any shuffle or state: the keep
+    decision is ``hash(key) < weight^alpha * 2^60``, one map-side compare
+    per row, deterministic across reruns / engines / appends (a row's fate
+    depends only on its own key and weight).  ``alpha`` sharpens (>1) or
+    flattens (<1) the weighting; ``alpha=0`` keeps everything.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0; got {alpha}")
+    w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    threshold = F.floor(F.pow(w, F.lit(float(alpha))) * F.lit(float(SAMPLE_SPACE))).cast(
+        "long"
+    )
+    return df.filter(sample_hash(F.col(key_col), seed) < threshold)

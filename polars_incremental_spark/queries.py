@@ -3354,6 +3354,52 @@ ORDER BY doc_id
 """
 
 
+def u9_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus thinning: each doc survives with probability
+    quality², decided by one map-side hash-vs-threshold compare — no
+    shuffle, no state, append-stable membership.  The oracle replays the
+    identical 60-bit hash and pow threshold."""
+    doc = load_table(spark, sf_dir, "documents")
+    scored = doc.select(
+        "doc_id", "lang", tx.quality_score(F.col("text")).alias("quality")
+    )
+    return (
+        sampling.weighted_sample(
+            scored, weight_col="quality", key_col="doc_id", alpha=2.0, seed="w0"
+        )
+        .select("doc_id", "lang", "quality")
+        .orderBy("doc_id")
+    )
+
+
+U9_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         len({_sql_tokens("text")})::BIGINT AS n_tokens,
+         length(regexp_replace(text, '\\s', '', 'g'))::BIGINT AS n_nonspace,
+         len(regexp_extract_all(text, '[^\\w\\s]'))::BIGINT AS n_punct,
+         length(text)::BIGINT AS n_chars,
+         {_sql_stopword_count("en")}::BIGINT AS n_stop
+  FROM documents
+),
+q AS (
+  SELECT doc_id, lang,
+         round(
+           (CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END)
+           + least(round(n_stop / greatest(n_tokens, 1), 6) * 4, 0.3::DOUBLE)
+           + 0.3::DOUBLE
+           - least(round(n_punct / greatest(n_chars, 1), 6) * 2, 0.3::DOUBLE), 6
+         ) AS quality
+  FROM base
+)
+SELECT doc_id, lang, quality
+FROM q
+WHERE {_sql_md5_long("('w0' || doc_id::VARCHAR)")} <
+      CAST(floor(pow(least(greatest(quality, 0.0), 1.0), 2.0) * 1152921504606846976) AS BIGINT)
+ORDER BY doc_id
+"""
+
+
 def t11_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-proxy quality scoring: per-document mean log-probability
     under the corpus's own add-one-smoothed char-trigram model.  The model
@@ -3589,6 +3635,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "m3_image_decode": (m3_image_decode, M3_SQL),
     "d14_edit_distance_pairs": (d14_edit_distance_pairs, D14_SQL),
     "t11_char_lm_score": (t11_char_lm_score, T11_SQL),
+    "u9_weighted_sample": (u9_weighted_sample, U9_SQL),
 }
 
 

@@ -3515,15 +3515,70 @@ LIMIT 5
 # previously-verified entries keep getting re-checked by the local replica
 # (tools/check_correctness.py runs all entries every time).
 #
-# Round-4 window (first 50): the 17 rows that were red in r03 solely from
-# the events-ts layout drift (now fixed in tables.py — the driver must
-# confirm) + 33 LLM-pipeline entries (d*/t*/s*/u*/m*) that had never been
-# driver-graded.  Rotated out this round: the 33 rows hash-verified green in
-# CORRECTNESS_r03 plus 6 within-family redundant entries (d4→d4b supersedes,
-# d5/d7 signatures exercised inside d6/d8, s4→s3 same semantics banded,
-# m1/m2 rows-only checks; m1b carries the multimodal hash oracle).
+# Round-5 window (first 50): the 20 entries that had NEVER received a
+# driver CORRECTNESS row (round-3/4 additions: q2/q11/q12, s5b, s7,
+# d12-d14, t9-t11, u8/u9, r24-r26, m1-m3, asof_fwd) + 30 sentinels from
+# the round-2-graded pool — those rows were last driver-graded on
+# PRE-drift testdata, so fresh driver rows on the current layout close
+# that gap too.  Rotated out: the 33 entries hash-verified green by the
+# driver in CORRECTNESS_r04 (events/cdc/schema + the d/t/s/u pillar
+# heads), plus r05/r07/r08/r09, d4/d7, s4 (r2-green, judge re-verified
+# locally in round 4, lowest regression risk).
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # --- red-in-r03, fixed this round: need driver confirmation (17) ---
+    # --- never driver-graded: first driver rows this round (20) ---
+    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
+    "q11_important_parts": (q11_important_parts, Q11_SQL),
+    "q12_late_priority_lines": (q12_late_priority_lines, Q12_SQL),
+    "d12_bloom_decontaminate": (d12_bloom_decontaminate, D12_SQL),
+    "d13_dedup_canonical": (d13_dedup_canonical, D13_SQL),
+    "d14_edit_distance_pairs": (d14_edit_distance_pairs, D14_SQL),
+    "s5b_ivf_refined_topk": (s5b_ivf_refined_topk, None),
+    "s7_semantic_dedup": (s7_semantic_dedup, S7_SQL),
+    "t9_curate_topk": (t9_curate_topk, T9_SQL),
+    "t10_quality_deciles": (t10_quality_deciles, T10_SQL),
+    "t11_char_lm_score": (t11_char_lm_score, T11_SQL),
+    "u8_group_sample": (u8_group_sample, U8_SQL),
+    "u9_weighted_sample": (u9_weighted_sample, U9_SQL),
+    "r24_trailing_hour": (r24_trailing_hour, R24_SQL),
+    "r25_sliding_window": (r25_sliding_window, R25_SQL),
+    "r26_ranking_functions": (r26_ranking_functions, R26_SQL),
+    "m1_multimodal_features": (m1_multimodal_features, None),
+    "m2_frame_sample": (m2_frame_sample, None),
+    "m3_image_decode": (m3_image_decode, M3_SQL),
+    "asof_fwd_click_after_error": (asof_fwd_click_after_error, ASOF_FWD_SQL),
+    # --- r2-graded sentinels: fresh driver rows on post-drift data (30) ---
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q4_priority_check": (q4_priority_check, Q4_SQL),
+    "q5_region_revenue": (q5_region_revenue, Q5_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q7_nation_volume": (q7_nation_volume, TPCH7_SQL),
+    "q8_market_share": (q8_market_share, TPCH8_SQL),
+    "q9_product_profit": (q9_product_profit, Q9_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "q13_order_histogram": (q13_order_histogram, Q13_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q16_supplier_count": (q16_supplier_count, Q16_SQL),
+    "q17_small_qty_revenue": (q17_small_qty_revenue, Q17_SQL),
+    "q18_large_orders": (q18_large_orders, Q18_SQL),
+    "q19_bracket_revenue": (q19_bracket_revenue, Q19_SQL),
+    "q20_heavy_shippers": (q20_heavy_shippers, Q20_SQL),
+    "q21_waiting_supplier": (q21_waiting_supplier, Q21_SQL),
+    "q22_idle_customers": (q22_idle_customers, Q22_SQL),
+    "r01_scan_count": (r01_scan_count, "SELECT COUNT(*) AS n_rows FROM lineitem"),
+    "r03_projection": (r03_projection, R03_SQL),
+    "r04_filter_isin": (r04_filter_isin, R04_SQL),
+    "r06_cast": (r06_cast, R06_SQL),
+    "r12_topk_sort": (r12_topk_sort, R12_SQL),
+    "r14_anti_join": (r14_anti_join, R14_SQL),
+    "r21_distinct_keys": (r21_distinct_keys, R21_SQL),
+    "rollup_order_totals": (rollup_order_totals, ROLLUP_SQL),
+    "q7_price_percentiles": (q7_price_percentiles, Q7_SQL),
+    "q8_grouping_sets": (q8_grouping_sets, Q8_SQL),
+    "d5_minhash_signatures": (d5_minhash_signatures, D5_SQL),
+    # ================= driver window boundary (entry 50) =================
+    # --- driver-green in CORRECTNESS_r04 on current data; replica-checked (33) ---
     "events_window_1m": (events_window, EVENTS_WINDOW_SQL),
     "events_sessionize": (events_sessionize, SESSIONIZE_SQL),
     "r02_json_roundtrip": (r02_json_roundtrip, R02_SQL),
@@ -3541,7 +3596,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "range_clicks_before_error": (range_clicks_before_error, RANGE_SQL),
     "cdc_merge_latest": (cdc_merge_latest, CDC_MERGE_SQL),
     "schema_evolve_add": (schema_evolve_add, SCHEMA_EVOLVE_SQL),
-    # --- LLM-pipeline pillar, first driver grading (33) ---
+    "schema_type_widen": (schema_type_widen, SCHEMA_WIDEN_SQL),
+    "schema_rescue": (schema_rescue, SCHEMA_RESCUE_SQL),
+    "w1_drop_late": (w1_drop_late, W1_SQL),
     "d1_exact_duplicates": (d1_exact_duplicates, D1_SQL),
     "d2_dedup_exact": (d2_dedup_exact, D2_SQL),
     "d3_fingerprint_duplicates": (d3_fingerprint_duplicates, D3_SQL),
@@ -3572,70 +3629,14 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "u6_pack_sequences": (u6_pack_sequences, U6_SQL),
     "u7_hot_keys": (u7_hot_keys, U7_SQL),
     "m1b_multimodal_meta": (m1b_multimodal_meta, M1B_SQL),
-    "schema_type_widen": (schema_type_widen, SCHEMA_WIDEN_SQL),
-    "schema_rescue": (schema_rescue, SCHEMA_RESCUE_SQL),
-    "w1_drop_late": (w1_drop_late, W1_SQL),
-    # ================= driver window boundary (entry 50) =================
-    # --- hash-verified green in CORRECTNESS_r03; replica-checked (33) ---
-    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
-    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
-    "q4_priority_check": (q4_priority_check, Q4_SQL),
-    "q5_region_revenue": (q5_region_revenue, Q5_SQL),
-    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
-    "q7_nation_volume": (q7_nation_volume, TPCH7_SQL),
-    "q8_market_share": (q8_market_share, TPCH8_SQL),
-    "q9_product_profit": (q9_product_profit, Q9_SQL),
-    "q10_returned_items": (q10_returned_items, Q10_SQL),
-    "q13_order_histogram": (q13_order_histogram, Q13_SQL),
-    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
-    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
-    "q16_supplier_count": (q16_supplier_count, Q16_SQL),
-    "q17_small_qty_revenue": (q17_small_qty_revenue, Q17_SQL),
-    "q18_large_orders": (q18_large_orders, Q18_SQL),
-    "q19_bracket_revenue": (q19_bracket_revenue, Q19_SQL),
-    "q20_heavy_shippers": (q20_heavy_shippers, Q20_SQL),
-    "q21_waiting_supplier": (q21_waiting_supplier, Q21_SQL),
-    "q22_idle_customers": (q22_idle_customers, Q22_SQL),
-    "r01_scan_count": (r01_scan_count, "SELECT COUNT(*) AS n_rows FROM lineitem"),
-    "r03_projection": (r03_projection, R03_SQL),
-    "r04_filter_isin": (r04_filter_isin, R04_SQL),
+    # --- r2-green + judge-replica-verified in r4; lowest regression risk ---
     "r05_expression": (r05_expression, R05_SQL),
-    "r06_cast": (r06_cast, R06_SQL),
     "r07_null_literal": (r07_null_literal, R07_SQL),
     "r08_case_when": (r08_case_when, R08_SQL),
     "r09_struct_json": (r09_struct_json, R09_SQL),
-    "r12_topk_sort": (r12_topk_sort, R12_SQL),
-    "r14_anti_join": (r14_anti_join, R14_SQL),
-    "r21_distinct_keys": (r21_distinct_keys, R21_SQL),
-    "rollup_order_totals": (rollup_order_totals, ROLLUP_SQL),
-    "q7_price_percentiles": (q7_price_percentiles, Q7_SQL),
-    "q8_grouping_sets": (q8_grouping_sets, Q8_SQL),
-    # --- within-family redundant variants, deferred this rotation (6) ---
     "d4_ngram_jaccard": (d4_ngram_jaccard, D4_SQL),
-    "d5_minhash_signatures": (d5_minhash_signatures, D5_SQL),
     "d7_simhash": (d7_simhash, D7_SQL),
     "s4_cosine_near_dup_exact": (s4_cosine_near_dup_exact, S4_SQL),
-    "m1_multimodal_features": (m1_multimodal_features, None),
-    "m2_frame_sample": (m2_frame_sample, None),
-    "s5b_ivf_refined_topk": (s5b_ivf_refined_topk, None),
-    # --- round-4 additions (rotate into the graded window next round) ---
-    "d12_bloom_decontaminate": (d12_bloom_decontaminate, D12_SQL),
-    "d13_dedup_canonical": (d13_dedup_canonical, D13_SQL),
-    "t9_curate_topk": (t9_curate_topk, T9_SQL),
-    "q11_important_parts": (q11_important_parts, Q11_SQL),
-    "q12_late_priority_lines": (q12_late_priority_lines, Q12_SQL),
-    "s7_semantic_dedup": (s7_semantic_dedup, S7_SQL),
-    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
-    "asof_fwd_click_after_error": (asof_fwd_click_after_error, ASOF_FWD_SQL),
-    "u8_group_sample": (u8_group_sample, U8_SQL),
-    "r24_trailing_hour": (r24_trailing_hour, R24_SQL),
-    "t10_quality_deciles": (t10_quality_deciles, T10_SQL),
-    "r25_sliding_window": (r25_sliding_window, R25_SQL),
-    "r26_ranking_functions": (r26_ranking_functions, R26_SQL),
-    "m3_image_decode": (m3_image_decode, M3_SQL),
-    "d14_edit_distance_pairs": (d14_edit_distance_pairs, D14_SQL),
-    "t11_char_lm_score": (t11_char_lm_score, T11_SQL),
-    "u9_weighted_sample": (u9_weighted_sample, U9_SQL),
 }
 
 

@@ -1017,10 +1017,12 @@ def update_bloom_index(
     batches would silently corrupt membership.  Idempotent replay: with a
     Pipeline ``batch_id`` the append goes to ``index_path/batch_{id}``
     (overwritten on retry — same contract as ``incremental_lsh_dedup``).
+    Without one, the subdir is derived from a content digest of the packed
+    bits, so retrying the same ad-hoc batch overwrites its own directory
+    instead of accumulating orphan ``batch_adhoc_*`` dirs forever.
     """
     import json
     import os
-    import uuid
 
     meta = {"ngram": ngram, "m_bits": m_bits, "k_hashes": k_hashes}
     os.makedirs(index_path, exist_ok=True)
@@ -1045,14 +1047,28 @@ def update_bloom_index(
             F.array(*[_bloom_position(F.col("__s"), i, m_bits) for i in range(k_hashes)])
         ).alias("__p")
     ).distinct()
-    sub = (
-        f"batch_{batch_id}"
-        if batch_id is not None
-        else f"batch_adhoc_{uuid.uuid4().hex[:8]}"
-    )
-    _pack_positions_to_words(pos).write.mode("overwrite").parquet(
-        os.path.join(index_path, sub)
-    )
+    packed = _pack_positions_to_words(pos)
+    if batch_id is not None:
+        sub = f"batch_{batch_id}"
+    else:
+        # content-addressed subdir: bit_xor of hash(word, bits) is
+        # order-insensitive and deterministic (Murmur3, fixed seed), so an
+        # identical ad-hoc batch always lands in — and overwrites — the
+        # same directory (idempotent replay without a batch_id).  The
+        # digest aggregate is bounded by m_bits/64 packed rows.
+        packed = packed.persist()
+        row = packed.agg(
+            F.count("*").cast("long").alias("__n"),
+            F.coalesce(F.expr("bit_xor(hash(word, bits))"), F.lit(0))
+            .cast("long")
+            .alias("__x"),
+        ).collect()[0]
+        sub = f"batch_adhoc_{row['__x'] & 0xFFFFFFFFFFFFFFFF:016x}_{row['__n']}"
+    try:
+        packed.write.mode("overwrite").parquet(os.path.join(index_path, sub))
+    finally:
+        if batch_id is None:
+            packed.unpersist()
 
 
 def bloom_decontaminate_indexed(

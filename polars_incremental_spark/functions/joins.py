@@ -109,13 +109,19 @@ def asof_join(
     def _within(struct_col):
         if tolerance is None:
             return struct_col
-        gap = F.abs(
-            F.unix_micros(F.col(left_ts)) - F.unix_micros(struct_col.getField(ts_field))
-        )
-        limit = F.unix_micros(
-            F.lit("1970-01-01 00:00:00").cast("timestamp") + F.expr(f"INTERVAL {tolerance}")
-        )
-        return F.when(gap <= limit, struct_col)
+        # Compare timestamps directly: [left_ts - tol, left_ts + tol].
+        # Converting the interval to micros via an epoch LITERAL parses
+        # '1970-01-01' in the SESSION timezone (silently shifting the
+        # tolerance by the UTC offset in non-UTC sessions), and calendar
+        # intervals like '1 month' would resolve to January's length.
+        # Anchoring at left_ts is TZ-independent and gives calendar
+        # intervals their natural per-row meaning.  Backward matches
+        # already satisfy m_ts <= left_ts (only the lower bound binds);
+        # forward the upper — one symmetric predicate covers both.
+        m_ts = struct_col.getField(ts_field)
+        tol = F.expr(f"INTERVAL {tolerance}")
+        in_range = (m_ts >= F.col(left_ts) - tol) & (m_ts <= F.col(left_ts) + tol)
+        return F.when(in_range, struct_col)
 
     if direction == "backward":
         chosen = _within(F.col("__back"))

@@ -186,10 +186,17 @@ def weighted_sample(
     per row, deterministic across reruns / engines / appends (a row's fate
     depends only on its own key and weight).  ``alpha`` sharpens (>1) or
     flattens (<1) the weighting; ``alpha=0`` keeps everything.
+
+    NULL weights are treated as 0.0: dropped for any ``alpha > 0``, kept
+    at ``alpha = 0`` (``pow(0, 0) = 1``) — an explicit rule rather than the
+    silent null-predicate drop a raw comparison would give.
     """
     if alpha < 0:
         raise ValueError(f"alpha must be >= 0; got {alpha}")
-    w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    w = F.least(
+        F.greatest(F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(0.0)),
+        F.lit(1.0),
+    )
     threshold = F.floor(F.pow(w, F.lit(float(alpha))) * F.lit(float(SAMPLE_SPACE))).cast(
         "long"
     )

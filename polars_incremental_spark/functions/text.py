@@ -270,6 +270,7 @@ def char_trigram_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    cache_intermediate: bool = True,
 ):
     """Per-document mean log-probability under the corpus's own add-one
     smoothed character n-gram frequency model — the cheap perplexity proxy
@@ -285,13 +286,21 @@ def char_trigram_score(
     (charset^n, NOT corpus-sized — unlike word LMs), so the model table
     broadcasts at any corpus size and the only full-corpus shuffles are
     the count groupBy and the per-doc mean.
+
+    ``cache_intermediate`` persists the shared explode for the duration of
+    the job (same rule as ``minhash_lsh_pairs``); the cached partitions
+    stay resident until executor storage evicts them, so in a long-lived
+    session scoring many corpora, pass ``False`` and persist/unpersist the
+    exploded frame externally (or write it to a table between stages).
     """
     # the explode feeds BOTH the model counts and the scoring probe —
     # persist it or the corpus re-shingles once per branch (same rule as
     # minhash_lsh_pairs' postings)
     grams = df.select(
         F.col(id_col), F.explode(char_ngram_list(F.lower(F.col(text_col)), n)).alias("__g")
-    ).persist()
+    )
+    if cache_intermediate:
+        grams = grams.persist()
     counts = grams.groupBy("__g").agg(F.count("*").cast("long").alias("__c"))
     totals = counts.agg(
         F.sum("__c").cast("long").alias("__tot"),

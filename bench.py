@@ -60,6 +60,15 @@ BENCH_QUERIES = [
     "r26_ranking_functions",
     "m3_image_decode",  # real PPM decode in mapInPandas — the multimodal perf row
     "t11_char_lm_score",  # corpus LM build + per-doc scoring in one plan
+    # round-5 additions — every query family's most expensive never-benched
+    # member, so family-level regressions surface the round they happen
+    "d13_dedup_canonical",  # LSH pairs -> CC -> keep-canonical anti-join
+    "d14_edit_distance_pairs",  # levenshtein verify over banded candidates
+    "u9_weighted_sample",  # quality-score compute + map-side thinning
+    "q2_min_cost_supplier",  # TPC-H Q2: correlated min over part-supp
+    "q11_important_parts",  # TPC-H Q11: group-agg vs scalar-agg threshold
+    "asof_fwd_click_after_error",  # forward as-of over events self-pair
+    "m1b_multimodal_meta",  # mapInPandas feature extract, hash-oracled
 ]
 
 

@@ -79,9 +79,12 @@ def decode_image(content: bytes) -> "object":
         return _decode_ppm_p6(bytes(content), np)
     if content[:2] == b"BM":
         return _decode_bmp(bytes(content), np)
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(bytes(content), np)
     raise NotImplementedError(
-        "only PPM(P6)/uncompressed-BMP decode is available without an image "
-        "library (e.g. Pillow); plug one in for JPEG/PNG/WebP"
+        "only PPM(P6)/uncompressed-BMP/PNG(8-bit, non-interlaced) decode is "
+        "available without an image library (e.g. Pillow); plug one in for "
+        "JPEG/WebP/16-bit or Adam7 PNG"
     )
 
 
@@ -128,6 +131,97 @@ def _decode_bmp(data: bytes, np) -> "object":
     if not top_down:
         rows = rows[::-1]
     return rows[:, :, 2::-1]  # BGR(A) -> RGB, alpha dropped
+
+
+def _decode_png(data: bytes, np) -> "object":
+    """Real PNG decode via stdlib zlib: 8-bit depth, color types 0 (gray),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced.  All
+    five scanline filters (None/Sub/Up/Average/Paeth) are implemented per
+    the PNG spec; 16-bit depth and Adam7 interlacing raise
+    NotImplementedError (plug Pillow in for those).  Output is (H, W, 3)
+    uint8 — palette expanded, alpha dropped, gray replicated.
+
+    Filter inversion is row-sequential by spec (each pixel depends on its
+    left/up neighbors); Sub vectorizes as a per-lane cumsum, Up is one
+    vector add, Average/Paeth fall back to a per-pixel loop — fine for
+    corpus-scale thumbnails, and the mapInPandas batching around this call
+    is unchanged when a C decoder replaces it.
+    """
+    import struct
+    import zlib
+
+    pos, idat, palette = 8, [], None
+    w = h = depth = color = interlace = None
+    while pos + 8 <= len(data):
+        length, ctype = struct.unpack_from(">I4s", data, pos)
+        chunk = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} not supported (8 only)")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if nch is None:
+        raise ValueError(f"invalid PNG color type {color}")
+    if color == 3 and palette is None:
+        raise ValueError("palette PNG missing PLTE")
+
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) < (stride + 1) * h:
+        raise ValueError("PNG IDAT truncated")
+    rows = np.frombuffer(raw, dtype=np.uint8, count=(stride + 1) * h).reshape(
+        h, stride + 1
+    )
+    filters, scan = rows[:, 0], rows[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f, cur = int(filters[y]), scan[y]
+        if f == 0:
+            line = cur
+        elif f == 1:  # Sub: per-lane cumulative sum mod 256
+            line = cur.reshape(w, nch).cumsum(axis=0).reshape(stride) & 0xFF
+        elif f == 2:  # Up
+            line = (cur + prev) & 0xFF
+        elif f == 3:  # Average
+            line = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                left = line[i - nch] if i >= nch else 0
+                line[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            line = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {f} on row {y}")
+        out[y], prev = line, line
+    img = out.astype(np.uint8).reshape(h, w, nch)
+    if color == 3:
+        return palette[img[:, :, 0]]
+    if nch == 1:
+        return np.repeat(img, 3, axis=2)
+    if nch == 2:  # gray + alpha
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    return img[:, :, :3]  # RGB / RGBA -> RGB
 
 
 IMAGE_FEATURE_SCHEMA = T.StructType(

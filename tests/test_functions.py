@@ -241,7 +241,7 @@ def test_frame_sampler_fanout(docs):
 
 def test_decode_image_unsupported_formats_raise():
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG\r\n\x1a\n")
+        multimodal.decode_image(b"\xff\xd8\xff\xe0 jpeg-ish payload")
 
 
 def _ppm_bytes(pixels):

@@ -133,3 +133,164 @@ def test_char_trigram_score_cache_flag(spark):
         for r in tx.char_trigram_score(df, cache_intermediate=False).collect()
     }
     assert cached == uncached and len(cached) == 2
+
+
+# ---------------------------------------------------------------------------
+# PNG decode (round-5: real zlib+numpy decoder)
+# ---------------------------------------------------------------------------
+
+def _png_bytes(pixels, color_type=2, filter_types=None, palette=None):
+    """Spec-faithful PNG encoder for tests — written from the PNG spec
+    independently of the library decoder (filters subtract RAW neighbor
+    values; the decoder reconstructs them progressively)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = pixels.shape[:2]
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    flat = pixels.reshape(h, w * nch).astype(np.int32)
+    if filter_types is None:
+        filter_types = [0] * h
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    scan = bytearray()
+    for y in range(h):
+        f = filter_types[y]
+        scan.append(f)
+        for i in range(w * nch):
+            x = int(flat[y, i])
+            a = int(flat[y, i - nch]) if i >= nch else 0
+            b = int(flat[y - 1, i]) if y > 0 else 0
+            c = int(flat[y - 1, i - nch]) if (y > 0 and i >= nch) else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) >> 1, 4: paeth(a, b, c)}[f]
+            scan.append((x - pred) & 0xFF)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    out = b"\x89PNG\r\n\x1a\n"
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+    if palette is not None:
+        out += chunk(b"PLTE", palette.astype("uint8").tobytes())
+    out += chunk(b"IDAT", zlib.compress(bytes(scan)))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def test_png_decode_all_filters_rgb():
+    import numpy as np
+
+    from polars_incremental_spark.functions import multimodal
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    for f in range(5):
+        got = multimodal.decode_image(_png_bytes(img, filter_types=[f] * 6))
+        assert np.array_equal(got, img), f"filter {f}"
+    # mixed per-row filters (the realistic encoder output)
+    mixed = multimodal.decode_image(_png_bytes(img, filter_types=[0, 1, 2, 3, 4, 2]))
+    assert np.array_equal(mixed, img)
+
+
+def test_png_decode_color_types():
+    import numpy as np
+
+    from polars_incremental_spark.functions import multimodal
+
+    rng = np.random.default_rng(12)
+    gray = rng.integers(0, 256, size=(4, 3, 1), dtype=np.uint8)
+    got = multimodal.decode_image(_png_bytes(gray, color_type=0, filter_types=[4] * 4))
+    assert np.array_equal(got, np.repeat(gray, 3, axis=2))
+
+    rgba = rng.integers(0, 256, size=(4, 3, 4), dtype=np.uint8)
+    got = multimodal.decode_image(_png_bytes(rgba, color_type=6, filter_types=[1] * 4))
+    assert np.array_equal(got, rgba[:, :, :3])
+
+    ga = rng.integers(0, 256, size=(4, 3, 2), dtype=np.uint8)
+    got = multimodal.decode_image(_png_bytes(ga, color_type=4, filter_types=[2] * 4))
+    assert np.array_equal(got, np.repeat(ga[:, :, :1], 3, axis=2))
+
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, size=(4, 3, 1), dtype=np.uint8)
+    got = multimodal.decode_image(
+        _png_bytes(idx, color_type=3, filter_types=[1] * 4, palette=pal)
+    )
+    assert np.array_equal(got, pal[idx[:, :, 0]])
+
+
+def test_png_matches_ppm_of_same_image():
+    import numpy as np
+
+    from polars_incremental_spark.functions import multimodal
+    from tests.test_functions import _ppm_bytes
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(7, 9, 3), dtype=np.uint8)
+    png = multimodal.decode_image(_png_bytes(img, filter_types=[4, 3, 2, 1, 0, 4, 1]))
+    ppm = multimodal.decode_image(_ppm_bytes(img))
+    assert np.array_equal(png, ppm)
+
+
+def test_png_unsupported_and_corrupt():
+    import numpy as np
+    import struct
+    import zlib
+
+    from polars_incremental_spark.functions import multimodal
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+
+    def with_ihdr(depth=8, interlace=0):
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, depth, 2, 0, 0, interlace))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+            + chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        multimodal.decode_image(with_ihdr(depth=16))
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        multimodal.decode_image(with_ihdr(interlace=1))
+    with pytest.raises(ValueError, match="missing IHDR"):
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\n")
+    truncated = _png_bytes(img)[:-30]
+    with pytest.raises(Exception):
+        multimodal.decode_image(truncated)
+
+
+def test_png_in_decode_image_features_with_corrupt_isolation(spark):
+    import numpy as np
+
+    from polars_incremental_spark.functions import multimodal
+
+    img = np.arange(3 * 4 * 3, dtype=np.uint8).reshape(3, 4, 3)
+    good = _png_bytes(img, filter_types=[4, 1, 3])
+    corrupt = bytearray(good)
+    corrupt[40] ^= 0xFF  # flip a byte inside IDAT -> zlib error
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytes(corrupt))],
+        "media_id long, content binary",
+    )
+    out = {r["media_id"]: r for r in multimodal.decode_image_features(df).collect()}
+    means = img.reshape(-1, 3).mean(axis=0)
+    assert (out[1]["width"], out[1]["height"]) == (4, 3)
+    assert abs(out[1]["mean_r"] - means[0]) < 1e-6
+    assert out[1]["decode_error"] is None
+    assert out[2]["decode_error"] is not None and out[2]["width"] is None

@@ -294,3 +294,65 @@ def test_png_in_decode_image_features_with_corrupt_isolation(spark):
     assert abs(out[1]["mean_r"] - means[0]) < 1e-6
     assert out[1]["decode_error"] is None
     assert out[2]["decode_error"] is not None and out[2]["width"] is None
+
+
+# ---------------------------------------------------------------------------
+# Connected-components stress: adversarial cluster shapes (round-5)
+# ---------------------------------------------------------------------------
+
+def test_connected_components_long_chain_iteration_bound(spark):
+    """Hash-min propagates the min label ONE HOP per iteration, so a chain
+    of diameter D needs D+1 iterations (D to propagate + 1 to observe the
+    fixpoint).  Pins that bound from both sides: converges at D+1, raises
+    cleanly well under it — a non-converged labeling can never be returned
+    as clusters."""
+    D = 20  # diameter: chain 0-1-...-20
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(D)], ["id_a", "id_b"]
+    )
+    labels = dedup.connected_components(chain, max_iter=D + 1)
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(D + 1)}
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iter=D // 2)
+
+
+def test_connected_components_giant_star_two_iterations(spark):
+    """A star (the shape near-dup clusters actually take: many copies of
+    one source) converges in 2-3 iterations REGARDLESS of fan-out — the
+    iteration count is bounded by diameter, not cluster size.  Center gets
+    the HIGHEST id so the label must flow leaf -> center -> leaves."""
+    import time
+
+    n_leaves = 2000
+    center = n_leaves + 1
+    star = spark.createDataFrame(
+        [(i, center) for i in range(n_leaves)], ["id_a", "id_b"]
+    )
+    t0 = time.monotonic()
+    labels = dedup.connected_components(star, max_iter=3)
+    rows = labels.collect()
+    elapsed = time.monotonic() - t0
+    assert len(rows) == n_leaves + 1
+    assert {r["cluster_id"] for r in rows} == {0}
+    # wall-time sanity: 3 bounded-shuffle iterations over 2001 nodes must
+    # not blow up (localCheckpoint keeps the plan flat); generous CI margin
+    assert elapsed < 60, f"star CC took {elapsed:.1f}s"
+
+
+def test_connected_components_mixed_shapes_one_pass(spark):
+    """Chains, a star, and singleton pairs in ONE edge set — per-component
+    labels stay independent and equal each component's min id."""
+    edges = []
+    edges += [(i, i + 1) for i in range(100, 105)]  # chain 100..105
+    edges += [(i, 300) for i in range(200, 210)]    # star centered high
+    edges += [(400, 401)]                            # isolated pair
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(df, max_iter=10).collect()
+    }
+    assert all(got[i] == 100 for i in range(100, 106))
+    assert all(got[i] == 200 for i in list(range(200, 210)) + [300])
+    assert got[400] == got[401] == 400

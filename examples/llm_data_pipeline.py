@@ -57,7 +57,9 @@ def curate(batch, state, batch_id, lsh_index, heldout):
     )
     # exact dedupe vs everything accepted in ANY earlier batch
     kept = kept.withColumn("text_hash", F.md5(F.col("text")))
-    kept = cross_batch_dedupe(kept, ["text_hash"], state=state, state_key="seen_hashes")
+    kept = cross_batch_dedupe(
+        kept, ["text_hash"], state=state, state_key="seen_hashes", batch_id=batch_id
+    )
     # near-dup dedupe vs the whole accepted corpus AND within the batch:
     # survivors' minhash signatures append to the persisted LSH index
     # (idempotently per batch_id), so batch N+1 dedupes against them

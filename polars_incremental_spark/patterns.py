@@ -133,6 +133,7 @@ def cross_batch_dedupe(
     *,
     state: JobState,
     state_key: str = "seen_ids",
+    batch_id: int | None = None,
 ) -> DataFrame:
     """W4: drop rows whose id was seen in any previous batch, then record ids.
 
@@ -140,17 +141,48 @@ def cross_batch_dedupe(
     The seen-id set is a parquet blob anti-joined against the batch — at
     scale swap the blob for a Delta table, the join shape is identical.
     Streaming-native: ``dropDuplicates(id_cols)`` + ``withWatermark``.
+
+    Replay safety: the seen-set swap happens MID-writer, before the
+    pipeline commits the batch — so a writer crash after this call leaves
+    the batch's own ids recorded, and a naive retry would anti-join the
+    batch against itself and emit nothing.  Pass the Pipeline ``batch_id``
+    and each id is stamped with the batch that introduced it; a replay
+    excludes its own batch's contribution from the anti-join and re-records
+    it (the same per-batch idempotency contract as ``incremental_lsh_dedup``
+    and ``update_bloom_index``).  Without ``batch_id``, behavior is the
+    original record-once semantics — correct only when a batch is never
+    retried after a mid-writer failure.
     """
     batch = batch.dropDuplicates(list(id_cols))
     seen = state.load_parquet(batch.sparkSession, state_key)
-    if seen is not None:
-        batch = batch.join(seen, on=list(id_cols), how="left_anti")
+    prior = seen
+    if seen is not None and batch_id is not None and "__batch_id" in seen.columns:
+        prior = seen.filter(F.col("__batch_id") != int(batch_id))
+    if prior is not None:
+        batch = batch.join(prior.select(*id_cols), on=list(id_cols), how="left_anti")
     # materialize BEFORE the state swap: the lazy plan reads the seen-set
     # parquet that save_parquet is about to replace — re-executing it later
     # would anti-join the batch against its own freshly-recorded ids
     batch = batch.localCheckpoint()
     new_ids = batch.select(*id_cols)
-    union = new_ids if seen is None else seen.unionByName(new_ids).distinct()
+    if batch_id is not None:
+        new_ids = new_ids.withColumn("__batch_id", F.lit(int(batch_id)))
+        if prior is not None:
+            # legacy state written without provenance joins in as batch -1
+            base = (
+                prior
+                if "__batch_id" in prior.columns
+                else prior.select(*id_cols).withColumn("__batch_id", F.lit(-1))
+            )
+            union = base.unionByName(new_ids).distinct()
+        else:
+            union = new_ids
+    else:
+        union = (
+            new_ids
+            if seen is None
+            else seen.select(*id_cols).unionByName(new_ids).distinct()
+        )
     state.save_parquet(state_key, union)
     return batch
 

@@ -112,10 +112,10 @@ def read_files(
     if file_format == "avro":
         try:
             return reader.format("avro").options(**options).load(files)
-        except Exception as exc:  # spark-avro jar may be absent in this container
-            raise UnsupportedFormatError(
-                "avro requires the spark-avro package on the classpath"
-            ) from exc
+        except Exception:  # spark-avro jar absent: pure-Python fallback
+            from .formats import read_avro_fallback
+
+            return read_avro_fallback(spark, files)
     if file_format == "excel":
         return _read_excel(spark, files, options)
     raise UnsupportedFormatError(f"unsupported file format {file_format!r}")
@@ -135,9 +135,9 @@ def _read_excel(spark: SparkSession, files: list[str], options: dict[str, Any]) 
     for path in files:
         try:
             frames.append(pd.read_excel(path, **options))
-        except ImportError as exc:
-            raise UnsupportedFormatError(
-                "excel requires an engine such as openpyxl; not installed here"
-            ) from exc
+        except ImportError:  # no engine (openpyxl): stdlib zip+xml fallback
+            from .formats import read_xlsx_fallback
+
+            return read_xlsx_fallback(spark, files)
     merged = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
     return spark.createDataFrame(merged)

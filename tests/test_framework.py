@@ -262,16 +262,11 @@ def test_run_native_latest_requires_age(spark, tmp_path):
         )
 
 
-def test_excel_requires_engine(spark, tmp_path):
-    """S7 excel path: honest gated error when no engine is installed."""
+def test_excel_corrupt_file_raises(spark, tmp_path):
+    """S7 excel path: a corrupt xlsx fails loudly through either engine
+    (pandas+openpyxl or the stdlib zip fallback)."""
     path = tmp_path / "book.xlsx"
     path.write_bytes(b"PK\x03\x04fake")
-    try:
-        import openpyxl  # noqa: F401
-
-        pytest.skip("openpyxl present; gated-error branch not reachable")
-    except ImportError:
-        pass
     with pytest.raises(Exception):
         read_files(spark, [str(path)], "excel").collect()
 
@@ -362,9 +357,10 @@ def test_streaming_listener_bridge(spark, tmp_path):
     assert committed and committed[0][1] == 4
 
 
-def test_avro_requires_package(spark, tmp_path):
-    """S7 avro path: gated error when the spark-avro jar is absent."""
+def test_avro_corrupt_file_raises(spark, tmp_path):
+    """S7 avro path: a corrupt container file fails loudly through either
+    path (spark-avro jar or the pure-Python fallback)."""
     path = tmp_path / "x.avro"
     path.write_bytes(b"Obj\x01fake")
-    with pytest.raises(UnsupportedFormatError, match="avro"):
+    with pytest.raises(Exception):
         read_files(spark, [str(path)], "avro").collect()

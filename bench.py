@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "q11_important_parts",  # TPC-H Q11: group-agg vs scalar-agg threshold
     "asof_fwd_click_after_error",  # forward as-of over events self-pair
     "m1b_multimodal_meta",  # mapInPandas feature extract, hash-oracled
+    "u10_token_mixture",  # token-budgeted mixture: boundary-bucket window
 ]
 
 

@@ -171,6 +171,109 @@ def mixture_sample(
     )
 
 
+def mixture_sample_tokens(
+    df: DataFrame,
+    *,
+    source_col: str,
+    weights: dict[str, float],
+    token_col: str,
+    key_col: str,
+    seed: str = "mixt",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Token-budgeted training-data mixing: real pretraining mixtures are
+    specified in TOKENS ("50% web / 30% code / 20% books of a 10T-token
+    budget"), not rows — row-based ``mixture_sample`` under-weights
+    long-document sources.  Semantics (exact, engine-portable):
+
+        T = min_s(tokens_s / w_s)          (largest feasible total budget)
+        budget_s = floor(w_s * T)          (tokens source s may contribute)
+        keep s's rows in deterministic hash order (hash(seed,key), key)
+        while the running token total stays <= budget_s.
+
+    The prefix rule makes the sample a pure function of (keys, tokens,
+    weights, seed): reruns and engines reproduce it bit-for-bit (the SQL
+    twin is a per-source window cumsum), and appending OTHER sources never
+    perturbs a source's selection.
+
+    Scale shape: a naive per-source window cumsum funnels each source's
+    entire corpus through one reducer — the classic skew killer when a
+    mixture has 3-10 sources.  Instead the 60-bit hash space splits into
+    ``n_buckets`` ranges: per-(source, bucket) token sums aggregate
+    map-side into an (n_sources x n_buckets) metadata frame, a prefix sum
+    over THAT finds each source's boundary bucket, whole buckets below it
+    keep rows with no per-row ordering at all, and the window cumsum runs
+    only INSIDE the single boundary bucket (~1/n_buckets of the source).
+    Every broadcast is metadata-sized; no driver collect.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for label, w in weights.items():
+        if not (0.0 < w <= 1.0):
+            raise ValueError(f"weight for {label!r} must be in (0, 1]; got {w}")
+    if n_buckets < 2 or n_buckets & (n_buckets - 1):
+        raise ValueError(f"n_buckets must be a power of two >= 2; got {n_buckets}")
+    from pyspark.sql import Window
+
+    shift = 61 - n_buckets.bit_length()  # bucket = h >> shift, h in [0, 2^60)
+    w_map = F.create_map(
+        *[x for k, v in sorted(weights.items()) for x in (F.lit(k), F.lit(float(v)))]
+    )
+    base = (
+        df.filter(F.col(source_col).isin(sorted(weights)))
+        .withColumn("__h", sample_hash(F.col(key_col), seed))
+        .withColumn("__tok", F.coalesce(F.col(token_col).cast("long"), F.lit(0)))
+        .withColumn("__b", F.shiftright(F.col("__h"), shift))
+    )
+    tot = (
+        base.groupBy(source_col)
+        .agg(F.sum("__tok").cast("double").alias("__n"))
+        .withColumn("__w", F.element_at(w_map, F.col(source_col).cast("string")))
+    )
+    # T = min(n/w) attaches via a global window over the n_sources-row
+    # metadata frame — same answer as a 1-row cross join, but no
+    # nested-loop join node in the plan
+    bud = (
+        tot.withColumn(
+            "__T",
+            F.min(F.col("__n") / F.col("__w")).over(Window.partitionBy(F.lit(1))),
+        )
+        .select(
+            source_col,
+            F.floor(F.col("__w") * F.col("__T")).cast("long").alias("__budget"),
+        )
+    )
+    bcum = (
+        base.groupBy(source_col, "__b")
+        .agg(F.sum("__tok").alias("__btok"))
+        .withColumn(
+            "__cum",
+            F.sum("__btok").over(Window.partitionBy(source_col).orderBy("__b")),
+        )
+        .withColumn("__cum_prev", F.col("__cum") - F.col("__btok"))
+        .drop("__btok")
+    )
+    joined = base.join(F.broadcast(bcum), [source_col, "__b"]).join(
+        F.broadcast(bud), source_col
+    )
+    # whole buckets strictly inside the budget: every row's global running
+    # total is bounded by its bucket's inclusive cum
+    fast = joined.filter(F.col("__cum") <= F.col("__budget"))
+    # exactly ONE bucket per source straddles the budget (cum monotone);
+    # rows past it have cum_prev > budget and can never qualify
+    boundary = joined.filter(
+        (F.col("__cum") > F.col("__budget")) & (F.col("__cum_prev") <= F.col("__budget"))
+    )
+    w_row = Window.partitionBy(source_col, "__b").orderBy(
+        F.col("__h").asc(), F.col(key_col).asc()
+    )
+    sel = boundary.withColumn(
+        "__rcum", F.sum("__tok").over(w_row) + F.col("__cum_prev")
+    ).filter(F.col("__rcum") <= F.col("__budget"))
+    drop_cols = ["__h", "__tok", "__b", "__cum", "__cum_prev", "__budget"]
+    return fast.drop(*drop_cols).unionByName(sel.drop("__rcum", *drop_cols))
+
+
 def weighted_sample(
     df: DataFrame,
     *,

@@ -3400,6 +3400,55 @@ ORDER BY doc_id
 """
 
 
+def u10_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted 50/30/20 source mixture: each source contributes its
+    deterministic hash-ordered prefix of documents until its share of the
+    largest feasible TOKEN budget is spent (real mixtures are specified in
+    tokens, not rows).  The bucketed implementation windows only the one
+    boundary bucket per source; the oracle replays the semantics as a
+    global per-source window cumsum."""
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        tx.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return (
+        sampling.mixture_sample_tokens(
+            doc,
+            source_col="source",
+            weights={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+            token_col="n_tokens",
+            key_col="doc_id",
+        )
+        .select("doc_id", "source", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+U10_SQL = f"""
+WITH w(source, w) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+base AS (
+  SELECT doc_id, source,
+         len({_sql_tokens("text")})::BIGINT AS n_tokens,
+         {_sql_md5_long("'mixt' || doc_id::VARCHAR")} AS h
+  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+),
+tot AS (SELECT source, SUM(n_tokens)::DOUBLE AS n FROM base GROUP BY source),
+j AS (SELECT t.source, t.n, w.w FROM tot t JOIN w USING (source)),
+tm AS (SELECT MIN(n / w) AS T FROM j),
+bud AS (SELECT j.source, CAST(floor(j.w * tm.T) AS BIGINT) AS budget FROM j, tm),
+r AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum
+  FROM base
+)
+SELECT r.doc_id, r.source, r.n_tokens
+FROM r JOIN bud USING (source)
+WHERE r.cum <= bud.budget
+ORDER BY doc_id
+"""
+
+
 def t11_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-proxy quality scoring: per-document mean log-probability
     under the corpus's own add-one-smoothed char-trigram model.  The model
@@ -3637,6 +3686,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "d4_ngram_jaccard": (d4_ngram_jaccard, D4_SQL),
     "d7_simhash": (d7_simhash, D7_SQL),
     "s4_cosine_near_dup_exact": (s4_cosine_near_dup_exact, S4_SQL),
+    # --- round-5 additions (rotate into the graded window next round) ---
+    "u10_token_mixture": (u10_token_mixture, U10_SQL),
 }
 
 

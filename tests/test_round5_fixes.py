@@ -356,3 +356,124 @@ def test_connected_components_mixed_shapes_one_pass(spark):
     assert all(got[i] == 100 for i in range(100, 106))
     assert all(got[i] == 200 for i in list(range(200, 210)) + [300])
     assert got[400] == got[401] == 400
+
+
+# ---------------------------------------------------------------------------
+# Token-budgeted mixture sampling (round-5 operator)
+# ---------------------------------------------------------------------------
+
+def _token_corpus(spark, sources=("a", "b", "c"), rows_per_source=400, seed=17):
+    import random
+
+    rng = random.Random(seed)
+    data = [
+        (f"{s}{i:04d}", s, rng.randint(1, 500))
+        for s in sources
+        for i in range(rows_per_source)
+    ]
+    return spark.createDataFrame(data, ["doc_id", "source", "n_tokens"])
+
+
+def _reference_token_mixture(df, weights, seed="mixt"):
+    """Semantics-level reference: global per-source window cumsum — the
+    shape the DuckDB oracle uses, independent of the bucketed rollout."""
+    from pyspark.sql import Window
+
+    from polars_incremental_spark.functions.sampling import sample_hash
+
+    base = df.filter(F.col("source").isin(sorted(weights))).withColumn(
+        "__h", sample_hash(F.col("doc_id"), seed)
+    )
+    tot = base.groupBy("source").agg(F.sum("n_tokens").cast("double").alias("n"))
+    rows = {r["source"]: r["n"] for r in tot.collect()}
+    T = min(rows[s] / w for s, w in weights.items())
+    budgets = {s: int(w * T) for s, w in weights.items()}
+    w_cum = Window.partitionBy("source").orderBy(
+        F.col("__h").asc(), F.col("doc_id").asc()
+    )
+    ref = base.withColumn("__cum", F.sum("n_tokens").over(w_cum))
+    import functools
+
+    cond = functools.reduce(
+        lambda a, b: a | b,
+        [
+            (F.col("source") == s) & (F.col("__cum") <= F.lit(budgets[s]))
+            for s in weights
+        ],
+    )
+    return {tuple(r) for r in ref.filter(cond).select("doc_id", "source", "n_tokens").collect()}
+
+
+def test_mixture_sample_tokens_matches_global_window_reference(spark):
+    df = _token_corpus(spark)
+    weights = {"a": 0.5, "b": 0.3, "c": 0.2}
+    got = {
+        tuple(r)
+        for r in sampling.mixture_sample_tokens(
+            df, source_col="source", weights=weights,
+            token_col="n_tokens", key_col="doc_id",
+        ).select("doc_id", "source", "n_tokens").collect()
+    }
+    assert got == _reference_token_mixture(df, weights)
+    # the binding source (largest tokens/weight ratio denominator) is kept
+    # nearly whole and proportions track the requested mix
+    kept_tokens = {}
+    for _, s, t in got:
+        kept_tokens[s] = kept_tokens.get(s, 0) + t
+    total = sum(kept_tokens.values())
+    for s, w in weights.items():
+        assert abs(kept_tokens[s] / total - w) < 0.02, (s, kept_tokens)
+
+
+def test_mixture_sample_tokens_bucket_and_partition_invariance(spark):
+    df = _token_corpus(spark, rows_per_source=250, seed=23)
+    weights = {"a": 0.6, "b": 0.4}
+
+    def run(frame, **kw):
+        return {
+            tuple(r)
+            for r in sampling.mixture_sample_tokens(
+                frame, source_col="source", weights=weights,
+                token_col="n_tokens", key_col="doc_id", **kw,
+            ).collect()
+        }
+
+    base = run(df)
+    assert base == run(df, n_buckets=8)       # bucket count is an impl knob
+    assert base == run(df.repartition(13))    # physical layout irrelevant
+    assert base == run(df.orderBy(F.col("n_tokens").desc()))
+
+
+def test_mixture_sample_tokens_append_stability_and_validation(spark):
+    df = _token_corpus(spark, sources=("a", "b"), rows_per_source=200)
+    weights = {"a": 0.5, "b": 0.5}
+    before = {
+        r["doc_id"]
+        for r in sampling.mixture_sample_tokens(
+            df, source_col="source", weights=weights,
+            token_col="n_tokens", key_col="doc_id",
+        ).filter(F.col("source") == "a").collect()
+    }
+    # appending a NEW source (not in weights) never perturbs a's selection
+    bigger = df.unionByName(
+        _token_corpus(spark, sources=("z",), rows_per_source=300, seed=5)
+    )
+    after = {
+        r["doc_id"]
+        for r in sampling.mixture_sample_tokens(
+            bigger, source_col="source", weights=weights,
+            token_col="n_tokens", key_col="doc_id",
+        ).filter(F.col("source") == "a").collect()
+    }
+    assert before == after
+
+    with pytest.raises(ValueError, match="non-empty"):
+        sampling.mixture_sample_tokens(
+            df, source_col="source", weights={},
+            token_col="n_tokens", key_col="doc_id",
+        )
+    with pytest.raises(ValueError, match="power of two"):
+        sampling.mixture_sample_tokens(
+            df, source_col="source", weights=weights,
+            token_col="n_tokens", key_col="doc_id", n_buckets=37,
+        )

@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "asof_fwd_click_after_error",  # forward as-of over events self-pair
     "m1b_multimodal_meta",  # mapInPandas feature extract, hash-oracled
     "u10_token_mixture",  # token-budgeted mixture: boundary-bucket window
+    "u11_token_shards",  # exact global token cumsum, 1024 bounded windows
 ]
 
 

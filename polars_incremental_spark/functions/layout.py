@@ -144,6 +144,78 @@ def write_training_shards(
     return n_shards
 
 
+def token_balanced_shards(
+    df: DataFrame,
+    *,
+    token_col: str,
+    key_col: str,
+    tokens_per_shard: int,
+    seed: str = "shard",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Assign each row a shard id by GREEDY TOKEN PACKING in deterministic
+    hash order: shard = floor(running_token_total_before_row /
+    tokens_per_shard).  ``write_training_shards`` balances ROW counts;
+    training loaders actually budget TOKENS per shard — a shard of 10k
+    tiny docs and a shard of 10k books differ 100× in step count.
+
+    The hard part is the global running total: one whole-corpus window is
+    a single-reducer funnel.  Same cure as ``mixture_sample_tokens``, taken
+    further: the 60-bit hash space splits into ``n_buckets`` ranges,
+    per-bucket token sums prefix-scan as an (n_buckets)-row metadata frame
+    broadcast back, and EVERY bucket computes its rows' exact global
+    running totals with a window bounded to ~1/n_buckets of the corpus —
+    1024 parallel bounded windows instead of one global one, exact to the
+    last token.  Output = input columns + ``shard`` (int).
+
+    Deterministic across engines/reruns/partitionings: order is
+    (hash(seed, key), key), totals are exact longs — a SQL oracle replays
+    it as one global window cumsum.
+    """
+    if tokens_per_shard < 1:
+        raise ValueError(f"tokens_per_shard must be >= 1; got {tokens_per_shard}")
+    if n_buckets < 2 or n_buckets & (n_buckets - 1):
+        raise ValueError(f"n_buckets must be a power of two >= 2; got {n_buckets}")
+    from pyspark.sql import Window
+
+    from .sampling import sample_hash
+
+    shift = 61 - n_buckets.bit_length()
+    base = (
+        df.withColumn("__h", sample_hash(F.col(key_col), seed))
+        .withColumn("__tok", F.coalesce(F.col(token_col).cast("long"), F.lit(0)))
+        .withColumn("__b", F.shiftright(F.col("__h"), shift))
+    )
+    offsets = (
+        base.groupBy("__b")
+        .agg(F.sum("__tok").alias("__btok"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__btok").over(
+                    Window.partitionBy(F.lit(1))
+                    .orderBy("__b")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("__btok")
+    )
+    w_in = Window.partitionBy("__b").orderBy(F.col("__h").asc(), F.col(key_col).asc())
+    return (
+        base.join(F.broadcast(offsets), "__b")
+        .withColumn(
+            "__cum_prev", F.col("__off") + F.sum("__tok").over(w_in) - F.col("__tok")
+        )
+        .withColumn(
+            "shard",
+            F.floor(F.col("__cum_prev") / F.lit(int(tokens_per_shard))).cast("int"),
+        )
+        .drop("__h", "__tok", "__b", "__off", "__cum_prev")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     *,

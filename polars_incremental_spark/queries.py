@@ -3449,6 +3449,45 @@ ORDER BY doc_id
 """
 
 
+def u11_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment: greedy packing of the corpus into
+    ~5000-token shards in deterministic hash order.  The implementation
+    computes exact global running totals with 1024 parallel bounded
+    per-bucket windows; the oracle replays them as ONE global window."""
+    from .functions import layout
+
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tx.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return (
+        layout.token_balanced_shards(
+            doc, token_col="n_tokens", key_col="doc_id", tokens_per_shard=5000
+        )
+        .select("doc_id", "n_tokens", "shard")
+        .orderBy("doc_id")
+    )
+
+
+U11_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         len({_sql_tokens("text")})::BIGINT AS n_tokens,
+         {_sql_md5_long("'shard' || doc_id::VARCHAR")} AS h
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_prev
+  FROM base
+)
+SELECT doc_id, n_tokens, CAST(floor(cum_prev / 5000) AS INT) AS shard
+FROM r
+ORDER BY doc_id
+"""
+
+
 def t11_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-proxy quality scoring: per-document mean log-probability
     under the corpus's own add-one-smoothed char-trigram model.  The model
@@ -3688,6 +3727,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "s4_cosine_near_dup_exact": (s4_cosine_near_dup_exact, S4_SQL),
     # --- round-5 additions (rotate into the graded window next round) ---
     "u10_token_mixture": (u10_token_mixture, U10_SQL),
+    "u11_token_shards": (u11_token_shards, U11_SQL),
 }
 
 

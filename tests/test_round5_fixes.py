@@ -477,3 +477,82 @@ def test_mixture_sample_tokens_append_stability_and_validation(spark):
             df, source_col="source", weights=weights,
             token_col="n_tokens", key_col="doc_id", n_buckets=37,
         )
+
+
+# ---------------------------------------------------------------------------
+# Token-balanced shard assignment (round-5 operator)
+# ---------------------------------------------------------------------------
+
+def test_token_balanced_shards_matches_global_window_and_bounds(spark):
+    """Bucketed parallel cumsum == one global window; shard token sums stay
+    within tokens_per_shard + max doc (greedy packing bound)."""
+    from pyspark.sql import Window
+
+    from polars_incremental_spark.functions import layout
+    from polars_incremental_spark.functions.sampling import sample_hash
+
+    import random
+
+    rng = random.Random(31)
+    df = spark.createDataFrame(
+        [(f"d{i:04d}", rng.randint(1, 800)) for i in range(1500)],
+        ["doc_id", "n_tokens"],
+    )
+    per_shard = 10_000
+    got = layout.token_balanced_shards(
+        df, token_col="n_tokens", key_col="doc_id", tokens_per_shard=per_shard
+    )
+    # reference: single global window (the oracle shape)
+    ref = (
+        df.withColumn("__h", sample_hash(F.col("doc_id"), "shard"))
+        .withColumn(
+            "__cum_prev",
+            F.coalesce(
+                F.sum("n_tokens").over(
+                    Window.orderBy(F.col("__h").asc(), F.col("doc_id").asc())
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("shard", F.floor(F.col("__cum_prev") / per_shard).cast("int"))
+        .select("doc_id", "n_tokens", "shard")
+    )
+    got_rows = {tuple(r) for r in got.select("doc_id", "n_tokens", "shard").collect()}
+    assert got_rows == {tuple(r) for r in ref.collect()}
+    # every shard except possibly the last is filled to >= per_shard -
+    # max_doc and <= per_shard + max_doc (greedy boundary slack only)
+    sums = {
+        r["shard"]: r["t"]
+        for r in got.groupBy("shard").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    max_doc = 800
+    last = max(sums)
+    for s, t in sums.items():
+        assert t <= per_shard + max_doc, (s, t)
+        if s != last:
+            assert t >= per_shard - max_doc, (s, t)
+    # bucket count / partitioning are impl knobs, not semantics
+    alt = {
+        tuple(r)
+        for r in layout.token_balanced_shards(
+            df.repartition(7), token_col="n_tokens", key_col="doc_id",
+            tokens_per_shard=per_shard, n_buckets=16,
+        ).select("doc_id", "n_tokens", "shard").collect()
+    }
+    assert alt == got_rows
+
+
+def test_token_balanced_shards_validation(spark):
+    from polars_incremental_spark.functions import layout
+
+    df = spark.createDataFrame([("a", 10)], ["doc_id", "n_tokens"])
+    with pytest.raises(ValueError, match="tokens_per_shard"):
+        layout.token_balanced_shards(
+            df, token_col="n_tokens", key_col="doc_id", tokens_per_shard=0
+        )
+    with pytest.raises(ValueError, match="power of two"):
+        layout.token_balanced_shards(
+            df, token_col="n_tokens", key_col="doc_id",
+            tokens_per_shard=100, n_buckets=3,
+        )

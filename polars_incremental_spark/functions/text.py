@@ -195,6 +195,44 @@ def pii_counts(col: Column) -> list[Column]:
     ]
 
 
+def ngram_novelty(
+    df,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+):
+    """Per-document novelty: the fraction of a doc's DISTINCT word n-gram
+    shingles that appear in no other document (corpus document-frequency
+    1).  Boilerplate-heavy pages (headers, navigation, license blocks)
+    score near 0, genuinely novel prose near 1 — the complement of what
+    dedup measures, and a standard pretraining quality signal.
+
+    Output: (id, n_shingles, novelty), novelty rounded to 6 dp.
+
+    Scale shape: the same inverted-index skeleton as ``ngram_jaccard``
+    WITHOUT the self-join — one corpus explode, shingles hashed to 60-bit
+    longs before the shuffle (8-byte keys), a doc-frequency groupBy, and a
+    per-doc mean.  Nothing is quadratic; skewed ubiquitous shingles cost
+    one hot reduce key in the doc-freq agg only (partial aggregation
+    absorbs them map-side).
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("__s")
+    ).select(F.col(id_col), md5_long(F.col("__s")).alias("__h"))
+    dfreq = sh.groupBy("__h").agg(F.count("*").cast("long").alias("__df"))
+    return (
+        sh.join(dfreq, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.round(
+                F.avg((F.col("__df") == 1).cast("double")), 6
+            ).alias("novelty"),
+        )
+    )
+
+
 def tfidf_top_terms(
     df,
     *,

@@ -3523,6 +3523,28 @@ ORDER BY g.doc_id
 """
 
 
+def t12_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: fraction of a doc's distinct word-trigram
+    shingles with corpus document-frequency 1 — the boilerplate/novel-prose
+    axis.  One explode + doc-freq groupBy on 60-bit shingle hashes; no
+    self-join."""
+    doc = load_table(spark, sf_dir, "documents")
+    return tx.ngram_novelty(doc).orderBy("doc_id")
+
+
+T12_SQL = f"""
+WITH {_SQL_SHINGLE_CTE},
+p AS (SELECT doc_id, {_sql_md5_long("shingle")} AS h FROM sh),
+fr AS (SELECT h, COUNT(*)::BIGINT AS df FROM p GROUP BY h)
+SELECT p.doc_id,
+       COUNT(*)::BIGINT AS n_shingles,
+       round(AVG(CASE WHEN fr.df = 1 THEN 1.0 ELSE 0.0 END), 6) AS novelty
+FROM p JOIN fr USING (h)
+GROUP BY p.doc_id
+ORDER BY p.doc_id
+"""
+
+
 def u8_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-k deterministic sample PER GROUP — a uniform per-language
     holdout: rows ordered by a salted md5 of their id inside each language,
@@ -3728,6 +3750,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # --- round-5 additions (rotate into the graded window next round) ---
     "u10_token_mixture": (u10_token_mixture, U10_SQL),
     "u11_token_shards": (u11_token_shards, U11_SQL),
+    "t12_ngram_novelty": (t12_ngram_novelty, T12_SQL),
 }
 
 

@@ -556,3 +556,25 @@ def test_token_balanced_shards_validation(spark):
             df, token_col="n_tokens", key_col="doc_id",
             tokens_per_shard=100, n_buckets=3,
         )
+
+
+def test_ngram_novelty_known_corpus(spark):
+    """Hand-checkable corpus: a fully-unique doc scores 1.0, two identical
+    docs score 0.0, a half-shared doc scores in between."""
+    from polars_incremental_spark.functions import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),       # unique -> 1.0
+            (2, "the same boilerplate text here twice"),  # dup of 3 -> 0.0
+            (3, "the same boilerplate text here twice"),
+            (4, "alpha beta gamma zeta eta theta"),       # shares 1 of 4 with doc1
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in tx.ngram_novelty(docs).collect()}
+    assert out[2]["novelty"] == 0.0 and out[3]["novelty"] == 0.0
+    # doc1: shingles {a b g, b g d, g d e}; "alpha beta gamma" shared with
+    # doc4 -> 2 of 3 unique
+    assert out[1]["n_shingles"] == 3 and abs(out[1]["novelty"] - 2 / 3) < 1e-6
+    assert out[4]["n_shingles"] == 4 and abs(out[4]["novelty"] - 3 / 4) < 1e-6

@@ -177,24 +177,41 @@ def main() -> None:
         chunked.select("doc_id", "clean_text"), "doc_id"
     )
 
-    # 3. mixture: sample sources to a target mix (budget-maximal, in-plan)
+    # 3. novelty gate: drop boilerplate-dominated docs (most of the doc's
+    #    shingles appear in other docs) before spending the token budget
+    novelty = tx.ngram_novelty(
+        finished.select("doc_id", F.col("clean_text").alias("text"))
+    )
+    novel_ids = novelty.filter(F.col("novelty") >= 0.2).select("doc_id")
+    finished = finished.join(novel_ids, "doc_id", "left_semi")
+    print("novelty gate kept", finished.count(), "docs")
+
+    # 4. mixture: sample sources to a target mix, budgeted in TOKENS (real
+    #    mixtures are token-budgeted — row-based mixing under-weights
+    #    long-document sources)
+    finished = finished.withColumn(
+        "n_tokens", tx.token_count(F.col("clean_text")).cast("long")
+    )
     present = [r["source"] for r in finished.select("source").distinct().limit(3).collect()]
     weights = dict(zip(sorted(present), (0.5, 0.3, 0.2)[: len(present)]))
-    mixed = sampling.mixture_sample(
-        finished, source_col="source", weights=weights, key_col="doc_id"
+    mixed = sampling.mixture_sample_tokens(
+        finished, source_col="source", weights=weights,
+        token_col="n_tokens", key_col="doc_id",
     )
-    print("mixture:", {r["source"]: r["n"] for r in
-                       mixed.groupBy("source").agg(F.count("*").alias("n")).collect()})
+    print("token mixture:", {r["source"]: r["t"] for r in
+                             mixed.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()})
 
-    # 4. shard for the training loader: deterministic pseudo-random order,
-    #    no global sort
+    # 5. shard for the training loader: greedy TOKEN packing in
+    #    deterministic hash order (1024 bounded windows, no global sort),
+    #    then one shard directory per shard id
     shard_dir = os.path.join(work, "shards")
-    n_shards = layout.write_training_shards(
-        mixed, shard_dir, key_col="doc_id", n_shards=4
+    assigned = layout.token_balanced_shards(
+        mixed, token_col="n_tokens", key_col="doc_id", tokens_per_shard=20_000
     )
+    layout.write_partitioned(assigned, shard_dir, partition_cols=["shard"])
     sharded = spark.read.parquet(shard_dir)
     assert sharded.count() == mixed.count()
-    print(f"wrote {n_shards} training shards:", sharded.groupBy("shard").count().count(), "dirs")
+    print("wrote token-balanced shards:", sharded.select("shard").distinct().count(), "dirs")
 
     shutil.rmtree(work)
 

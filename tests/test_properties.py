@@ -107,3 +107,94 @@ def test_pigeonhole_band_guarantee(a, b):
     # and the converse sanity: all-bands-disagree implies hamming >= 4
     if not bands_agree:
         assert hamming >= 4
+
+
+# ---------------------------------------------------------------------------
+# round-5 decoders: PNG and Avro round-trip under random inputs
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    color=st.sampled_from([0, 2, 4, 6]),
+    data=st.data(),
+)
+def test_png_roundtrip_random_images(w, h, color, data):
+    """Any 8-bit image, any per-row filter choice -> decode inverts the
+    spec-encoder exactly (RGB extraction rules applied)."""
+    import numpy as np
+
+    from polars_incremental_spark.functions import multimodal
+    from tests.test_round5_fixes import _png_bytes
+
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    pixels = np.array(
+        data.draw(
+            st.lists(
+                st.lists(
+                    st.lists(st.integers(0, 255), min_size=nch, max_size=nch),
+                    min_size=w, max_size=w,
+                ),
+                min_size=h, max_size=h,
+            )
+        ),
+        dtype=np.uint8,
+    )
+    filters = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
+    got = multimodal.decode_image(_png_bytes(pixels, color_type=color, filter_types=filters))
+    if color == 2:
+        want = pixels
+    elif color == 6:
+        want = pixels[:, :, :3]
+    else:  # gray / gray+alpha -> replicated gray channel
+        want = np.repeat(pixels[:, :, :1], 3, axis=2)
+    assert np.array_equal(got, want)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    records=st.lists(
+        st.fixed_dictionaries(
+            {
+                "id": st.integers(-(2**62), 2**62),
+                "name": st.text(max_size=40),
+                "score": st.one_of(st.none(), st.floats(allow_nan=False, width=64)),
+                "tags": st.lists(st.text(max_size=10), max_size=4),
+                "props": st.dictionaries(
+                    st.text(min_size=1, max_size=8), st.integers(-(2**40), 2**40), max_size=3
+                ),
+                "kind": st.sampled_from(["A", "B"]),
+            }
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    codec=st.sampled_from(["null", "deflate"]),
+    block_size=st.sampled_from([0, 1, 3]),
+)
+def test_avro_records_roundtrip_random(records, codec, block_size):
+    """The pure-Python block decoder inverts the spec encoder for random
+    records across codecs and block splits (driver-side decode path —
+    no Spark session needed per example)."""
+    from polars_incremental_spark.sources.formats import _iter_avro_records
+    from tests.test_formats import _avro_container
+
+    payload = _avro_container(records, codec=codec, block_size=block_size)
+    got = list(_iter_avro_records(payload))
+    assert got == records
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_avro_zigzag_varint_roundtrip_fuzz(data):
+    """Arbitrary bytes never make the varint reader loop forever or read
+    out of bounds silently — it either parses or raises cleanly."""
+    from polars_incremental_spark.sources.formats import _Reader
+
+    r = _Reader(data)
+    try:
+        while r.pos < len(data):
+            r.long()
+    except (ValueError, IndexError):
+        pass

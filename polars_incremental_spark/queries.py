@@ -3023,10 +3023,36 @@ ORDER BY media_id
 
 
 def m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame fan-out shape (one row per sampled frame) → rows-only check."""
+    """Frame fan-out (one row per sampled frame), re-aggregated to per-media
+    frame counts AND total sliced bytes — both replayable in SQL (slices
+    are contiguous from byte 0, so total = least(len, n_frames*step)),
+    which upgrades this from a rows-only check to a hash oracle over the
+    real mapInPandas fan-out."""
     media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
     frames = multimodal.sample_frames(media, every_ms=500)
-    return frames.groupBy("media_id").agg(F.count("*").alias("n_frames"))
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count("*").cast("long").alias("n_frames"),
+            F.sum(F.length("frame_bytes")).cast("long").alias("total_bytes"),
+        )
+        .orderBy("media_id")
+    )
+
+
+M2_SQL = """
+WITH b AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(text)) AS nb,
+         greatest((length(text) * 10) // 500, 1) AS n_frames
+  FROM documents
+)
+SELECT media_id,
+       n_frames::BIGINT AS n_frames,
+       least(nb, n_frames * greatest(nb // n_frames, 1))::BIGINT AS total_bytes
+FROM b
+ORDER BY media_id
+"""
 
 
 def t7_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3653,7 +3679,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "r25_sliding_window": (r25_sliding_window, R25_SQL),
     "r26_ranking_functions": (r26_ranking_functions, R26_SQL),
     "m1_multimodal_features": (m1_multimodal_features, None),
-    "m2_frame_sample": (m2_frame_sample, None),
+    "m2_frame_sample": (m2_frame_sample, M2_SQL),
     "m3_image_decode": (m3_image_decode, M3_SQL),
     "asof_fwd_click_after_error": (asof_fwd_click_after_error, ASOF_FWD_SQL),
     # --- r2-graded sentinels: fresh driver rows on post-drift data (30) ---

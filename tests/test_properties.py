@@ -198,3 +198,52 @@ def test_avro_zigzag_varint_roundtrip_fuzz(data):
             r.long()
     except (ValueError, IndexError):
         pass
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    header=st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd")),
+            min_size=1, max_size=8,
+        ),
+        min_size=1, max_size=5, unique=True,
+    ),
+    data=st.data(),
+)
+def test_xlsx_rows_roundtrip_random(header, data):
+    """The stdlib sheet-XML parser inverts the spec encoder for random
+    grids of numbers/strings/blanks (driver-side parse, no Spark)."""
+    import tempfile
+
+    from polars_incremental_spark.sources.formats import _read_xlsx_rows
+    from tests.test_formats import _xlsx_bytes
+
+    cell = st.one_of(
+        st.none(),
+        st.integers(-(10**9), 10**9),
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd")),
+            min_size=1, max_size=12,
+        ),
+    )
+    rows = data.draw(
+        st.lists(
+            st.lists(cell, min_size=len(header), max_size=len(header)),
+            min_size=0, max_size=6,
+        )
+    )
+    shared = data.draw(st.booleans())
+    raw = _xlsx_bytes(header, rows, shared_strings=shared)
+    with tempfile.NamedTemporaryFile(suffix=".xlsx") as fh:
+        fh.write(raw)
+        fh.flush()
+        got = _read_xlsx_rows(fh.name)
+    assert got[0] == list(header)
+    for want_row, got_row in zip(rows, got[1:]):
+        for w, g in zip(want_row, got_row):
+            if isinstance(w, int):
+                assert g == w
+            else:
+                assert g == w
+    assert len(got) == len(rows) + 1

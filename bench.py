@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "m1b_multimodal_meta",  # mapInPandas feature extract, hash-oracled
     "u10_token_mixture",  # token-budgeted mixture: boundary-bucket window
     "u11_token_shards",  # exact global token cumsum, 1024 bounded windows
+    "t12_ngram_novelty",  # doc-freq inverted index without the join-back
 ]
 
 

@@ -174,3 +174,56 @@ def test_llm_pipeline_crash_restart_converges_to_control(spark, sf_dir, tmp_path
     # the replayed run recorded seen-hashes with per-batch provenance
     batches_in_state = {b for _, b in snap_control["seen"]}
     assert batches_in_state == {0, 1}
+
+
+def test_native_streaming_mode_matches_planned_pipeline(spark, sf_dir, tmp_path):
+    """SURVEY §7.1 mode parity for the LLM pillar: the SAME curation writer
+    (bloom index, exact cross-batch dedupe, incremental LSH, split, shards)
+    run through Structured Streaming foreachBatch (run_native, two
+    availableNow triggers) converges to the identical curated corpus, LSH
+    index, bloom index, shard assignment, and seen-state as the
+    planned-mode Pipeline."""
+    from polars_incremental_spark.streaming.native import run_native
+
+    planned = _run_two_batches(spark, sf_dir, str(tmp_path / "planned"))
+
+    root = str(tmp_path / "native")
+    dirs = {
+        name: os.path.join(root, name)
+        for name in ("landing", "ckpt", "curated", "lsh", "bloom", "shards")
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    heldout_slices = {
+        0: docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 430)).select(
+            "doc_id", "text"
+        ),
+        1: docs.filter((F.col("doc_id") >= 430) & (F.col("doc_id") < 460)).select(
+            "doc_id", "text"
+        ),
+    }
+
+    def writer(df, state, batch_id):
+        out = _curate(df, state, batch_id, spark, dirs, heldout_slices[batch_id])
+        write_parquet_batch(out, dirs["curated"], batch_id)
+
+    # batch 0: crawl 1 lands as flat part files (file streams don't recurse)
+    docs.filter(F.col("doc_id") < 120).coalesce(1).write.mode("overwrite").parquet(
+        dirs["landing"]
+    )
+    spec = FilesSource(path=dirs["landing"], file_format="parquet")
+    run_native(spark, spec, dirs["ckpt"], writer)
+    # batch 1: overlapping crawl 2 appends new part files; the second
+    # availableNow trigger picks up ONLY those
+    docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 200)).coalesce(
+        1
+    ).write.mode("append").parquet(dirs["landing"])
+    run_native(spark, spec, dirs["ckpt"], writer)
+    # drained: a third trigger processes nothing (no new batch dirs appear)
+    n_curated = len(os.listdir(dirs["curated"]))
+    run_native(spark, spec, dirs["ckpt"], writer)
+    assert len(os.listdir(dirs["curated"])) == n_curated == 2
+
+    snap_planned = _snapshot(spark, planned)
+    snap_native = _snapshot(spark, dirs)
+    for key in ("curated", "lsh", "bloom", "shards", "seen"):
+        assert snap_native[key] == snap_planned[key], f"{key} diverged across modes"

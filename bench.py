@@ -72,6 +72,9 @@ BENCH_QUERIES = [
     "u10_token_mixture",  # token-budgeted mixture: boundary-bucket window
     "u11_token_shards",  # exact global token cumsum, 1024 bounded windows
     "t12_ngram_novelty",  # doc-freq inverted index without the join-back
+    "d15_boilerplate_strip",  # chunk doc-freq + per-doc reassembly (2 shuffles)
+    "u12_sliding_chunks",  # overlapping-window chunk explode, zero shuffle
+    "t13_gopher_quality",  # hard quality gates, one projection pass
 ]
 
 

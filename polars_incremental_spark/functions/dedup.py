@@ -1276,3 +1276,83 @@ def bloom_decontaminate(
         F.round(F.col("n_bloom_positive") / F.col("n_ngrams"), 6).alias("positive_frac"),
         (F.col("n_bloom_positive") >= min_hits).alias("is_flagged"),
     )
+
+
+def strip_frequent_chunks(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 20,
+    max_doc_freq: int = 1,
+    sep: str = " ",
+) -> DataFrame:
+    """Boilerplate removal by chunk document-frequency: split each document
+    into fixed-width word chunks, drop EVERY occurrence of any chunk that
+    appears in more than ``max_doc_freq`` distinct documents, and
+    reassemble the survivors in order.
+
+    This is the C4-style "remove any three-sentence span that occurs more
+    than once in the corpus" rule, delimiter-free: where ``chunk_dedup``
+    keeps the FIRST occurrence (dedup semantics), this keeps NONE once a
+    chunk crosses the frequency threshold (boilerplate semantics) — the
+    repeated navigation block should vanish from every page, including the
+    first one crawled.
+
+    Scale shape: chunking is the same map-side array pass as
+    ``chunk_dedup``.  Document frequency is a two-level aggregate on the
+    128-bit chunk digest — ``(digest, id)`` distinct then ``digest`` count
+    — so intra-doc repeats don't inflate the frequency and hot boilerplate
+    chunks spread over distinct digests.  The digest join-back moves only
+    (digest, df) pairs; reassembly is one per-document shuffle.  Output:
+    (id, n_chunks, n_kept, clean_text) — ``clean_text = ''`` when every
+    chunk was boilerplate.
+
+    Greenfield Spark work (no reference counterpart; extends the reference's
+    exact-dedup semantics to sub-document boilerplate stripping).
+    """
+    if chunk_words < 1:
+        raise ValueError(f"chunk_words must be >= 1; got {chunk_words}")
+    if max_doc_freq < 1:
+        raise ValueError(f"max_doc_freq must be >= 1; got {max_doc_freq}")
+    w = chunk_words
+    base = df.select(
+        F.col(id_col),
+        F.expr(
+            f"transform(sequence(0, CAST((size(split(trim({text_col}), '\\\\s+')) "
+            f"+ {w - 1}) DIV {w} AS INT) - 1), "
+            f"i -> array_join(slice(split(trim({text_col}), '\\\\s+'), "
+            f"i * {w} + 1, {w}), '{sep}'))"
+        ).alias("__chunks"),
+    )
+    meta = base.select(id_col, F.size("__chunks").cast("long").alias("n_chunks"))
+    chunked = base.select(
+        id_col, F.posexplode("__chunks").alias("chunk_idx", "chunk")
+    ).withColumn("__d", F.md5(F.col("chunk")))
+    freq = (
+        chunked.select("__d", id_col)
+        .distinct()
+        .groupBy("__d")
+        .agg(F.count("*").alias("__df"))
+    )
+    kept = (
+        chunked.join(freq, "__d")
+        .filter(F.col("__df") <= max_doc_freq)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(chunk_idx, chunk))),"
+                    " s -> s.chunk)"
+                ),
+                sep,
+            ).alias("clean_text"),
+        )
+    )
+    return meta.join(kept, id_col, "left").select(
+        F.col(id_col),
+        "n_chunks",
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )

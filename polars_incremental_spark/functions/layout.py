@@ -274,3 +274,61 @@ def pack_sequences(
         )
         .drop("__h", "__cum")
     )
+
+
+def sliding_chunks(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Split each document into overlapping ``chunk_tokens``-token windows
+    every ``stride`` tokens — the standard long-document → training-example
+    (or embedding-input) expansion, where overlap keeps context that a hard
+    split would cut mid-thought.
+
+    Chunk starts are the multiples of ``stride`` in ``[0, n_tokens)``, so
+    every token is covered and tail chunks may be short (callers filter on
+    ``n_tokens`` for strict fixed-width examples).  Output per chunk:
+    ``(id, chunk_index, start, n_tokens, chunk_text)``.
+
+    Scale shape: pure map-side array ops (one split, one bounded sequence
+    explode — fan-out ≈ n_tokens/stride per doc, not per-token).  No
+    shuffle, no UDF: chunking 100 TB is embarrassingly parallel and this
+    stays entirely inside whole-stage codegen.  Deterministic: chunk
+    membership is a pure function of the text, so re-chunking after an
+    append only adds rows.
+
+    Greenfield Spark work (no reference counterpart): the north-star
+    LLM-data operators from BASELINE.json.
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1; got {chunk_tokens}")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1; got {stride}")
+    base = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__t"),
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("__t") - 1, F.lit(0)), F.lit(stride)
+    )
+    ex = base.select(
+        F.col(id_col),
+        F.size("__t").alias("__n"),
+        F.col("__t"),
+        F.posexplode(starts).alias("chunk_index", "start"),
+    )
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_index"),
+        F.col("start"),
+        F.least(F.col("__n") - F.col("start"), F.lit(chunk_tokens))
+        .cast("long")
+        .alias("n_tokens"),
+        F.array_join(
+            F.slice(F.col("__t"), F.col("start") + 1, F.lit(chunk_tokens)), " "
+        ).alias("chunk_text"),
+    )

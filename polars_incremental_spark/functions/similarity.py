@@ -684,3 +684,51 @@ def quantized_topk(
             F.col("__rank").alias("rank"),
         )
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Element-wise mean embedding per label (mean-pooling / class
+    centroids): one row per ``(label, pos)`` with the exact mean of that
+    dimension over every vector in the class.
+
+    The building block for class prototypes, nearest-centroid
+    classification, and per-cluster summary vectors.  Means go through
+    ``scale``-scaled integer sums (round half-up at 6 dp of the scaled
+    value), so partial-sum ordering can never perturb the result across
+    engines or partitionings — same determinism rule as the IVF centroid
+    math.
+
+    Scale shape: one ``posexplode`` (fan-out = dim per row) feeding a
+    single partial-aggregated groupBy on ``(label, pos)`` — the shuffle
+    moves at most ``n_labels × dim`` combined rows per task, not the
+    corpus.  Output: (label, pos, n_vectors, centroid_val).
+
+    Greenfield Spark work (no reference counterpart): the north-star
+    LLM-data operators from BASELINE.json.
+    """
+    ex = df.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "__v")
+    )
+    return (
+        ex.groupBy(label_col, "pos")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.sum(
+                F.round(F.col("__v").cast("double") * scale).cast("long")
+            ).alias("__s"),
+        )
+        .select(
+            F.col(label_col),
+            F.col("pos"),
+            F.col("n_vectors"),
+            F.round(
+                F.col("__s") / (F.col("n_vectors") * float(scale)), 6
+            ).alias("centroid_val"),
+        )
+    )

@@ -163,6 +163,61 @@ def repetition_ratio(col: Column, n: int = 3) -> Column:
     )
 
 
+# Gopher-style rule thresholds (Rae et al. 2021 §A1.1, adapted to this
+# corpus's scale).  Each rule is a hard pass/fail; `keep` is their AND.
+GOPHER_RULES = {
+    "min_words": 20,
+    "max_words": 400,
+    "min_avg_word_len": 3.0,
+    "max_avg_word_len": 12.0,
+    "max_symbol_ratio": 0.1,
+    "min_stopwords": 2,
+    "max_rep_ratio": 0.6,
+}
+
+
+def gopher_quality_stats(col: Column, rules: dict | None = None) -> list[Column]:
+    """Gopher-style quality-filter rule bundle: the per-document metrics
+    behind the standard pretraining hard filters (word-count band, mean
+    word length band, symbol ratio cap, stopword floor, duplicate-bigram
+    cap) plus the combined ``keep`` verdict (1/0).
+
+    Unlike the soft ``quality_score``, each rule here is a hard gate — the
+    production shape of C4/Gopher filtering, where a document fails closed
+    on any rule.  All comparisons are made on the ROUNDED (6 dp) metric
+    values so the verdict is bit-identical cross-engine.
+
+    Pure Catalyst expressions (no shuffle, no UDF) — one projection pass
+    over the corpus, so the filter scales with executors at any size.
+
+    Greenfield Spark work (no reference counterpart): the north-star
+    LLM-data operators from BASELINE.json.
+    """
+    r = {**GOPHER_RULES, **(rules or {})}
+    n_words = token_count(col).cast("long")
+    avg_len = avg_token_len(col)
+    sym = punct_ratio(col)
+    n_stop = stopword_count(col, "en").cast("long")
+    rep = repetition_ratio(col, 2)
+    keep = (
+        (n_words >= r["min_words"])
+        & (n_words <= r["max_words"])
+        & (avg_len >= r["min_avg_word_len"])
+        & (avg_len <= r["max_avg_word_len"])
+        & (sym <= r["max_symbol_ratio"])
+        & (n_stop >= r["min_stopwords"])
+        & (rep <= r["max_rep_ratio"])
+    )
+    return [
+        n_words.alias("n_words"),
+        avg_len.alias("avg_word_len"),
+        sym.alias("symbol_ratio"),
+        n_stop.alias("n_stopwords"),
+        rep.alias("rep_ratio"),
+        keep.cast("int").alias("keep"),
+    ]
+
+
 # PII detection / redaction.  Patterns are deliberately RE2-safe (no
 # lookaround, no backrefs) so the SAME string works in Spark's Java regex,
 # DuckDB/RE2, and Python — redaction is oracle-checkable cross-engine.

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import cdc, patterns
-from .functions import curation, dedup, multimodal, sampling, similarity
+from .functions import curation, dedup, layout, multimodal, sampling, similarity
 from .functions import text as tx
 from .functions.similarity import _hyperplane
 from .schema import apply_schema
@@ -3639,6 +3639,186 @@ LIMIT 5
 """
 
 
+def t13_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style hard quality gates: word-count band, mean-word-length
+    band, symbol-ratio cap, stopword floor, duplicate-bigram cap, and the
+    combined keep verdict — one pure-Catalyst projection pass, verdicts
+    computed on 6-dp-rounded metrics so they are bit-identical
+    cross-engine."""
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id", *tx.gopher_quality_stats(F.col("text"))
+    ).orderBy("doc_id")
+
+
+T13_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         len({_sql_tokens("text")})::BIGINT AS n_words,
+         round(length(regexp_replace(text, '\\s', '', 'g'))
+               / greatest(len({_sql_tokens("text")}), 1), 6) AS avg_word_len,
+         round(len(regexp_extract_all(text, '[^\\w\\s]'))
+               / greatest(length(text), 1), 6) AS symbol_ratio,
+         {_sql_stopword_count("en")}::BIGINT AS n_stopwords,
+         {_sql_tokens("lower(text)")} AS lt
+  FROM documents
+),
+grams AS (
+  SELECT *, list_transform(range(1, greatest(len(lt) - 2, 0) + 2),
+                           i -> array_to_string(lt[i:i+1], ' ')) AS g
+  FROM base
+),
+m AS (
+  SELECT doc_id, n_words, avg_word_len, symbol_ratio, n_stopwords,
+         round(1.0 - len(list_distinct(g))::DOUBLE / len(g)::DOUBLE, 6)
+           AS rep_ratio
+  FROM grams
+)
+SELECT doc_id, n_words, avg_word_len, symbol_ratio, n_stopwords, rep_ratio,
+       CASE WHEN n_words BETWEEN 20 AND 400
+             AND avg_word_len >= 3.0 AND avg_word_len <= 12.0
+             AND symbol_ratio <= 0.1
+             AND n_stopwords >= 2
+             AND rep_ratio <= 0.6
+       THEN 1 ELSE 0 END AS keep
+FROM m
+ORDER BY doc_id
+"""
+
+
+def u12_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token chunks every 16): the
+    long-document → training-example expansion.  Pure map-side array ops —
+    zero shuffle, chunk membership a deterministic function of the text."""
+    doc = load_table(spark, sf_dir, "documents")
+    return layout.sliding_chunks(
+        doc, chunk_tokens=32, stride=16
+    ).orderBy("doc_id", "chunk_index")
+
+
+U12_SQL = f"""
+WITH t AS (SELECT doc_id, {_sql_tokens("text")} AS tk FROM documents),
+s AS (
+  SELECT doc_id, tk,
+         unnest(range(0, greatest(len(tk) - 1, 0) + 1, 16)) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST(start // 16 AS INT) AS chunk_index,
+       CAST(start AS INT) AS start,
+       least(len(tk) - start, 32)::BIGINT AS n_tokens,
+       array_to_string(tk[start+1:start+32], ' ') AS chunk_text
+FROM s
+ORDER BY doc_id, chunk_index
+"""
+
+
+def s8_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class centroids by element-wise mean-pooling: one (label, pos) row
+    per dimension with the exact mean over every vector in the class.
+    Means go through 1e6-scaled integer sums, so partition order can't
+    perturb the hash; the shuffle moves ≤ n_labels×dim combined rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.label_centroids(emb).orderBy("label", "pos")
+
+
+S8_SQL = """
+WITH e AS (
+  SELECT label,
+         unnest(range(0, len(embedding))) AS pos,
+         unnest(embedding) AS v
+  FROM embeddings
+)
+SELECT label, CAST(pos AS INT) AS pos, COUNT(*)::BIGINT AS n_vectors,
+       round(SUM(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+             / (COUNT(*) * 1000000.0), 6) AS centroid_val
+FROM e
+GROUP BY label, pos
+ORDER BY label, pos
+"""
+
+
+def r27_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the events.props JSON string with
+    ``from_json`` (typed schema, not regex) and aggregate the extracted
+    field per event type.  Parsing is a map-side projection; the agg is one
+    partial-aggregated shuffle on event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k INT").getField("k").alias("k"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.count("k").cast("long").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.sum(F.col("k").cast("long")) / F.count("k"), 6).alias(
+                "avg_k"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+R27_SQL = """
+WITH p AS (
+  SELECT event_type,
+         TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS INT) AS k
+  FROM events
+)
+SELECT event_type,
+       COUNT(*)::BIGINT AS n_events,
+       COUNT(k)::BIGINT AS n_with_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k,
+       round(CAST(SUM(CAST(k AS BIGINT)) AS DOUBLE) / COUNT(k), 6) AS avg_k
+FROM p
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def d15_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate removal: every occurrence of any 3-word chunk
+    appearing in more than 2 distinct documents is dropped, survivors
+    reassembled in order.  Doc frequency is a two-level agg on the chunk
+    digest; reassembly is byte-exact against the oracle."""
+    doc = load_table(spark, sf_dir, "documents")
+    return dedup.strip_frequent_chunks(
+        doc, chunk_words=3, max_doc_freq=2
+    ).orderBy("doc_id")
+
+
+D15_SQL = f"""
+WITH toks AS (SELECT doc_id, {_sql_tokens("text")} AS t FROM documents),
+ch0 AS (
+  SELECT doc_id, t, unnest(range(0, (len(t) + 2) // 3)) AS ci FROM toks
+),
+ch AS (
+  SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+         array_to_string(t[ci*3+1 : ci*3+3], ' ') AS chunk
+  FROM ch0
+),
+meta AS (SELECT doc_id, ((len(t) + 2) // 3)::BIGINT AS n_chunks FROM toks),
+freq AS (SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM ch GROUP BY chunk),
+kept AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_kept,
+         array_to_string(list(chunk ORDER BY chunk_idx), ' ') AS clean_text
+  FROM ch JOIN freq USING (chunk)
+  WHERE df <= 2
+  GROUP BY doc_id
+)
+SELECT m.doc_id, m.n_chunks,
+       COALESCE(k.n_kept, 0)::BIGINT AS n_kept,
+       COALESCE(k.clean_text, '') AS clean_text
+FROM meta m LEFT JOIN kept k USING (doc_id)
+ORDER BY m.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3651,15 +3831,16 @@ LIMIT 5
 # previously-verified entries keep getting re-checked by the local replica
 # (tools/check_correctness.py runs all entries every time).
 #
-# Round-5 window (first 50): the 20 entries that had NEVER received a
+# Round-5 window (first 50): the 23 entries that had NEVER received a
 # driver CORRECTNESS row (round-3/4 additions: q2/q11/q12, s5b, s7,
-# d12-d14, t9-t11, u8/u9, r24-r26, m1-m3, asof_fwd) + 30 sentinels from
-# the round-2-graded pool — those rows were last driver-graded on
-# PRE-drift testdata, so fresh driver rows on the current layout close
-# that gap too.  Rotated out: the 33 entries hash-verified green by the
-# driver in CORRECTNESS_r04 (events/cdc/schema + the d/t/s/u pillar
-# heads), plus r05/r07/r08/r09, d4/d7, s4 (r2-green, judge re-verified
-# locally in round 4, lowest regression risk).
+# d12-d14, t9-t11, u8/u9, r24-r26, m1-m3, asof_fwd; round-5 additions:
+# u10/u11/t12) + 27 sentinels from the round-2-graded pool — those rows
+# were last driver-graded on PRE-drift testdata, so fresh driver rows on
+# the current layout close that gap too.  Rotated out: the 33 entries
+# hash-verified green by the driver in CORRECTNESS_r04 (events/cdc/schema
+# + the d/t/s/u pillar heads), plus r03/r04/r05/r06/r07/r08/r09, d4/d7,
+# s4 (r2-green, judge re-verified locally in round 4, lowest regression
+# risk).
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- never driver-graded: first driver rows this round (20) ---
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
@@ -3703,9 +3884,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q21_waiting_supplier": (q21_waiting_supplier, Q21_SQL),
     "q22_idle_customers": (q22_idle_customers, Q22_SQL),
     "r01_scan_count": (r01_scan_count, "SELECT COUNT(*) AS n_rows FROM lineitem"),
-    "r03_projection": (r03_projection, R03_SQL),
-    "r04_filter_isin": (r04_filter_isin, R04_SQL),
-    "r06_cast": (r06_cast, R06_SQL),
+    # --- round-5 additions: first driver rows this round (3) ---
+    "u10_token_mixture": (u10_token_mixture, U10_SQL),
+    "u11_token_shards": (u11_token_shards, U11_SQL),
+    "t12_ngram_novelty": (t12_ngram_novelty, T12_SQL),
     "r12_topk_sort": (r12_topk_sort, R12_SQL),
     "r14_anti_join": (r14_anti_join, R14_SQL),
     "r21_distinct_keys": (r21_distinct_keys, R21_SQL),
@@ -3773,10 +3955,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "d4_ngram_jaccard": (d4_ngram_jaccard, D4_SQL),
     "d7_simhash": (d7_simhash, D7_SQL),
     "s4_cosine_near_dup_exact": (s4_cosine_near_dup_exact, S4_SQL),
-    # --- round-5 additions (rotate into the graded window next round) ---
-    "u10_token_mixture": (u10_token_mixture, U10_SQL),
-    "u11_token_shards": (u11_token_shards, U11_SQL),
-    "t12_ngram_novelty": (t12_ngram_novelty, T12_SQL),
+    "r03_projection": (r03_projection, R03_SQL),
+    "r04_filter_isin": (r04_filter_isin, R04_SQL),
+    "r06_cast": (r06_cast, R06_SQL),
+    # --- round-5 late additions (rotate into the graded window next round) ---
+    "t13_gopher_quality": (t13_gopher_quality, T13_SQL),
+    "u12_sliding_chunks": (u12_sliding_chunks, U12_SQL),
+    "s8_label_centroids": (s8_label_centroids, S8_SQL),
+    "r27_json_props": (r27_json_props, R27_SQL),
+    "d15_boilerplate_strip": (d15_boilerplate_strip, D15_SQL),
 }
 
 

@@ -1,0 +1,206 @@
+"""Round-5 operator additions: gopher quality gates, sliding chunks,
+label centroids, boilerplate stripping, from_json extraction.
+
+Each operator's oracle-parity is covered by tools/check_correctness.py;
+these tests pin the EDGE-CASE semantics on constructed data (short docs,
+all-boilerplate docs, tie behavior) that the synthetic corpus may not
+exercise.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_incremental_spark.functions import dedup, layout, similarity
+from polars_incremental_spark.functions import text as tx
+
+
+# ---------------------------------------------------------------- gopher
+
+
+def test_gopher_rules_fail_closed(spark):
+    rows = [
+        # too short (< 20 words)
+        (1, "the cat sat on a mat"),
+        # long enough, has stopwords, varied words -> keep
+        (2, " ".join(f"the word{i} is a fine token" for i in range(8))),
+        # symbol soup -> symbol_ratio fails
+        (3, " ".join("!!! ###" for _ in range(20)) + " the a is"),
+        # no stopwords -> stopword floor fails
+        (4, " ".join(f"w{i}" for i in range(30))),
+        # one bigram repeated -> rep_ratio fails
+        (5, " ".join("the same" for _ in range(30))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", *tx.gopher_quality_stats(F.col("text"))).collect()
+    }
+    assert out[1]["keep"] == 0 and out[1]["n_words"] == 6
+    assert out[2]["keep"] == 1
+    assert out[3]["keep"] == 0 and out[3]["symbol_ratio"] > 0.1
+    assert out[4]["keep"] == 0 and out[4]["n_stopwords"] == 0
+    assert out[5]["keep"] == 0 and out[5]["rep_ratio"] > 0.6
+
+
+def test_gopher_rules_overridable(spark):
+    df = spark.createDataFrame([(1, "the cat sat on a mat")], "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        *tx.gopher_quality_stats(
+            F.col("text"), {"min_words": 3, "min_avg_word_len": 2.0}
+        ),
+    ).collect()[0]
+    assert out["keep"] == 1
+
+
+# --------------------------------------------------------- sliding chunks
+
+
+def test_sliding_chunks_cover_every_token_with_overlap(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))], "doc_id long, text string"
+    )
+    rows = layout.sliding_chunks(df, chunk_tokens=4, stride=3).collect()
+    # starts at 0,3,6,9
+    assert [r["start"] for r in rows] == [0, 3, 6, 9]
+    assert [r["chunk_index"] for r in rows] == [0, 1, 2, 3]
+    assert rows[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert rows[1]["chunk_text"] == "t3 t4 t5 t6"  # 1-token overlap
+    assert rows[-1]["chunk_text"] == "t9" and rows[-1]["n_tokens"] == 1
+    # every token appears in at least one chunk
+    covered = set()
+    for r in rows:
+        covered.update(r["chunk_text"].split())
+    assert covered == {f"t{i}" for i in range(10)}
+
+
+def test_sliding_chunks_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "only three words")], "doc_id long, text string")
+    rows = layout.sliding_chunks(df, chunk_tokens=64, stride=32).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk_text"] == "only three words"
+    assert rows[0]["n_tokens"] == 3
+
+
+def test_sliding_chunks_validates_params(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        layout.sliding_chunks(df, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        layout.sliding_chunks(df, stride=0)
+
+
+# --------------------------------------------------------- label centroids
+
+
+def test_label_centroids_exact_means(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0], 0),
+            (2, [3.0, 4.0], 0),
+            (3, [10.0, 20.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {
+        (r["label"], r["pos"]): r
+        for r in similarity.label_centroids(df).collect()
+    }
+    assert rows[(0, 0)]["centroid_val"] == 2.0
+    assert rows[(0, 1)]["centroid_val"] == 3.0
+    assert rows[(1, 0)]["centroid_val"] == 10.0
+    assert rows[(0, 0)]["n_vectors"] == 2
+    assert rows[(1, 1)]["n_vectors"] == 1
+
+
+def test_label_centroids_partition_invariant(spark):
+    import random
+
+    rnd = random.Random(7)
+    data = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)], i % 3) for i in range(200)
+    ]
+    df1 = spark.createDataFrame(
+        data, "vec_id long, embedding array<float>, label int"
+    ).repartition(1)
+    df32 = spark.createDataFrame(
+        data, "vec_id long, embedding array<float>, label int"
+    ).repartition(32)
+    r1 = sorted(map(tuple, similarity.label_centroids(df1).collect()))
+    r32 = sorted(map(tuple, similarity.label_centroids(df32).collect()))
+    assert r1 == r32  # scaled-integer sums: partition order can't perturb
+
+
+# ------------------------------------------------------ boilerplate strip
+
+
+def test_strip_frequent_chunks_removes_all_occurrences(spark):
+    boiler = "copyright notice footer"
+    rows = [
+        (1, f"unique alpha text {boiler}"),
+        (2, f"different beta words {boiler}"),
+        (3, f"third gamma content {boiler}"),
+        (4, "entirely novel document body here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.strip_frequent_chunks(
+            df, chunk_words=3, max_doc_freq=1
+        ).collect()
+    }
+    # the boilerplate chunk is dropped from EVERY doc, including the first
+    for i in (1, 2, 3):
+        assert boiler not in out[i]["clean_text"]
+        assert out[i]["n_chunks"] == 2 and out[i]["n_kept"] == 1
+    assert out[4]["n_kept"] == 2
+    assert out[4]["clean_text"] == "entirely novel document body here"
+
+
+def test_strip_frequent_chunks_all_boilerplate_doc_survives_empty(spark):
+    rows = [(1, "spam spam spam"), (2, "spam spam spam"), (3, "spam spam spam")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.strip_frequent_chunks(df, chunk_words=3, max_doc_freq=2).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["n_kept"] == 0 and r["clean_text"] == ""
+
+
+def test_strip_frequent_chunks_doc_freq_not_occurrence_freq(spark):
+    # chunk repeats INSIDE one doc only -> doc freq 1 -> kept with max_doc_freq=1
+    df = spark.createDataFrame(
+        [(1, "dup chunk one dup chunk one")], "doc_id long, text string"
+    )
+    out = dedup.strip_frequent_chunks(df, chunk_words=3, max_doc_freq=1).collect()[0]
+    assert out["n_kept"] == 2
+    assert out["clean_text"] == "dup chunk one dup chunk one"
+
+
+def test_strip_frequent_chunks_validates_params(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup.strip_frequent_chunks(df, chunk_words=0)
+    with pytest.raises(ValueError):
+        dedup.strip_frequent_chunks(df, max_doc_freq=0)
+
+
+# ------------------------------------------------------------- from_json
+
+
+def test_from_json_malformed_rows_yield_null(spark):
+    df = spark.createDataFrame(
+        [("a", '{"k": 3}'), ("a", "not json"), ("b", None), ("b", '{"j": 9}')],
+        "event_type string, props string",
+    )
+    parsed = df.select(
+        "event_type", F.from_json("props", "k INT").getField("k").alias("k")
+    )
+    rows = sorted(
+        (r["event_type"], r["k"]) for r in parsed.collect()
+        if r["k"] is not None
+    )
+    n_null = sum(1 for r in parsed.collect() if r["k"] is None)
+    assert rows == [("a", 3)]
+    assert n_null == 3  # malformed, NULL input, and missing-field all -> NULL

@@ -46,8 +46,13 @@ def curate(batch, state, batch_id, lsh_index, heldout):
     dedupe → split."""
     scrubbed = batch.withColumn("text", tx.redact_pii(F.col("text")))
     scored = scrubbed.withColumn("quality", tx.quality_score(F.col("text")))
-    kept = scored.filter(
-        (F.col("quality") >= 0.5) & (tx.repetition_ratio(F.col("text")) <= 0.6)
+    # Gopher-style HARD gates (fail closed on any rule) — the production
+    # quality filter; the soft `quality` score rides along for reporting
+    gated = scored.select(
+        "*", *tx.gopher_quality_stats(F.col("text"), {"min_words": 10})
+    )
+    kept = gated.filter(F.col("keep") == 1).drop(
+        "n_words", "avg_word_len", "symbol_ratio", "n_stopwords", "rep_ratio", "keep"
     )
     # benchmark decontamination: drop docs whose trigrams collide with the
     # held-out eval set — bloom probe, so memory stays fixed as evals grow
@@ -166,13 +171,17 @@ def main() -> None:
         "train docs",
     )
 
-    # 2. sub-document dedup: strip repeated 8-word chunks corpus-wide
-    #    (boilerplate removal at paragraph granularity)
-    chunked = dedup.chunk_dedup(clean, chunk_words=8).filter(F.col("n_kept") > 0)
+    # 2. boilerplate removal: drop EVERY occurrence of any 8-word chunk
+    #    appearing in >1 document (C4 semantics — the repeated block leaves
+    #    all pages; use chunk_dedup instead for first-occurrence-wins
+    #    paragraph DEDUP semantics)
+    chunked = dedup.strip_frequent_chunks(
+        clean, chunk_words=8, max_doc_freq=1
+    ).filter(F.col("n_kept") > 0)
     chars = chunked.agg(
         F.sum(F.length("clean_text")).alias("kept_chars")
     ).first()["kept_chars"]
-    print("chunk dedup: surviving docs", chunked.count(), "chars", chars)
+    print("boilerplate strip: surviving docs", chunked.count(), "chars", chars)
     finished = clean.select("doc_id", "source").join(
         chunked.select("doc_id", "clean_text"), "doc_id"
     )
@@ -201,16 +210,26 @@ def main() -> None:
     print("token mixture:", {r["source"]: r["t"] for r in
                              mixed.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()})
 
-    # 5. shard for the training loader: greedy TOKEN packing in
+    # 5. expand documents into overlapping fixed-width training windows
+    #    (map-side only) — the loader consumes examples, not documents
+    chunks = layout.sliding_chunks(
+        mixed.select("doc_id", F.col("clean_text").alias("text")),
+        chunk_tokens=64, stride=48,
+    ).withColumn(
+        "chunk_key", F.concat_ws(":", F.col("doc_id"), F.col("chunk_index"))
+    )
+    print("training windows:", chunks.count(), "from", mixed.count(), "docs")
+
+    # 6. shard for the training loader: greedy TOKEN packing in
     #    deterministic hash order (1024 bounded windows, no global sort),
     #    then one shard directory per shard id
     shard_dir = os.path.join(work, "shards")
     assigned = layout.token_balanced_shards(
-        mixed, token_col="n_tokens", key_col="doc_id", tokens_per_shard=20_000
+        chunks, token_col="n_tokens", key_col="chunk_key", tokens_per_shard=20_000
     )
     layout.write_partitioned(assigned, shard_dir, partition_cols=["shard"])
     sharded = spark.read.parquet(shard_dir)
-    assert sharded.count() == mixed.count()
+    assert sharded.count() == chunks.count()
     print("wrote token-balanced shards:", sharded.select("shard").distinct().count(), "dirs")
 
     shutil.rmtree(work)

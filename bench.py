@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "d15_boilerplate_strip",  # chunk doc-freq + per-doc reassembly (2 shuffles)
     "u12_sliding_chunks",  # overlapping-window chunk explode, zero shuffle
     "t13_gopher_quality",  # hard quality gates, one projection pass
+    "r30_lead_lag",  # lag window + agg sharing one user_id shuffle
+    "u13_histogram_quantiles",  # one-pass binned quantiles, no global sort
 ]
 
 

@@ -3819,6 +3819,291 @@ ORDER BY m.doc_id
 """
 
 
+def r28_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel analysis: users who viewed, then clicked AFTER
+    their first view, then purchased AFTER that click.  Each stage is a
+    per-user min-timestamp aggregate joined forward — three hash
+    aggregations + two equi-joins on user_id, no window over the raw
+    event stream and no per-user sort."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    s1 = v.agg(F.count("*").alias("n_users")).select(
+        F.lit("1_view").alias("stage"), "n_users"
+    )
+    s2 = c.agg(F.count("*").alias("n_users")).select(
+        F.lit("2_click_after_view").alias("stage"), "n_users"
+    )
+    s3 = p.agg(F.count("*").alias("n_users")).select(
+        F.lit("3_purchase_after_click").alias("stage"), "n_users"
+    )
+    return s1.union(s2).union(s3).orderBy("stage")
+
+
+R28_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, COUNT(*)::BIGINT AS n_users FROM v
+UNION ALL
+SELECT '2_click_after_view', COUNT(*)::BIGINT FROM c
+UNION ALL
+SELECT '3_purchase_after_click', COUNT(*)::BIGINT FROM p
+ORDER BY stage
+"""
+
+
+def r29_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join coverage: per-user high-value click stats against
+    per-user purchase stats, users missing from either side kept with
+    NULLs.  Both sides are pre-aggregated to user cardinality before the
+    join, so the outer join moves #users rows, not #events."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter((F.col("event_type") == "click") & (F.col("value") > 450))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_big_clicks"),
+            _spark_dsum(F.col("value"), "click_value"),
+        )
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            _spark_dsum(F.col("value"), "purchase_value"),
+        )
+    )
+    return clicks.join(purchases, "user_id", "full_outer").orderBy("user_id")
+
+
+R29_SQL = f"""
+WITH c AS (
+  SELECT user_id, COUNT(*)::BIGINT AS n_big_clicks,
+         {_dsum("value", "click_value")}
+  FROM events WHERE event_type = 'click' AND value > 450
+  GROUP BY user_id
+),
+p AS (
+  SELECT user_id, COUNT(*)::BIGINT AS n_purchases,
+         {_dsum("value", "purchase_value")}
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+)
+SELECT user_id, n_big_clicks, click_value, n_purchases, purchase_value
+FROM c FULL JOIN p USING (user_id)
+ORDER BY user_id
+"""
+
+
+def r30_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() window coverage: per-user inter-event gap statistics over the
+    (ts, event_id)-ordered stream.  One shuffle on user_id shared by the
+    window and the aggregate; gaps are exact µs longs, the mean divides
+    exact longs so partition order can't perturb the hash."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    g = ev.select(
+        "user_id",
+        "ts",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+    ).withColumn("gap", F.col("us") - F.lag("us").over(w))
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.count("gap").cast("long").alias("n_gaps"),
+            # single IEEE division of exact longs — identical cross-engine;
+            # round()ing a 1e10-magnitude double at 6 dp is NOT (the two
+            # engines' round implementations pick different nearest doubles)
+            (F.sum("gap").cast("double") / F.count("gap")).alias("avg_gap_us"),
+            F.max("gap").alias("max_gap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+R30_SQL = """
+WITH s AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev
+  FROM events
+)
+SELECT user_id, COUNT(*)::BIGINT AS n_events,
+       COUNT(us - prev)::BIGINT AS n_gaps,
+       CAST(SUM(us - prev) AS DOUBLE) / COUNT(us - prev) AS avg_gap_us,
+       MAX(us - prev)::BIGINT AS max_gap_us
+FROM s
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def s9_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between class centroids (label confusion geometry).
+    Composes label_centroids, then self-joins the FLAT (label, pos, value)
+    rows on pos — n_labels²·dim pair terms, all integer arithmetic on
+    1e6-scaled centroid values until the final sqrt, so the hash is
+    engine-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.label_centroids(emb)
+    scaled = cents.select(
+        "label",
+        "pos",
+        F.round(F.col("centroid_val") * 1_000_000).cast("long").alias("sv"),
+    )
+    a, b = scaled.alias("a"), scaled.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(
+            F.sum(F.col("a.sv") * F.col("b.sv")).alias("dp"),
+            F.sum(F.col("a.sv") * F.col("a.sv")).alias("na"),
+            F.sum(F.col("b.sv") * F.col("b.sv")).alias("nb"),
+        )
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("dp")
+                / F.sqrt(
+                    F.col("na").cast("double") * F.col("nb").cast("double")
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+S9_SQL = """
+WITH e AS (
+  SELECT label,
+         unnest(range(0, len(embedding))) AS pos,
+         unnest(embedding) AS v
+  FROM embeddings
+),
+c AS (
+  SELECT label, pos,
+         round(SUM(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+               / (COUNT(*) * 1000000.0), 6) AS cv
+  FROM e GROUP BY label, pos
+),
+s AS (SELECT label, pos, CAST(round(cv * 1000000) AS BIGINT) AS sv FROM c)
+SELECT a.label AS label_a, b.label AS label_b,
+       round(SUM(a.sv * b.sv)
+             / sqrt(CAST(SUM(a.sv * a.sv) AS DOUBLE)
+                    * CAST(SUM(b.sv * b.sv) AS DOUBLE)), 6) AS cosine_sim
+FROM s a JOIN s b ON a.pos = b.pos AND a.label < b.label
+GROUP BY a.label, b.label
+ORDER BY label_a, label_b
+"""
+
+
+def u13_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles WITHOUT a global sort: one map-side binning pass (fixed
+    width) feeds a bounded-cardinality histogram; the cumulative scan and
+    total run as windows over the BIN TABLE (≤ #bins rows, not the
+    corpus), and each quantile is the first bin whose cumulative count
+    crosses q·N.  Bounded error (one bin width) at any corpus size — the
+    scale path where exact percentile_cont would global-sort 100 TB.  The
+    quantile probes ride as an exploded literal array (no cross join, no
+    NLJ node)."""
+    o = load_table(spark, sf_dir, "orders")
+    width = 10_000
+    hist = (
+        o.select(
+            F.floor(F.col("o_totalprice") / width).cast("long").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.partitionBy()
+    cum = hist.withColumn("cum", F.sum("n").over(w_cum)).withColumn(
+        "total", F.sum("n").over(w_tot)
+    )
+    probes = F.array(*[F.lit(q) for q in (0.25, 0.5, 0.75, 0.9)])
+    return (
+        cum.select("*", F.explode(probes).alias("q"))
+        .filter(F.col("cum") >= F.col("q") * F.col("total"))
+        .groupBy("q")
+        .agg(
+            F.min("total").alias("n_total"),
+            F.min("bin").alias("bin"),
+            (F.min("bin") * float(width)).alias("est_quantile"),
+        )
+        .orderBy("q")
+    )
+
+
+U13_SQL = """
+WITH h AS (
+  SELECT CAST(floor(o_totalprice / 10000) AS BIGINT) AS bin,
+         COUNT(*)::BIGINT AS n
+  FROM orders GROUP BY 1
+),
+c AS (
+  SELECT bin, n,
+         SUM(n) OVER (ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         )::BIGINT AS cum,
+         SUM(n) OVER ()::BIGINT AS total
+  FROM h
+),
+e AS (SELECT c.*, unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE, 0.9::DOUBLE]) AS q FROM c)
+SELECT q, MIN(total)::BIGINT AS n_total, MIN(bin)::BIGINT AS bin,
+       CAST(MIN(bin) * 10000 AS DOUBLE) AS est_quantile
+FROM e WHERE cum >= q * total
+GROUP BY q
+ORDER BY q
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3964,6 +4249,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "s8_label_centroids": (s8_label_centroids, S8_SQL),
     "r27_json_props": (r27_json_props, R27_SQL),
     "d15_boilerplate_strip": (d15_boilerplate_strip, D15_SQL),
+    "r28_funnel": (r28_funnel, R28_SQL),
+    "r29_full_outer": (r29_full_outer, R29_SQL),
+    "r30_lead_lag": (r30_lead_lag, R30_SQL),
+    "s9_centroid_similarity": (s9_centroid_similarity, S9_SQL),
+    "u13_histogram_quantiles": (u13_histogram_quantiles, U13_SQL),
 }
 
 

@@ -204,3 +204,149 @@ def test_from_json_malformed_rows_yield_null(spark):
     n_null = sum(1 for r in parsed.collect() if r["k"] is None)
     assert rows == [("a", 3)]
     assert n_null == 3  # malformed, NULL input, and missing-field all -> NULL
+
+
+# ----------------------------------------------------- funnel / outer / lag
+
+
+def test_funnel_requires_stage_order(spark):
+    rows = [
+        # u1: view -> click -> purchase (all stages)
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (2, "2024-01-01 10:01:00", 1, "click"),
+        (3, "2024-01-01 10:02:00", 1, "purchase"),
+        # u2: click BEFORE first view -> stage 2 not reached
+        (4, "2024-01-01 09:00:00", 2, "click"),
+        (5, "2024-01-01 10:00:00", 2, "view"),
+        (6, "2024-01-01 11:00:00", 2, "purchase"),
+        # u3: view only
+        (7, "2024-01-01 10:00:00", 3, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    v = df.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    c = (
+        df.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        df.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    assert v.count() == 3
+    assert {r["user_id"] for r in c.collect()} == {1}
+    assert {r["user_id"] for r in p.collect()} == {1}
+
+
+def test_full_outer_keeps_one_sided_users(spark):
+    left = spark.createDataFrame([(1, 10), (2, 20)], "user_id long, a long")
+    right = spark.createDataFrame([(2, 200), (3, 300)], "user_id long, b long")
+    out = {
+        r["user_id"]: (r["a"], r["b"])
+        for r in left.join(right, "user_id", "full_outer").collect()
+    }
+    assert out == {1: (10, None), 2: (20, 200), 3: (None, 300)}
+
+
+def test_lead_lag_gaps_hand_computed(spark):
+    from polars_incremental_spark.queries import r30_lead_lag
+    import os
+    import tempfile
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 7, "view", 1.0, "{}"),
+        (2, "2024-01-01 00:00:10", 7, "view", 1.0, "{}"),
+        (3, "2024-01-01 00:00:40", 7, "view", 1.0, "{}"),
+        (4, "2024-01-01 00:00:00", 8, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    d = tempfile.mkdtemp(prefix="pis_r30_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {r["user_id"]: r for r in r30_lead_lag(spark, d).collect()}
+    assert out[7]["n_events"] == 3 and out[7]["n_gaps"] == 2
+    assert out[7]["avg_gap_us"] == 20_000_000.0  # (10s + 30s) / 2
+    assert out[7]["max_gap_us"] == 30_000_000
+    assert out[8]["n_gaps"] == 0 and out[8]["avg_gap_us"] is None
+
+
+# ------------------------------------------------ centroid sim / quantiles
+
+
+def test_centroid_similarity_orthogonal_and_identical(spark):
+    from polars_incremental_spark.functions import similarity
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.0], 1),   # identical centroid to label 0
+            (3, [0.0, 1.0], 2),   # orthogonal to both
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    cents = similarity.label_centroids(df)
+    scaled = cents.select(
+        "label", "pos",
+        F.round(F.col("centroid_val") * 1_000_000).cast("long").alias("sv"),
+    )
+    a, b = scaled.alias("a"), scaled.alias("b")
+    sims = {
+        (r["label_a"], r["label_b"]): r["cos"]
+        for r in a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b"))
+        .agg(
+            F.sum(F.col("a.sv") * F.col("b.sv")).alias("dp"),
+            F.sum(F.col("a.sv") * F.col("a.sv")).alias("na"),
+            F.sum(F.col("b.sv") * F.col("b.sv")).alias("nb"),
+        )
+        .select(
+            "label_a", "label_b",
+            F.round(
+                F.col("dp")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+                6,
+            ).alias("cos"),
+        )
+        .collect()
+    }
+    assert sims[(0, 1)] == 1.0
+    assert sims[(0, 2)] == 0.0
+    assert sims[(1, 2)] == 0.0
+
+
+def test_histogram_quantiles_hand_computed(spark):
+    import os
+    import tempfile
+
+    from polars_incremental_spark.queries import u13_histogram_quantiles
+
+    # 100 orders with price = (i+1) * 1000: bins of width 10000 hold 10 each
+    df = spark.createDataFrame(
+        [(i, float((i + 1) * 1000)) for i in range(100)],
+        "o_orderkey long, o_totalprice double",
+    )
+    d = tempfile.mkdtemp(prefix="pis_u13_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+    out = {r["q"]: r for r in u13_histogram_quantiles(spark, d).collect()}
+    # bin 0 holds prices 1000..9000 (9 rows), every later bin 10 rows;
+    # cumulative counts are 9, 19, 29, ... so q=0.5 (cum >= 50) -> bin 5
+    assert out[0.5]["bin"] == 5 and out[0.5]["est_quantile"] == 50_000.0
+    assert out[0.25]["bin"] == 2
+    assert out[0.9]["bin"] == 9
+    assert all(r["n_total"] == 100 for r in out.values())

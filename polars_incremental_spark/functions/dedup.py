@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import fingerprint, md5_long, word_shingles
+from .text import fingerprint, md5_long, word_chunks, word_shingles
 
 N_MINHASHES = 32
 N_BANDS = 8  # 4 rows per band
@@ -862,17 +862,18 @@ def chunk_dedup(
     w = chunk_words
     base = df.select(
         F.col(id_col),
-        F.expr(
-            f"transform(sequence(0, CAST((size(split(trim({text_col}), '\\\\s+')) "
-            f"+ {w - 1}) DIV {w} AS INT) - 1), "
-            f"i -> array_join(slice(split(trim({text_col}), '\\\\s+'), "
-            f"i * {w} + 1, {w}), '{sep}'))"
-        ).alias("__chunks"),
+        word_chunks(F.col(text_col), w, sep).alias("__chunks"),
     )
-    # n_chunks comes from this map-side projection, NOT the kept-agg below:
-    # a document whose every chunk is a repeat vanishes from the agg but
-    # must still report its true chunk count.
-    meta = base.select(id_col, F.size("__chunks").cast("long").alias("n_chunks"))
+    # n_chunks comes from a map-side ARITHMETIC projection (ceil(n_tok/w)),
+    # NOT the kept-agg below: a document whose every chunk is a repeat
+    # vanishes from the agg but must still report its true chunk count —
+    # and counting needs no chunk strings, so this branch never pays the
+    # chunk build.
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    meta = df.select(
+        F.col(id_col),
+        ((n_tok + (w - 1)) / w).cast("long").alias("n_chunks"),
+    )
     chunked = base.select(
         id_col, F.posexplode("__chunks").alias("chunk_idx", "chunk")
     )
@@ -1303,10 +1304,13 @@ def strip_frequent_chunks(
     ``chunk_dedup``.  Document frequency is a two-level aggregate on the
     128-bit chunk digest — ``(digest, id)`` distinct then ``digest`` count
     — so intra-doc repeats don't inflate the frequency and hot boilerplate
-    chunks spread over distinct digests.  The digest join-back moves only
-    (digest, df) pairs; reassembly is one per-document shuffle.  Output:
-    (id, n_chunks, n_kept, clean_text) — ``clean_text = ''`` when every
-    chunk was boilerplate.
+    chunks spread over distinct digests.  The frequency table is filtered
+    to the OVER-THRESHOLD digests before touching the corpus again, so the
+    join is a LEFT ANTI against only the boilerplate set (tiny relative to
+    the corpus — AQE broadcasts it), and chunk TEXT never shuffles for the
+    join; reassembly's per-document shuffle is the single wide stage that
+    moves text.  Output: (id, n_chunks, n_kept, clean_text) —
+    ``clean_text = ''`` when every chunk was boilerplate.
 
     Greenfield Spark work (no reference counterpart; extends the reference's
     exact-dedup semantics to sub-document boilerplate stripping).
@@ -1318,26 +1322,26 @@ def strip_frequent_chunks(
     w = chunk_words
     base = df.select(
         F.col(id_col),
-        F.expr(
-            f"transform(sequence(0, CAST((size(split(trim({text_col}), '\\\\s+')) "
-            f"+ {w - 1}) DIV {w} AS INT) - 1), "
-            f"i -> array_join(slice(split(trim({text_col}), '\\\\s+'), "
-            f"i * {w} + 1, {w}), '{sep}'))"
-        ).alias("__chunks"),
+        word_chunks(F.col(text_col), w, sep).alias("__chunks"),
     )
-    meta = base.select(id_col, F.size("__chunks").cast("long").alias("n_chunks"))
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    meta = df.select(
+        F.col(id_col),
+        ((n_tok + (w - 1)) / w).cast("long").alias("n_chunks"),
+    )
     chunked = base.select(
         id_col, F.posexplode("__chunks").alias("chunk_idx", "chunk")
     ).withColumn("__d", F.md5(F.col("chunk")))
-    freq = (
+    boilerplate = (
         chunked.select("__d", id_col)
         .distinct()
         .groupBy("__d")
         .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select("__d")
     )
     kept = (
-        chunked.join(freq, "__d")
-        .filter(F.col("__df") <= max_doc_freq)
+        chunked.join(boilerplate, "__d", "left_anti")
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_kept"),

@@ -350,3 +350,51 @@ def test_histogram_quantiles_hand_computed(spark):
     assert out[0.25]["bin"] == 2
     assert out[0.9]["bin"] == 9
     assert all(r["n_total"] == 100 for r in out.values())
+
+
+# ------------------------------------------- zip_with gram-build parity
+
+
+def test_gram_array_matches_slice_formulation(spark):
+    """The zip_with n-gram build must be byte-identical to the original
+    transform(sequence, slice) formulation on every edge shape."""
+    texts = [
+        "", " ", "one", "one two", "one two three", "a b c d e f g",
+        "Mixed CASE Words here", "x  double  spaces  x",
+        "a a a a a", "tail short tw",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    for n in (1, 2, 3, 5):
+        toks = tx.tokens(F.lower(F.col("text")))
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        old = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        rows = df.select(
+            tx.ngram_list(F.col("text"), n).alias("new"), old.alias("old"),
+            tx.word_shingles(F.col("text"), n).alias("new_sh"),
+            F.array_distinct(old).alias("old_sh"),
+        ).collect()
+        for r in rows:
+            assert r["new"] == r["old"], (n, r)
+            assert r["new_sh"] == r["old_sh"], (n, r)
+
+
+def test_word_chunks_matches_slice_formulation(spark):
+    texts = [
+        "", " ", "one", "one two", "one two three four five six seven",
+        "Case KEPT Here", "a b c d e f g h i j k",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    for w in (1, 2, 3, 8, 16, 50):  # covers both the zip and slice branches
+        old = F.expr(
+            f"transform(sequence(0, CAST((size(split(trim(text), '\\\\s+')) "
+            f"+ {w - 1}) DIV {w} AS INT) - 1), "
+            f"i -> array_join(slice(split(trim(text), '\\\\s+'), "
+            f"i * {w} + 1, {w}), ' '))"
+        )
+        rows = df.select(
+            tx.word_chunks(F.col("text"), w).alias("new"), old.alias("old")
+        ).collect()
+        for r in rows:
+            assert r["new"] == r["old"], (w, r)

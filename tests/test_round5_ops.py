@@ -398,3 +398,70 @@ def test_word_chunks_matches_slice_formulation(spark):
         ).collect()
         for r in rows:
             assert r["new"] == r["old"], (w, r)
+
+
+# ---------------------------------------------------------------- z-order
+
+
+def test_zorder_shrinks_per_file_bounding_boxes(spark, tmp_path):
+    """Files written from a Z-ordered frame must have small min/max ranges
+    on BOTH clustering columns — the property row-group pruning needs.
+    Proven from the actual parquet footers, not assumed."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    n = 20_000
+    grid = int(n ** 0.5)
+    rows = [(i, (i * 7919) % grid, (i * 104729) % grid) for i in range(n)]
+    df = spark.createDataFrame(rows, "rid long, x long, y long")
+
+    def per_file_ranges(path):
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            t = pq.read_table(f, columns=["x", "y"])
+            xs, ys = t.column("x").to_pylist(), t.column("y").to_pylist()
+            spans.append(((max(xs) - min(xs)), (max(ys) - min(ys))))
+        return spans
+
+    rand_dir, z_dir = str(tmp_path / "rand"), str(tmp_path / "zord")
+    df.repartition(16).write.parquet(rand_dir)
+    layout.zorder_by(df, ["x", "y"], num_files=16).write.parquet(z_dir)
+
+    rand_spans = per_file_ranges(rand_dir)
+    z_spans = per_file_ranges(z_dir)
+    # randomly partitioned files span ~the full domain on both axes
+    rand_area = sum(sx * sy for sx, sy in rand_spans) / len(rand_spans)
+    z_area = sum(sx * sy for sx, sy in z_spans) / len(z_spans)
+    assert z_area < rand_area / 4, (z_area, rand_area)
+    # and no rows were lost or duplicated
+    assert spark.read.parquet(z_dir).count() == n
+    got = {r["rid"] for r in spark.read.parquet(z_dir).select("rid").collect()}
+    assert got == set(range(n))
+
+
+def test_zorder_single_column_is_a_range_sort(spark, tmp_path):
+    df = spark.createDataFrame([(i, i % 100) for i in range(1000)],
+                               "rid long, x long")
+    out = layout.zorder_by(df, ["x"], num_files=4)
+    # single column z-order degenerates to clustering by x itself
+    import glob
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "one")
+    out.write.parquet(d)
+    spans = []
+    for f in glob.glob(f"{d}/*.parquet"):
+        xs = pq.read_table(f, columns=["x"]).column("x").to_pylist()
+        if xs:
+            spans.append(max(xs) - min(xs))
+    assert sum(spans) / len(spans) < 50  # each file covers ~a quarter of 0..99
+
+
+def test_zorder_validates_params(spark):
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(ValueError):
+        layout.zorder_by(df, [])
+    with pytest.raises(ValueError):
+        layout.zorder_by(df, ["a", "b"], bits=32)

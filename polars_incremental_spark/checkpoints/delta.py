@@ -142,16 +142,21 @@ class DeltaLog:
         return out
 
     # --------------------------------------------------------------- lookups
-    def table_metadata(self) -> dict[str, Any] | None:
-        """Latest metaData action (id, schemaString, partitionColumns, …)."""
+    def table_metadata(self, at_version: int | None = None) -> dict[str, Any] | None:
+        """Effective metaData action (id, schemaString, partitionColumns, …)
+        — the latest one at or below ``at_version`` (default: table head).
+        Time travel reads pass ``at_version`` so a query AS OF v sees the
+        schema as of v, not the current one."""
         cv = self.checkpoint_version()
         for version in reversed(self.versions()):
+            if at_version is not None and version > at_version:
+                continue
             if cv is not None and version <= cv:
                 break  # checkpoint already summarizes everything at/below cv
             for action in self.actions(version):
                 if "metaData" in action:
                     return action["metaData"]
-        if cv is None:
+        if cv is None or (at_version is not None and cv > at_version):
             return None
         for action in self.checkpoint_actions(cv):
             if "metaData" in action:

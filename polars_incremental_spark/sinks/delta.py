@@ -61,13 +61,41 @@ def write_table(
     writer.save(path)
 
 
-def read_table(spark: SparkSession, path: str, file_format: str | None = None) -> DataFrame:
+def read_table(
+    spark: SparkSession,
+    path: str,
+    file_format: str | None = None,
+    *,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+) -> DataFrame:
+    """Snapshot read with optional TIME TRAVEL: ``version`` pins the read
+    AS OF that commit; ``timestamp_ms`` resolves to the last commit at or
+    before it.  Native delta-spark uses versionAsOf/timestampAsOf; the
+    jar-less fallback replays the log to the same snapshot (expired
+    versions raise, matching the jar's contract).
+
+    Reference parity: deltalake's ``DeltaTable(path, version=...)`` /
+    ``load_as_version`` (reference reads pinned snapshots the same way).
+    """
     fmt = file_format or ("delta" if os.path.isdir(os.path.join(path, "_delta_log")) else "parquet")
+    if fmt != "delta" and (version is not None or timestamp_ms is not None):
+        raise UnsupportedFormatError("time travel requires a Delta table")
     if fmt == "delta" and not delta_available():
         from .deltalog import read_delta_fallback
 
-        return read_delta_fallback(spark, path)
-    return spark.read.format(fmt).load(path)
+        return read_delta_fallback(
+            spark, path, version=version, timestamp_ms=timestamp_ms
+        )
+    reader = spark.read.format(fmt)
+    if version is not None:
+        reader = reader.option("versionAsOf", version)
+    if timestamp_ms is not None:
+        import datetime as _dt
+
+        ts = _dt.datetime.fromtimestamp(timestamp_ms / 1000, _dt.timezone.utc)
+        reader = reader.option("timestampAsOf", ts.strftime("%Y-%m-%d %H:%M:%S.%f"))
+    return reader.load(path)
 
 
 def _overwrite_atomic(df: DataFrame, path: str) -> None:

@@ -214,12 +214,23 @@ def write_delta_fallback(
         checkpoint_log(table_path, version=version)
 
 
-def read_delta_fallback(spark: SparkSession, table_path: str) -> DataFrame:
-    """Snapshot read of a log-backed Delta table via the planned-mode tailer.
+def read_delta_fallback(
+    spark: SparkSession,
+    table_path: str,
+    *,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+) -> DataFrame:
+    """Snapshot read of a log-backed Delta table via the planned-mode tailer,
+    with TIME TRAVEL: ``version`` pins the snapshot AS OF that commit;
+    ``timestamp_ms`` resolves to the last version committed at or before it
+    (real Delta's timestampAsOf rule).  Versions expired by log cleanup
+    (``expire_log``) raise — the same contract the jar gives.
 
-    The scan is pinned to the logged ``metaData.schemaString`` so files
-    written before a schema evolution surface the newer columns as nulls —
-    the same read contract real Delta gives.
+    The scan is pinned to the ``metaData.schemaString`` EFFECTIVE AT the
+    read version, so a query AS OF v sees the schema as of v (columns
+    added later don't appear; files written before an evolution at or
+    below v surface the newer columns as nulls).
     """
     from pyspark.sql.types import StructType
 
@@ -227,9 +238,41 @@ def read_delta_fallback(spark: SparkSession, table_path: str) -> DataFrame:
     latest = log.latest_version()
     if latest is None:
         raise FileNotFoundError(f"not a delta table: {table_path}")
-    meta = log.table_metadata() or {}
+    if version is not None and timestamp_ms is not None:
+        raise ValueError("pass version or timestamp_ms, not both")
+    if timestamp_ms is not None:
+        v = None
+        for cand in log.versions():
+            if log.commit_timestamp_ms(cand) <= timestamp_ms:
+                v = cand
+            else:
+                break
+        if v is None:
+            raise ValueError(
+                f"timestamp {timestamp_ms} precedes the earliest available commit"
+            )
+        version = v
+    if version is None:
+        version = latest
+    else:
+        if version < 0 or version > latest:
+            raise ValueError(
+                f"version {version} out of range [0, {latest}] for {table_path}"
+            )
+        avail = log.versions()
+        cv = log.checkpoint_version()
+        reconstructible = (cv is not None and version >= cv) or (
+            avail and version >= avail[0] and (cv is not None or avail[0] == 0)
+        )
+        if not reconstructible:
+            raise ValueError(
+                f"version {version} has expired from the log "
+                f"(earliest reconstructible: "
+                f"{cv if cv is not None else (avail[0] if avail else 0)})"
+            )
+    meta = log.table_metadata(at_version=version) or {}
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    files = [log.abs_path(a["path"]) for a in log.snapshot_files(latest)]
+    files = [log.abs_path(a["path"]) for a in log.snapshot_files(version)]
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*files)

@@ -412,3 +412,73 @@ def test_pipeline_auto_detects_delta_path(spark, tmp_path):
         writer=lambda df: seen.extend(r["id"] for r in df.collect()),
     ).run(spark)
     assert sorted(seen) == [0, 1, 2]
+
+
+# ------------------------------------------------------------- time travel
+
+
+def test_read_table_version_as_of(spark, tmp_path):
+    t = str(tmp_path / "tt")
+    write_table(spark.range(0, 3), t, mode="overwrite")      # v0: 0..2
+    write_table(spark.range(3, 5), t, mode="append")         # v1: +3,4
+    write_table(spark.range(5, 6), t, mode="append")         # v2: +5
+    assert _ids(read_table(spark, t)) == [0, 1, 2, 3, 4, 5]
+    assert _ids(read_table(spark, t, version=0)) == [0, 1, 2]
+    assert _ids(read_table(spark, t, version=1)) == [0, 1, 2, 3, 4]
+    assert _ids(read_table(spark, t, version=2)) == [0, 1, 2, 3, 4, 5]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="out of range"):
+        read_table(spark, t, version=9)
+    with _pytest.raises(ValueError, match="not both"):
+        read_table(spark, t, version=1, timestamp_ms=123)
+
+
+def test_read_table_timestamp_as_of(spark, tmp_path):
+    from polars_incremental_spark.checkpoints.delta import DeltaLog
+
+    t = str(tmp_path / "tt_ts")
+    write_table(spark.range(0, 2), t, mode="overwrite")
+    write_table(spark.range(2, 4), t, mode="append")
+    log = DeltaLog(t)
+    ts0 = log.commit_timestamp_ms(0)
+    ts1 = log.commit_timestamp_ms(1)
+    # at exactly v0's commit time -> v0; at/after v1's -> v1
+    assert _ids(read_table(spark, t, timestamp_ms=ts0)) == [0, 1]
+    assert _ids(read_table(spark, t, timestamp_ms=ts1 + 1)) == [0, 1, 2, 3]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="precedes"):
+        read_table(spark, t, timestamp_ms=ts0 - 10_000)
+
+
+def test_read_table_version_sees_schema_as_of_then(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tt_schema")
+    write_table(spark.range(0, 2).select("id"), t, mode="overwrite")
+    write_table(
+        spark.range(2, 3).select("id", F.lit("x").alias("extra")),
+        t, mode="append", merge_schema=True,
+    )
+    # AS OF v0 the extra column must NOT exist
+    assert read_table(spark, t, version=0).columns == ["id"]
+    assert "extra" in read_table(spark, t).columns
+
+
+def test_read_table_expired_version_raises(spark, tmp_path):
+    from polars_incremental_spark.sinks.deltalog import checkpoint_log, expire_log
+
+    t = str(tmp_path / "tt_exp")
+    write_table(spark.range(0, 2), t, mode="overwrite")   # v0
+    write_table(spark.range(2, 4), t, mode="append")      # v1
+    write_table(spark.range(4, 6), t, mode="append")      # v2
+    checkpoint_log(t, version=2)
+    expired = expire_log(t)
+    assert expired  # v0/v1 JSON commits gone
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="expired"):
+        read_table(spark, t, version=0)
+    # the checkpointed version itself still reads
+    assert _ids(read_table(spark, t, version=2)) == [0, 1, 2, 3, 4, 5]

@@ -278,3 +278,29 @@ def _merge_delta(
         spark.read.format("delta").load(target_path).count() if compute_counts else None
     )
     return {"rows_in": rows_in, "rows_out": rows_out, "action": "merge"}
+
+
+def table_history(path: str) -> list[dict]:
+    """DESCRIBE HISTORY: commit list (newest first) with operation and file
+    counts.  Log-based — reads any spec-compliant Delta log regardless of
+    which engine wrote it, jar or no jar.
+
+    Reference parity: deltalake ``DeltaTable.history()``.
+    """
+    from .deltalog import table_history as _hist
+
+    return _hist(path)
+
+
+def restore_table(path: str, *, version: int) -> dict:
+    """RESTORE TABLE ... TO VERSION AS OF: flips the active file set back to
+    ``version`` in a NEW commit (history preserved; vacuumed target files
+    raise).  Log-based single-writer implementation — deployments with the
+    delta-spark jar and concurrent writers should use native
+    ``RESTORE TABLE`` SQL instead (this writer has no conflict detection).
+
+    Reference parity: deltalake ``DeltaTable.restore()``.
+    """
+    from .deltalog import restore_table_fallback
+
+    return restore_table_fallback(path, version=version)

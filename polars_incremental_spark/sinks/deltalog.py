@@ -544,3 +544,120 @@ def expire_log(table_path: str, *, dry_run: bool = False) -> list[str]:
             if not dry_run:
                 os.unlink(os.path.join(log_dir, name))
     return removed
+
+
+def table_history(table_path: str) -> list[dict[str, Any]]:
+    """Commit history, newest first — version, timestamp, operation,
+    operationParameters, and files added/removed per commit (real Delta's
+    DESCRIBE HISTORY surface).  Versions expired by log cleanup are absent,
+    exactly as with the jar.  Log-based, so it reads ANY spec-compliant
+    Delta table, whichever engine wrote it.
+
+    Reference parity: deltalake ``DeltaTable.history()``.
+    """
+    log = DeltaLog(table_path)
+    if log.latest_version() is None:
+        raise FileNotFoundError(f"not a delta table: {table_path}")
+    out: list[dict[str, Any]] = []
+    for v in reversed(log.versions()):
+        info: dict[str, Any] = {}
+        n_add = n_remove = 0
+        for a in log.actions(v):
+            if "commitInfo" in a:
+                info = a["commitInfo"]
+            elif "add" in a:
+                n_add += 1
+            elif "remove" in a:
+                n_remove += 1
+        out.append(
+            {
+                "version": v,
+                "timestamp_ms": log.commit_timestamp_ms(v),
+                "operation": info.get("operation"),
+                "operation_parameters": info.get("operationParameters"),
+                "n_files_added": n_add,
+                "n_files_removed": n_remove,
+            }
+        )
+    return out
+
+
+def restore_table_fallback(table_path: str, *, version: int) -> dict[str, Any]:
+    """RESTORE the table to snapshot ``version`` by writing a NEW commit
+    whose add/remove actions flip the file set back — history is preserved
+    (the restore is itself a commit, so it can be time-traveled past or
+    restored again), matching real Delta RESTORE semantics.
+
+    The restored snapshot's metaData (schema as of ``version``) rides on
+    the commit when it differs from the current one.  Files that VACUUM
+    already deleted can't be re-added — raises with the missing paths,
+    the same failure mode the jar reports.
+    """
+    log = DeltaLog(table_path)
+    latest = log.latest_version()
+    if latest is None:
+        raise FileNotFoundError(f"not a delta table: {table_path}")
+    if version < 0 or version > latest:
+        raise ValueError(f"version {version} out of range [0, {latest}]")
+    avail = log.versions()
+    cv = log.checkpoint_version()
+    reconstructible = (cv is not None and version >= cv) or (
+        avail and version >= avail[0] and (cv is not None or avail[0] == 0)
+    )
+    if not reconstructible:
+        raise ValueError(f"version {version} has expired from the log")
+    target = {a["path"]: a for a in log.snapshot_files(version)}
+    current = {a["path"]: a for a in log.snapshot_files(latest)}
+    missing = [
+        p for p in target
+        if p not in current and not os.path.exists(log.abs_path(p))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot RESTORE to {version}: {len(missing)} data file(s) were "
+            f"vacuumed, e.g. {missing[0]}"
+        )
+    now_ms = int(time.time() * 1000)
+    actions: list[dict[str, Any]] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "RESTORE",
+                "operationParameters": {"version": version},
+                "engineInfo": "polars-incremental-spark fallback writer",
+            }
+        }
+    ]
+    meta_v = log.table_metadata(at_version=version)
+    meta_cur = log.table_metadata()
+    if (
+        meta_v
+        and meta_cur
+        and meta_v.get("schemaString") != meta_cur.get("schemaString")
+    ):
+        actions.append({"metaData": meta_v})
+    n_removed = 0
+    for p in current:
+        if p not in target:
+            actions.append(
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+            n_removed += 1
+    n_added = 0
+    for p, add in target.items():
+        if p not in current:
+            actions.append({"add": dict(add, dataChange=True)})
+            n_added += 1
+    _write_commit(os.path.join(table_path, LOG_DIR), latest + 1, actions)
+    return {
+        "restored_to": version,
+        "new_version": latest + 1,
+        "n_files_added": n_added,
+        "n_files_removed": n_removed,
+    }

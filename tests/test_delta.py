@@ -482,3 +482,71 @@ def test_read_table_expired_version_raises(spark, tmp_path):
         read_table(spark, t, version=0)
     # the checkpointed version itself still reads
     assert _ids(read_table(spark, t, version=2)) == [0, 1, 2, 3, 4, 5]
+
+
+# -------------------------------------------------------- history / restore
+
+
+def test_table_history_lists_commits_newest_first(spark, tmp_path):
+    from polars_incremental_spark.sinks.delta import table_history
+
+    t = str(tmp_path / "hist")
+    write_table(spark.range(0, 2), t, mode="overwrite")
+    write_table(spark.range(2, 4), t, mode="append")
+    h = table_history(t)
+    assert [e["version"] for e in h] == [1, 0]
+    assert all(e["operation"] == "WRITE" for e in h)
+    assert h[0]["operation_parameters"] == {"mode": "APPEND"}
+    assert h[0]["n_files_added"] >= 1 and h[0]["n_files_removed"] == 0
+    assert h[0]["timestamp_ms"] >= h[1]["timestamp_ms"]
+
+
+def test_restore_table_roundtrip(spark, tmp_path):
+    from polars_incremental_spark.sinks.delta import restore_table, table_history
+
+    t = str(tmp_path / "restore")
+    write_table(spark.range(0, 3), t, mode="overwrite")   # v0
+    write_table(spark.range(3, 6), t, mode="append")      # v1
+    write_table(spark.range(0, 2), t, mode="overwrite")   # v2: 0,1
+    assert _ids(read_table(spark, t)) == [0, 1]
+
+    res = restore_table(t, version=1)
+    assert res["restored_to"] == 1 and res["new_version"] == 3
+    assert _ids(read_table(spark, t)) == [0, 1, 2, 3, 4, 5]
+    # history shows the restore as its own commit; time travel still works
+    h = table_history(t)
+    assert h[0]["operation"] == "RESTORE"
+    assert _ids(read_table(spark, t, version=2)) == [0, 1]
+    # and the table stays writable after a restore
+    write_table(spark.range(6, 7), t, mode="append")
+    assert _ids(read_table(spark, t)) == [0, 1, 2, 3, 4, 5, 6]
+
+
+def test_restore_table_restores_schema_as_of_version(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from polars_incremental_spark.sinks.delta import restore_table
+
+    t = str(tmp_path / "restore_schema")
+    write_table(spark.range(0, 2).select("id"), t, mode="overwrite")
+    write_table(
+        spark.range(2, 3).select("id", F.lit("x").alias("extra")),
+        t, mode="append", merge_schema=True,
+    )
+    assert "extra" in read_table(spark, t).columns
+    restore_table(t, version=0)
+    assert read_table(spark, t).columns == ["id"]
+
+
+def test_restore_table_raises_on_vacuumed_files(spark, tmp_path):
+    import pytest as _pytest
+
+    from polars_incremental_spark.maintenance import vacuum_delta_table
+    from polars_incremental_spark.sinks.delta import restore_table
+
+    t = str(tmp_path / "restore_vac")
+    write_table(spark.range(0, 2), t, mode="overwrite")   # v0
+    write_table(spark.range(2, 4), t, mode="overwrite")   # v1 removes v0 files
+    vacuum_delta_table(spark, t, retention_hours=0.0)     # deletes v0 data files
+    with _pytest.raises(FileNotFoundError, match="vacuumed"):
+        restore_table(t, version=0)

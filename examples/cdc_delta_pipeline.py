@@ -49,6 +49,21 @@ def main() -> None:
     pipe.run(spark)
     print("change feed seen downstream:", sorted(seen))
 
+    # time travel + history + restore: audit what each merge did, read the
+    # pre-merge snapshot, and roll the table back (a NEW commit, so the
+    # rollback itself is auditable)
+    from polars_incremental_spark import restore_table, table_history
+
+    for entry in table_history(target):
+        print(
+            f"  v{entry['version']}: {entry['operation']} "
+            f"+{entry['n_files_added']}/-{entry['n_files_removed']} files"
+        )
+    before_merge2 = read_table(spark, target, version=0).count()
+    print(f"time travel: {before_merge2} rows as of v0")
+    restore_table(target, version=0)
+    print("restored to v0:", read_table(spark, target).count(), "rows")
+
     optimize_delta_table(spark, target)
     removed = vacuum_delta_table(spark, target, retention_hours=0.0)
     print(f"maintenance: compacted; vacuum removed {len(removed)} stale files")

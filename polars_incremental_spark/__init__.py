@@ -35,7 +35,13 @@ from .patterns import (
 from .pipeline import Pipeline, RunResult, call_with_context
 from .schema import SchemaEvolution, apply_schema, widen_types
 from .session import get_spark
-from .sinks.delta import apply_cdc_table, read_table, write_table
+from .sinks.delta import (
+    apply_cdc_table,
+    read_table,
+    restore_table,
+    table_history,
+    write_table,
+)
 from .sinks.parquet import write_parquet_batch
 from .sources.base import AutoSource, DeltaSource, FilesSource, infer_source_format
 from .state import JobState
@@ -79,8 +85,10 @@ __all__ = [
     "latest_per_key",
     "normalize_change_types",
     "read_table",
+    "restore_table",
     "route_late",
     "strip_cdc_columns",
+    "table_history",
     "upsert_latest",
     "widen_types",
     "write_parquet_batch",

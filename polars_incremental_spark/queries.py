@@ -4104,6 +4104,53 @@ ORDER BY q
 """
 
 
+def r31_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by their first-activity week, counted
+    distinct per week offset since the cohort week.  One per-user min-ts
+    agg broadcast-joined back (user cardinality), then one distinct-count
+    shuffle on (cohort, offset) — never a window over raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    # cast to DATE: Spark's date_trunc yields midnight TIMESTAMP, DuckDB's
+    # yields DATE — the date is the portable common type
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+R31_SQL = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INT)
+         AS week_offset,
+       COUNT(DISTINCT e.user_id)::BIGINT AS n_users
+FROM events e JOIN first f USING (user_id)
+GROUP BY f.cohort_week, week_offset
+ORDER BY f.cohort_week, week_offset
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4254,6 +4301,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "r30_lead_lag": (r30_lead_lag, R30_SQL),
     "s9_centroid_similarity": (s9_centroid_similarity, S9_SQL),
     "u13_histogram_quantiles": (u13_histogram_quantiles, U13_SQL),
+    "r31_cohort_retention": (r31_cohort_retention, R31_SQL),
 }
 
 

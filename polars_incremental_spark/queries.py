@@ -4163,16 +4163,15 @@ ORDER BY f.cohort_week, week_offset
 # previously-verified entries keep getting re-checked by the local replica
 # (tools/check_correctness.py runs all entries every time).
 #
-# Round-5 window (first 50): the 23 entries that had NEVER received a
-# driver CORRECTNESS row (round-3/4 additions: q2/q11/q12, s5b, s7,
-# d12-d14, t9-t11, u8/u9, r24-r26, m1-m3, asof_fwd; round-5 additions:
-# u10/u11/t12) + 27 sentinels from the round-2-graded pool — those rows
-# were last driver-graded on PRE-drift testdata, so fresh driver rows on
-# the current layout close that gap too.  Rotated out: the 33 entries
-# hash-verified green by the driver in CORRECTNESS_r04 (events/cdc/schema
-# + the d/t/s/u pillar heads), plus r03/r04/r05/r06/r07/r08/r09, d4/d7,
-# s4 (r2-green, judge re-verified locally in round 4, lowest regression
-# risk).
+# Round-5 window (first 50): the 34 entries that had NEVER received a
+# driver CORRECTNESS row — the round-3/4 additions (q2/q11/q12, s5b, s7,
+# d12-d14, t9-t11, u8/u9, r24-r26, m1-m3, asof_fwd) plus every round-5
+# addition (u10-u13, t12/t13, s8/s9, r27-r31, d15) — + 16 sentinels from
+# the round-2-graded pool (headliner TPC-H shapes + core relational ops),
+# whose rows were last driver-graded on PRE-drift testdata.  Rotated out:
+# the 33 entries hash-verified green by the driver in CORRECTNESS_r04,
+# the 11 remaining r2-green TPC-H shapes, and r03-r09/d4/d7/s4 — all
+# re-verified by the local oracle replica every round.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- never driver-graded: first driver rows this round (20) ---
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
@@ -4195,31 +4194,31 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "m2_frame_sample": (m2_frame_sample, M2_SQL),
     "m3_image_decode": (m3_image_decode, M3_SQL),
     "asof_fwd_click_after_error": (asof_fwd_click_after_error, ASOF_FWD_SQL),
-    # --- r2-graded sentinels: fresh driver rows on post-drift data (30) ---
-    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
-    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
-    "q4_priority_check": (q4_priority_check, Q4_SQL),
-    "q5_region_revenue": (q5_region_revenue, Q5_SQL),
-    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
-    "q7_nation_volume": (q7_nation_volume, TPCH7_SQL),
-    "q8_market_share": (q8_market_share, TPCH8_SQL),
-    "q9_product_profit": (q9_product_profit, Q9_SQL),
-    "q10_returned_items": (q10_returned_items, Q10_SQL),
-    "q13_order_histogram": (q13_order_histogram, Q13_SQL),
-    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
-    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
-    "q16_supplier_count": (q16_supplier_count, Q16_SQL),
-    "q17_small_qty_revenue": (q17_small_qty_revenue, Q17_SQL),
-    "q18_large_orders": (q18_large_orders, Q18_SQL),
-    "q19_bracket_revenue": (q19_bracket_revenue, Q19_SQL),
-    "q20_heavy_shippers": (q20_heavy_shippers, Q20_SQL),
-    "q21_waiting_supplier": (q21_waiting_supplier, Q21_SQL),
-    "q22_idle_customers": (q22_idle_customers, Q22_SQL),
-    "r01_scan_count": (r01_scan_count, "SELECT COUNT(*) AS n_rows FROM lineitem"),
-    # --- round-5 additions: first driver rows this round (3) ---
+    # --- round-5 additions: first driver rows this round (14) ---
     "u10_token_mixture": (u10_token_mixture, U10_SQL),
     "u11_token_shards": (u11_token_shards, U11_SQL),
     "t12_ngram_novelty": (t12_ngram_novelty, T12_SQL),
+    "t13_gopher_quality": (t13_gopher_quality, T13_SQL),
+    "u12_sliding_chunks": (u12_sliding_chunks, U12_SQL),
+    "s8_label_centroids": (s8_label_centroids, S8_SQL),
+    "s9_centroid_similarity": (s9_centroid_similarity, S9_SQL),
+    "r27_json_props": (r27_json_props, R27_SQL),
+    "d15_boilerplate_strip": (d15_boilerplate_strip, D15_SQL),
+    "r28_funnel": (r28_funnel, R28_SQL),
+    "r29_full_outer": (r29_full_outer, R29_SQL),
+    "r30_lead_lag": (r30_lead_lag, R30_SQL),
+    "r31_cohort_retention": (r31_cohort_retention, R31_SQL),
+    "u13_histogram_quantiles": (u13_histogram_quantiles, U13_SQL),
+    # --- r2-graded sentinels: fresh driver rows on post-drift data (16) ---
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q5_region_revenue": (q5_region_revenue, Q5_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q17_small_qty_revenue": (q17_small_qty_revenue, Q17_SQL),
+    "q18_large_orders": (q18_large_orders, Q18_SQL),
+    "q21_waiting_supplier": (q21_waiting_supplier, Q21_SQL),
+    "q22_idle_customers": (q22_idle_customers, Q22_SQL),
+    "r01_scan_count": (r01_scan_count, "SELECT COUNT(*) AS n_rows FROM lineitem"),
     "r12_topk_sort": (r12_topk_sort, R12_SQL),
     "r14_anti_join": (r14_anti_join, R14_SQL),
     "r21_distinct_keys": (r21_distinct_keys, R21_SQL),
@@ -4228,6 +4227,18 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q8_grouping_sets": (q8_grouping_sets, Q8_SQL),
     "d5_minhash_signatures": (d5_minhash_signatures, D5_SQL),
     # ================= driver window boundary (entry 50) =================
+    # --- r2-green TPC-H shapes, judge-replica-verified every round (11) ---
+    "q4_priority_check": (q4_priority_check, Q4_SQL),
+    "q7_nation_volume": (q7_nation_volume, TPCH7_SQL),
+    "q8_market_share": (q8_market_share, TPCH8_SQL),
+    "q9_product_profit": (q9_product_profit, Q9_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "q13_order_histogram": (q13_order_histogram, Q13_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q16_supplier_count": (q16_supplier_count, Q16_SQL),
+    "q19_bracket_revenue": (q19_bracket_revenue, Q19_SQL),
+    "q20_heavy_shippers": (q20_heavy_shippers, Q20_SQL),
     # --- driver-green in CORRECTNESS_r04 on current data; replica-checked (33) ---
     "events_window_1m": (events_window, EVENTS_WINDOW_SQL),
     "events_sessionize": (events_sessionize, SESSIONIZE_SQL),
@@ -4290,18 +4301,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "r03_projection": (r03_projection, R03_SQL),
     "r04_filter_isin": (r04_filter_isin, R04_SQL),
     "r06_cast": (r06_cast, R06_SQL),
-    # --- round-5 late additions (rotate into the graded window next round) ---
-    "t13_gopher_quality": (t13_gopher_quality, T13_SQL),
-    "u12_sliding_chunks": (u12_sliding_chunks, U12_SQL),
-    "s8_label_centroids": (s8_label_centroids, S8_SQL),
-    "r27_json_props": (r27_json_props, R27_SQL),
-    "d15_boilerplate_strip": (d15_boilerplate_strip, D15_SQL),
-    "r28_funnel": (r28_funnel, R28_SQL),
-    "r29_full_outer": (r29_full_outer, R29_SQL),
-    "r30_lead_lag": (r30_lead_lag, R30_SQL),
-    "s9_centroid_similarity": (s9_centroid_similarity, S9_SQL),
-    "u13_histogram_quantiles": (u13_histogram_quantiles, U13_SQL),
-    "r31_cohort_retention": (r31_cohort_retention, R31_SQL),
 }
 
 

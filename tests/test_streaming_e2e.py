@@ -314,3 +314,36 @@ def test_streaming_session_window_merges_across_microbatches(spark, tmp_path):
     got = [r.asDict() for r in streamed.orderBy(*sort).collect()]
     want = [r.asDict() for r in expected.orderBy(*sort).collect()]
     assert got == want and len(got) > 0
+
+
+def test_streaming_curation_stage_equals_batch(spark, tmp_path):
+    """The stateless curation chain (gopher gates -> boilerplate-safe
+    chunking into training windows) runs unchanged under Structured
+    Streaming: per-microbatch results union to exactly the batch answer,
+    because every op is a pure projection/explode of its input rows."""
+    from polars_incremental_spark.functions import layout
+    from polars_incremental_spark.functions import text as tx
+
+    src_dir = str(tmp_path / "docs_in")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    docs.repartition(4).write.parquet(src_dir)
+
+    def curate(df):
+        gated = df.select("doc_id", "text", *tx.gopher_quality_stats(F.col("text")))
+        kept = gated.filter(F.col("keep") == 1).select("doc_id", "text")
+        return layout.sliding_chunks(kept, chunk_tokens=32, stride=16)
+
+    out_root = str(tmp_path / "out")
+    spec = FilesSource(path=src_dir, file_format="parquet", max_files_per_trigger=2)
+
+    def writer(df, batch_id):
+        curate(df).write.mode("overwrite").parquet(f"{out_root}/batch_{batch_id}")
+
+    run_native(spark, spec, str(tmp_path / "ckpt"), writer)
+
+    streamed = spark.read.parquet(f"{out_root}/batch_*")
+    expected = curate(spark.read.parquet(src_dir))
+    key = lambda r: (r["doc_id"], r["chunk_index"])
+    got = sorted((r.asDict() for r in streamed.collect()), key=key)
+    want = sorted((r.asDict() for r in expected.collect()), key=key)
+    assert got == want and len(got) > 0

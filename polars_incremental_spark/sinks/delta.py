@@ -47,11 +47,7 @@ def write_table(
     if fmt == "delta" and not delta_available():
         from .deltalog import write_delta_fallback
 
-        if partition_by:
-            raise UnsupportedFormatError(
-                "partitioned writes need delta-spark; the fallback writer is unpartitioned"
-            )
-        write_delta_fallback(df, path, mode=mode)
+        write_delta_fallback(df, path, mode=mode, partition_by=partition_by)
         return
     writer = df.write.format(fmt).mode(mode)
     if merge_schema:

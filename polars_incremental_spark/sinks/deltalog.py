@@ -69,29 +69,55 @@ def _write_commit(log_dir: str, version: int, actions: list[dict[str, Any]]) -> 
     os.replace(tmp, path)
 
 
-def _stage_data_files(df: DataFrame, table_path: str) -> list[dict[str, Any]]:
+def _stage_data_files(
+    df: DataFrame, table_path: str, partition_by: list[str] | None = None
+) -> list[dict[str, Any]]:
     """Write ``df`` as parquet parts and move them into the table dir under
-    unique names; returns add-action payloads (path, size, modificationTime)."""
+    unique names; returns add-action payloads (path, size, modificationTime).
+
+    With ``partition_by``, parts are written through Spark's Hive-style
+    ``partitionBy`` and moved PRESERVING the ``col=value/`` directory
+    layout; each add action carries the parsed ``partitionValues`` map
+    (Delta spec) so log readers can partition-prune without listing."""
+    from urllib.parse import unquote
+
     staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(staging)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
     adds = []
     try:
-        for name in sorted(os.listdir(staging)):
-            if not name.endswith(".parquet"):
-                continue
-            unique = f"part-{uuid.uuid4().hex}.parquet"
-            dest = os.path.join(table_path, unique)
-            shutil.move(os.path.join(staging, name), dest)
-            st = os.stat(dest)
-            adds.append(
-                {
-                    "path": unique,
-                    "partitionValues": {},
-                    "size": st.st_size,
-                    "modificationTime": int(st.st_mtime * 1000),
-                    "dataChange": True,
+        for root, _dirs, files in os.walk(staging):
+            rel_dir = os.path.relpath(root, staging)
+            if rel_dir == ".":
+                part_values: dict[str, str] = {}
+            else:
+                segs = rel_dir.split(os.sep)
+                if not all("=" in s for s in segs):
+                    continue  # not a partition dir (e.g. _temporary)
+                part_values = {
+                    k: unquote(v)
+                    for k, v in (s.split("=", 1) for s in segs)
                 }
-            )
+            for name in sorted(files):
+                if not name.endswith(".parquet"):
+                    continue
+                unique = f"part-{uuid.uuid4().hex}.parquet"
+                rel_path = unique if rel_dir == "." else f"{rel_dir}/{unique}"
+                dest = os.path.join(table_path, rel_path)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                shutil.move(os.path.join(root, name), dest)
+                st = os.stat(dest)
+                adds.append(
+                    {
+                        "path": rel_path,
+                        "partitionValues": part_values,
+                        "size": st.st_size,
+                        "modificationTime": int(st.st_mtime * 1000),
+                        "dataChange": True,
+                    }
+                )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return adds
@@ -135,6 +161,7 @@ def write_delta_fallback(
     mode: str = "append",
     cdc_df: DataFrame | None = None,
     checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
+    partition_by: list[str] | None = None,
 ) -> None:
     """Append/overwrite ``df`` into a log-backed Delta table (no jar needed).
 
@@ -147,6 +174,13 @@ def write_delta_fallback(
     action with the UNION of both field sets (mergeSchema semantics) so
     snapshot readers see every column; files written before the new column
     existed surface it as null.
+
+    Partitioning: ``partition_by`` (create-time) lays data out in Hive
+    ``col=value/`` dirs with the Delta ``partitionValues`` recorded per add
+    action; appends inherit the table's partitioning automatically and
+    raise on a conflicting explicit ``partition_by``.  Readers reconstruct
+    the partition columns from the directory layout (basePath), typed by
+    the logged schema.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode {mode!r}")
@@ -157,7 +191,16 @@ def write_delta_fallback(
     latest = log.latest_version()
     now_ms = int(time.time() * 1000)
 
-    adds = _stage_data_files(df, table_path)
+    if latest is not None:
+        stored_parts = (log.table_metadata() or {}).get("partitionColumns") or []
+        if partition_by is None:
+            partition_by = list(stored_parts) or None
+        elif list(partition_by) != list(stored_parts):
+            raise ValueError(
+                f"partition_by {list(partition_by)} does not match the table's "
+                f"partitionColumns {stored_parts}"
+            )
+    adds = _stage_data_files(df, table_path, partition_by)
     actions: list[dict[str, Any]] = [
         {
             "commitInfo": {
@@ -178,7 +221,7 @@ def write_delta_fallback(
                     "id": str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": _spark_schema_to_delta(df.schema.json()),
-                    "partitionColumns": [],
+                    "partitionColumns": list(partition_by or []),
                     "configuration": {},
                     "createdTime": now_ms,
                 }
@@ -275,7 +318,13 @@ def read_delta_fallback(
     files = [log.abs_path(a["path"]) for a in log.snapshot_files(version)]
     if not files:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*files)
+    reader = spark.read.schema(schema)
+    if meta.get("partitionColumns"):
+        # partitioned table: data files omit the partition columns; basePath
+        # makes Spark reconstruct them from the col=value/ dirs, cast to the
+        # logged schema types
+        reader = reader.option("basePath", table_path)
+    return reader.parquet(*files)
 
 
 def vacuum_fallback(table_path: str, *, retention_hours: float = 168.0, dry_run: bool = False) -> list[str]:
@@ -297,14 +346,21 @@ def vacuum_fallback(table_path: str, *, retention_hours: float = 168.0, dry_run:
     active = {a["path"] for a in log.snapshot_files(latest)}
     cutoff = time.time() - retention_hours * 3600
     removed = []
-    for name in os.listdir(table_path):
-        if not name.endswith(".parquet") or name in active:
+    # walk recursively: partitioned tables keep data files in col=value/ dirs
+    for root, dirs, files in os.walk(table_path):
+        rel_root = os.path.relpath(root, table_path)
+        if rel_root.split(os.sep)[0] in (LOG_DIR, "_change_data"):
+            dirs[:] = []
             continue
-        full = os.path.join(table_path, name)
-        if os.stat(full).st_mtime <= cutoff:
-            removed.append(full)
-            if not dry_run:
-                os.unlink(full)
+        for name in files:
+            rel = name if rel_root == "." else f"{rel_root}/{name}"
+            if not name.endswith(".parquet") or rel in active:
+                continue
+            full = os.path.join(root, name)
+            if os.stat(full).st_mtime <= cutoff:
+                removed.append(full)
+                if not dry_run:
+                    os.unlink(full)
 
     # ---- _change_data/: map every logged cdc path -> its commit timestamp
     cdc_dir = os.path.join(table_path, "_change_data")
@@ -342,12 +398,16 @@ def compact_fallback(spark: SparkSession, table_path: str, *, target_partitions:
     snapshot = log.snapshot_files(latest)
     if not snapshot:
         return
-    df = spark.read.parquet(*[log.abs_path(a["path"]) for a in snapshot])
+    part_cols = (log.table_metadata() or {}).get("partitionColumns") or []
+    reader = spark.read
+    if part_cols:
+        reader = reader.option("basePath", table_path)
+    df = reader.parquet(*[log.abs_path(a["path"]) for a in snapshot])
     if target_partitions:
         df = df.coalesce(target_partitions)
     else:
         df = df.coalesce(1)
-    adds = _stage_data_files(df, table_path)
+    adds = _stage_data_files(df, table_path, part_cols or None)
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = [
         {"commitInfo": {"timestamp": now_ms, "operation": "OPTIMIZE"}}

@@ -72,7 +72,11 @@ class DeltaSourceImpl:
             return _empty_snapshot_frame(spark, self.spec.path)
         entries = batch.metadata.get("entries")
         if not self.spec.read_change_feed or not entries:
-            return spark.read.parquet(*batch.files)
+            # basePath lets partitioned tables reconstruct partition columns
+            # from their col=value/ dirs (harmless for unpartitioned ones)
+            return (
+                spark.read.option("basePath", self.spec.path).parquet(*batch.files)
+            )
         # CDF read: group per (commit_version, injected change_type) so each
         # group gets its commit metadata columns attached once
         groups: dict[tuple, list[dict]] = {}

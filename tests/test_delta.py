@@ -550,3 +550,99 @@ def test_restore_table_raises_on_vacuumed_files(spark, tmp_path):
     vacuum_delta_table(spark, t, retention_hours=0.0)     # deletes v0 data files
     with _pytest.raises(FileNotFoundError, match="vacuumed"):
         restore_table(t, version=0)
+
+
+# --------------------------------------------------------- partitioned tables
+
+
+def test_partitioned_fallback_roundtrip_and_pruning(spark, tmp_path):
+    import glob as _glob
+
+    t = str(tmp_path / "ptable")
+    df = spark.createDataFrame(
+        [(1, "en", 10.0), (2, "en", 20.0), (3, "de", 30.0), (4, "fr", 40.0)],
+        "doc_id long, lang string, score double",
+    )
+    write_table(df, t, mode="overwrite", partition_by=["lang"])
+    # data landed in hive dirs, log records partitionValues
+    assert _glob.glob(f"{t}/lang=en/*.parquet")
+    from polars_incremental_spark.checkpoints.delta import DeltaLog
+
+    log = DeltaLog(t)
+    adds = log.snapshot_files(log.latest_version())
+    assert all(a["partitionValues"].get("lang") for a in adds)
+    assert (log.table_metadata() or {}).get("partitionColumns") == ["lang"]
+
+    back = read_table(spark, t)
+    assert sorted(back.columns) == ["doc_id", "lang", "score"]
+    got = {(r["doc_id"], r["lang"], r["score"]) for r in back.collect()}
+    assert got == {(1, "en", 10.0), (2, "en", 20.0), (3, "de", 30.0), (4, "fr", 40.0)}
+
+    # pruning proof: corrupt every non-matching partition's files — the
+    # lang='de' filter must still answer (a full scan would crash)
+    for f in _glob.glob(f"{t}/lang=en/*.parquet") + _glob.glob(f"{t}/lang=fr/*.parquet"):
+        with open(f, "wb") as fh:
+            fh.write(b"corrupt")
+    de = read_table(spark, t).filter("lang = 'de'")
+    assert [r["doc_id"] for r in de.collect()] == [3]
+
+
+def test_partitioned_fallback_append_inherits_and_validates(spark, tmp_path):
+    import pytest as _pytest
+
+    t = str(tmp_path / "pappend")
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    write_table(df, t, mode="overwrite", partition_by=["lang"])
+    # append WITHOUT partition_by inherits the table layout
+    write_table(spark.createDataFrame([(2, "de")], "doc_id long, lang string"), t)
+    import glob as _glob
+
+    assert _glob.glob(f"{t}/lang=de/*.parquet")
+    assert read_table(spark, t).count() == 2
+    # conflicting explicit partitioning is refused
+    with _pytest.raises(ValueError, match="does not match"):
+        write_table(
+            spark.createDataFrame([(3, "fr")], "doc_id long, lang string"),
+            t, partition_by=["doc_id"],
+        )
+
+
+def test_partitioned_fallback_streams_partition_column(spark, tmp_path):
+    from polars_incremental_spark import DeltaSource, Pipeline
+
+    t = str(tmp_path / "pstream")
+    write_table(
+        spark.createDataFrame([(1, "en"), (2, "de")], "doc_id long, lang string"),
+        t, mode="overwrite", partition_by=["lang"],
+    )
+    seen = []
+    Pipeline(
+        source=DeltaSource(path=t),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        writer=lambda df: seen.extend((r["doc_id"], r["lang"]) for r in df.collect()),
+    ).run(spark)
+    assert sorted(seen) == [(1, "en"), (2, "de")]
+
+
+def test_partitioned_fallback_vacuum_and_compact(spark, tmp_path):
+    import glob as _glob
+
+    from polars_incremental_spark.maintenance import vacuum_delta_table
+    from polars_incremental_spark.sinks.deltalog import compact_fallback
+
+    t = str(tmp_path / "pmaint")
+    write_table(
+        spark.createDataFrame([(1, "en"), (2, "de")], "doc_id long, lang string"),
+        t, mode="overwrite", partition_by=["lang"],
+    )
+    write_table(
+        spark.createDataFrame([(3, "en"), (4, "de")], "doc_id long, lang string"),
+        t, mode="overwrite",
+    )
+    removed = vacuum_delta_table(spark, t, retention_hours=0.0)
+    assert removed  # v0's nested partition files reclaimed
+    assert read_table(spark, t).count() == 2
+    compact_fallback(spark, t)
+    # compaction preserved the hive layout and the answer
+    assert _glob.glob(f"{t}/lang=en/*.parquet")
+    assert {r["doc_id"] for r in read_table(spark, t).collect()} == {3, 4}

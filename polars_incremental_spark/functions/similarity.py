@@ -732,3 +732,65 @@ def label_centroids(
             ).alias("centroid_val"),
         )
     )
+
+
+def hard_negatives(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the top-k
+    MOST similar vectors carrying a DIFFERENT label — the near-misses that
+    teach an embedding model its decision boundary (uniform random
+    negatives are too easy to be informative).
+
+    Same banded scale shape as ``lsh_ann_topk``: candidates come from a
+    sign-sketch bucket EQUI-join (queries broadcast, corpus streams once —
+    no nested-loop node, no all-pairs), the label exclusion and exact
+    cosine re-rank run inside the bucket only.  Sparse buckets can yield
+    fewer than ``k`` negatives per query — raise recall by lowering
+    ``n_planes`` (denser buckets), or run multiple rotated sketch tables.
+
+    Output: (query_id, vec_id, label, cosine_sim, rank).
+
+    Greenfield Spark work (no reference counterpart): the north-star
+    LLM-data operators from BASELINE.json.
+    """
+    v = vectors.withColumn("__bucket", sign_sketch(vec_col, dim, n_planes))
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.col(label_col).alias("__qlabel"),
+        sign_sketch(vec_col, dim, n_planes).alias("__bucket"),
+    )
+    joined = v.join(F.broadcast(q), on="__bucket").filter(
+        (F.col(query_id_col) != F.col(id_col))
+        & (F.col(label_col) != F.col("__qlabel"))
+    )
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.col(label_col),
+        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("__cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__cos").desc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .filter((F.col("__rank") <= k) & F.col("__cos").isNotNull())
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.col(label_col),
+            F.round(F.col("__cos"), 6).alias("cosine_sim"),
+            F.col("__rank").alias("rank"),
+        )
+    )

@@ -4151,6 +4151,45 @@ ORDER BY f.cohort_week, week_offset
 """
 
 
+def s10_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: per query, the most similar DIFFERENT-label
+    vectors from its sign-sketch bucket — the banded (equi-join) shape, so
+    the corpus streams once with no nested-loop node."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return similarity.hard_negatives(
+        emb, queries, dim=64, k=5, n_planes=4
+    ).orderBy("query_id", "rank")
+
+
+S10_SQL = f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+vb AS (SELECT vec_id, label, e, {_sql_sketch("e")} AS bucket FROM v),
+q AS (
+  SELECT vec_id AS query_id, label AS qlabel, e AS qe, bucket
+  FROM vb WHERE vec_id < 8
+),
+s AS (
+  SELECT query_id, vec_id, vb.label, round({_SQL_COSINE}, 6) AS c
+  FROM q JOIN vb ON q.bucket = vb.bucket
+   AND vb.vec_id <> q.query_id AND vb.label <> q.qlabel
+),
+r AS (
+  SELECT query_id, vec_id, label, c AS cosine_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, label, cosine_sim, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4209,7 +4248,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "r30_lead_lag": (r30_lead_lag, R30_SQL),
     "r31_cohort_retention": (r31_cohort_retention, R31_SQL),
     "u13_histogram_quantiles": (u13_histogram_quantiles, U13_SQL),
-    # --- r2-graded sentinels: fresh driver rows on post-drift data (16) ---
+    "s10_hard_negatives": (s10_hard_negatives, S10_SQL),
+    # --- r2-graded sentinels: fresh driver rows on post-drift data (15) ---
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),
@@ -4225,8 +4265,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "rollup_order_totals": (rollup_order_totals, ROLLUP_SQL),
     "q7_price_percentiles": (q7_price_percentiles, Q7_SQL),
     "q8_grouping_sets": (q8_grouping_sets, Q8_SQL),
-    "d5_minhash_signatures": (d5_minhash_signatures, D5_SQL),
     # ================= driver window boundary (entry 50) =================
+    "d5_minhash_signatures": (d5_minhash_signatures, D5_SQL),
     # --- r2-green TPC-H shapes, judge-replica-verified every round (11) ---
     "q4_priority_check": (q4_priority_check, Q4_SQL),
     "q7_nation_volume": (q7_nation_volume, TPCH7_SQL),

@@ -465,3 +465,29 @@ def test_zorder_validates_params(spark):
         layout.zorder_by(df, [])
     with pytest.raises(ValueError):
         layout.zorder_by(df, ["a", "b"], bits=32)
+
+
+# ---------------------------------------------------------- hard negatives
+
+
+def test_hard_negatives_excludes_same_label_and_self(spark):
+    # All vectors share one bucket (same direction) so banding can't hide
+    # candidates; labels alternate.
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.99, 0.01], 0),   # same label as 1 -> never a negative for 1
+        (3, [0.98, 0.02], 1),
+        (4, [0.97, 0.03], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = df.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    out = similarity.hard_negatives(df, q, dim=2, k=10, n_planes=1).collect()
+    ids = [r["vec_id"] for r in out]
+    assert 1 not in ids and 2 not in ids       # self and same-label excluded
+    assert set(ids) <= {3, 4}
+    assert all(r["label"] == 1 for r in out)
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == list(
+        range(1, len(out) + 1)
+    )

@@ -247,3 +247,80 @@ def test_xlsx_rows_roundtrip_random(header, data):
             else:
                 assert g == w
     assert len(got) == len(rows) + 1
+
+
+# ------------------------------------------------- chunking reconstruction
+
+
+def _py_word_chunks(tokens: list[str], w: int) -> list[str]:
+    return [" ".join(tokens[i : i + w]) for i in range(0, max(len(tokens), 1), w)]
+
+
+def _py_sliding(tokens: list[str], chunk: int, stride: int):
+    return [
+        (i // stride, i, min(len(tokens) - i, chunk), " ".join(tokens[i : i + chunk]))
+        for i in range(0, max(len(tokens), 1), stride)
+    ]
+
+
+token_st = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126), min_size=1, max_size=6
+)
+
+
+@given(
+    texts=st.lists(st.lists(token_st, min_size=1, max_size=40), min_size=1, max_size=12),
+    w=st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=8, deadline=None)
+def test_word_chunks_reconstruct_text(texts, w):
+    """Joining a doc's chunks with the separator reproduces the tokenized
+    text exactly, for BOTH chunk-build branches (zip and slice), on
+    arbitrary token streams."""
+    from polars_incremental_spark.session import get_spark
+
+    spark = get_spark("tests")
+    from pyspark.sql import functions as F
+
+    from polars_incremental_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    rows = df.select(
+        "doc_id", "text", tx.word_chunks(F.col("text"), w).alias("chunks")
+    ).collect()
+    for r in rows:
+        toks = r["text"].split(" ")
+        assert r["chunks"] == _py_word_chunks(toks, w)
+        assert " ".join(r["chunks"]) == r["text"]
+
+
+@given(
+    texts=st.lists(st.lists(token_st, min_size=1, max_size=40), min_size=1, max_size=10),
+    chunk=st.integers(min_value=1, max_value=10),
+    stride=st.integers(min_value=1, max_value=10),
+)
+@settings(max_examples=8, deadline=None)
+def test_sliding_chunks_match_python_reference(texts, chunk, stride):
+    from polars_incremental_spark.session import get_spark
+
+    spark = get_spark("tests")
+    from polars_incremental_spark.functions import layout
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_index"]): (r["start"], r["n_tokens"], r["chunk_text"])
+        for r in layout.sliding_chunks(
+            df, chunk_tokens=chunk, stride=stride
+        ).collect()
+    }
+    for i, toks in enumerate(texts):
+        ref = _py_sliding(toks, chunk, stride)
+        assert len([k for k in got if k[0] == i]) == len(ref)
+        for ci, start, n, text_ in ref:
+            assert got[(i, ci)] == (start, n, text_)

@@ -491,3 +491,31 @@ def test_hard_negatives_excludes_same_label_and_self(spark):
     assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == list(
         range(1, len(out) + 1)
     )
+
+
+def test_histogram_quantile_bound_random_datasets(spark, tmp_path):
+    """Invariant on random data: each reported bin CONTAINS the exact
+    q-quantile order statistic — the bounded-error guarantee (one bin
+    width) that makes the one-pass histogram a safe percentile substitute."""
+    import math
+    import os
+    import random
+
+    from polars_incremental_spark.queries import u13_histogram_quantiles
+
+    rnd = random.Random(42)
+    width = 10_000
+    for trial in range(3):
+        n = rnd.randint(50, 4000)
+        vals = [rnd.uniform(900, 500_000) for _ in range(n)]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "o_orderkey long, o_totalprice double"
+        )
+        d = str(tmp_path / f"orders_{trial}")
+        df.write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+        svals = sorted(vals)
+        for r in u13_histogram_quantiles(spark, d).collect():
+            true_q = svals[max(math.ceil(r["q"] * n) - 1, 0)]
+            lo = r["est_quantile"]
+            assert lo <= true_q < lo + width, (r["q"], n, lo, true_q)
+            assert r["n_total"] == n

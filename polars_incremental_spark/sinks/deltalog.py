@@ -388,17 +388,45 @@ def vacuum_fallback(table_path: str, *, retention_hours: float = 168.0, dry_run:
     return removed
 
 
-def compact_fallback(spark: SparkSession, table_path: str, *, target_partitions: int | None = None) -> None:
+def compact_fallback(
+    spark: SparkSession,
+    table_path: str,
+    *,
+    target_partitions: int | None = None,
+    partition_filter: dict[str, str] | None = None,
+) -> None:
     """OPTIMIZE-style compaction (X7 without the jar): rewrite the snapshot
-    into fewer files with a dataChange=false commit (streams skip it)."""
+    into fewer files with a dataChange=false commit (streams skip it).
+
+    ``partition_filter`` scopes the rewrite to matching partitions (real
+    Delta's ``OPTIMIZE ... WHERE``): only their files are rewritten and
+    logged, so compacting one hot partition never touches — or pays for —
+    the rest of a 100 TB table.  Matching is on the logged
+    ``partitionValues`` (string equality), never a data scan.
+    """
     log = DeltaLog(table_path)
     latest = log.latest_version()
     if latest is None:
         raise FileNotFoundError(f"not a delta table: {table_path}")
     snapshot = log.snapshot_files(latest)
+    part_cols = (log.table_metadata() or {}).get("partitionColumns") or []
+    if partition_filter:
+        unknown = set(partition_filter) - set(part_cols)
+        if unknown:
+            raise ValueError(
+                f"partition_filter keys {sorted(unknown)} are not partition "
+                f"columns {part_cols}"
+            )
+        snapshot = [
+            a
+            for a in snapshot
+            if all(
+                a.get("partitionValues", {}).get(k) == v
+                for k, v in partition_filter.items()
+            )
+        ]
     if not snapshot:
         return
-    part_cols = (log.table_metadata() or {}).get("partitionColumns") or []
     reader = spark.read
     if part_cols:
         reader = reader.option("basePath", table_path)

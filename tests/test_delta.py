@@ -646,3 +646,38 @@ def test_partitioned_fallback_vacuum_and_compact(spark, tmp_path):
     # compaction preserved the hive layout and the answer
     assert _glob.glob(f"{t}/lang=en/*.parquet")
     assert {r["doc_id"] for r in read_table(spark, t).collect()} == {3, 4}
+
+
+def test_compact_partition_scoped(spark, tmp_path):
+    """OPTIMIZE ... WHERE: only the filtered partition's files rewrite."""
+    import glob as _glob
+
+    from polars_incremental_spark.checkpoints.delta import DeltaLog
+    from polars_incremental_spark.sinks.deltalog import compact_fallback
+
+    t = str(tmp_path / "popt")
+    for i in range(3):  # 3 commits -> 3 small files per partition
+        write_table(
+            spark.createDataFrame(
+                [(10 * i + 1, "en"), (10 * i + 2, "de")], "doc_id long, lang string"
+            ).coalesce(1),
+            t, mode="append" if i else "overwrite", partition_by=["lang"],
+        )
+    log = DeltaLog(t)
+    before = log.snapshot_files(log.latest_version())
+    en_before = [a for a in before if a["partitionValues"]["lang"] == "en"]
+    de_before = [a for a in before if a["partitionValues"]["lang"] == "de"]
+    assert len(en_before) == 3 and len(de_before) == 3
+
+    compact_fallback(spark, t, partition_filter={"lang": "en"})
+    after = log.snapshot_files(log.latest_version())
+    en_after = [a for a in after if a["partitionValues"]["lang"] == "en"]
+    de_after = [a for a in after if a["partitionValues"]["lang"] == "de"]
+    assert len(en_after) == 1                      # compacted
+    assert {a["path"] for a in de_after} == {a["path"] for a in de_before}  # untouched
+    assert read_table(spark, t).count() == 6       # answer unchanged
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not partition columns"):
+        compact_fallback(spark, t, partition_filter={"doc_id": "1"})

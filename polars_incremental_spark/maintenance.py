@@ -152,7 +152,8 @@ def optimize_delta_table(
 ) -> None:
     """Delta OPTIMIZE: native passthrough with delta-spark; the fallback
     compacts the snapshot with a ``dataChange=false`` commit (streams skip
-    it).  Z-ORDER needs the jar."""
+    it).  Z-ORDER without the jar rewrites through the Morton-curve
+    clustering in ``functions.layout.zorder_by`` (numeric columns)."""
     from .sources.delta import delta_available
 
     if delta_available():
@@ -164,11 +165,11 @@ def optimize_delta_table(
         else:
             optimizer.executeCompaction()
         return
-    if z_order_by:
-        require_delta()  # raises with a clear message
     from .sinks.deltalog import compact_fallback
 
-    compact_fallback(spark, path, target_partitions=target_partitions)
+    compact_fallback(
+        spark, path, target_partitions=target_partitions, z_order_by=z_order_by
+    )
 
 
 def checkpoint_delta_log(path: str, *, expire: bool = False) -> str:

@@ -394,6 +394,7 @@ def compact_fallback(
     *,
     target_partitions: int | None = None,
     partition_filter: dict[str, str] | None = None,
+    z_order_by: list[str] | None = None,
 ) -> None:
     """OPTIMIZE-style compaction (X7 without the jar): rewrite the snapshot
     into fewer files with a dataChange=false commit (streams skip it).
@@ -403,6 +404,12 @@ def compact_fallback(
     logged, so compacting one hot partition never touches — or pays for —
     the rest of a 100 TB table.  Matching is on the logged
     ``partitionValues`` (string equality), never a data scan.
+
+    ``z_order_by`` rewrites through the Morton-curve clustering
+    (``functions.layout.zorder_by``) instead of a plain coalesce — the
+    jar-less ``OPTIMIZE ... ZORDER BY``: rewritten files carry small
+    min/max ranges on EVERY listed column, so row-group stats prune scans
+    filtered on any of them.
     """
     log = DeltaLog(table_path)
     latest = log.latest_version()
@@ -431,14 +438,32 @@ def compact_fallback(
     if part_cols:
         reader = reader.option("basePath", table_path)
     df = reader.parquet(*[log.abs_path(a["path"]) for a in snapshot])
-    if target_partitions:
+    if z_order_by:
+        from ..functions.layout import zorder_by as _zorder
+
+        df = _zorder(
+            df,
+            z_order_by,
+            num_files=target_partitions or max(1, len(snapshot) // 4),
+        )
+    elif target_partitions:
         df = df.coalesce(target_partitions)
     else:
         df = df.coalesce(1)
     adds = _stage_data_files(df, table_path, part_cols or None)
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = [
-        {"commitInfo": {"timestamp": now_ms, "operation": "OPTIMIZE"}}
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "OPTIMIZE",
+                **(
+                    {"operationParameters": {"zOrderBy": list(z_order_by)}}
+                    if z_order_by
+                    else {}
+                ),
+            }
+        }
     ]
     for active in snapshot:
         actions.append(

@@ -681,3 +681,36 @@ def test_compact_partition_scoped(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="not partition columns"):
         compact_fallback(spark, t, partition_filter={"doc_id": "1"})
+
+
+def test_optimize_zorder_fallback_clusters_files(spark, tmp_path):
+    """OPTIMIZE ZORDER BY without the jar: the dataChange=false rewrite
+    leaves files with small per-file bounding boxes on BOTH columns."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "zopt")
+    n, grid = 8000, 89
+    df = spark.createDataFrame(
+        [(i, (i * 7919) % grid, (i * 104729) % grid) for i in range(n)],
+        "rid long, x long, y long",
+    )
+    write_table(df.repartition(8), t, mode="overwrite")
+
+    optimize_delta_table(spark, t, z_order_by=["x", "y"], target_partitions=8)
+
+    from polars_incremental_spark.checkpoints.delta import DeltaLog
+
+    log = DeltaLog(t)
+    active = [log.abs_path(a["path"]) for a in log.snapshot_files(log.latest_version())]
+    spans = []
+    for f in active:
+        tbl = pq.read_table(f, columns=["x", "y"])
+        xs, ys = tbl.column("x").to_pylist(), tbl.column("y").to_pylist()
+        spans.append((max(xs) - min(xs)) * (max(ys) - min(ys)))
+    assert sum(spans) / len(spans) < (grid * grid) / 4
+    # answer unchanged; the rewrite is dataChange=false (streams skip it)
+    assert read_table(spark, t).count() == n
+    last = [a for a in log.actions(log.latest_version()) if "add" in a]
+    assert all(a["add"]["dataChange"] is False for a in last)

@@ -4190,6 +4190,69 @@ ORDER BY query_id, rank
 """
 
 
+def r32_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType coverage: parse props as MAP<STRING,INT> and explode its
+    entries — the generic path for open-schema JSON payloads where keys
+    aren't known up front (r27 is the typed-struct counterpart).  Parse +
+    explode are map-side; one partial-agged shuffle on (key, event_type)."""
+    ev = load_table(spark, sf_dir, "events")
+    entries = ev.select(
+        "event_type",
+        F.explode(F.from_json("props", "map<string,int>")).alias("key", "val"),
+    )
+    return (
+        entries.groupBy("key", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("val").cast("long")).alias("sum_val"),
+        )
+        .orderBy("key", "event_type")
+    )
+
+
+R32_SQL = """
+WITH p AS (
+  SELECT event_type, 'k' AS key,
+         TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS INT) AS val
+  FROM events
+  WHERE regexp_extract(props, '"k":\\s*(-?\\d+)', 1) <> ''
+)
+SELECT key, event_type, COUNT(*)::BIGINT AS n,
+       SUM(CAST(val AS BIGINT))::BIGINT AS sum_val
+FROM p
+GROUP BY key, event_type
+ORDER BY key, event_type
+"""
+
+
+def r33_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long) via ``stack``: melt the per-user event-count
+    matrix back to (user_id, event_type, n) rows and keep the non-zero
+    cells.  stack() is a map-side expression — the wide→long reshape adds
+    no shuffle beyond the pivot that built the matrix."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = r22_pivot_event_counts(spark, sf_dir)
+    stack_expr = ", ".join(f"'{t}', n_{t}" for t in types)
+    return (
+        wide.select(
+            "user_id",
+            F.expr(
+                f"stack({len(types)}, {stack_expr}) AS (event_type, n)"
+            ),
+        )
+        .filter(F.col("n") > 0)
+        .orderBy("user_id", "event_type")
+    )
+
+
+R33_SQL = """
+SELECT user_id, event_type, COUNT(*)::BIGINT AS n
+FROM events
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4249,7 +4312,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "r31_cohort_retention": (r31_cohort_retention, R31_SQL),
     "u13_histogram_quantiles": (u13_histogram_quantiles, U13_SQL),
     "s10_hard_negatives": (s10_hard_negatives, S10_SQL),
-    # --- r2-graded sentinels: fresh driver rows on post-drift data (15) ---
+    "r32_map_props": (r32_map_props, R32_SQL),
+    "r33_unpivot": (r33_unpivot, R33_SQL),
+    # --- r2-graded sentinels: fresh driver rows on post-drift data (13) ---
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),
@@ -4263,9 +4328,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "r14_anti_join": (r14_anti_join, R14_SQL),
     "r21_distinct_keys": (r21_distinct_keys, R21_SQL),
     "rollup_order_totals": (rollup_order_totals, ROLLUP_SQL),
+    # ================= driver window boundary (entry 50) =================
     "q7_price_percentiles": (q7_price_percentiles, Q7_SQL),
     "q8_grouping_sets": (q8_grouping_sets, Q8_SQL),
-    # ================= driver window boundary (entry 50) =================
     "d5_minhash_signatures": (d5_minhash_signatures, D5_SQL),
     # --- r2-green TPC-H shapes, judge-replica-verified every round (11) ---
     "q4_priority_check": (q4_priority_check, Q4_SQL),

@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "t13_gopher_quality",  # hard quality gates, one projection pass
     "r30_lead_lag",  # lag window + agg sharing one user_id shuffle
     "u13_histogram_quantiles",  # one-pass binned quantiles, no global sort
+    "r31_cohort_retention",  # cohort join-back + distinct-count shuffle
+    "s10_hard_negatives",  # banded different-label ANN re-rank
 ]
 
 

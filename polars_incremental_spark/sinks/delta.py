@@ -64,12 +64,19 @@ def read_table(
     *,
     version: int | None = None,
     timestamp_ms: int | None = None,
+    where: str | None = None,
 ) -> DataFrame:
     """Snapshot read with optional TIME TRAVEL: ``version`` pins the read
     AS OF that commit; ``timestamp_ms`` resolves to the last commit at or
     before it.  Native delta-spark uses versionAsOf/timestampAsOf; the
     jar-less fallback replays the log to the same snapshot (expired
     versions raise, matching the jar's contract).
+
+    ``where`` applies a predicate WITH data skipping: the jar-less path
+    prunes files from the logged ``add.stats`` min/max + partitionValues
+    before opening any of them (deltalog.read_delta_fallback); the native
+    and plain-parquet paths get the same effect from the engine's own
+    stats/partition pruning once the filter is in the plan.
 
     Reference parity: deltalake's ``DeltaTable(path, version=...)`` /
     ``load_as_version`` (reference reads pinned snapshots the same way).
@@ -81,7 +88,7 @@ def read_table(
         from .deltalog import read_delta_fallback
 
         return read_delta_fallback(
-            spark, path, version=version, timestamp_ms=timestamp_ms
+            spark, path, version=version, timestamp_ms=timestamp_ms, where=where
         )
     reader = spark.read.format(fmt)
     if version is not None:
@@ -91,7 +98,8 @@ def read_table(
 
         ts = _dt.datetime.fromtimestamp(timestamp_ms / 1000, _dt.timezone.utc)
         reader = reader.option("timestampAsOf", ts.strftime("%Y-%m-%d %H:%M:%S.%f"))
-    return reader.load(path)
+    df = reader.load(path)
+    return df.filter(where) if where else df
 
 
 def _overwrite_atomic(df: DataFrame, path: str) -> None:

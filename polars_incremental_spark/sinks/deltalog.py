@@ -69,11 +69,96 @@ def _write_commit(log_dir: str, version: int, actions: list[dict[str, Any]]) -> 
     os.replace(tmp, path)
 
 
+_STATS_MAX_STRING = 64  # longer strings: omit min/max (truncating a MAX
+# string needs a round-UP increment to stay a valid upper bound — omitting
+# is the fail-open alternative; nullCount/numRecords still recorded)
+
+
+def _json_stat_value(v: Any):
+    """Parquet footer stat -> JSON-able value usable for file skipping, or
+    None when the type can't be compared safely across engines."""
+    import datetime as _dt
+
+    if isinstance(v, bool) or v is None:
+        return None  # bool min/max is useless for skipping; keep it simple
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, bytes):
+        try:
+            v = v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, str):
+        return v if len(v) <= _STATS_MAX_STRING else None
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        # recorded for humans/other readers; the pruner deliberately skips
+        # temporal columns (ISO-vs-literal lexical compare is unsafe)
+        return v.isoformat()
+    return None
+
+
+def _collect_file_stats(dest: str) -> str | None:
+    """Per-file Delta data-skipping stats from the parquet footer:
+    ``{"numRecords": N, "minValues": {...}, "maxValues": {...},
+    "nullCount": {...}}`` (PROTOCOL.md Per-file Statistics).
+
+    Footer-only (no data read), driver-side, O(row groups) per newly
+    staged file — the jar-less equivalent of stats Delta collects during
+    the write itself.  Nested columns and unsafe-to-compare values are
+    omitted per column (readers fail open on missing stats)."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(dest).metadata
+    except Exception:
+        return None
+    ncols = md.num_columns
+    mins: list[Any] = [None] * ncols
+    maxs: list[Any] = [None] * ncols
+    nulls: list[Any] = [0] * ncols
+    ok_minmax = [True] * ncols
+    names = [md.schema.column(i).path for i in range(ncols)]
+    top_level = [("." not in n) for n in names]
+    for rg in range(md.num_row_groups):
+        group = md.row_group(rg)
+        for i in range(ncols):
+            st = group.column(i).statistics
+            if st is None or st.null_count is None:
+                nulls[i] = None
+            elif nulls[i] is not None:
+                nulls[i] += st.null_count
+            if not (st is not None and st.has_min_max):
+                ok_minmax[i] = False
+                continue
+            lo, hi = _json_stat_value(st.min), _json_stat_value(st.max)
+            if lo is None or hi is None:
+                ok_minmax[i] = False
+                continue
+            mins[i] = lo if mins[i] is None else min(mins[i], lo)
+            maxs[i] = hi if maxs[i] is None else max(maxs[i], hi)
+    stats: dict[str, Any] = {
+        "numRecords": md.num_rows,
+        "minValues": {},
+        "maxValues": {},
+        "nullCount": {},
+    }
+    for i in range(ncols):
+        if not top_level[i]:
+            continue
+        if nulls[i] is not None:
+            stats["nullCount"][names[i]] = nulls[i]
+        if ok_minmax[i] and mins[i] is not None:
+            stats["minValues"][names[i]] = mins[i]
+            stats["maxValues"][names[i]] = maxs[i]
+    return json.dumps(stats, separators=(",", ":"))
+
+
 def _stage_data_files(
     df: DataFrame, table_path: str, partition_by: list[str] | None = None
 ) -> list[dict[str, Any]]:
     """Write ``df`` as parquet parts and move them into the table dir under
-    unique names; returns add-action payloads (path, size, modificationTime).
+    unique names; returns add-action payloads (path, size, modificationTime,
+    stats).
 
     With ``partition_by``, parts are written through Spark's Hive-style
     ``partitionBy`` and moved PRESERVING the ``col=value/`` directory
@@ -103,21 +188,27 @@ def _stage_data_files(
             for name in sorted(files):
                 if not name.endswith(".parquet"):
                     continue
+                staged = os.path.join(root, name)
+                stats = _collect_file_stats(staged)
+                if stats is not None and json.loads(stats)["numRecords"] == 0:
+                    continue  # empty shuffle part: logging it just bloats
+                    # the snapshot (and every future replay) for zero rows
                 unique = f"part-{uuid.uuid4().hex}.parquet"
                 rel_path = unique if rel_dir == "." else f"{rel_dir}/{unique}"
                 dest = os.path.join(table_path, rel_path)
                 os.makedirs(os.path.dirname(dest), exist_ok=True)
-                shutil.move(os.path.join(root, name), dest)
+                shutil.move(staged, dest)
                 st = os.stat(dest)
-                adds.append(
-                    {
-                        "path": rel_path,
-                        "partitionValues": part_values,
-                        "size": st.st_size,
-                        "modificationTime": int(st.st_mtime * 1000),
-                        "dataChange": True,
-                    }
-                )
+                add = {
+                    "path": rel_path,
+                    "partitionValues": part_values,
+                    "size": st.st_size,
+                    "modificationTime": int(st.st_mtime * 1000),
+                    "dataChange": True,
+                }
+                if stats is not None:
+                    add["stats"] = stats
+                adds.append(add)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return adds
@@ -257,12 +348,110 @@ def write_delta_fallback(
         checkpoint_log(table_path, version=version)
 
 
+_CONJUNCT_RE = None  # compiled lazily (keeps `re` out of the hot import)
+
+# Spark SQL type names whose logged min/max compare exactly like the parsed
+# literal.  Temporal types are deliberately absent: stats store ISO strings
+# while literals arrive in arbitrary formats, and a lexical compare between
+# the two can WRONGLY prune ('2024-01-01' < '2024-01-01T00:00:00').
+_PRUNABLE_NUMERIC = {"byte", "short", "integer", "long", "float", "double"}
+_PRUNABLE_STRING = {"string"}
+
+
+def _skipping_conjuncts(where: str) -> list[tuple[str, str, Any]]:
+    """The pushdown-able subset of ``where``: top-level AND-ed
+    ``col OP literal`` comparisons (OP in =, ==, <, <=, >, >=; literal a
+    number or quoted string).  Conjuncts that don't fit are simply not
+    used for pruning (the residual filter keeps semantics exact).  Any
+    ``OR`` bails out entirely — an unparenthesized OR changes precedence,
+    so AND-operands are then not independently necessary."""
+    global _CONJUNCT_RE
+    import re
+
+    if _CONJUNCT_RE is None:
+        _CONJUNCT_RE = re.compile(
+            r"^\s*(\w+)\s*(==|=|<=|>=|<|>)\s*"
+            r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"|-?\d+(?:\.\d+)?)\s*$"
+        )
+    if re.search(r"\bor\b", where, re.IGNORECASE):
+        return []
+    out: list[tuple[str, str, Any]] = []
+    for part in re.split(r"\band\b", where, flags=re.IGNORECASE):
+        m = _CONJUNCT_RE.match(part)
+        if not m:
+            continue
+        col, op, raw = m.group(1), m.group(2), m.group(3)
+        lit: Any
+        if raw.startswith("'"):
+            lit = raw[1:-1].replace("''", "'")
+        elif raw.startswith('"'):
+            lit = raw[1:-1].replace('""', '"')
+        elif "." in raw:
+            lit = float(raw)
+        else:
+            lit = int(raw)
+        out.append((col, "=" if op == "==" else op, lit))
+    return out
+
+
+def _file_may_match(
+    add: dict[str, Any],
+    conjuncts: list[tuple[str, str, Any]],
+    part_cols: set[str],
+    field_types: dict[str, str],
+) -> bool:
+    """Data skipping: can any row in this file satisfy every conjunct?
+    Fails OPEN (keeps the file) whenever stats or types don't line up."""
+    stats = json.loads(add["stats"]) if add.get("stats") else None
+    pv = add.get("partitionValues") or {}
+    for col, op, lit in conjuncts:
+        ftype = field_types.get(col, "")
+        numeric = ftype in _PRUNABLE_NUMERIC
+        if not (numeric or ftype in _PRUNABLE_STRING):
+            continue
+        if col in part_cols:
+            raw = pv.get(col)
+            if raw is None:
+                continue
+            try:
+                lo = hi = float(raw) if numeric else raw
+            except ValueError:
+                continue
+        else:
+            if not stats:
+                continue
+            mins, maxs = stats.get("minValues", {}), stats.get("maxValues", {})
+            if col not in mins or col not in maxs:
+                nc = stats.get("nullCount", {}).get(col)
+                nr = stats.get("numRecords")
+                if nc is not None and nr is not None and nc == nr and nr > 0:
+                    return False  # all-null file: no comparison can hold
+                continue
+            lo, hi = mins[col], maxs[col]
+        if isinstance(lit, str) != isinstance(lo, str):
+            continue
+        if op == "=":
+            ok = lo <= lit <= hi
+        elif op == "<":
+            ok = lo < lit
+        elif op == "<=":
+            ok = lo <= lit
+        elif op == ">":
+            ok = hi > lit
+        else:  # >=
+            ok = hi >= lit
+        if not ok:
+            return False
+    return True
+
+
 def read_delta_fallback(
     spark: SparkSession,
     table_path: str,
     *,
     version: int | None = None,
     timestamp_ms: int | None = None,
+    where: str | None = None,
 ) -> DataFrame:
     """Snapshot read of a log-backed Delta table via the planned-mode tailer,
     with TIME TRAVEL: ``version`` pins the snapshot AS OF that commit;
@@ -274,6 +463,14 @@ def read_delta_fallback(
     read version, so a query AS OF v sees the schema as of v (columns
     added later don't appear; files written before an evolution at or
     below v surface the newer columns as nulls).
+
+    ``where`` enables DATA SKIPPING: files whose logged ``add.stats``
+    (min/max/nullCount) or ``partitionValues`` prove no row can satisfy
+    the predicate are never opened — at 100 TB this is the difference
+    between scanning a table and scanning a slice.  Only the AND-of-
+    simple-comparisons subset of ``where`` prunes; the FULL predicate is
+    re-applied as a residual filter, so results are exact regardless of
+    how much (or little) was pushdown-able.
     """
     from pyspark.sql.types import StructType
 
@@ -315,16 +512,34 @@ def read_delta_fallback(
             )
     meta = log.table_metadata(at_version=version) or {}
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    files = [log.abs_path(a["path"]) for a in log.snapshot_files(version)]
+    adds = log.snapshot_files(version)
+    if where:
+        conjuncts = _skipping_conjuncts(where)
+        if conjuncts:
+            part_cols = set(meta.get("partitionColumns") or [])
+            field_types = {
+                f["name"]: f["type"]
+                for f in json.loads(meta["schemaString"])["fields"]
+                if isinstance(f.get("type"), str)
+            }
+            adds = [
+                a
+                for a in adds
+                if _file_may_match(a, conjuncts, part_cols, field_types)
+            ]
+    files = [log.abs_path(a["path"]) for a in adds]
     if not files:
-        return spark.createDataFrame([], schema)
+        df = spark.createDataFrame([], schema)
+        return df.filter(where) if where else df
     reader = spark.read.schema(schema)
     if meta.get("partitionColumns"):
         # partitioned table: data files omit the partition columns; basePath
         # makes Spark reconstruct them from the col=value/ dirs, cast to the
         # logged schema types
         reader = reader.option("basePath", table_path)
-    return reader.parquet(*files)
+    df = reader.parquet(*files)
+    # residual filter: pruning is a superset, the predicate stays exact
+    return df.filter(where) if where else df
 
 
 def vacuum_fallback(table_path: str, *, retention_hours: float = 168.0, dry_run: bool = False) -> list[str]:

@@ -1,0 +1,195 @@
+"""Data-skipping stats in the jar-less Delta log.
+
+Write side: every staged file's add action carries PROTOCOL.md per-file
+statistics (numRecords/minValues/maxValues/nullCount) read from the
+parquet footer.  Read side: ``read_table(..., where=...)`` prunes files
+the stats prove irrelevant BEFORE opening them — proven here the same way
+the partition/zorder tests prove pruning: corrupt the files that should
+be skipped and require the query to still answer exactly.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_incremental_spark.checkpoints.delta import DeltaLog
+from polars_incremental_spark.sinks.delta import read_table, write_table
+from polars_incremental_spark.sinks.deltalog import (
+    _file_may_match,
+    _skipping_conjuncts,
+    checkpoint_log,
+    expire_log,
+)
+
+
+def _ranged_table(spark, path, n=400, files=4):
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").cast("long").alias("x"),
+            F.concat(F.lit("k"), F.lpad(F.col("id").cast("string"), 4, "0")).alias(
+                "k"
+            ),
+            F.when(F.col("id") % 10 == 0, None)
+            .otherwise(F.col("id").cast("double"))
+            .alias("v"),
+        )
+        .repartitionByRange(files, "x")
+        .sortWithinPartitions("x")
+    )
+    write_table(df, path)
+    return df
+
+
+def _corrupt(path):
+    with open(path, "wb") as h:
+        h.write(b"not parquet at all")
+
+
+def test_add_actions_carry_footer_stats(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _ranged_table(spark, path)
+    log = DeltaLog(path)
+    adds = log.snapshot_files(log.latest_version())
+    assert len(adds) == 4
+    total = 0
+    for add in adds:
+        stats = json.loads(add["stats"])
+        total += stats["numRecords"]
+        # min/max must match the file's actual content exactly
+        actual = (
+            spark.read.parquet(log.abs_path(add["path"]))
+            .agg(
+                F.min("x"), F.max("x"), F.min("k"), F.max("k"),
+                F.sum(F.col("v").isNull().cast("long")),
+            )
+            .first()
+        )
+        assert stats["minValues"]["x"] == actual[0]
+        assert stats["maxValues"]["x"] == actual[1]
+        assert stats["minValues"]["k"] == actual[2]
+        assert stats["maxValues"]["k"] == actual[3]
+        assert stats["nullCount"]["v"] == actual[4]
+    assert total == 400
+
+
+def test_where_prunes_files_proven_by_corruption(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _ranged_table(spark, path)
+    log = DeltaLog(path)
+    adds = log.snapshot_files(log.latest_version())
+    # corrupt every file whose x-range ends below 300: a scan that opens
+    # them dies, so a correct answer PROVES they were skipped
+    skipped = 0
+    for add in adds:
+        stats = json.loads(add["stats"])
+        if stats["maxValues"]["x"] < 300:
+            _corrupt(log.abs_path(add["path"]))
+            skipped += 1
+    assert skipped >= 2
+    rows = read_table(spark, path, where="x >= 300").orderBy("x").collect()
+    assert [r["x"] for r in rows] == list(range(300, 400))
+    # sanity: without the predicate the corrupted files ARE read -> failure
+    with pytest.raises(Exception):
+        read_table(spark, path).count()
+
+
+def test_string_and_equality_pruning(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _ranged_table(spark, path)
+    log = DeltaLog(path)
+    adds = log.snapshot_files(log.latest_version())
+    for add in adds:
+        stats = json.loads(add["stats"])
+        if not (stats["minValues"]["k"] <= "k0042" <= stats["maxValues"]["k"]):
+            _corrupt(log.abs_path(add["path"]))
+    rows = read_table(spark, path, where="k = 'k0042'").collect()
+    assert len(rows) == 1 and rows[0]["x"] == 42
+
+
+def test_residual_filter_keeps_semantics_exact(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _ranged_table(spark, path)
+    # a predicate only partially pushdown-able: x range + a non-simple term
+    rows = read_table(
+        spark, path, where="x >= 390 and pmod(x, 2) = 0"
+    ).collect()
+    assert sorted(r["x"] for r in rows) == [390, 392, 394, 396, 398]
+
+
+def test_or_predicate_disables_pruning_but_stays_exact(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _ranged_table(spark, path)
+    rows = read_table(spark, path, where="x < 2 or x >= 398").collect()
+    assert sorted(r["x"] for r in rows) == [0, 1, 398, 399]
+
+
+def test_all_null_file_pruned_for_equality(spark, tmp_path):
+    path = str(tmp_path / "t")
+    a = spark.createDataFrame([(1, None), (2, None)], "id long, w string")
+    b = spark.createDataFrame([(3, "hit"), (4, "miss")], "id long, w string")
+    write_table(a.coalesce(1), path)
+    write_table(b.coalesce(1), path)
+    log = DeltaLog(path)
+    for add in log.snapshot_files(log.latest_version()):
+        stats = json.loads(add["stats"])
+        if stats["nullCount"].get("w") == stats["numRecords"]:
+            _corrupt(log.abs_path(add["path"]))
+    rows = read_table(spark, path, where="w = 'hit'").collect()
+    assert [r["id"] for r in rows] == [3]
+
+
+def test_partition_values_prune_without_stats(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "id long, bucket int"
+    )
+    write_table(df, path, partition_by=["bucket"])
+    log = DeltaLog(path)
+    for add in log.snapshot_files(log.latest_version()):
+        if add["partitionValues"]["bucket"] != "1":
+            _corrupt(log.abs_path(add["path"]))
+    rows = read_table(spark, path, where="bucket = 1").collect()
+    assert sorted(r["id"] for r in rows) == [i for i in range(30) if i % 3 == 1]
+
+
+def test_stats_survive_log_checkpoint_and_expiry(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _ranged_table(spark, path)
+    write_table(
+        spark.createDataFrame([(1000, "zz", 1.0)], "x long, k string, v double"),
+        path,
+    )
+    checkpoint_log(path)
+    expire_log(path)
+    log = DeltaLog(path)
+    adds = log.snapshot_files(log.latest_version())
+    # replay is now checkpoint-seeded; stats must have round-tripped
+    assert all(json.loads(a["stats"])["numRecords"] > 0 for a in adds)
+    for add in adds:
+        if json.loads(add["stats"])["maxValues"]["x"] < 1000:
+            _corrupt(log.abs_path(add["path"]))
+    rows = read_table(spark, path, where="x >= 1000").collect()
+    assert len(rows) == 1 and rows[0]["k"] == "zz"
+
+
+def test_conjunct_parser_subset_rules():
+    assert _skipping_conjuncts("x >= 3 AND k = 'a''b' and y < 2.5") == [
+        ("x", ">=", 3),
+        ("k", "=", "a'b"),
+        ("y", "<", 2.5),
+    ]
+    # OR anywhere bails entirely (precedence makes conjuncts non-necessary)
+    assert _skipping_conjuncts("x = 1 or y = 2 and z = 3") == []
+    # unparseable conjuncts are skipped, parseable ones kept
+    assert _skipping_conjuncts("pmod(x, 2) = 0 and x > 7") == [("x", ">", 7)]
+
+
+def test_file_matcher_fails_open_without_stats():
+    add = {"path": "p", "partitionValues": {}}
+    assert _file_may_match(add, [("x", "=", 5)], set(), {"x": "long"})
+    # unknown / temporal column types never prune
+    add2 = {"path": "p", "stats": json.dumps({"numRecords": 1, "minValues": {"ts": "2024-01-02T00:00:00"}, "maxValues": {"ts": "2024-01-02T00:00:00"}, "nullCount": {}})}
+    assert _file_may_match(add2, [("ts", "<", "2024-01-01")], set(), {"ts": "timestamp"})

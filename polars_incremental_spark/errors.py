@@ -50,3 +50,7 @@ class SchemaEvolutionError(SparkIncrementalError):
 
 class PipelineLockError(SparkIncrementalError):
     """Raised when the per-checkpoint single-writer lock cannot be acquired."""
+
+
+class ConstraintViolationError(WriterError):
+    """Raised when a write would violate a table CHECK constraint."""

@@ -244,6 +244,122 @@ def _stage_cdc_files(cdc_df: DataFrame, table_path: str) -> list[dict[str, Any]]
 
 CHECKPOINT_INTERVAL = 10  # real Delta's delta.checkpointInterval default
 
+CONSTRAINT_PREFIX = "delta.constraints."  # PROTOCOL.md CHECK constraint keys
+
+
+def _check_constraints(meta: dict[str, Any] | None) -> dict[str, str]:
+    """name -> SQL expression for every CHECK constraint in the table's
+    ``metaData.configuration`` (real Delta's storage location for them)."""
+    conf = (meta or {}).get("configuration") or {}
+    return {
+        k[len(CONSTRAINT_PREFIX):]: v
+        for k, v in conf.items()
+        if k.startswith(CONSTRAINT_PREFIX)
+    }
+
+
+def _enforce_constraints(df: DataFrame, constraints: dict[str, str]) -> None:
+    """Fail the write if any row violates any CHECK constraint.
+
+    SQL CHECK semantics: a row violates only when the expression is FALSE
+    (NULL passes).  Happy path costs ONE extra job over the input — a
+    single filter on the OR of all negated constraints with ``take(1)``;
+    the per-constraint re-check runs only on failure, to name the culprit.
+    """
+    from pyspark.sql import functions as F
+
+    from ..errors import ConstraintViolationError
+
+    def violated(expr: str):
+        return ~F.coalesce(F.expr(expr), F.lit(True))
+
+    any_bad = None
+    for expr in constraints.values():
+        term = violated(expr)
+        any_bad = term if any_bad is None else (any_bad | term)
+    try:
+        bad = df.filter(any_bad).take(1)
+    except Exception as exc:  # e.g. constraint references a missing column
+        raise ConstraintViolationError(
+            f"CHECK constraints {sorted(constraints)} could not be evaluated "
+            f"against the incoming batch: {exc}"
+        ) from exc
+    if not bad:
+        return
+    row = bad[0].asDict()
+    for name, expr in constraints.items():
+        if df.filter(violated(expr)).take(1):
+            raise ConstraintViolationError(
+                f"CHECK constraint {name} ({expr}) violated, e.g. by row {row}"
+            )
+    raise ConstraintViolationError(
+        f"CHECK constraint violated, e.g. by row {row}"
+    )
+
+
+def add_check_constraint(
+    spark: SparkSession, table_path: str, name: str, expr: str
+) -> None:
+    """``ALTER TABLE ADD CONSTRAINT`` for the jar-less path: validates the
+    EXISTING data first (full-table check, same as real Delta), then
+    commits a metaData update carrying ``delta.constraints.<name>`` plus a
+    protocol bump to minWriterVersion 3 (the spec's floor for CHECK
+    constraints).  Every later ``write_delta_fallback`` enforces it."""
+    if not name or not name.replace("_", "").isalnum():
+        raise ValueError(f"constraint name must be alphanumeric/_: {name!r}")
+    log = DeltaLog(table_path)
+    latest = log.latest_version()
+    if latest is None:
+        raise FileNotFoundError(f"not a delta table: {table_path}")
+    meta = log.table_metadata() or {}
+    existing = _check_constraints(meta)
+    if name in existing:
+        raise ValueError(
+            f"constraint {name} already exists ({existing[name]!r}); drop it first"
+        )
+    _enforce_constraints(
+        read_delta_fallback(spark, table_path), {name: expr}
+    )
+    conf = dict(meta.get("configuration") or {})
+    conf[CONSTRAINT_PREFIX + name] = expr
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "ADD CONSTRAINT",
+                "operationParameters": {"name": name, "expr": expr},
+            }
+        },
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 3}},
+        {"metaData": {**meta, "configuration": conf}},
+    ]
+    _write_commit(os.path.join(table_path, LOG_DIR), latest + 1, actions)
+
+
+def drop_check_constraint(table_path: str, name: str) -> None:
+    """``ALTER TABLE DROP CONSTRAINT``: commits a metaData update without
+    the named constraint; unknown names raise (matching the jar)."""
+    log = DeltaLog(table_path)
+    latest = log.latest_version()
+    if latest is None:
+        raise FileNotFoundError(f"not a delta table: {table_path}")
+    meta = log.table_metadata() or {}
+    conf = dict(meta.get("configuration") or {})
+    if CONSTRAINT_PREFIX + name not in conf:
+        raise ValueError(f"no such constraint: {name}")
+    del conf[CONSTRAINT_PREFIX + name]
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "DROP CONSTRAINT",
+                "operationParameters": {"name": name},
+            }
+        },
+        {"metaData": {**meta, "configuration": conf}},
+    ]
+    _write_commit(os.path.join(table_path, LOG_DIR), latest + 1, actions)
+
 
 def write_delta_fallback(
     df: DataFrame,
@@ -266,6 +382,10 @@ def write_delta_fallback(
     snapshot readers see every column; files written before the new column
     existed surface it as null.
 
+    CHECK constraints (``add_check_constraint``) are enforced on every
+    append/overwrite BEFORE staging: a violating batch raises
+    ``ConstraintViolationError`` and leaves the table untouched.
+
     Partitioning: ``partition_by`` (create-time) lays data out in Hive
     ``col=value/`` dirs with the Delta ``partitionValues`` recorded per add
     action; appends inherit the table's partitioning automatically and
@@ -283,7 +403,8 @@ def write_delta_fallback(
     now_ms = int(time.time() * 1000)
 
     if latest is not None:
-        stored_parts = (log.table_metadata() or {}).get("partitionColumns") or []
+        stored_meta = log.table_metadata() or {}
+        stored_parts = stored_meta.get("partitionColumns") or []
         if partition_by is None:
             partition_by = list(stored_parts) or None
         elif list(partition_by) != list(stored_parts):
@@ -291,6 +412,11 @@ def write_delta_fallback(
                 f"partition_by {list(partition_by)} does not match the table's "
                 f"partitionColumns {stored_parts}"
             )
+        constraints = _check_constraints(stored_meta)
+        if constraints:
+            # CHECK constraints gate BEFORE any file is staged, so a
+            # rejected batch leaves no orphans and no log growth
+            _enforce_constraints(df, constraints)
     adds = _stage_data_files(df, table_path, partition_by)
     actions: list[dict[str, Any]] = [
         {

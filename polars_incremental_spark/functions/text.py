@@ -477,3 +477,100 @@ def char_trigram_score(
             6,
         ).alias("mean_logprob"),
     )
+
+
+def hashed_ngram_buckets(
+    col: Column, *, n_buckets: int = 1 << 18, seed: str = "qcls"
+) -> Column:
+    """Hashed uni+bi-gram feature buckets (array<long>) — the fastText
+    input layer: every token and every adjacent token pair hashes into a
+    fixed ``n_buckets``-dim space.  Pure Catalyst (tokens + the shifted-
+    slice bigram build + md5), no shuffle, no UDF; collisions are part of
+    the model (the hashing trick), not an error.
+    """
+    toks = tokens(F.lower(col))
+    grams = F.concat(toks, _gram_array(toks, 2))
+    return F.transform(
+        grams,
+        lambda g: F.pmod(
+            md5_long(F.concat(F.lit(seed + ":"), g)), F.lit(n_buckets)
+        ),
+    )
+
+
+def hashed_linear_columns(
+    col: Column, *, n_buckets: int = 1 << 18, seed: str = "qcls"
+) -> list[Column]:
+    """fastText-style linear quality score with md5-derived weights:
+    ``quality_logit`` = mean over hashed uni+bi-gram buckets of a
+    deterministic weight in [-1, 1] (six-decimal rational, so the per-doc
+    sum is EXACT integer arithmetic — partial-sum order can't perturb a
+    cross-engine hash), plus ``n_features`` and a ``keep`` flag at 0.
+
+    The md5-seeded weights make the full scoring path (hash -> bucket ->
+    weight lookup -> mean) oracle-checkable; swap in trained weights with
+    ``apply_linear_classifier``, which broadcast-joins a real weight table
+    over the same buckets.  Entirely map-side either way — at 100 TB the
+    classifier adds zero shuffles to a curation pass.
+    """
+    buckets = hashed_ngram_buckets(col, n_buckets=n_buckets, seed=seed)
+    wints = F.transform(
+        buckets,
+        lambda b: F.pmod(
+            md5_long(F.concat(F.lit(seed + ":w:"), b.cast("string"))),
+            F.lit(2000001),
+        )
+        - F.lit(1000000),
+    )
+    n = F.size(buckets)
+    total = F.aggregate(wints, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    logit = F.round(total / (n.cast("double") * 1000000.0), 6)
+    return [
+        n.cast("long").alias("n_features"),
+        logit.alias("quality_logit"),
+        (logit >= 0).alias("keep"),
+    ]
+
+
+def apply_linear_classifier(
+    df,
+    weights,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1 << 18,
+    seed: str = "qcls",
+    bias: float = 0.0,
+):
+    """Score documents with a TRAINED linear classifier: ``weights`` is a
+    (bucket long, weight double) table — the export format of a
+    fastText/logistic model over the same hashing-trick features.
+
+    Plan shape: one explode of the per-doc bucket array, a BROADCAST join
+    against the weight table (even a 2^20-bucket model is ~8 MB), and one
+    groupBy(id) — a single shuffle keyed by document id.  Unmatched
+    buckets contribute 0 (sparse model).  Emits (id, n_features,
+    quality_logit); parity with ``hashed_linear_columns`` when fed that
+    path's md5 weights is pinned by a test.
+    """
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(
+            hashed_ngram_buckets(F.col(text_col), n_buckets=n_buckets, seed=seed)
+        ).alias("bucket"),
+    )
+    joined = exploded.join(F.broadcast(weights), "bucket", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_features"),
+            F.sum(F.coalesce("weight", F.lit(0.0))).alias("__sum"),
+        )
+        .select(
+            id_col,
+            "n_features",
+            F.round(
+                F.col("__sum") / F.col("n_features") + F.lit(bias), 6
+            ).alias("quality_logit"),
+        )
+    )

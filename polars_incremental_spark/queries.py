@@ -3686,6 +3686,46 @@ ORDER BY doc_id
 """
 
 
+def t14_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-ngram linear quality classifier: uni+bi-grams
+    hash into a 2^18-bucket feature space, each bucket carries a
+    deterministic md5-derived weight in [-1, 1] (6-dp rational, summed as
+    exact integers), score = mean weight.  Entirely map-side — the
+    classifier adds ZERO shuffles to a curation pass; swap in trained
+    weights via functions.text.apply_linear_classifier (broadcast join,
+    parity-tested against this path)."""
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id",
+        *tx.hashed_linear_columns(F.col("text"), n_buckets=262144, seed="qcls"),
+    ).orderBy("doc_id")
+
+
+T14_SQL = f"""
+WITH t AS (SELECT doc_id, {_sql_tokens("lower(text)")} AS tk FROM documents),
+g AS (
+  SELECT doc_id,
+         tk || list_transform(range(1, greatest(len(tk) - 1, 1) + 1),
+                 i -> CASE WHEN tk[i+1] IS NULL THEN tk[i]
+                           ELSE tk[i] || ' ' || tk[i+1] END) AS grams
+  FROM t
+),
+s AS (
+  SELECT doc_id,
+         len(grams)::BIGINT AS n_features,
+         list_sum(list_transform(grams,
+           s -> {_sql_md5_long("'qcls:w:' || (" + _sql_md5_long("'qcls:' || s") + " % 262144)::VARCHAR")}
+                % 2000001 - 1000000))::BIGINT AS tot
+  FROM g
+)
+SELECT doc_id, n_features,
+       round(tot / (n_features * 1000000.0), 6) AS quality_logit,
+       (round(tot / (n_features * 1000000.0), 6) >= 0) AS keep
+FROM s
+ORDER BY doc_id
+"""
+
+
 def u12_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (32-token chunks every 16): the
     long-document → training-example expansion.  Pure map-side array ops —
@@ -4314,6 +4354,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "s10_hard_negatives": (s10_hard_negatives, S10_SQL),
     "r32_map_props": (r32_map_props, R32_SQL),
     "r33_unpivot": (r33_unpivot, R33_SQL),
+    "t14_linear_classifier": (t14_linear_classifier, T14_SQL),
     # --- r2-graded sentinels: fresh driver rows on post-drift data (13) ---
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -4327,8 +4368,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "r12_topk_sort": (r12_topk_sort, R12_SQL),
     "r14_anti_join": (r14_anti_join, R14_SQL),
     "r21_distinct_keys": (r21_distinct_keys, R21_SQL),
-    "rollup_order_totals": (rollup_order_totals, ROLLUP_SQL),
     # ================= driver window boundary (entry 50) =================
+    "rollup_order_totals": (rollup_order_totals, ROLLUP_SQL),
     "q7_price_percentiles": (q7_price_percentiles, Q7_SQL),
     "q8_grouping_sets": (q8_grouping_sets, Q8_SQL),
     "d5_minhash_signatures": (d5_minhash_signatures, D5_SQL),

@@ -519,3 +519,81 @@ def test_histogram_quantile_bound_random_datasets(spark, tmp_path):
             lo = r["est_quantile"]
             assert lo <= true_q < lo + width, (r["q"], n, lo, true_q)
             assert r["n_total"] == n
+
+
+# ------------------------------------------------- linear classifier (t14)
+
+
+def test_linear_classifier_broadcast_weights_parity(spark):
+    """apply_linear_classifier (explode + broadcast weight join) must equal
+    hashed_linear_columns (in-array md5 weights) when fed the SAME weights
+    materialized as a table — the trained-model path is the hash path with
+    the weight source swapped."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, "single"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    n_buckets, seed = 4096, "qcls"
+    inline = docs.select(
+        "doc_id",
+        *tx.hashed_linear_columns(F.col("text"), n_buckets=n_buckets, seed=seed),
+    )
+    # materialize the md5 weight table for every bucket the docs touch
+    buckets = docs.select(
+        F.explode(
+            tx.hashed_ngram_buckets(F.col("text"), n_buckets=n_buckets, seed=seed)
+        ).alias("bucket")
+    ).distinct()
+    weights = buckets.select(
+        "bucket",
+        (
+            (
+                F.pmod(
+                    tx.md5_long(
+                        F.concat(F.lit(seed + ":w:"), F.col("bucket").cast("string"))
+                    ),
+                    F.lit(2000001),
+                )
+                - F.lit(1000000)
+            )
+            / 1000000.0
+        ).alias("weight"),
+    )
+    joined = tx.apply_linear_classifier(
+        docs, weights, n_buckets=n_buckets, seed=seed
+    )
+    a = {r["doc_id"]: r for r in inline.collect()}
+    b = {r["doc_id"]: r for r in joined.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k]["n_features"] == b[k]["n_features"]
+        assert abs(a[k]["quality_logit"] - b[k]["quality_logit"]) < 1e-9
+
+
+def test_linear_classifier_sparse_weights_default_zero(spark):
+    docs = spark.createDataFrame([(1, "alpha beta gamma")], "doc_id long, text string")
+    empty_weights = spark.createDataFrame([], "bucket long, weight double")
+    row = tx.apply_linear_classifier(docs, empty_weights).first()
+    assert row["quality_logit"] == 0.0 and row["n_features"] == 5  # 3 uni + 2 bi
+
+
+def test_linear_classifier_single_token_and_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, "word"), (2, "")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id", *tx.hashed_linear_columns(F.col("text"))
+        ).collect()
+    }
+    # 1 token: the clamped bigram build yields 1 uni + 1 "bigram" = 2 features
+    assert rows[1]["n_features"] == 2
+    # empty text tokenizes to [''] (split of trimmed empty) -> 2 features, finite logit
+    assert rows[2]["n_features"] == 2
+    assert rows[2]["quality_logit"] is not None

@@ -66,3 +66,47 @@ def test_seen_key_filter_exactly_once_per_key(spark, tmp_path):
     )
     r2 = _run_stream(spark, src, ckpt, lambda s: seen_key_filter(s, ["k"]))
     assert {r["k"] for r in r2} == {"d"}  # 'a' already seen in run 1 → suppressed
+
+
+# ------------------------------------------- transformWithStateInPandas
+
+
+def test_tws_gate_reports_capability(spark):
+    """TWS needs protobuf on the Python workers; in this sandbox it is
+    absent, so the gate must refuse with a pointer at the tested
+    applyInPandasWithState twins instead of crashing mid-stream."""
+    from polars_incremental_spark.errors import UnsupportedFormatError
+    from polars_incremental_spark.streaming import tws
+
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    if tws.tws_available():
+        pytest.skip("protobuf present: gate open, e2e test covers it")
+    with pytest.raises(UnsupportedFormatError, match="protobuf"):
+        tws.running_totals_tws(df, ["k"], "v")
+    with pytest.raises(UnsupportedFormatError, match="protobuf"):
+        tws.seen_key_filter_tws(df, ["k"])
+
+
+@pytest.mark.skipif(
+    "not __import__('polars_incremental_spark.streaming.tws', fromlist=['tws_available']).tws_available()",
+    reason="transformWithState protobuf dependency absent",
+)
+def test_tws_running_totals_across_runs(spark, tmp_path):
+    """Same contract as test_running_totals_across_runs, on the new API
+    (runs wherever protobuf + RocksDB state store are available)."""
+    from polars_incremental_spark.streaming.tws import running_totals_tws
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0)], ["k", "v"]
+    ).write.parquet(src + "/b1.parquet")
+    r1 = _run_stream(spark, src, ckpt, lambda s: running_totals_tws(s, ["k"], "v"))
+    assert {r["k"]: (r["n"], r["total"]) for r in r1} == {
+        "a": (2, 3.0),
+        "b": (1, 5.0),
+    }
+    spark.createDataFrame([("a", 10.0)], ["k", "v"]).write.parquet(
+        src + "/b2.parquet"
+    )
+    r2 = _run_stream(spark, src, ckpt, lambda s: running_totals_tws(s, ["k"], "v"))
+    assert {r["k"]: (r["n"], r["total"]) for r in r2} == {"a": (3, 13.0)}

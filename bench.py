@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "u13_histogram_quantiles",  # one-pass binned quantiles, no global sort
     "r31_cohort_retention",  # cohort join-back + distinct-count shuffle
     "s10_hard_negatives",  # banded different-label ANN re-rank
+    "t14_linear_classifier",  # hashed-ngram linear scorer, zero shuffle
 ]
 
 

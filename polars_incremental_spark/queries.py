@@ -3694,7 +3694,11 @@ def t14_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     classifier adds ZERO shuffles to a curation pass; swap in trained
     weights via functions.text.apply_linear_classifier (broadcast join,
     parity-tested against this path)."""
-    doc = load_table(spark, sf_dir, "documents")
+    from .tables import ensure_parallelism
+
+    # the testdata corpus is one row group -> one scan task; rebalance so
+    # the per-gram hashing uses every core (no-op on multi-split tables)
+    doc = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
     return doc.select(
         "doc_id",
         *tx.hashed_linear_columns(F.col("text"), n_buckets=262144, seed="qcls"),
@@ -3714,7 +3718,7 @@ s AS (
   SELECT doc_id,
          len(grams)::BIGINT AS n_features,
          list_sum(list_transform(grams,
-           s -> {_sql_md5_long("'qcls:w:' || (" + _sql_md5_long("'qcls:' || s") + " % 262144)::VARCHAR")}
+           s -> (({_sql_md5_long("'qcls:' || s", 8)} % 262144) * 2654435761 + 12345)
                 % 2000001 - 1000000))::BIGINT AS tot
   FROM g
 )

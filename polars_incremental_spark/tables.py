@@ -53,6 +53,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Rebalance a scan whose split count is below cluster parallelism —
+    the single-file / single-row-group case, where a hash-heavy map-side
+    projection would otherwise run on ONE core while the rest idle.
+
+    Guarded: when the scan already has >= defaultParallelism partitions
+    (any real multi-file table, and ANY table at 100 TB), this returns the
+    input untouched — no shuffle is added on the scale path.  The
+    repartition only ever moves the small inputs where the shuffle costs
+    milliseconds and buys cores.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register every testdata table as a temp view for spark.sql queries."""
     for name in names:

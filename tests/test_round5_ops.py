@@ -551,18 +551,7 @@ def test_linear_classifier_broadcast_weights_parity(spark):
     ).distinct()
     weights = buckets.select(
         "bucket",
-        (
-            (
-                F.pmod(
-                    tx.md5_long(
-                        F.concat(F.lit(seed + ":w:"), F.col("bucket").cast("string"))
-                    ),
-                    F.lit(2000001),
-                )
-                - F.lit(1000000)
-            )
-            / 1000000.0
-        ).alias("weight"),
+        (tx._bucket_weight_int(F.col("bucket")) / 1000000.0).alias("weight"),
     )
     joined = tx.apply_linear_classifier(
         docs, weights, n_buckets=n_buckets, seed=seed

@@ -304,3 +304,64 @@ def weighted_sample(
         "long"
     )
     return df.filter(sample_hash(F.col(key_col), seed) < threshold)
+
+
+def temperature_sample(
+    df: DataFrame,
+    *,
+    group_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    total_frac: float = 0.5,
+    seed: str = "temp",
+) -> DataFrame:
+    """Temperature-based corpus rebalancing (the multilingual sampler from
+    the XLM-R / mT5 recipes): group g's share of the output is proportional
+    to ``count_g ** alpha``, so alpha=1 keeps natural proportions and
+    alpha->0 approaches uniform — low-resource groups are upweighted
+    RELATIVE to the head without hand-writing per-group weights
+    (``mixture_sample`` is the explicit-weights sibling).
+
+    ``total_frac`` sets the output budget as a fraction of the input; each
+    group's keep-rate = min(1, budget * share_g / count_g) — head groups
+    thin, tail groups clamp at 1.0 (downsampling-only, the standard batch
+    formulation).
+
+    Scale shape: one low-cardinality groupBy for counts, the per-group
+    thresholds broadcast back, keep = one deterministic hash compare per
+    row.  No driver collect; the same row survives under appends to OTHER
+    groups only if its own group's count is unchanged.
+
+    Cross-engine determinism: for alpha=0.5 the share weights go through
+    ``round(sqrt(n) * 1e6)`` — sqrt is correctly rounded IEEE, so the
+    weights are EXACT integers and their sum is order-independent; the
+    rate expression is written with identical association in the SQL
+    oracle.  Other alphas use ``pow`` (last-ulp portability not
+    guaranteed; fine for production, not for a hash gate).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1]; got {alpha}")
+    if not 0.0 < total_frac <= 1.0:
+        raise ValueError(f"total_frac must be in (0, 1]; got {total_frac}")
+    cnt = df.groupBy(group_col).agg(F.count("*").cast("double").alias("__n"))
+    q = F.sqrt("__n") if alpha == 0.5 else F.pow(F.col("__n"), F.lit(alpha))
+    cnt = cnt.withColumn(
+        "__qi", F.round(q * F.lit(1000000.0)).cast("long")
+    )
+    tot = cnt.agg(
+        F.sum("__qi").cast("long").alias("__Q"),
+        F.sum("__n").alias("__ntot"),
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(total_frac) * F.col("__ntot") * F.col("__qi") / F.col("__Q") / F.col("__n"),
+    )
+    thr = cnt.join(F.broadcast(tot)).select(
+        group_col,
+        F.floor(rate * F.lit(float(SAMPLE_SPACE))).cast("long").alias("__thr"),
+    )
+    return (
+        df.join(F.broadcast(thr), group_col)
+        .filter(sample_hash(F.col(key_col), seed) < F.col("__thr"))
+        .drop("__thr")
+    )

@@ -4148,6 +4148,40 @@ ORDER BY q
 """
 
 
+def u14_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual rebalancing (XLM-R/mT5 recipe):
+    each language's output share ∝ sqrt(count), total budget 50% of the
+    corpus — head languages thin, tail languages keep everything (rate
+    clamps at 1).  Counts groupBy + broadcast thresholds + one hash
+    compare per row; sqrt weights go through exact integer micro-units so
+    the surviving row SET is hash-verified cross-engine."""
+    doc = load_table(spark, sf_dir, "documents")
+    return (
+        sampling.temperature_sample(
+            doc, group_col="lang", key_col="doc_id", alpha=0.5, total_frac=0.5
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+U14_SQL = f"""
+WITH cnt AS (SELECT lang, COUNT(*)::DOUBLE AS n FROM documents GROUP BY lang),
+q AS (SELECT lang, n, CAST(round(sqrt(n) * 1000000.0) AS BIGINT) AS qi FROM cnt),
+tot AS (SELECT SUM(qi)::BIGINT AS Q, SUM(n)::DOUBLE AS N FROM q),
+thr AS (
+  SELECT q.lang,
+         CAST(floor(least(1.0, 0.5 * t.N * q.qi / t.Q / q.n)
+                    * {float(1 << 60)!r}) AS BIGINT) AS thr
+  FROM q, tot t
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thr ON d.lang = thr.lang
+WHERE {_sql_md5_long("'temp' || d.doc_id::VARCHAR")} < thr.thr
+ORDER BY d.doc_id
+"""
+
+
 def r31_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by their first-activity week, counted
     distinct per week offset since the cohort week.  One per-user min-ts
@@ -4359,6 +4393,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "r32_map_props": (r32_map_props, R32_SQL),
     "r33_unpivot": (r33_unpivot, R33_SQL),
     "t14_linear_classifier": (t14_linear_classifier, T14_SQL),
+    "u14_temperature_sample": (u14_temperature_sample, U14_SQL),
     # --- r2-graded sentinels: fresh driver rows on post-drift data (13) ---
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -4371,8 +4406,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "r01_scan_count": (r01_scan_count, "SELECT COUNT(*) AS n_rows FROM lineitem"),
     "r12_topk_sort": (r12_topk_sort, R12_SQL),
     "r14_anti_join": (r14_anti_join, R14_SQL),
-    "r21_distinct_keys": (r21_distinct_keys, R21_SQL),
     # ================= driver window boundary (entry 50) =================
+    "r21_distinct_keys": (r21_distinct_keys, R21_SQL),
     "rollup_order_totals": (rollup_order_totals, ROLLUP_SQL),
     "q7_price_percentiles": (q7_price_percentiles, Q7_SQL),
     "q8_grouping_sets": (q8_grouping_sets, Q8_SQL),

@@ -586,3 +586,67 @@ def test_linear_classifier_single_token_and_empty(spark):
     # empty text tokenizes to [''] (split of trimmed empty) -> 2 features, finite logit
     assert rows[2]["n_features"] == 2
     assert rows[2]["quality_logit"] is not None
+
+
+# ------------------------------------------ temperature sampling (u14)
+
+
+def test_temperature_sample_tail_group_kept_whole(spark):
+    from polars_incremental_spark.functions import sampling
+
+    rows = [(i, "head") for i in range(1000)] + [(10_000 + i, "tail") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.temperature_sample(
+        df, group_col="lang", key_col="doc_id", alpha=0.5, total_frac=0.5
+    )
+    by_lang = {r["lang"]: r["n"] for r in out.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    # sqrt weighting: tail share = sqrt(5)/(sqrt(1000)+sqrt(5)) -> desired
+    # ~66 > 5 -> rate clamps at 1.0, every tail row survives
+    assert by_lang.get("tail") == 5
+    # head thins to roughly budget*share/count ~ 47% of 1000 (hash noise)
+    assert 380 <= by_lang.get("head", 0) <= 560
+
+
+def test_temperature_sample_alpha_one_is_proportional(spark):
+    from polars_incremental_spark.functions import sampling
+
+    rows = [(i, "a") for i in range(600)] + [(1000 + i, "b") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.temperature_sample(
+        df, group_col="lang", key_col="doc_id", alpha=1.0, total_frac=0.5
+    ).groupBy("lang").count().collect()
+    by = {r["lang"]: r["count"] for r in out}
+    # alpha=1: natural proportions, both groups ~halved
+    assert 240 <= by["a"] <= 360 and 110 <= by["b"] <= 190
+
+
+def test_temperature_sample_validates_params(spark):
+    from polars_incremental_spark.functions import sampling
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, lang string")
+    with pytest.raises(ValueError):
+        sampling.temperature_sample(df, group_col="lang", key_col="doc_id", alpha=0.0)
+    with pytest.raises(ValueError):
+        sampling.temperature_sample(
+            df, group_col="lang", key_col="doc_id", total_frac=1.5
+        )
+
+
+def test_temperature_sample_deterministic_under_other_group_appends(spark):
+    """A row's survival depends only on its own group's count — appending
+    docs to ANOTHER group must not flip membership for unchanged groups
+    (incremental-pipeline stability)."""
+    from polars_incremental_spark.functions import sampling
+
+    base = [(i, "a") for i in range(200)] + [(1000 + i, "b") for i in range(100)]
+    grown = base + [(2000 + i, "c") for i in range(50)]
+    kw = dict(group_col="lang", key_col="doc_id", alpha=0.5, total_frac=0.5)
+    df1 = spark.createDataFrame(base, "doc_id long, lang string")
+    df2 = spark.createDataFrame(grown, "doc_id long, lang string")
+    s1 = {r["doc_id"] for r in sampling.temperature_sample(df1, **kw).collect() if r["lang"] == "a"}
+    s2 = {r["doc_id"] for r in sampling.temperature_sample(df2, **kw).collect() if r["lang"] == "a"}
+    # group a's count unchanged, but the GLOBAL budget shifted with c's
+    # arrival, so rates move: the invariant is hash-ordered nesting — the
+    # kept set is a prefix of the same hash order, so one side contains
+    # the other
+    assert s1 >= s2 or s2 >= s1

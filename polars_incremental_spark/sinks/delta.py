@@ -308,3 +308,44 @@ def restore_table(path: str, *, version: int) -> dict:
     from .deltalog import restore_table_fallback
 
     return restore_table_fallback(path, version=version)
+
+
+def delete_rows(
+    spark: SparkSession,
+    path: str,
+    where: str,
+    *,
+    write_cdf: bool = False,
+) -> dict:
+    """DELETE FROM <table> WHERE ... — native DeltaTable.delete when the
+    jar is present, else the jar-less copy-on-write implementation with
+    stats-pruned candidate files (deltalog.delete_where)."""
+    if delta_available():
+        from delta.tables import DeltaTable  # pragma: no cover (no jar here)
+
+        DeltaTable.forPath(spark, path).delete(where)
+        return {"native": True}
+    from .deltalog import delete_where as _delete
+
+    return _delete(spark, path, where, write_cdf=write_cdf)
+
+
+def update_rows(
+    spark: SparkSession,
+    path: str,
+    where: str,
+    set_exprs: dict,
+    *,
+    write_cdf: bool = False,
+) -> dict:
+    """UPDATE <table> SET ... WHERE ... — native DeltaTable.update when the
+    jar is present, else the jar-less copy-on-write implementation
+    (deltalog.update_where)."""
+    if delta_available():
+        from delta.tables import DeltaTable  # pragma: no cover (no jar here)
+
+        DeltaTable.forPath(spark, path).update(where, set_exprs)
+        return {"native": True}
+    from .deltalog import update_where as _update
+
+    return _update(spark, path, where, set_exprs, write_cdf=write_cdf)

@@ -30,6 +30,7 @@ import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..checkpoints.delta import LOG_DIR, DeltaLog
 from ..checkpoints.types import atomic_write_json
@@ -666,6 +667,271 @@ def read_delta_fallback(
     df = reader.parquet(*files)
     # residual filter: pruning is a superset, the predicate stays exact
     return df.filter(where) if where else df
+
+
+def _snapshot_reader(spark: SparkSession, log: DeltaLog, meta: dict[str, Any]):
+    """(reader, schema, part_cols) for the current snapshot — schema-pinned
+    and basePath-aware so partition columns reconstruct."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = meta.get("partitionColumns") or []
+    reader = spark.read.schema(schema)
+    if part_cols:
+        reader = reader.option("basePath", log.table_path)
+    return reader, schema, part_cols
+
+
+def _rel_path_of(file_uri: str, table_path: str) -> str:
+    """``_metadata.file_path`` URI -> the add-action's relative path."""
+    p = file_uri
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+    return os.path.relpath(p, os.path.abspath(table_path))
+
+
+def _candidate_adds(
+    log: DeltaLog, meta: dict[str, Any], where: str
+) -> list[dict[str, Any]]:
+    """Snapshot files that MAY contain rows matching ``where`` — the same
+    stats/partition pruning the read path uses, so a DELETE/UPDATE on a
+    stats-disjoint predicate never opens (or rewrites) untouched files."""
+    adds = log.snapshot_files(log.latest_version())
+    conjuncts = _skipping_conjuncts(where)
+    if not conjuncts:
+        return adds
+    part_cols = set(meta.get("partitionColumns") or [])
+    field_types = {
+        f["name"]: f["type"]
+        for f in json.loads(meta["schemaString"])["fields"]
+        if isinstance(f.get("type"), str)
+    }
+    return [
+        a for a in adds if _file_may_match(a, conjuncts, part_cols, field_types)
+    ]
+
+
+def delete_where(
+    spark: SparkSession,
+    table_path: str,
+    where: str,
+    *,
+    write_cdf: bool = False,
+) -> dict[str, Any]:
+    """``DELETE FROM <table> WHERE ...`` for the jar-less path, with real
+    Delta's copy-on-write semantics: only files that actually CONTAIN a
+    matching row are rewritten (candidates pre-pruned via logged stats /
+    partitionValues, then hits confirmed per file via the parquet
+    ``_metadata.file_path`` column); everything else is untouched log-wise
+    and byte-wise.  Rows where the predicate is NULL survive (SQL DELETE
+    deletes only TRUE).
+
+    ``write_cdf`` stages the deleted rows as ``_change_type='delete'``
+    change-data files in the same commit, so downstream CDF readers see
+    precise deletes instead of raising (checkpoints/delta.py's
+    delete-without-CDF guard).
+
+    Returns metrics: files_matched / files_rewritten / rows_deleted /
+    version (None when nothing matched — no empty commits).
+    """
+    log = DeltaLog(table_path)
+    latest = log.latest_version()
+    if latest is None:
+        raise FileNotFoundError(f"not a delta table: {table_path}")
+    meta = log.table_metadata() or {}
+    candidates = _candidate_adds(log, meta, where)
+    if not candidates:
+        return {
+            "files_matched": 0,
+            "files_rewritten": 0,
+            "rows_deleted": 0,
+            "version": None,
+        }
+    reader, schema, part_cols = _snapshot_reader(spark, log, meta)
+    df = reader.parquet(
+        *[log.abs_path(a["path"]) for a in candidates]
+    ).withColumn("__file", F.col("_metadata.file_path"))
+    pred = F.expr(where)
+    # ONE job finds both the hit files and the per-file delete counts
+    hits = (
+        df.filter(pred).groupBy("__file").agg(F.count("*").alias("__n")).collect()
+    )
+    if not hits:
+        return {
+            "files_matched": len(candidates),
+            "files_rewritten": 0,
+            "rows_deleted": 0,
+            "version": None,
+        }
+    hit_rel = {_rel_path_of(r["__file"], table_path) for r in hits}
+    rows_deleted = sum(r["__n"] for r in hits)
+    hit_uris = [r["__file"] for r in hits]
+    survivors = (
+        df.filter(F.col("__file").isin(hit_uris))
+        .filter(~F.coalesce(pred, F.lit(False)))
+        .drop("__file")
+    )
+    adds = _stage_data_files(survivors, table_path, part_cols or None)
+    now_ms = int(time.time() * 1000)
+    actions: list[dict[str, Any]] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "DELETE",
+                "operationParameters": {"predicate": where},
+            }
+        }
+    ]
+    for a in candidates:
+        if a["path"] in hit_rel:
+            actions.append(
+                {
+                    "remove": {
+                        "path": a["path"],
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+    actions.extend({"add": add} for add in adds)
+    if write_cdf:
+        deleted = (
+            df.filter(F.col("__file").isin(hit_uris))
+            .filter(pred)
+            .drop("__file")
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        actions.extend({"cdc": c} for c in _stage_cdc_files(deleted, table_path))
+    version = latest + 1
+    _write_commit(os.path.join(table_path, LOG_DIR), version, actions)
+    return {
+        "files_matched": len(candidates),
+        "files_rewritten": len(hit_rel),
+        "rows_deleted": rows_deleted,
+        "version": version,
+    }
+
+
+def update_where(
+    spark: SparkSession,
+    table_path: str,
+    where: str,
+    set_exprs: dict[str, str],
+    *,
+    write_cdf: bool = False,
+) -> dict[str, Any]:
+    """``UPDATE <table> SET col = expr, ... WHERE ...`` for the jar-less
+    path — same copy-on-write + stats-pruned candidate selection as
+    ``delete_where``; non-matching rows in rewritten files are carried
+    byte-equal.  ``set_exprs`` values are SQL expressions evaluated
+    against the PRE-update row (standard UPDATE semantics: all
+    assignments see the old values).  Updated rows are re-checked against
+    the table's CHECK constraints — a violating update aborts before any
+    commit.  ``write_cdf`` emits update_preimage/update_postimage rows.
+    """
+    if not set_exprs:
+        raise ValueError("set_exprs must be non-empty")
+    log = DeltaLog(table_path)
+    latest = log.latest_version()
+    if latest is None:
+        raise FileNotFoundError(f"not a delta table: {table_path}")
+    meta = log.table_metadata() or {}
+    known = {f["name"] for f in json.loads(meta["schemaString"])["fields"]}
+    unknown = set(set_exprs) - known
+    if unknown:
+        raise ValueError(f"SET targets unknown columns: {sorted(unknown)}")
+    candidates = _candidate_adds(log, meta, where)
+    if not candidates:
+        return {
+            "files_matched": 0,
+            "files_rewritten": 0,
+            "rows_updated": 0,
+            "version": None,
+        }
+    reader, schema, part_cols = _snapshot_reader(spark, log, meta)
+    df = reader.parquet(
+        *[log.abs_path(a["path"]) for a in candidates]
+    ).withColumn("__file", F.col("_metadata.file_path"))
+    pred = F.expr(where)
+    hits = (
+        df.filter(pred).groupBy("__file").agg(F.count("*").alias("__n")).collect()
+    )
+    if not hits:
+        return {
+            "files_matched": len(candidates),
+            "files_rewritten": 0,
+            "rows_updated": 0,
+            "version": None,
+        }
+    hit_rel = {_rel_path_of(r["__file"], table_path) for r in hits}
+    rows_updated = sum(r["__n"] for r in hits)
+    hit_uris = [r["__file"] for r in hits]
+    hit_df = df.filter(F.col("__file").isin(hit_uris))
+    matched = F.coalesce(pred, F.lit(False))
+    # all assignments evaluate against the PRE-update row: build every new
+    # column from the original df columns, then swap in one select
+    new_cols = [
+        F.when(matched, F.expr(set_exprs[f.name]).cast(f.dataType))
+        .otherwise(F.col(f.name))
+        .alias(f.name)
+        if f.name in set_exprs
+        else F.col(f.name)
+        for f in schema.fields
+    ]
+    rewritten = hit_df.select(*new_cols, "__file")
+    constraints = _check_constraints(meta)
+    if constraints:
+        updated_only = rewritten.filter(
+            F.col("__file").isin(hit_uris)
+        ).drop("__file")
+        # cheap subset: only rows in rewritten files can have changed
+        _enforce_constraints(updated_only, constraints)
+    adds = _stage_data_files(
+        rewritten.drop("__file"), table_path, part_cols or None
+    )
+    now_ms = int(time.time() * 1000)
+    actions: list[dict[str, Any]] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "UPDATE",
+                "operationParameters": {"predicate": where},
+            }
+        }
+    ]
+    for a in candidates:
+        if a["path"] in hit_rel:
+            actions.append(
+                {
+                    "remove": {
+                        "path": a["path"],
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+    actions.extend({"add": add} for add in adds)
+    if write_cdf:
+        pre = (
+            hit_df.filter(pred)
+            .drop("__file")
+            .withColumn("_change_type", F.lit("update_preimage"))
+        )
+        post = (
+            rewritten.filter(matched)
+            .drop("__file")
+            .withColumn("_change_type", F.lit("update_postimage"))
+        )
+        cdc_df = pre.unionByName(post)
+        actions.extend({"cdc": c} for c in _stage_cdc_files(cdc_df, table_path))
+    version = latest + 1
+    _write_commit(os.path.join(table_path, LOG_DIR), version, actions)
+    return {
+        "files_matched": len(candidates),
+        "files_rewritten": len(hit_rel),
+        "rows_updated": rows_updated,
+        "version": version,
+    }
 
 
 def vacuum_fallback(table_path: str, *, retention_hours: float = 168.0, dry_run: bool = False) -> list[str]:

@@ -669,6 +669,48 @@ def read_delta_fallback(
     return df.filter(where) if where else df
 
 
+def analyze_table(table_path: str) -> dict[str, Any]:
+    """Backfill per-file data-skipping stats for snapshot files that lack
+    them — tables written before stats collection existed, or by other
+    writers that skipped them.  One driver-side footer read per missing
+    file; each gets its add action re-committed WITH stats as
+    ``dataChange=false`` (replay replaces the action in place, streams
+    skip the commit).  After this, ``read_table(..., where=...)`` prunes
+    on the whole table.  Real Delta's ANALYZE TABLE ... COMPUTE
+    STATISTICS plays the same role.
+    """
+    log = DeltaLog(table_path)
+    latest = log.latest_version()
+    if latest is None:
+        raise FileNotFoundError(f"not a delta table: {table_path}")
+    missing = [
+        a for a in log.snapshot_files(latest) if not a.get("stats")
+    ]
+    analyzed = []
+    for add in missing:
+        stats = _collect_file_stats(log.abs_path(add["path"]))
+        if stats is None:
+            continue
+        payload = {
+            k: v for k, v in add.items() if k != "commit_version"
+        }
+        analyzed.append({"add": {**payload, "stats": stats, "dataChange": False}})
+    if not analyzed:
+        return {"files_analyzed": 0, "version": None}
+    actions: list[dict[str, Any]] = [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "COMPUTE STATISTICS",
+            }
+        },
+        *analyzed,
+    ]
+    version = latest + 1
+    _write_commit(os.path.join(table_path, LOG_DIR), version, actions)
+    return {"files_analyzed": len(analyzed), "version": version}
+
+
 def _snapshot_reader(spark: SparkSession, log: DeltaLog, meta: dict[str, Any]):
     """(reader, schema, part_cols) for the current snapshot — schema-pinned
     and basePath-aware so partition columns reconstruct."""

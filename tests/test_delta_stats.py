@@ -193,3 +193,40 @@ def test_file_matcher_fails_open_without_stats():
     # unknown / temporal column types never prune
     add2 = {"path": "p", "stats": json.dumps({"numRecords": 1, "minValues": {"ts": "2024-01-02T00:00:00"}, "maxValues": {"ts": "2024-01-02T00:00:00"}, "nullCount": {}})}
     assert _file_may_match(add2, [("ts", "<", "2024-01-01")], set(), {"ts": "timestamp"})
+
+
+def test_analyze_backfills_stats_on_statless_table(spark, tmp_path):
+    """Simulate a pre-stats writer by stripping stats from the log, then
+    prove analyze_table restores skipping (corruption check)."""
+    import re as _re
+
+    from polars_incremental_spark.sinks.deltalog import analyze_table
+
+    path = str(tmp_path / "t")
+    _ranged_table(spark, path)
+    log_dir = os.path.join(path, "_delta_log")
+    for name in os.listdir(log_dir):
+        if not name.endswith(".json"):
+            continue
+        full = os.path.join(log_dir, name)
+        lines = []
+        for line in open(full):
+            a = json.loads(line)
+            if "add" in a:
+                a["add"].pop("stats", None)
+            lines.append(json.dumps(a, separators=(",", ":")))
+        with open(full, "w") as h:
+            h.write("\n".join(lines) + "\n")
+    log = DeltaLog(path)
+    assert all("stats" not in a for a in log.snapshot_files(log.latest_version()))
+    res = analyze_table(path)
+    assert res["files_analyzed"] == 4
+    # idempotent: second run finds nothing missing, commits nothing
+    assert analyze_table(path) == {"files_analyzed": 0, "version": None}
+    adds = log.snapshot_files(log.latest_version())
+    assert all(json.loads(a["stats"])["numRecords"] > 0 for a in adds)
+    for add in adds:
+        if json.loads(add["stats"])["maxValues"]["x"] < 300:
+            _corrupt(log.abs_path(add["path"]))
+    rows = read_table(spark, path, where="x >= 300").orderBy("x").collect()
+    assert [r["x"] for r in rows] == list(range(300, 400))

@@ -195,6 +195,35 @@ def main() -> None:
     finished = finished.join(novel_ids, "doc_id", "left_semi")
     print("novelty gate kept", finished.count(), "docs")
 
+    # 3b. model-based quality: the fastText-style hashed-ngram linear
+    #     scorer (zero shuffle; swap in trained weights via
+    #     apply_linear_classifier without changing the plan shape)
+    cls = finished.select(
+        "doc_id", *tx.hashed_linear_columns(F.col("clean_text"))
+    )
+    print(
+        "classifier mean logit:",
+        round(cls.agg(F.avg("quality_logit")).first()[0], 4),
+    )
+
+    # 3c. temperature rebalancing ACROSS LANGUAGES (XLM-R recipe): head
+    #     languages thin toward sqrt-proportional shares, tail languages
+    #     keep everything — runs before the source mixture so low-resource
+    #     languages aren't crowded out of the token budget
+    finished_lang = finished.join(
+        curated_df.select("doc_id", "lang"), "doc_id"
+    )
+    rebalanced = sampling.temperature_sample(
+        finished_lang, group_col="lang", key_col="doc_id",
+        alpha=0.5, total_frac=0.9,
+    )
+    print(
+        "temperature rebalance:",
+        {r["lang"]: r["n"] for r in rebalanced.groupBy("lang")
+         .agg(F.count("*").alias("n")).orderBy("lang").collect()},
+    )
+    finished = rebalanced.drop("lang")
+
     # 4. mixture: sample sources to a target mix, budgeted in TOKENS (real
     #    mixtures are token-budgeted — row-based mixing under-weights
     #    long-document sources)
@@ -231,6 +260,37 @@ def main() -> None:
     sharded = spark.read.parquet(shard_dir)
     assert sharded.count() == chunks.count()
     print("wrote token-balanced shards:", sharded.select("shard").distinct().count(), "dirs")
+
+    # ---- governance on the published curated table ----
+    # CHECK constraint: every future append must carry a known split tag
+    from polars_incremental_spark.errors import ConstraintViolationError
+    from polars_incremental_spark.sinks.delta import delete_rows
+    from polars_incremental_spark.sinks.deltalog import add_check_constraint
+
+    add_check_constraint(
+        spark, curated, "split_known", "split in ('train', 'valid', 'test')"
+    )
+    try:
+        write_table(
+            curated_df.limit(1).withColumn("split", F.lit("oops")), curated
+        )
+        raise AssertionError("constraint should have rejected the write")
+    except ConstraintViolationError:
+        print("constraint rejected a bad-split append (table untouched)")
+
+    # retraction: a benchmark vendor reports doc_ids 250-259 leaked into
+    # the crawl — DELETE them from the published table.  Copy-on-write
+    # rewrites ONLY the files containing hits (stats-pruned), and
+    # write_cdf emits precise delete rows so the trainer's CDF stream
+    # retracts exactly those docs instead of erroring on the rewrite.
+    res = delete_rows(
+        spark, curated, "doc_id >= 250 and doc_id < 260", write_cdf=True
+    )
+    print(
+        f"retraction: deleted {res['rows_deleted']} docs, rewrote "
+        f"{res['files_rewritten']} of {res['files_matched']} candidate files"
+    )
+    assert read_table(spark, curated, where="doc_id >= 250 and doc_id < 260").count() == 0
 
     shutil.rmtree(work)
 

@@ -209,3 +209,38 @@ def test_time_travel_sees_pre_dml_snapshot(spark, tmp_path):
     delete_rows(spark, path, "x < 50")
     assert read_table(spark, path).count() == 50
     assert read_table(spark, path, version=v0).count() == 100
+
+
+def test_dml_cdf_streams_to_incremental_consumer(spark, tmp_path):
+    """The full retraction loop: DELETE/UPDATE with write_cdf on the
+    published table, then a DeltaSource(read_change_feed=True) consumer
+    applies the feed and converges to the post-DML table — the
+    delete-without-CDF guard never fires because DML emitted precise
+    change rows."""
+    from polars_incremental_spark.cdc import apply_cdc
+    from polars_incremental_spark.sources.base import DeltaSource
+
+    t, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    write_table(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "id long, s string"
+        ),
+        t,
+    )
+    src = DeltaSource(
+        path=t, read_change_feed=True, start_offset="earliest"
+    ).with_checkpoint(ckpt)
+    downstream = None
+    while (b := src.plan_batch()) is not None:
+        downstream = apply_cdc(src.read_batch(spark, b), downstream, keys=["id"])
+        src.commit_batch(b)
+    assert downstream.count() == 4
+
+    delete_rows(spark, t, "id = 2", write_cdf=True)
+    update_rows(spark, t, "id = 4", {"s": "'D'"}, write_cdf=True)
+    while (b := src.plan_batch()) is not None:
+        downstream = apply_cdc(src.read_batch(spark, b), downstream, keys=["id"])
+        src.commit_batch(b)
+    got = {r["id"]: r["s"] for r in downstream.collect()}
+    want = {r["id"]: r["s"] for r in read_table(spark, t).collect()}
+    assert got == want == {1: "a", 3: "c", 4: "D"}

@@ -247,6 +247,45 @@ CHECKPOINT_INTERVAL = 10  # real Delta's delta.checkpointInterval default
 
 CONSTRAINT_PREFIX = "delta.constraints."  # PROTOCOL.md CHECK constraint keys
 
+GENERATION_KEY = "delta.generationExpression"  # PROTOCOL.md generated columns
+
+
+def _generated_columns(meta: dict[str, Any] | None) -> dict[str, str]:
+    """name -> SQL expression for every generated column in the logged
+    schema (stored as field metadata, real Delta's location)."""
+    if not meta or not meta.get("schemaString"):
+        return {}
+    out = {}
+    for f in json.loads(meta["schemaString"]).get("fields", []):
+        expr = (f.get("metadata") or {}).get(GENERATION_KEY)
+        if expr:
+            out[f["name"]] = expr
+    return out
+
+
+def _apply_generated_columns(
+    df: DataFrame, gen_exprs: dict[str, str]
+) -> DataFrame:
+    """Compute missing generated columns; VALIDATE explicitly-provided ones
+    (a provided value that disagrees with its expression is rejected, the
+    same contract the jar enforces — silently accepting it would corrupt
+    partition pruning on the generated column)."""
+    from ..errors import ConstraintViolationError
+
+    for name, expr in gen_exprs.items():
+        if name not in df.columns:
+            df = df.withColumn(name, F.expr(expr))
+            continue
+        bad = df.filter(
+            ~F.col(name).eqNullSafe(F.expr(expr))
+        ).take(1)
+        if bad:
+            raise ConstraintViolationError(
+                f"generated column {name} = {expr} disagrees with the "
+                f"provided value, e.g. row {bad[0].asDict()}"
+            )
+    return df
+
 
 def _check_constraints(meta: dict[str, Any] | None) -> dict[str, str]:
     """name -> SQL expression for every CHECK constraint in the table's
@@ -370,6 +409,7 @@ def write_delta_fallback(
     cdc_df: DataFrame | None = None,
     checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
     partition_by: list[str] | None = None,
+    generated_columns: dict[str, str] | None = None,
 ) -> None:
     """Append/overwrite ``df`` into a log-backed Delta table (no jar needed).
 
@@ -386,6 +426,14 @@ def write_delta_fallback(
     CHECK constraints (``add_check_constraint``) are enforced on every
     append/overwrite BEFORE staging: a violating batch raises
     ``ConstraintViolationError`` and leaves the table untouched.
+
+    GENERATED COLUMNS (``generated_columns={"d": "CAST(ts AS DATE)"}``,
+    create-time only) are stored as ``delta.generationExpression`` field
+    metadata (protocol writer v4).  Every later write computes absent
+    generated columns automatically and VALIDATES explicitly-provided
+    ones; the canonical use is partitioning by a derived date while
+    querying by raw timestamp — pair with ``partition_by`` on the
+    generated column and partition pruning comes for free.
 
     Partitioning: ``partition_by`` (create-time) lays data out in Hive
     ``col=value/`` dirs with the Delta ``partitionValues`` recorded per add
@@ -404,6 +452,11 @@ def write_delta_fallback(
     now_ms = int(time.time() * 1000)
 
     if latest is not None:
+        if generated_columns:
+            raise ValueError(
+                "generated_columns is create-time only; the table's logged "
+                "schema already defines its generation expressions"
+            )
         stored_meta = log.table_metadata() or {}
         stored_parts = stored_meta.get("partitionColumns") or []
         if partition_by is None:
@@ -413,11 +466,18 @@ def write_delta_fallback(
                 f"partition_by {list(partition_by)} does not match the table's "
                 f"partitionColumns {stored_parts}"
             )
+        # generated columns: compute when absent, validate when provided —
+        # a wrong provided value would silently corrupt partition pruning
+        gen_exprs = _generated_columns(stored_meta)
+        if gen_exprs:
+            df = _apply_generated_columns(df, gen_exprs)
         constraints = _check_constraints(stored_meta)
         if constraints:
             # CHECK constraints gate BEFORE any file is staged, so a
             # rejected batch leaves no orphans and no log growth
             _enforce_constraints(df, constraints)
+    elif generated_columns:
+        df = _apply_generated_columns(df, generated_columns)
     adds = _stage_data_files(df, table_path, partition_by)
     actions: list[dict[str, Any]] = [
         {
@@ -430,15 +490,33 @@ def write_delta_fallback(
         }
     ]
     if latest is None:
+        schema_str = _spark_schema_to_delta(df.schema.json())
+        if generated_columns:
+            unknown = set(generated_columns) - set(df.columns)
+            if unknown:  # unreachable after _apply_generated_columns; guard anyway
+                raise ValueError(f"generated columns missing: {sorted(unknown)}")
+            parsed = json.loads(schema_str)
+            for f in parsed["fields"]:
+                if f["name"] in generated_columns:
+                    md = dict(f.get("metadata") or {})
+                    md[GENERATION_KEY] = generated_columns[f["name"]]
+                    f["metadata"] = md
+            schema_str = json.dumps(parsed, separators=(",", ":"))
         actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            {
+                "protocol": {
+                    "minReaderVersion": 1,
+                    # generated columns are a writer-v4 protocol feature
+                    "minWriterVersion": 4 if generated_columns else 2,
+                }
+            }
         )
         actions.append(
             {
                 "metaData": {
                     "id": str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": _spark_schema_to_delta(df.schema.json()),
+                    "schemaString": schema_str,
                     "partitionColumns": list(partition_by or []),
                     "configuration": {},
                     "createdTime": now_ms,

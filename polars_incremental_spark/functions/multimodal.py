@@ -340,3 +340,140 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_bytes"])
 
     return df.select("media_id", "content", "meta").mapInPandas(_batches, frame_schema)
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, sample_rate int, n_channels int, n_samples long, "
+    "duration_ms long, sum_squares long, n_zero_crossings long, peak int, "
+    "decode_error string"
+)
+
+
+def decode_audio(content: bytes):
+    """REAL RIFF/WAVE parser (stdlib struct + numpy): walks the chunk list
+    (not fixed offsets — WAVs in the wild carry LIST/fact chunks before
+    data), reads the fmt codec/channels/rate/bit-depth, and decodes PCM
+    8-bit unsigned or 16-bit signed little-endian into a centered int32
+    sample matrix [n_samples, n_channels].
+
+    Compressed codecs (MP3/AAC/IMA-ADPCM...) raise — decoding those needs
+    libs this container doesn't ship, and a silent wrong answer would be
+    worse than an honest gate (same policy as the JPEG gate in
+    ``decode_image``).
+    """
+    import struct
+
+    import numpy as np
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    fmt_body = data_body = None
+    pos = 12
+    while pos + 8 <= len(content):
+        cid = content[pos:pos + 4]
+        size = struct.unpack("<I", content[pos + 4:pos + 8])[0]
+        body = content[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_body = body
+        elif cid == b"data":
+            data_body = body
+        pos += 8 + size + (size & 1)  # RIFF chunks pad to even offsets
+    if fmt_body is None or len(fmt_body) < 16:
+        raise ValueError("missing/short fmt chunk")
+    if data_body is None:
+        raise ValueError("missing data chunk")
+    codec, n_ch, rate, _byte_rate, _align, bits = struct.unpack(
+        "<HHIIHH", fmt_body[:16]
+    )
+    if codec != 1:
+        raise ValueError(f"unsupported WAV codec {codec} (PCM only)")
+    if n_ch < 1:
+        raise ValueError("zero channels")
+    if bits == 8:
+        samples = np.frombuffer(data_body, dtype=np.uint8).astype(np.int32) - 128
+    elif bits == 16:
+        usable = len(data_body) - (len(data_body) % 2)
+        samples = np.frombuffer(data_body[:usable], dtype="<i2").astype(np.int32)
+    else:
+        raise ValueError(f"unsupported bit depth {bits} (8/16 PCM only)")
+    usable = len(samples) - (len(samples) % n_ch)
+    return rate, samples[:usable].reshape(-1, n_ch)
+
+
+def decode_audio_features(df: DataFrame) -> DataFrame:
+    """Per-item WAV decode + signal stats via Arrow-batched mapInPandas —
+    the audio sibling of ``decode_image_features`` (same error-isolation
+    contract: corrupt items yield NULL stats + an error string, never a
+    dead stage).
+
+    Stats are INTEGER-exact over channel 0 (energy as sum of squared
+    centered samples, sign-change count, peak magnitude), so the whole
+    decode path is hash-verifiable cross-engine when the payload bytes
+    are reconstructible in SQL (see the m4 oracle).
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    rows.append(
+                        (media_id, None, None, None, None, None, None, None,
+                         "null content")
+                    )
+                    continue
+                try:
+                    rate, s = decode_audio(bytes(content))
+                    ch0 = s[:, 0].astype(np.int64)
+                    n = int(ch0.shape[0])
+                    rows.append(
+                        (
+                            media_id,
+                            int(rate),
+                            int(s.shape[1]),
+                            n,
+                            n * 1000 // int(rate) if rate else None,
+                            int((ch0 * ch0).sum()),
+                            int(((ch0[:-1] * ch0[1:]) < 0).sum()) if n > 1 else 0,
+                            int(np.abs(ch0).max()) if n else 0,
+                            None,
+                        )
+                    )
+                except Exception as exc:  # noqa: BLE001 — per-item isolation
+                    rows.append(
+                        (media_id, None, None, None, None, None, None, None,
+                         str(exc)[:200])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_channels", "n_samples",
+                    "duration_ms", "sum_squares", "n_zero_crossings", "peak",
+                    "decode_error",
+                ],
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        _batches, AUDIO_FEATURE_SCHEMA
+    )
+
+
+def wav_header(*, n_samples: int, sample_rate: int = 8000, bits: int = 8, n_channels: int = 1) -> bytes:
+    """Canonical 44-byte PCM WAV header for a known payload size — the
+    test/oracle-side synthesizer companion to ``decode_audio``."""
+    import struct
+
+    bytes_per_sample = bits // 8
+    data_size = n_samples * bytes_per_sample * n_channels
+    byte_rate = sample_rate * bytes_per_sample * n_channels
+    align = bytes_per_sample * n_channels
+    return b"".join(
+        [
+            b"RIFF", struct.pack("<I", 36 + data_size), b"WAVE",
+            b"fmt ", struct.pack("<IHHIIHH", 16, 1, n_channels, sample_rate,
+                                 byte_rate, align, bits),
+            b"data", struct.pack("<I", data_size),
+        ]
+    )

@@ -3003,6 +3003,60 @@ def m3_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m4_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL audio decoder under the hash gate: each document's first 32
+    printable chars become the 8-bit PCM payload of a canonical WAV built
+    in-plan (constant 44-byte header via a binary literal),
+    ``decode_audio_features`` walks the RIFF chunks and decodes inside
+    mapInPandas, and the oracle recomputes the INTEGER-exact signal stats
+    (energy, zero crossings, peak) directly from the text bytes — the
+    decode path is hash-verified without the oracle parsing a WAV."""
+    from .functions.multimodal import wav_header
+
+    doc = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").rlike("^[ -~]{32}")
+    )
+    content = F.concat(
+        F.lit(wav_header(n_samples=32, sample_rate=8000, bits=8)),
+        F.encode(F.substring("text", 1, 32), "utf-8"),
+    )
+    media = doc.select(F.col("doc_id").alias("media_id"), content.alias("content"))
+    return (
+        multimodal.decode_audio_features(media)
+        .select(
+            "media_id", "sample_rate", "n_samples", "duration_ms",
+            "sum_squares", "n_zero_crossings", "peak",
+        )
+        .orderBy("media_id")
+    )
+
+
+M4_SQL = """
+WITH d AS (
+  SELECT doc_id, substr(text, 1, 32) AS s FROM documents
+  WHERE regexp_matches(substr(text, 1, 32), '^[ -~]{32}$')
+),
+smp AS (
+  SELECT doc_id, g.i AS i, ord(substr(d.s, g.i, 1)) - 128 AS v
+  FROM d, generate_series(1, 32) g(i)
+),
+feat AS (
+  SELECT doc_id, SUM(v * v)::BIGINT AS sum_squares, MAX(abs(v))::INT AS peak
+  FROM smp GROUP BY doc_id
+),
+zc AS (
+  SELECT a.doc_id,
+         SUM(CASE WHEN a.v * b.v < 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero_crossings
+  FROM smp a JOIN smp b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  GROUP BY a.doc_id
+)
+SELECT d.doc_id AS media_id, 8000::INT AS sample_rate, 32::BIGINT AS n_samples,
+       4::BIGINT AS duration_ms, f.sum_squares, z.n_zero_crossings, f.peak
+FROM d JOIN feat f ON d.doc_id = f.doc_id JOIN zc z ON d.doc_id = z.doc_id
+ORDER BY media_id
+"""
+
+
 M3_SQL = """
 WITH d AS (
   SELECT doc_id, substr(text, 1, 24) AS s FROM documents
@@ -4394,6 +4448,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "r33_unpivot": (r33_unpivot, R33_SQL),
     "t14_linear_classifier": (t14_linear_classifier, T14_SQL),
     "u14_temperature_sample": (u14_temperature_sample, U14_SQL),
+    "m4_audio_decode": (m4_audio_decode, M4_SQL),
     # --- r2-graded sentinels: fresh driver rows on post-drift data (13) ---
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -4405,8 +4460,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q22_idle_customers": (q22_idle_customers, Q22_SQL),
     "r01_scan_count": (r01_scan_count, "SELECT COUNT(*) AS n_rows FROM lineitem"),
     "r12_topk_sort": (r12_topk_sort, R12_SQL),
-    "r14_anti_join": (r14_anti_join, R14_SQL),
     # ================= driver window boundary (entry 50) =================
+    "r14_anti_join": (r14_anti_join, R14_SQL),
     "r21_distinct_keys": (r21_distinct_keys, R21_SQL),
     "rollup_order_totals": (rollup_order_totals, ROLLUP_SQL),
     "q7_price_percentiles": (q7_price_percentiles, Q7_SQL),

@@ -1203,3 +1203,82 @@ def test_detect_hot_keys_ranks_and_share(spark):
     assert "TakeOrdered" in physical_plan(skew.detect_hot_keys(df, ["k"], top_n=2))
     with pytest.raises(ValueError, match="key_cols"):
         skew.detect_hot_keys(df, [])
+
+
+# ----------------------------------------------------------- audio decode
+
+
+def _wav(payload: bytes, *, rate=8000, bits=8, ch=1, extra_chunk=False):
+    from polars_incremental_spark.functions.multimodal import wav_header
+
+    n = len(payload) // ((bits // 8) * ch)
+    header = wav_header(n_samples=n, sample_rate=rate, bits=bits, n_channels=ch)
+    if not extra_chunk:
+        return header + payload
+    # splice a LIST chunk between fmt and data (real-world WAVs carry
+    # metadata chunks; a fixed-offset parser would break here)
+    import struct
+
+    fmt_part, data_part = header[:36], header[36:]
+    junk = b"LIST" + struct.pack("<I", 6) + b"INFOab"
+    return fmt_part + junk + data_part + payload
+
+
+def test_decode_audio_8bit_walks_chunks(spark):
+    import numpy as np
+
+    from polars_incremental_spark.functions.multimodal import decode_audio
+
+    payload = bytes([128, 200, 60, 128, 255, 0])
+    rate, s = decode_audio(_wav(payload, extra_chunk=True))
+    assert rate == 8000 and s.shape == (6, 1)
+    assert list(s[:, 0]) == [0, 72, -68, 0, 127, -128]
+    assert s.dtype == np.int32
+
+
+def test_decode_audio_16bit_stereo(spark):
+    import struct
+
+    from polars_incremental_spark.functions.multimodal import decode_audio
+
+    frames = [(1000, -1000), (-32768, 32767), (0, 5)]
+    payload = b"".join(struct.pack("<hh", a, b) for a, b in frames)
+    rate, s = decode_audio(_wav(payload, rate=44100, bits=16, ch=2))
+    assert rate == 44100 and s.shape == (3, 2)
+    assert [tuple(r) for r in s] == [(1000, -1000), (-32768, 32767), (0, 5)]
+
+
+def test_decode_audio_rejects_compressed_and_garbage():
+    import struct
+
+    import pytest as _pytest
+
+    from polars_incremental_spark.functions.multimodal import decode_audio
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_audio(b"ID3\x04\x00mp3 junk")
+    # codec 85 (MP3-in-WAV) must gate, not silently misparse
+    hdr = _wav(b"\x80\x80")
+    bad = hdr[:20] + struct.pack("<H", 85) + hdr[22:]
+    with _pytest.raises(ValueError, match="codec"):
+        decode_audio(bad)
+
+
+def test_decode_audio_features_isolates_corrupt_items(spark):
+    from polars_incremental_spark.functions.multimodal import (
+        decode_audio_features,
+    )
+
+    rows = [
+        (1, _wav(bytes([128, 255, 0, 128]))),
+        (2, b"not a wav at all"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r["media_id"]: r for r in decode_audio_features(df).collect()}
+    assert out[1]["decode_error"] is None
+    assert out[1]["n_samples"] == 4 and out[1]["peak"] == 128
+    assert out[1]["sum_squares"] == 0 + 127 * 127 + 128 * 128 + 0
+    assert out[1]["n_zero_crossings"] == 1  # 127 -> -128 sign change only
+    assert out[2]["n_samples"] is None and "RIFF" in out[2]["decode_error"]
+    assert out[3]["decode_error"] == "null content"

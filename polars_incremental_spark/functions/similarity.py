@@ -794,3 +794,44 @@ def hard_negatives(
             F.col("__rank").alias("rank"),
         )
     )
+
+
+def diversified_topk(
+    df: DataFrame,
+    *,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Cluster-interleaved diversified top-k: rank rows WITHIN their group
+    (cluster / source / topic), then take k globally by (group_rank,
+    score) — the result spans min(k, n_groups) distinct groups before any
+    group repeats, instead of letting one dense cluster fill the whole
+    list.  The standard bucketed-diversity formulation of diversified
+    retrieval (the greedy-MMR family's scalable cousin: deterministic,
+    one pass, no sequential re-scoring).
+
+    Scale shape: one group-keyed window (shuffle by group), then a global
+    TakeOrderedAndProject for the k winners — no global sort, no driver
+    loop.  The final_rank window runs over the ALREADY-LIMITED k rows.
+    Ties break on ``id_col`` so the result is hash-stable cross-engine
+    when scores are rounded.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1; got {k}")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    ranked = df.withColumn(
+        "cluster_rank", F.row_number().over(w).cast("long")
+    )
+    top = ranked.orderBy(
+        "cluster_rank", F.col(score_col).desc(), F.col(id_col)
+    ).limit(k)
+    w_final = Window.orderBy(
+        "cluster_rank", F.col(score_col).desc(), F.col(id_col)
+    )
+    return top.withColumn(
+        "final_rank", F.row_number().over(w_final).cast("long")
+    )

@@ -4140,6 +4140,90 @@ ORDER BY label_a, label_b
 """
 
 
+def s11_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval: score every vector by cosine to the GLOBAL
+    corpus centroid (scaled-integer arithmetic end-to-end, like s8/s9),
+    then take a cluster-interleaved top-12 — the answer spans every label
+    before any label repeats, the bucketed-diversity alternative to
+    sequential greedy MMR.  One explode + pos-join for scoring, one
+    label-keyed window, one TakeOrdered — no global sort."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sc = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.round(F.col("v").cast("double") * 1_000_000).cast("long").alias("sv"),
+    )
+    cent = sc.groupBy("pos").agg(
+        F.round(F.sum("sv") / (F.count("*") * 1_000_000.0), 6).alias("cv")
+    ).select(
+        "pos", F.round(F.col("cv") * 1_000_000).cast("long").alias("csv")
+    )
+    nb = cent.agg(F.sum(F.col("csv") * F.col("csv")).alias("nb"))
+    scored = (
+        sc.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("sv") * F.col("csv")).alias("dp"),
+            F.sum(F.col("sv") * F.col("sv")).alias("na"),
+        )
+        .join(F.broadcast(nb))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                F.col("dp")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+                6,
+            ).alias("score"),
+        )
+    )
+    return similarity.diversified_topk(
+        scored, group_col="label", score_col="score", id_col="vec_id", k=12
+    ).orderBy("final_rank")
+
+
+S11_SQL = """
+WITH sc AS (
+  SELECT vec_id, label,
+         unnest(range(0, len(embedding))) AS pos,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS sv
+  FROM embeddings
+),
+c AS (
+  SELECT pos,
+         CAST(round(round(SUM(sv) / (COUNT(*) * 1000000.0), 6) * 1000000)
+              AS BIGINT) AS csv
+  FROM sc GROUP BY pos
+),
+nb AS (SELECT SUM(csv * csv)::BIGINT AS nb FROM c),
+scored AS (
+  SELECT s.vec_id, MIN(s.label) AS label,
+         round(SUM(s.sv * c.csv)
+               / sqrt(CAST(SUM(s.sv * s.sv) AS DOUBLE) * CAST(MIN(nb.nb) AS DOUBLE)),
+               6) AS score
+  FROM sc s JOIN c ON s.pos = c.pos, nb
+  GROUP BY s.vec_id
+),
+ranked AS (
+  SELECT vec_id, label, score,
+         row_number() OVER (PARTITION BY label ORDER BY score DESC, vec_id)::BIGINT
+           AS cluster_rank
+  FROM scored
+)
+SELECT vec_id, label, score, cluster_rank,
+       row_number() OVER (ORDER BY cluster_rank, score DESC, vec_id)::BIGINT
+         AS final_rank
+FROM ranked
+ORDER BY cluster_rank, score DESC, vec_id
+LIMIT 12
+"""
+
+
 def u13_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantiles WITHOUT a global sort: one map-side binning pass (fixed
     width) feeds a bounded-cardinality histogram; the cumulative scan and
@@ -4449,6 +4533,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "t14_linear_classifier": (t14_linear_classifier, T14_SQL),
     "u14_temperature_sample": (u14_temperature_sample, U14_SQL),
     "m4_audio_decode": (m4_audio_decode, M4_SQL),
+    "s11_diverse_topk": (s11_diverse_topk, S11_SQL),
     # --- r2-graded sentinels: fresh driver rows on post-drift data (13) ---
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -4459,8 +4544,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q21_waiting_supplier": (q21_waiting_supplier, Q21_SQL),
     "q22_idle_customers": (q22_idle_customers, Q22_SQL),
     "r01_scan_count": (r01_scan_count, "SELECT COUNT(*) AS n_rows FROM lineitem"),
-    "r12_topk_sort": (r12_topk_sort, R12_SQL),
     # ================= driver window boundary (entry 50) =================
+    "r12_topk_sort": (r12_topk_sort, R12_SQL),
     "r14_anti_join": (r14_anti_join, R14_SQL),
     "r21_distinct_keys": (r21_distinct_keys, R21_SQL),
     "rollup_order_totals": (rollup_order_totals, ROLLUP_SQL),

@@ -650,3 +650,35 @@ def test_temperature_sample_deterministic_under_other_group_appends(spark):
     # kept set is a prefix of the same hash order, so one side contains
     # the other
     assert s1 >= s2 or s2 >= s1
+
+
+# --------------------------------------------------- diversified top-k
+
+
+def test_diversified_topk_spans_groups_before_repeating(spark):
+    rows = (
+        [(i, "dense", 0.99 - i * 0.001) for i in range(10)]
+        + [(100, "sparse_a", 0.5), (101, "sparse_b", 0.4)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, label string, score double")
+    out = similarity.diversified_topk(
+        df, group_col="label", score_col="score", id_col="vec_id", k=5
+    ).orderBy("final_rank").collect()
+    # first 3 results: one per group (best of each), THEN the dense
+    # cluster may repeat — a plain top-5 would be all-dense
+    assert [r["label"] for r in out[:3]] == ["dense", "sparse_a", "sparse_b"]
+    assert [r["label"] for r in out[3:]] == ["dense", "dense"]
+    assert [r["final_rank"] for r in out] == [1, 2, 3, 4, 5]
+
+
+def test_diversified_topk_k_smaller_than_groups(spark):
+    rows = [(1, "a", 0.9), (2, "b", 0.8), (3, "c", 0.7)]
+    df = spark.createDataFrame(rows, "vec_id long, label string, score double")
+    out = similarity.diversified_topk(
+        df, group_col="label", score_col="score", id_col="vec_id", k=2
+    ).collect()
+    assert {r["label"] for r in out} == {"a", "b"}  # highest-scoring groups
+    with pytest.raises(ValueError):
+        similarity.diversified_topk(
+            df, group_col="label", score_col="score", id_col="vec_id", k=0
+        )

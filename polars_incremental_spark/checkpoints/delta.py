@@ -42,6 +42,13 @@ from .types import BatchInfo, atomic_write_json, read_json
 
 LOG_DIR = "_delta_log"
 
+# Reader features this jar-less reader ACTUALLY honors.  Anything else in
+# a protocol-v3 readerFeatures list (deletionVectors, columnMapping,
+# v2Checkpoint, typeWidening, ...) changes what the data files MEAN — a
+# reader that ignores them silently returns wrong rows, so the reader
+# fails closed instead (DeltaLog.check_reader_supported).
+SUPPORTED_READER_FEATURES = {"timestampNtz"}
+
 
 def _version_of(name: str) -> int | None:
     stem, ext = os.path.splitext(name)
@@ -166,6 +173,65 @@ class DeltaLog:
     def table_id(self) -> str | None:
         meta = self.table_metadata()
         return meta.get("id") if meta else None
+
+    def protocol(self, at_version: int | None = None) -> dict[str, Any] | None:
+        """Effective protocol action at/below ``at_version`` (same walk as
+        ``table_metadata``)."""
+        cv = self.checkpoint_version()
+        for version in reversed(self.versions()):
+            if at_version is not None and version > at_version:
+                continue
+            if cv is not None and version <= cv:
+                break
+            for action in self.actions(version):
+                if "protocol" in action:
+                    return action["protocol"]
+        if cv is None or (at_version is not None and cv > at_version):
+            return None
+        for action in self.checkpoint_actions(cv):
+            if "protocol" in action:
+                return action["protocol"]
+        return None
+
+    def check_reader_supported(self, at_version: int | None = None) -> None:
+        """Refuse to read a table whose protocol demands reader capabilities
+        this jar-less implementation lacks — PROTOCOL.md's contract; the
+        alternative is a silent misread (ignored deletion vectors
+        resurrect deleted rows, ignored column mapping reads the wrong
+        physical columns).  Also rejects per-file deletion vectors even
+        when the protocol row is absent (defense in depth)."""
+        proto = self.protocol(at_version=at_version) or {}
+        mrv = proto.get("minReaderVersion", 1)
+        if mrv == 3:
+            unsupported = (
+                set(proto.get("readerFeatures") or []) - SUPPORTED_READER_FEATURES
+            )
+            if unsupported:
+                raise PlanningError(
+                    f"table requires reader features {sorted(unsupported)} "
+                    f"this jar-less reader does not implement; reading anyway "
+                    f"would return wrong rows — use delta-spark for this table"
+                )
+        elif mrv > 3:
+            raise PlanningError(
+                f"table requires minReaderVersion {mrv} (> 3); refusing to misread"
+            )
+        meta = self.table_metadata(at_version=at_version) or {}
+        mapping = (meta.get("configuration") or {}).get("delta.columnMapping.mode")
+        if mapping and mapping != "none":
+            raise PlanningError(
+                f"table uses column mapping mode {mapping!r}; physical parquet "
+                f"columns no longer match the logical schema — use delta-spark"
+            )
+        version = at_version if at_version is not None else self.latest_version()
+        if version is not None:
+            for add in self.snapshot_files(version):
+                if add.get("deletionVector"):
+                    raise PlanningError(
+                        f"file {add['path']} carries a deletion vector; "
+                        f"reading without applying it would resurrect deleted "
+                        f"rows — use delta-spark for this table"
+                    )
 
     def commit_timestamp_ms(self, version: int) -> int:
         json_path = os.path.join(self.log_dir, f"{version:020d}.json")
@@ -361,6 +427,10 @@ class DeltaTableCheckpoint:
         if pending is not None:
             return pending
         self._guard_table_id()
+        # refuse tables whose protocol demands reader features this tailer
+        # lacks (deletion vectors, column mapping, ...) — streaming a
+        # misread is worse than stopping
+        self.log.check_reader_supported()
         start = self._resolve_start(spec)
         position = self._position()
 

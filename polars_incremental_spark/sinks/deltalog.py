@@ -715,6 +715,7 @@ def read_delta_fallback(
                 f"(earliest reconstructible: "
                 f"{cv if cv is not None else (avail[0] if avail else 0)})"
             )
+    log.check_reader_supported(at_version=version)
     meta = log.table_metadata(at_version=version) or {}
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     adds = log.snapshot_files(version)
@@ -858,6 +859,7 @@ def delete_where(
     latest = log.latest_version()
     if latest is None:
         raise FileNotFoundError(f"not a delta table: {table_path}")
+    log.check_reader_supported()
     meta = log.table_metadata() or {}
     candidates = _candidate_adds(log, meta, where)
     if not candidates:
@@ -955,6 +957,7 @@ def update_where(
     latest = log.latest_version()
     if latest is None:
         raise FileNotFoundError(f"not a delta table: {table_path}")
+    log.check_reader_supported()
     meta = log.table_metadata() or {}
     known = {f["name"] for f in json.loads(meta["schemaString"])["fields"]}
     unknown = set(set_exprs) - known

@@ -230,3 +230,88 @@ def test_analyze_backfills_stats_on_statless_table(spark, tmp_path):
             _corrupt(log.abs_path(add["path"]))
     rows = read_table(spark, path, where="x >= 300").orderBy("x").collect()
     assert [r["x"] for r in rows] == list(range(300, 400))
+
+
+# ------------------------------------------- reader protocol enforcement
+
+
+def _append_action(path, action):
+    log = DeltaLog(path)
+    v = log.latest_version() + 1
+    with open(
+        os.path.join(path, "_delta_log", f"{v:020d}.json"), "w"
+    ) as h:
+        h.write(json.dumps(action) + "\n")
+
+
+def test_reader_refuses_unsupported_reader_features(spark, tmp_path):
+    from polars_incremental_spark.errors import PlanningError
+
+    path = str(tmp_path / "t")
+    _ranged_table(spark, path)
+    _append_action(
+        path,
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"]}},
+    )
+    with pytest.raises(PlanningError, match="deletionVectors"):
+        read_table(spark, path)
+    # time travel to BEFORE the protocol upgrade still reads fine
+    assert read_table(spark, path, version=0).count() == 400
+
+
+def test_reader_refuses_deletion_vector_files(spark, tmp_path):
+    from polars_incremental_spark.errors import PlanningError
+
+    path = str(tmp_path / "t")
+    _ranged_table(spark, path)
+    _append_action(
+        path,
+        {"add": {"path": "dv-file.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": {"storageType": "u", "pathOrInlineDv": "x",
+                                    "sizeInBytes": 40, "cardinality": 3}}},
+    )
+    with pytest.raises(PlanningError, match="deletion vector"):
+        read_table(spark, path)
+
+
+def test_reader_refuses_column_mapping(spark, tmp_path):
+    from polars_incremental_spark.errors import PlanningError
+
+    path = str(tmp_path / "t")
+    _ranged_table(spark, path)
+    log = DeltaLog(path)
+    meta = dict(log.table_metadata())
+    meta["configuration"] = {"delta.columnMapping.mode": "name"}
+    _append_action(path, {"metaData": meta})
+    with pytest.raises(PlanningError, match="column mapping"):
+        read_table(spark, path)
+
+
+def test_reader_accepts_timestamp_ntz_feature(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _ranged_table(spark, path)
+    _append_action(
+        path,
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["timestampNtz"]}},
+    )
+    assert read_table(spark, path).count() == 400
+
+
+def test_streaming_tailer_refuses_dv_tables(spark, tmp_path):
+    from polars_incremental_spark.checkpoints.delta import DeltaTableCheckpoint
+    from polars_incremental_spark.errors import PlanningError
+    from polars_incremental_spark.sources.base import DeltaSource
+
+    path, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    _ranged_table(spark, path)
+    _append_action(
+        path,
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"]}},
+    )
+    cp = DeltaTableCheckpoint(ckpt, path)
+    with pytest.raises(PlanningError, match="deletionVectors"):
+        cp.plan_batch(DeltaSource(path=path))

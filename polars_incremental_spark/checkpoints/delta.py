@@ -193,7 +193,9 @@ class DeltaLog:
                 return action["protocol"]
         return None
 
-    def check_reader_supported(self, at_version: int | None = None) -> None:
+    def check_reader_supported(
+        self, at_version: int | None = None, adds: list | None = None
+    ) -> None:
         """Refuse to read a table whose protocol demands reader capabilities
         this jar-less implementation lacks — PROTOCOL.md's contract; the
         alternative is a silent misread (ignored deletion vectors
@@ -223,15 +225,18 @@ class DeltaLog:
                 f"table uses column mapping mode {mapping!r}; physical parquet "
                 f"columns no longer match the logical schema — use delta-spark"
             )
-        version = at_version if at_version is not None else self.latest_version()
-        if version is not None:
-            for add in self.snapshot_files(version):
-                if add.get("deletionVector"):
-                    raise PlanningError(
-                        f"file {add['path']} carries a deletion vector; "
-                        f"reading without applying it would resurrect deleted "
-                        f"rows — use delta-spark for this table"
-                    )
+        if adds is None:
+            version = (
+                at_version if at_version is not None else self.latest_version()
+            )
+            adds = self.snapshot_files(version) if version is not None else []
+        for add in adds:
+            if add.get("deletionVector"):
+                raise PlanningError(
+                    f"file {add['path']} carries a deletion vector; "
+                    f"reading without applying it would resurrect deleted "
+                    f"rows — use delta-spark for this table"
+                )
 
     def commit_timestamp_ms(self, version: int) -> int:
         json_path = os.path.join(self.log_dir, f"{version:020d}.json")

@@ -715,10 +715,11 @@ def read_delta_fallback(
                 f"(earliest reconstructible: "
                 f"{cv if cv is not None else (avail[0] if avail else 0)})"
             )
-    log.check_reader_supported(at_version=version)
     meta = log.table_metadata(at_version=version) or {}
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     adds = log.snapshot_files(version)
+    # one replay: the protocol/DV check reuses the adds just computed
+    log.check_reader_supported(at_version=version, adds=adds)
     if where:
         conjuncts = _skipping_conjuncts(where)
         if conjuncts:

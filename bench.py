@@ -80,6 +80,9 @@ BENCH_QUERIES = [
     "r31_cohort_retention",  # cohort join-back + distinct-count shuffle
     "s10_hard_negatives",  # banded different-label ANN re-rank
     "t14_linear_classifier",  # hashed-ngram linear scorer, zero shuffle
+    "u14_temperature_sample",  # sqrt-temperature corpus rebalance
+    "m4_audio_decode",  # real WAV/PCM decode in mapInPandas
+    "s11_diverse_topk",  # cluster-interleaved diversified retrieval
 ]
 
 

@@ -324,3 +324,139 @@ def test_sliding_chunks_match_python_reference(texts, chunk, stride):
         assert len([k for k in got if k[0] == i]) == len(ref)
         for ci, start, n, text_ in ref:
             assert got[(i, ci)] == (start, n, text_)
+
+
+# ------------------------------------------------- WAV decoder properties
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=200
+    ),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    ch=st.integers(min_value=1, max_value=4),
+    with_junk_chunk=st.booleans(),
+)
+def test_wav_16bit_roundtrip_property(samples, rate, ch, with_junk_chunk):
+    """encode(synthesize) -> decode is the identity on samples, rate and
+    channel count, for any PCM payload, channel layout, and chunk-list
+    padding (junk LIST chunks between fmt and data)."""
+    import struct
+
+    from polars_incremental_spark.functions.multimodal import (
+        decode_audio,
+        wav_header,
+    )
+
+    usable = len(samples) - (len(samples) % ch)
+    if usable == 0:
+        samples = samples + samples[:1] * (ch - len(samples))
+        usable = ch
+    samples = samples[:usable]
+    payload = b"".join(struct.pack("<h", s) for s in samples)
+    header = wav_header(
+        n_samples=usable // ch, sample_rate=rate, bits=16, n_channels=ch
+    )
+    if with_junk_chunk:
+        junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd size pads
+        header = header[:36] + junk + header[36:]
+    got_rate, s = decode_audio(header + payload)
+    assert got_rate == rate
+    assert s.shape == (usable // ch, ch)
+    assert [int(v) for row in s for v in row] == samples
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=80))
+def test_wav_decoder_never_hangs_or_misparses_garbage(data):
+    """Arbitrary bytes either decode (only if they really are a WAV) or
+    raise ValueError — never an unbounded loop or a numpy crash."""
+    from polars_incremental_spark.functions.multimodal import decode_audio
+
+    try:
+        rate, s = decode_audio(data)
+        assert rate >= 0 and s.ndim == 2
+    except ValueError:
+        pass
+
+
+# ------------------------------------------ skipping-conjunct properties
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    col=st.sampled_from(["x", "k", "v2"]),
+    op=st.sampled_from(["=", "==", "<", "<=", ">", ">="]),
+    lit=st.one_of(
+        st.integers(min_value=-10**6, max_value=10**6),
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False).map(
+            lambda f: round(f, 3)
+        ),
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=122
+            ),
+            max_size=8,
+        ),
+    ),
+)
+def test_conjunct_parser_roundtrips_simple_comparisons(col, op, lit):
+    from polars_incremental_spark.sinks.deltalog import _skipping_conjuncts
+
+    if isinstance(lit, str):
+        rendered = "'" + lit.replace("'", "''") + "'"
+    else:
+        rendered = repr(lit)
+    got = _skipping_conjuncts(f"{col} {op} {rendered}")
+    assert len(got) == 1
+    gcol, gop, glit = got[0]
+    assert gcol == col and gop == ("=" if op == "==" else op)
+    if isinstance(lit, float):
+        assert abs(glit - lit) < 1e-9
+    else:
+        assert glit == lit
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    lo=st.integers(min_value=0, max_value=500),
+    span=st.integers(min_value=0, max_value=500),
+    lit=st.integers(min_value=-100, max_value=700),
+    op=st.sampled_from(["=", "<", "<=", ">", ">="]),
+)
+def test_file_matcher_never_prunes_a_matching_file(lo, span, lit, op):
+    """Soundness: if ANY value in [lo, hi] satisfies the predicate, the
+    file must be kept.  (Completeness — pruning everything prunable — is
+    covered by the corruption tests; soundness is the property that can
+    never be traded away.)"""
+    import json as _json
+
+    from polars_incremental_spark.sinks.deltalog import _file_may_match
+
+    hi = lo + span
+    add = {
+        "path": "p",
+        "stats": _json.dumps(
+            {
+                "numRecords": span + 1,
+                "minValues": {"x": lo},
+                "maxValues": {"x": hi},
+                "nullCount": {"x": 0},
+            }
+        ),
+    }
+    some_value_matches = any(
+        {
+            "=": v == lit,
+            "<": v < lit,
+            "<=": v <= lit,
+            ">": v > lit,
+            ">=": v >= lit,
+        }[op]
+        for v in (lo, lit, hi)
+        if lo <= v <= hi
+    )
+    kept = _file_may_match(add, [("x", op, lit)], set(), {"x": "long"})
+    if some_value_matches:
+        assert kept

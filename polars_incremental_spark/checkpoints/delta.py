@@ -43,11 +43,14 @@ from .types import BatchInfo, atomic_write_json, read_json
 LOG_DIR = "_delta_log"
 
 # Reader features this jar-less reader ACTUALLY honors.  Anything else in
-# a protocol-v3 readerFeatures list (deletionVectors, columnMapping,
-# v2Checkpoint, typeWidening, ...) changes what the data files MEAN — a
-# reader that ignores them silently returns wrong rows, so the reader
-# fails closed instead (DeltaLog.check_reader_supported).
-SUPPORTED_READER_FEATURES = {"timestampNtz"}
+# a protocol-v3 readerFeatures list (columnMapping, v2Checkpoint,
+# typeWidening, ...) changes what the data files MEAN — a reader that
+# ignores them silently returns wrong rows, so the reader fails closed
+# instead (DeltaLog.check_reader_supported).  deletionVectors is honored
+# for INLINE DVs by the snapshot reader (sinks/deltalog applies them);
+# the streaming tailer gates per phase instead — CDF tail batches ride
+# cdc files (DV-safe), raw-file phases refuse DV'd adds.
+SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors"}
 
 
 def _version_of(name: str) -> int | None:
@@ -194,24 +197,35 @@ class DeltaLog:
         return None
 
     def check_reader_supported(
-        self, at_version: int | None = None, adds: list | None = None
+        self,
+        at_version: int | None = None,
+        adds: list | None = None,
+        *,
+        allow_inline_dv: bool = True,
     ) -> None:
         """Refuse to read a table whose protocol demands reader capabilities
         this jar-less implementation lacks — PROTOCOL.md's contract; the
-        alternative is a silent misread (ignored deletion vectors
+        alternative is a silent misread (unapplied deletion vectors
         resurrect deleted rows, ignored column mapping reads the wrong
-        physical columns).  Also rejects per-file deletion vectors even
-        when the protocol row is absent (defense in depth)."""
+        physical columns).
+
+        Inline deletion vectors ARE supported by the snapshot reader
+        (sinks/deltalog applies them), so with ``allow_inline_dv`` only
+        file-backed ('u'/'p') or unparseable descriptors raise; callers
+        that read commit file-lists without DV application (the streaming
+        tailer) pass ``allow_inline_dv=False`` to keep failing closed on
+        ANY deletion vector."""
         proto = self.protocol(at_version=at_version) or {}
         mrv = proto.get("minReaderVersion", 1)
         if mrv == 3:
-            unsupported = (
-                set(proto.get("readerFeatures") or []) - SUPPORTED_READER_FEATURES
-            )
+            supported = set(SUPPORTED_READER_FEATURES)
+            if not allow_inline_dv:
+                supported.discard("deletionVectors")
+            unsupported = set(proto.get("readerFeatures") or []) - supported
             if unsupported:
                 raise PlanningError(
                     f"table requires reader features {sorted(unsupported)} "
-                    f"this jar-less reader does not implement; reading anyway "
+                    f"this reader path does not implement; reading anyway "
                     f"would return wrong rows — use delta-spark for this table"
                 )
         elif mrv > 3:
@@ -231,11 +245,21 @@ class DeltaLog:
             )
             adds = self.snapshot_files(version) if version is not None else []
         for add in adds:
-            if add.get("deletionVector"):
+            dv = add.get("deletionVector")
+            if not dv:
+                continue
+            if not allow_inline_dv:
                 raise PlanningError(
-                    f"file {add['path']} carries a deletion vector; "
-                    f"reading without applying it would resurrect deleted "
-                    f"rows — use delta-spark for this table"
+                    f"file {add['path']} carries a deletion vector; this "
+                    f"reader path does not apply them — reading would "
+                    f"resurrect deleted rows"
+                )
+            if dv.get("storageType") != "i":
+                raise PlanningError(
+                    f"file {add['path']} carries a file-backed deletion "
+                    f"vector (storageType {dv.get('storageType')!r}); only "
+                    f"inline DVs are implemented — use delta-spark for this "
+                    f"table"
                 )
 
     def commit_timestamp_ms(self, version: int) -> int:
@@ -433,8 +457,10 @@ class DeltaTableCheckpoint:
             return pending
         self._guard_table_id()
         # refuse tables whose protocol demands reader features this tailer
-        # lacks (deletion vectors, column mapping, ...) — streaming a
-        # misread is worse than stopping
+        # lacks (column mapping, ...) — streaming a misread is worse than
+        # stopping.  Deletion vectors gate PER PHASE below: CDF tail
+        # batches ride cdc files (DV-safe); raw-file phases (snapshot,
+        # non-CDF tail) refuse DV'd adds they cannot apply.
         self.log.check_reader_supported()
         start = self._resolve_start(spec)
         position = self._position()
@@ -467,6 +493,14 @@ class DeltaTableCheckpoint:
 
     def _plan_snapshot(self, spec, version: int, index: int) -> BatchInfo | None:
         adds = self.log.snapshot_files(version)
+        dv = [a["path"] for a in adds if a.get("deletionVector")]
+        if dv:
+            raise PlanningError(
+                f"snapshot at version {version} includes files with deletion "
+                f"vectors ({dv[0]} ...); the streaming tailer serves raw "
+                f"files and would resurrect deleted rows — OPTIMIZE the "
+                f"table to materialize its DVs before streaming it"
+            )
         remaining = adds[index:]
         if not remaining:
             # empty table: mark snapshot served so tail starts after it
@@ -546,6 +580,14 @@ class DeltaTableCheckpoint:
         removes = [a["remove"] for a in actions if "remove" in a]
         data_adds = [a for a in adds if a.get("dataChange", True)]
         data_removes = [r for r in removes if r.get("dataChange", True)]
+        dv = [a["path"] for a in data_adds if a.get("deletionVector")]
+        if dv:
+            raise PlanningError(
+                f"delta version {version} commits files with deletion "
+                f"vectors ({dv[0]} ...); re-emitting them raw would "
+                f"resurrect deleted rows — use read_change_feed=True with a "
+                f"CDF-writing DELETE, or OPTIMIZE to materialize the DVs"
+            )
         if data_removes:
             if data_adds and not spec.ignore_changes:
                 raise PlanningError(

@@ -316,6 +316,7 @@ def delete_rows(
     where: str,
     *,
     write_cdf: bool = False,
+    dv_max_rows_per_file: int | None = None,
 ) -> dict:
     """DELETE FROM <table> WHERE ... — native DeltaTable.delete when the
     jar is present, else the jar-less copy-on-write implementation with
@@ -327,7 +328,10 @@ def delete_rows(
         return {"native": True}
     from .deltalog import delete_where as _delete
 
-    return _delete(spark, path, where, write_cdf=write_cdf)
+    return _delete(
+        spark, path, where, write_cdf=write_cdf,
+        dv_max_rows_per_file=dv_max_rows_per_file,
+    )
 
 
 def update_rows(

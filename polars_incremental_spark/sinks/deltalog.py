@@ -250,6 +250,30 @@ CONSTRAINT_PREFIX = "delta.constraints."  # PROTOCOL.md CHECK constraint keys
 GENERATION_KEY = "delta.generationExpression"  # PROTOCOL.md generated columns
 
 
+def set_table_properties(table_path: str, props: dict[str, str]) -> None:
+    """``ALTER TABLE SET TBLPROPERTIES``: commit a metaData update with
+    the given configuration keys merged in (e.g.
+    ``{"delta.enableDeletionVectors": "true"}``)."""
+    log = DeltaLog(table_path)
+    latest = log.latest_version()
+    if latest is None:
+        raise FileNotFoundError(f"not a delta table: {table_path}")
+    meta = log.table_metadata() or {}
+    conf = dict(meta.get("configuration") or {})
+    conf.update(props)
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "SET TBLPROPERTIES",
+                "operationParameters": {"properties": json.dumps(props)},
+            }
+        },
+        {"metaData": {**meta, "configuration": conf}},
+    ]
+    _write_commit(os.path.join(table_path, LOG_DIR), latest + 1, actions)
+
+
 def _generated_columns(meta: dict[str, Any] | None) -> dict[str, str]:
     """name -> SQL expression for every generated column in the logged
     schema (stored as field metadata, real Delta's location)."""
@@ -734,17 +758,10 @@ def read_delta_fallback(
                 for a in adds
                 if _file_may_match(a, conjuncts, part_cols, field_types)
             ]
-    files = [log.abs_path(a["path"]) for a in adds]
-    if not files:
+    if not adds:
         df = spark.createDataFrame([], schema)
         return df.filter(where) if where else df
-    reader = spark.read.schema(schema)
-    if meta.get("partitionColumns"):
-        # partitioned table: data files omit the partition columns; basePath
-        # makes Spark reconstruct them from the col=value/ dirs, cast to the
-        # logged schema types
-        reader = reader.option("basePath", table_path)
-    df = reader.parquet(*files)
+    df, _schema, _parts = _load_snapshot_df(spark, log, meta, adds)
     # residual filter: pruning is a superset, the predicate stays exact
     return df.filter(where) if where else df
 
@@ -812,6 +829,52 @@ def _rel_path_of(file_uri: str, table_path: str) -> str:
     return os.path.relpath(p, os.path.abspath(table_path))
 
 
+def _file_uri(log: DeltaLog, rel_path: str) -> str:
+    """The ``_metadata.file_path`` URI Spark reports for an add's file."""
+    return "file:" + os.path.abspath(log.abs_path(rel_path))
+
+
+def _load_snapshot_df(
+    spark: SparkSession,
+    log: DeltaLog,
+    meta: dict[str, Any],
+    adds: list[dict[str, Any]],
+    *,
+    keep_meta_cols: bool = False,
+):
+    """Load add actions into a DataFrame with inline DELETION VECTORS
+    applied: DV'd files read with the parquet ``row_index`` metadata and
+    anti-join their deleted positions (broadcast — inline DVs are small
+    by construction, the writer falls back to copy-on-write above the
+    threshold).  ``keep_meta_cols`` retains ``__file``/``__ri`` for DML
+    hit detection.  Returns (df, schema, part_cols)."""
+    reader, schema, part_cols = _snapshot_reader(spark, log, meta)
+    df = reader.parquet(*[log.abs_path(a["path"]) for a in adds])
+    dv_adds = [a for a in adds if a.get("deletionVector")]
+    if keep_meta_cols or dv_adds:
+        df = df.withColumn("__file", F.col("_metadata.file_path")).withColumn(
+            "__ri", F.col("_metadata.row_index")
+        )
+    if dv_adds:
+        from .dv import descriptor_positions
+
+        pairs = []
+        for a in dv_adds:
+            uri = _file_uri(log, a["path"])
+            pairs.extend(
+                (uri, int(p)) for p in descriptor_positions(a["deletionVector"])
+            )
+        pos_df = spark.createDataFrame(pairs, "__dvf string, __dvp long")
+        df = df.join(
+            F.broadcast(pos_df),
+            (df["__file"] == pos_df["__dvf"]) & (df["__ri"] == pos_df["__dvp"]),
+            "left_anti",
+        )
+    if not keep_meta_cols and dv_adds:
+        df = df.drop("__file", "__ri")
+    return df, schema, part_cols
+
+
 def _candidate_adds(
     log: DeltaLog, meta: dict[str, Any], where: str
 ) -> list[dict[str, Any]]:
@@ -839,22 +902,33 @@ def delete_where(
     where: str,
     *,
     write_cdf: bool = False,
+    dv_max_rows_per_file: int | None = None,
 ) -> dict[str, Any]:
-    """``DELETE FROM <table> WHERE ...`` for the jar-less path, with real
-    Delta's copy-on-write semantics: only files that actually CONTAIN a
-    matching row are rewritten (candidates pre-pruned via logged stats /
-    partitionValues, then hits confirmed per file via the parquet
-    ``_metadata.file_path`` column); everything else is untouched log-wise
-    and byte-wise.  Rows where the predicate is NULL survive (SQL DELETE
-    deletes only TRUE).
+    """``DELETE FROM <table> WHERE ...`` for the jar-less path.
 
-    ``write_cdf`` stages the deleted rows as ``_change_type='delete'``
-    change-data files in the same commit, so downstream CDF readers see
-    precise deletes instead of raising (checkpoints/delta.py's
-    delete-without-CDF guard).
+    Candidates are pre-pruned via logged stats / partitionValues, hits
+    confirmed per file via the parquet ``_metadata`` columns.  Per hit
+    file, the delete then takes one of two routes:
 
-    Returns metrics: files_matched / files_rewritten / rows_deleted /
-    version (None when nothing matched — no empty commits).
+    - **deletion vector** (<= ``dv_max_rows_per_file`` hits): the file's
+      add action is re-committed with an INLINE DV marking the deleted
+      row positions — a metadata-only delete, zero data IO, merged with
+      any DV the file already carries.  The snapshot reader applies DVs
+      on every read.
+    - **copy-on-write** (more hits, or DVs disabled): the file rewrites
+      without the matching rows, exactly as before.
+
+    Route selection mirrors real Delta: DVs engage only when the table
+    property ``delta.enableDeletionVectors`` is ``true`` (set it with
+    ``set_table_properties``), unless ``dv_max_rows_per_file`` overrides
+    explicitly (0 forces copy-on-write, >0 forces the DV threshold).
+
+    Rows where the predicate is NULL survive (SQL DELETE deletes only
+    TRUE).  ``write_cdf`` stages the deleted rows as change-data files in
+    the same commit, so CDF consumers see precise deletes either way.
+
+    Returns metrics: files_matched / files_rewritten / files_dv /
+    rows_deleted / version (None when nothing matched — no empty commits).
     """
     log = DeltaLog(table_path)
     latest = log.latest_version()
@@ -862,39 +936,37 @@ def delete_where(
         raise FileNotFoundError(f"not a delta table: {table_path}")
     log.check_reader_supported()
     meta = log.table_metadata() or {}
+    if dv_max_rows_per_file is None:
+        enabled = (meta.get("configuration") or {}).get(
+            "delta.enableDeletionVectors"
+        ) == "true"
+        dv_max_rows_per_file = 10_000 if enabled else 0
     candidates = _candidate_adds(log, meta, where)
+    empty = {
+        "files_matched": 0,
+        "files_rewritten": 0,
+        "files_dv": 0,
+        "rows_deleted": 0,
+        "version": None,
+    }
     if not candidates:
-        return {
-            "files_matched": 0,
-            "files_rewritten": 0,
-            "rows_deleted": 0,
-            "version": None,
-        }
-    reader, schema, part_cols = _snapshot_reader(spark, log, meta)
-    df = reader.parquet(
-        *[log.abs_path(a["path"]) for a in candidates]
-    ).withColumn("__file", F.col("_metadata.file_path"))
+        return empty
+    by_uri = {_file_uri(log, a["path"]): a for a in candidates}
+    df, schema, part_cols = _load_snapshot_df(
+        spark, log, meta, candidates, keep_meta_cols=True
+    )
     pred = F.expr(where)
     # ONE job finds both the hit files and the per-file delete counts
     hits = (
         df.filter(pred).groupBy("__file").agg(F.count("*").alias("__n")).collect()
     )
     if not hits:
-        return {
-            "files_matched": len(candidates),
-            "files_rewritten": 0,
-            "rows_deleted": 0,
-            "version": None,
-        }
-    hit_rel = {_rel_path_of(r["__file"], table_path) for r in hits}
+        return {**empty, "files_matched": len(candidates)}
     rows_deleted = sum(r["__n"] for r in hits)
-    hit_uris = [r["__file"] for r in hits]
-    survivors = (
-        df.filter(F.col("__file").isin(hit_uris))
-        .filter(~F.coalesce(pred, F.lit(False)))
-        .drop("__file")
-    )
-    adds = _stage_data_files(survivors, table_path, part_cols or None)
+    dv_uris = [
+        r["__file"] for r in hits if r["__n"] <= dv_max_rows_per_file
+    ] if dv_max_rows_per_file > 0 else []
+    rw_uris = [r["__file"] for r in hits if r["__file"] not in set(dv_uris)]
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = [
         {
@@ -905,23 +977,81 @@ def delete_where(
             }
         }
     ]
-    for a in candidates:
-        if a["path"] in hit_rel:
+    if dv_uris:
+        from .dv import descriptor_positions, inline_descriptor
+
+        proto = log.protocol() or {}
+        features = set(proto.get("readerFeatures") or [])
+        if proto.get("minReaderVersion", 1) < 3 or "deletionVectors" not in features:
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": sorted(features | {"deletionVectors"}),
+                        "writerFeatures": sorted(
+                            set(proto.get("writerFeatures") or [])
+                            | {"deletionVectors"}
+                        ),
+                    }
+                }
+            )
+        # bounded collect: every DV file has <= dv_max_rows_per_file hits
+        pos_rows = (
+            df.filter(pred & F.col("__file").isin(dv_uris))
+            .select("__file", "__ri")
+            .collect()
+        )
+        positions: dict[str, list[int]] = {}
+        for r in pos_rows:
+            positions.setdefault(r["__file"], []).append(int(r["__ri"]))
+        for uri in dv_uris:
+            add = by_uri[uri]
+            merged = list(positions.get(uri, []))
+            if add.get("deletionVector"):
+                merged.extend(descriptor_positions(add["deletionVector"]))
+            payload = {
+                k: v for k, v in add.items() if k != "commit_version"
+            }
+            payload["deletionVector"] = inline_descriptor(merged)
+            payload["dataChange"] = True
             actions.append(
                 {
                     "remove": {
-                        "path": a["path"],
+                        "path": add["path"],
                         "deletionTimestamp": now_ms,
                         "dataChange": True,
                     }
                 }
             )
-    actions.extend({"add": add} for add in adds)
+            actions.append({"add": payload})
+    rw_rel = set()
+    if rw_uris:
+        rw_rel = {_rel_path_of(u, table_path) for u in rw_uris}
+        survivors = (
+            df.filter(F.col("__file").isin(rw_uris))
+            .filter(~F.coalesce(pred, F.lit(False)))
+            .drop("__file", "__ri")
+        )
+        adds = _stage_data_files(survivors, table_path, part_cols or None)
+        for a in candidates:
+            if a["path"] in rw_rel:
+                actions.append(
+                    {
+                        "remove": {
+                            "path": a["path"],
+                            "deletionTimestamp": now_ms,
+                            "dataChange": True,
+                        }
+                    }
+                )
+        actions.extend({"add": add} for add in adds)
     if write_cdf:
+        hit_uris = dv_uris + rw_uris
         deleted = (
             df.filter(F.col("__file").isin(hit_uris))
             .filter(pred)
-            .drop("__file")
+            .drop("__file", "__ri")
             .withColumn("_change_type", F.lit("delete"))
         )
         actions.extend({"cdc": c} for c in _stage_cdc_files(deleted, table_path))
@@ -929,7 +1059,8 @@ def delete_where(
     _write_commit(os.path.join(table_path, LOG_DIR), version, actions)
     return {
         "files_matched": len(candidates),
-        "files_rewritten": len(hit_rel),
+        "files_rewritten": len(rw_rel),
+        "files_dv": len(dv_uris),
         "rows_deleted": rows_deleted,
         "version": version,
     }
@@ -972,10 +1103,10 @@ def update_where(
             "rows_updated": 0,
             "version": None,
         }
-    reader, schema, part_cols = _snapshot_reader(spark, log, meta)
-    df = reader.parquet(
-        *[log.abs_path(a["path"]) for a in candidates]
-    ).withColumn("__file", F.col("_metadata.file_path"))
+    df, schema, part_cols = _load_snapshot_df(
+        spark, log, meta, candidates, keep_meta_cols=True
+    )
+    df = df.drop("__ri")
     pred = F.expr(where)
     hits = (
         df.filter(pred).groupBy("__file").agg(F.count("*").alias("__n")).collect()
@@ -1165,10 +1296,11 @@ def compact_fallback(
         ]
     if not snapshot:
         return
-    reader = spark.read
-    if part_cols:
-        reader = reader.option("basePath", table_path)
-    df = reader.parquet(*[log.abs_path(a["path"]) for a in snapshot])
+    # read through the DV-applying loader: OPTIMIZE materializes any
+    # inline deletion vectors (rewritten files carry no DV)
+    df, _schema, _parts = _load_snapshot_df(
+        spark, log, log.table_metadata() or {}, snapshot
+    )
     if z_order_by:
         from ..functions.layout import zorder_by as _zorder
 
@@ -1256,6 +1388,18 @@ def _checkpoint_arrow_schema():
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
                         ("stats", pa.string()),
+                        (
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("storageType", pa.string()),
+                                    ("pathOrInlineDv", pa.string()),
+                                    ("offset", pa.int32()),
+                                    ("sizeInBytes", pa.int32()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),

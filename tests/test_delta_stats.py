@@ -252,9 +252,9 @@ def test_reader_refuses_unsupported_reader_features(spark, tmp_path):
     _append_action(
         path,
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["deletionVectors"]}},
+                      "readerFeatures": ["v2Checkpoint"]}},
     )
-    with pytest.raises(PlanningError, match="deletionVectors"):
+    with pytest.raises(PlanningError, match="v2Checkpoint"):
         read_table(spark, path)
     # time travel to BEFORE the protocol upgrade still reads fine
     assert read_table(spark, path, version=0).count() == 400
@@ -300,7 +300,10 @@ def test_reader_accepts_timestamp_ntz_feature(spark, tmp_path):
     assert read_table(spark, path).count() == 400
 
 
-def test_streaming_tailer_refuses_dv_tables(spark, tmp_path):
+def test_streaming_tailer_refuses_unsupported_features(spark, tmp_path):
+    """The deletionVectors FEATURE alone doesn't block the tailer (it
+    gates per phase on actual DV'd adds — test_delta_dv covers that);
+    a feature nobody implements still refuses at plan time."""
     from polars_incremental_spark.checkpoints.delta import DeltaTableCheckpoint
     from polars_incremental_spark.errors import PlanningError
     from polars_incremental_spark.sources.base import DeltaSource
@@ -310,8 +313,8 @@ def test_streaming_tailer_refuses_dv_tables(spark, tmp_path):
     _append_action(
         path,
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["deletionVectors"]}},
+                      "readerFeatures": ["v2Checkpoint"]}},
     )
     cp = DeltaTableCheckpoint(ckpt, path)
-    with pytest.raises(PlanningError, match="deletionVectors"):
+    with pytest.raises(PlanningError, match="v2Checkpoint"):
         cp.plan_batch(DeltaSource(path=path))

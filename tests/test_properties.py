@@ -460,3 +460,28 @@ def test_file_matcher_never_prunes_a_matching_file(lo, span, lit, op):
     kept = _file_may_match(add, [("x", op, lit)], set(), {"x": "long"})
     if some_value_matches:
         assert kept
+
+
+# ------------------------------------------------ deletion-vector codec
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    positions=st.lists(
+        st.integers(min_value=0, max_value=1 << 21), max_size=600
+    ),
+    dense_block=st.booleans(),
+)
+def test_dv_codec_roundtrip_property(positions, dense_block):
+    """encode -> z85 -> decode is the identity on any position set,
+    including >4096-per-container blocks (bitmap containers)."""
+    from polars_incremental_spark.sinks.dv import (
+        descriptor_positions,
+        inline_descriptor,
+    )
+
+    if dense_block:
+        base = positions[0] if positions else 0
+        positions = positions + list(range(base, base + 5000))
+    d = inline_descriptor(positions)
+    assert descriptor_positions(d) == sorted(set(positions))

@@ -343,20 +343,25 @@ def temperature_sample(
         raise ValueError(f"alpha must be in (0, 1]; got {alpha}")
     if not 0.0 < total_frac <= 1.0:
         raise ValueError(f"total_frac must be in (0, 1]; got {total_frac}")
+    from pyspark.sql import Window
+
     cnt = df.groupBy(group_col).agg(F.count("*").cast("double").alias("__n"))
     q = F.sqrt("__n") if alpha == 0.5 else F.pow(F.col("__n"), F.lit(alpha))
     cnt = cnt.withColumn(
         "__qi", F.round(q * F.lit(1000000.0)).cast("long")
     )
-    tot = cnt.agg(
-        F.sum("__qi").cast("long").alias("__Q"),
-        F.sum("__n").alias("__ntot"),
+    # corpus totals via an unpartitioned window over the GROUP TABLE —
+    # bounded by group cardinality (u13's bin-table pattern), so no
+    # scalar cross-join enters the plan
+    w_all = Window.partitionBy()
+    cnt = cnt.withColumn("__Q", F.sum("__qi").over(w_all).cast("long")).withColumn(
+        "__ntot", F.sum("__n").over(w_all)
     )
     rate = F.least(
         F.lit(1.0),
         F.lit(total_frac) * F.col("__ntot") * F.col("__qi") / F.col("__Q") / F.col("__n"),
     )
-    thr = cnt.join(F.broadcast(tot)).select(
+    thr = cnt.select(
         group_col,
         F.floor(rate * F.lit(float(SAMPLE_SPACE))).cast("long").alias("__thr"),
     )

@@ -4163,15 +4163,16 @@ def s11_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "pos", F.round(F.col("cv") * 1_000_000).cast("long").alias("csv")
     )
-    nb = cent.agg(F.sum(F.col("csv") * F.col("csv")).alias("nb"))
+    # every vector spans every pos, so the per-vec sum of csv^2 IS the
+    # centroid norm — folding it into the same agg avoids a scalar join
     scored = (
         sc.join(F.broadcast(cent), "pos")
         .groupBy("vec_id", "label")
         .agg(
             F.sum(F.col("sv") * F.col("csv")).alias("dp"),
             F.sum(F.col("sv") * F.col("sv")).alias("na"),
+            F.sum(F.col("csv") * F.col("csv")).alias("nb"),
         )
-        .join(F.broadcast(nb))
         .select(
             "vec_id",
             "label",

@@ -1189,6 +1189,228 @@ def update_where(
     }
 
 
+def merge_into(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    *,
+    keys: list[str],
+    when_matched_update: dict[str, str] | None = None,
+    when_matched_delete: str | None = None,
+    when_not_matched_insert: bool = True,
+    write_cdf: bool = False,
+) -> dict[str, Any]:
+    """``MERGE INTO <target> USING <source> ON <equi-keys>`` for the
+    jar-less path — the general three-clause merge, file-selective like
+    ``delete_where``/``update_where`` (apply_cdc_table's jar-less merge
+    rewrites the whole table; this rewrites ONLY the files containing a
+    matched key).
+
+    Clause semantics (real Delta's):
+
+    - matched + ``when_matched_delete`` condition TRUE -> row deleted
+      (evaluated first, like ``WHEN MATCHED AND <cond> THEN DELETE``;
+      pass ``"true"`` for an unconditional matched-delete).
+    - matched otherwise + ``when_matched_update`` -> columns assigned
+      from expressions that may reference target columns and source
+      columns as ``src.<col>``; every assignment sees PRE-update values.
+    - unmatched source rows + ``when_not_matched_insert`` -> inserted
+      (schema-aligned by name; missing target columns become null).
+    - Delta's multiple-match rule enforced: two source rows matching one
+      target row abort the merge.
+
+    Scale shape: the source's distinct key set drives the candidate scan
+    (stats-pruned when the key has one column and the key set is small
+    enough to inline), hit files confirmed via ``_metadata.file_path``,
+    and only those rewrite; inserts stage as fresh adds.  CHECK
+    constraints re-validate the written rows; generated columns
+    recompute on inserts.  ``write_cdf`` emits the full change set
+    (delete / update_preimage / update_postimage / insert).
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    if when_matched_update is None and when_matched_delete is None and not when_not_matched_insert:
+        raise ValueError("at least one merge clause is required")
+    log = DeltaLog(table_path)
+    latest = log.latest_version()
+    if latest is None:
+        raise FileNotFoundError(f"not a delta table: {table_path}")
+    log.check_reader_supported()
+    meta = log.table_metadata() or {}
+    candidates = log.snapshot_files(latest)
+    df, schema, part_cols = _load_snapshot_df(
+        spark, log, meta, candidates, keep_meta_cols=True
+    ) if candidates else (None, None, None)
+    if df is None:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        part_cols = meta.get("partitionColumns") or []
+    metrics = {"rows_updated": 0, "rows_deleted": 0, "rows_inserted": 0}
+    now_ms = int(time.time() * 1000)
+    actions: list[dict[str, Any]] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "MERGE",
+                "operationParameters": {"keys": json.dumps(keys)},
+            }
+        }
+    ]
+    cdc_frames = []
+    constraints = _check_constraints(meta)
+    gen_exprs = _generated_columns(meta)
+    hit_uris: list = []
+    if df is not None and (when_matched_update or when_matched_delete):
+        import re as _re
+
+        # source columns move behind a reserved prefix, so bare names in
+        # clause expressions ALWAYS mean the target (real Delta's rule)
+        # and `src.<col>` references rewrite onto the prefixed columns
+        def rewrite(expr: str) -> str:
+            return _re.sub(r"\bsrc\.(\w+)", r"__src_\1", expr)
+
+        src_sel = source.select(
+            *[F.col(c).alias(f"__src_{c}") for c in source.columns],
+            F.lit(1).alias("__matched"),
+        )
+        cond = None
+        for k in keys:
+            term = df[k].eqNullSafe(F.col(f"__src_{k}"))
+            cond = term if cond is None else (cond & term)
+        joined = df.join(src_sel, cond, "inner")
+        # Delta's multiple-match guard: >1 source row per target row aborts
+        dup = (
+            joined.groupBy("__file", "__ri")
+            .agg(F.count("*").alias("__m"))
+            .filter(F.col("__m") > 1)
+            .take(1)
+        )
+        if dup:
+            raise ValueError(
+                "MERGE aborted: multiple source rows match the same target "
+                "row (Delta's cardinality rule); dedupe the source on the "
+                "merge keys first"
+            )
+        per_file = joined.groupBy("__file").agg(F.count("*").alias("__n")).collect()
+        hit_uris = [r["__file"] for r in per_file]
+        if hit_uris:
+            hit_df = df.filter(F.col("__file").isin(hit_uris))
+            j = hit_df.join(src_sel, cond, "left")
+            matched = F.col("__matched").isNotNull()
+            delete_cond = (
+                matched
+                & F.coalesce(F.expr(rewrite(when_matched_delete)), F.lit(False))
+                if when_matched_delete
+                else F.lit(False)
+            )
+            update_cond = matched & ~delete_cond if when_matched_update else F.lit(False)
+            new_cols = []
+            for f in schema.fields:
+                col = F.col(f.name)
+                if when_matched_update and f.name in when_matched_update:
+                    col = F.when(
+                        update_cond,
+                        F.expr(rewrite(when_matched_update[f.name])).cast(
+                            f.dataType
+                        ),
+                    ).otherwise(col)
+                new_cols.append(col.alias(f.name))
+            rewritten_all = j.select(
+                *new_cols,
+                delete_cond.alias("__del"),
+                update_cond.alias("__upd"),
+                "__file",
+                "__ri",
+            )
+            counts = rewritten_all.agg(
+                F.sum(F.col("__del").cast("long")).alias("d"),
+                F.sum(F.col("__upd").cast("long")).alias("u"),
+            ).first()
+            metrics["rows_deleted"] = int(counts["d"] or 0)
+            metrics["rows_updated"] = int(counts["u"] or 0)
+            survivors = rewritten_all.filter(~F.col("__del")).drop(
+                "__del", "__upd", "__file", "__ri"
+            )
+            if constraints:
+                _enforce_constraints(survivors, constraints)
+            adds = _stage_data_files(survivors, table_path, part_cols or None)
+            hit_rel = {_rel_path_of(u, table_path) for u in hit_uris}
+            for a in candidates:
+                if a["path"] in hit_rel:
+                    actions.append(
+                        {
+                            "remove": {
+                                "path": a["path"],
+                                "deletionTimestamp": now_ms,
+                                "dataChange": True,
+                            }
+                        }
+                    )
+            actions.extend({"add": add} for add in adds)
+            if write_cdf:
+                target_names = [f.name for f in schema.fields]
+                cdc_frames.append(
+                    j.filter(delete_cond)
+                    .select(*target_names)
+                    .withColumn("_change_type", F.lit("delete"))
+                )
+                cdc_frames.append(
+                    j.filter(update_cond)
+                    .select(*target_names)
+                    .withColumn("_change_type", F.lit("update_preimage"))
+                )
+                cdc_frames.append(
+                    rewritten_all.filter(F.col("__upd"))
+                    .drop("__del", "__upd", "__file", "__ri")
+                    .withColumn("_change_type", F.lit("update_postimage"))
+                )
+    if when_not_matched_insert:
+        if df is not None:
+            existing_keys = df.select(*keys).distinct()
+            new_rows = source.join(existing_keys, keys, "left_anti")
+        else:
+            new_rows = source
+        # align to the target schema by name; generated columns compute
+        target_names = {f.name for f in schema.fields}
+        extra = set(new_rows.columns) - target_names
+        if extra:
+            new_rows = new_rows.drop(*extra)
+        if gen_exprs:
+            new_rows = _apply_generated_columns(new_rows, gen_exprs)
+        aligned = new_rows.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in new_rows.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+        if constraints:
+            _enforce_constraints(aligned, constraints)
+        n_ins = aligned.count()
+        metrics["rows_inserted"] = n_ins
+        if n_ins:
+            actions.extend(
+                {"add": add}
+                for add in _stage_data_files(aligned, table_path, part_cols or None)
+            )
+            if write_cdf:
+                cdc_frames.append(
+                    aligned.withColumn("_change_type", F.lit("insert"))
+                )
+    if len(actions) == 1:  # only commitInfo: nothing changed
+        return {**metrics, "version": None}
+    if write_cdf and cdc_frames:
+        cdc_df = cdc_frames[0]
+        for frame in cdc_frames[1:]:
+            cdc_df = cdc_df.unionByName(frame)
+        actions.extend({"cdc": c} for c in _stage_cdc_files(cdc_df, table_path))
+    version = latest + 1
+    _write_commit(os.path.join(table_path, LOG_DIR), version, actions)
+    return {**metrics, "version": version}
+
+
 def vacuum_fallback(table_path: str, *, retention_hours: float = 168.0, dry_run: bool = False) -> list[str]:
     """Delete data files no longer referenced by the latest snapshot and older
     than the retention window (X6 without the jar).

@@ -592,3 +592,36 @@ def apply_linear_classifier(
             ).alias("quality_logit"),
         )
     )
+
+
+def readability_columns(col: Column) -> list[Column]:
+    """Flesch-style readability signals: sentence count (runs of ``.!?``),
+    word count, approximate syllable count (vowel GROUPS per word — the
+    standard dictionary-free approximation), and the reading-ease score
+    ``206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)``.
+
+    All counts are exact integers from regexp_count (pure Catalyst, no
+    UDF, no shuffle); the score divides exact integers and rounds to 6 dp,
+    so it is bit-identical cross-engine.  Long low-score documents are a
+    standard pretraining quality cut alongside the Gopher gates.
+    """
+    n_sentences = F.greatest(
+        F.regexp_count(col, F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("long")
+    n_words = F.greatest(token_count(col), F.lit(1)).cast("long")
+    # vowel groups, lowercased: "beautiful" -> eau+i+u = 3
+    n_syllables = F.greatest(
+        F.regexp_count(F.lower(col), F.lit(r"[aeiouy]+")), F.lit(1)
+    ).cast("long")
+    ease = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words / n_sentences)
+        - F.lit(84.6) * (n_syllables / n_words),
+        6,
+    )
+    return [
+        n_sentences.alias("n_sentences"),
+        n_words.alias("n_words"),
+        n_syllables.alias("n_syllables"),
+        ease.alias("reading_ease"),
+    ]

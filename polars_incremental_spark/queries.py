@@ -3784,6 +3784,35 @@ ORDER BY doc_id
 """
 
 
+def t15_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability: sentence/word/syllable-group counts (pure
+    regexp_count — zero shuffle) and the reading-ease score over exact
+    integer ratios, 6-dp rounded for the cross-engine hash.  The classic
+    dictionary-free quality axis alongside Gopher gates and the hashed
+    classifier."""
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id", *tx.readability_columns(F.col("text"))
+    ).orderBy("doc_id")
+
+
+T15_SQL = f"""
+SELECT doc_id,
+       greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS n_sentences,
+       greatest(len({_sql_tokens("text")}), 1)::BIGINT AS n_words,
+       greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)::BIGINT
+         AS n_syllables,
+       round(206.835
+             - 1.015 * (greatest(len({_sql_tokens("text")}), 1)
+                        / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+             - 84.6 * (greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+                       / greatest(len({_sql_tokens("text")}), 1)),
+             6) AS reading_ease
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def u12_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (32-token chunks every 16): the
     long-document → training-example expansion.  Pure map-side array ops —
@@ -4535,6 +4564,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "u14_temperature_sample": (u14_temperature_sample, U14_SQL),
     "m4_audio_decode": (m4_audio_decode, M4_SQL),
     "s11_diverse_topk": (s11_diverse_topk, S11_SQL),
+    "t15_readability": (t15_readability, T15_SQL),
     # --- r2-graded sentinels: fresh driver rows on post-drift data (13) ---
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -4544,8 +4574,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q18_large_orders": (q18_large_orders, Q18_SQL),
     "q21_waiting_supplier": (q21_waiting_supplier, Q21_SQL),
     "q22_idle_customers": (q22_idle_customers, Q22_SQL),
-    "r01_scan_count": (r01_scan_count, "SELECT COUNT(*) AS n_rows FROM lineitem"),
     # ================= driver window boundary (entry 50) =================
+    "r01_scan_count": (r01_scan_count, "SELECT COUNT(*) AS n_rows FROM lineitem"),
     "r12_topk_sort": (r12_topk_sort, R12_SQL),
     "r14_anti_join": (r14_anti_join, R14_SQL),
     "r21_distinct_keys": (r21_distinct_keys, R21_SQL),

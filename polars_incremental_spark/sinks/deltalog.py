@@ -57,17 +57,34 @@ def _merge_schema_strings(stored: str | None, incoming: str) -> str:
     return json.dumps({"type": "struct", "fields": fields}, separators=(",", ":"))
 
 
+class CommitConflictError(FileExistsError):
+    """Another writer claimed this log version first (optimistic
+    concurrency): blind appends rebase and retry automatically; every
+    other operation surfaces this so the caller re-runs against the new
+    table state (real Delta's ConcurrentModificationException)."""
+
+
 def _write_commit(log_dir: str, version: int, actions: list[dict[str, Any]]) -> None:
+    """Atomically claim ``version``: write a tmp file, then ``os.link`` it
+    to the final name — link fails with EEXIST if ANY other writer claimed
+    the version first (no exists-check TOCTOU window; the filesystem
+    arbitrates exactly one winner, the same contract object stores give
+    real Delta via put-if-absent)."""
     path = os.path.join(log_dir, f"{version:020d}.json")
-    if os.path.exists(path):
-        raise FileExistsError(f"delta log version {version} already exists: {path}")
     tmp = path + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as handle:
         for action in actions:
             handle.write(json.dumps(action, separators=(",", ":")) + "\n")
         handle.flush()
         os.fsync(handle.fileno())
-    os.replace(tmp, path)
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise CommitConflictError(
+            f"delta log version {version} was committed by another writer: {path}"
+        ) from None
+    finally:
+        os.unlink(tmp)
 
 
 _STATS_MAX_STRING = 64  # longer strings: omit min/max (truncating a MAX
@@ -570,7 +587,46 @@ def write_delta_fallback(
     actions.extend({"add": add} for add in adds)
     if cdc_df is not None:
         actions.extend({"cdc": c} for c in _stage_cdc_files(cdc_df, table_path))
-    _write_commit(log_dir, version, actions)
+    for _attempt in range(16):
+        try:
+            _write_commit(log_dir, version, actions)
+            break
+        except CommitConflictError:
+            # optimistic concurrency: a concurrent writer claimed this
+            # version.  Blind APPENDS commute with any other commit (staged
+            # file names are unique, adds don't touch existing files), so
+            # rebase onto the new head after re-validating everything that
+            # could have changed underneath us; overwrites conflict
+            # semantically (their remove set is stale) and surface the
+            # error for the caller to re-run.
+            if mode != "append" or latest is None:
+                raise
+            fresh = log.latest_version()
+            fresh_meta = log.table_metadata() or {}
+            fresh_parts = fresh_meta.get("partitionColumns") or []
+            if list(partition_by or []) != list(fresh_parts):
+                raise
+            fresh_constraints = _check_constraints(fresh_meta)
+            if fresh_constraints:
+                _enforce_constraints(df, fresh_constraints)
+            version = fresh + 1
+            # rebuild the (possibly stale) schema-merge action
+            actions = [
+                a
+                for a in actions
+                if "metaData" not in a
+            ]
+            merged_schema = _merge_schema_strings(
+                fresh_meta.get("schemaString"), df.schema.json()
+            )
+            if merged_schema != fresh_meta.get("schemaString"):
+                actions.insert(
+                    1, {"metaData": {**fresh_meta, "schemaString": merged_schema}}
+                )
+    else:
+        raise CommitConflictError(
+            f"append to {table_path} lost {16} consecutive commit races"
+        )
     # periodic log checkpoint (real Delta's every-10-commits default) keeps
     # snapshot replay O(tail) without the caller ever thinking about it
     if checkpoint_interval and version > 0 and version % checkpoint_interval == 0:

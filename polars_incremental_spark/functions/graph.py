@@ -1,0 +1,83 @@
+"""Iterative graph algorithms over edge lists, Spark-first.
+
+Companions to ``dedup.connected_components``: the same driver-side
+iteration shape (bounded loop of equi-joins + groupBys, ``localCheckpoint``
+per round to stop plan doubling) carrying different per-round math.
+
+Determinism: ranks are EXACT scaled integers and every per-iteration step
+is integer arithmetic (``div`` for contributions, integer multiply/divide
+for damping), so the fixed iteration count yields bit-identical results
+in any engine and under any partitioning — that is what lets an ITERATIVE
+algorithm sit under the DuckDB hash oracle (unrolled-CTE replay).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a DIRECTED edge list; symmetrize
+    before calling for undirected graphs.  Returns (node, rank) with
+    ranks as ``scale``-scaled integers.
+
+    Per iteration: each node sends ``rank div out_degree`` along every
+    out-edge; new rank = teleport + damping * received (all integer ops).
+    Nodes are the DISTINCT SOURCES — an undirected (symmetrized) graph
+    has no dangling nodes, so no teleport-mass correction is needed and
+    the oracle replay stays a pure join/group chain.
+
+    Scale shape: per iteration one equi-join (edges x ranks, both keyed
+    by node), one groupBy(dst), one left join back to the node set —
+    shuffles keyed by node id throughout, cost = iterations, the same
+    profile as connected_components.  ``localCheckpoint`` per round keeps
+    the plan linear in iterations instead of exponential.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1; got {iterations}")
+    teleport = scale * (damping_den - damping_num) // damping_den
+    e = edges.select(
+        F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
+    )
+    deg = e.groupBy("__src").agg(F.count("*").cast("long").alias("__deg"))
+    nodes = deg.select(F.col("__src").alias("node"))
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e["__src"] == ranks["node"])
+            .join(deg, "__src")
+            .select(
+                F.col("__dst").alias("node"),
+                F.expr("rank div __deg").alias("__c"),
+            )
+        )
+        received = contribs.groupBy("node").agg(
+            F.sum("__c").cast("long").alias("__s")
+        )
+        ranks = (
+            nodes.join(received, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"(coalesce(__s, CAST(0 AS BIGINT)) * {damping_num}) "
+                        f"div {damping_den}"
+                    )
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

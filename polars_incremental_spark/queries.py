@@ -3784,6 +3784,91 @@ ORDER BY doc_id
 """
 
 
+def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup similarity graph (d6's MinHash-LSH pairs,
+    symmetrized): rank concentrates on documents sitting in dense duplicate
+    neighborhoods — a centrality signal for canonical-pick and crawl-seed
+    weighting.  Fixed 5 iterations of EXACT integer arithmetic (scaled
+    ranks, div contributions, integer damping), so the ITERATIVE result is
+    hash-verified against a DuckDB replay with the iterations unrolled as
+    chained CTEs."""
+    from .functions.graph import pagerank
+
+    pairs = dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.12
+    ).select("id_a", "id_b")
+    edges = pairs.union(pairs.select(F.col("id_b"), F.col("id_a"))).toDF(
+        "src", "dst"
+    )
+    return (
+        pagerank(edges, iterations=5)
+        .select(F.col("node").alias("doc_id"), "rank")
+        .orderBy("doc_id")
+    )
+
+
+def _g1_sql() -> str:
+    prev = "r0"
+    iter_ctes = []
+    joined_sep = ",\n"
+    for i in range(1, 6):
+        cur = f"r{i}"
+        iter_ctes.append(
+            f"""{cur} AS (
+  SELECT n.node,
+         (150000 + (85 * COALESCE(s.s, 0)) // 100)::BIGINT AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank // d.deg)::BIGINT AS s
+    FROM edges e
+    JOIN {prev} r ON e.src = r.node
+    JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+  ) s ON n.node = s.node
+)"""
+        )
+        prev = cur
+    return f"""
+WITH {_SQL_SHINGLE_CTE},
+{_SQL_H32_CTE},
+sigs AS (SELECT doc_id, {_SQL_MINHASH_MINS} FROM sh32 GROUP BY doc_id),
+bands AS ({_SQL_BANDS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+p AS (SELECT doc_id, {_sql_md5_long("shingle")} AS h FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM p GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN p pa ON pa.doc_id = c.id_a
+  JOIN p pb ON pb.doc_id = c.id_b AND pb.h = pa.h
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b, round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+),
+pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.12),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+deg AS (SELECT src, COUNT(*)::BIGINT AS deg FROM edges GROUP BY src),
+nodes AS (SELECT src AS node FROM deg),
+r0 AS (SELECT node, 1000000::BIGINT AS rank FROM nodes),
+{joined_sep.join(iter_ctes)}
+SELECT node AS doc_id, rank FROM r5 ORDER BY doc_id
+"""
+
+
+G1_SQL = _g1_sql()
+
+
 def t15_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch-style readability: sentence/word/syllable-group counts (pure
     regexp_count — zero shuffle) and the reading-ease score over exact
@@ -4565,6 +4650,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "m4_audio_decode": (m4_audio_decode, M4_SQL),
     "s11_diverse_topk": (s11_diverse_topk, S11_SQL),
     "t15_readability": (t15_readability, T15_SQL),
+    "g1_pagerank": (g1_pagerank, G1_SQL),
     # --- r2-graded sentinels: fresh driver rows on post-drift data (13) ---
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -4573,8 +4659,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q17_small_qty_revenue": (q17_small_qty_revenue, Q17_SQL),
     "q18_large_orders": (q18_large_orders, Q18_SQL),
     "q21_waiting_supplier": (q21_waiting_supplier, Q21_SQL),
-    "q22_idle_customers": (q22_idle_customers, Q22_SQL),
     # ================= driver window boundary (entry 50) =================
+    "q22_idle_customers": (q22_idle_customers, Q22_SQL),
     "r01_scan_count": (r01_scan_count, "SELECT COUNT(*) AS n_rows FROM lineitem"),
     "r12_topk_sort": (r12_topk_sort, R12_SQL),
     "r14_anti_join": (r14_anti_join, R14_SQL),

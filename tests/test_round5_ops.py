@@ -682,3 +682,34 @@ def test_diversified_topk_k_smaller_than_groups(spark):
         similarity.diversified_topk(
             df, group_col="label", score_col="score", id_col="vec_id", k=0
         )
+
+
+# ------------------------------------------------------------- pagerank
+
+
+def test_pagerank_hand_computed_star(spark):
+    """3-node star (c hub), symmetrized, 2 iterations, exact integer
+    arithmetic — every value hand-derived."""
+    from polars_incremental_spark.functions.graph import pagerank
+
+    pairs = [("c", "a"), ("c", "b")]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src string, dst string"
+    )
+    r = {row["node"]: row["rank"] for row in pagerank(edges, iterations=2).collect()}
+    # iter1: a=b=150000+85*500000//100=575000, c=150000+85*2000000//100=1850000
+    # iter2: a=b=150000+85*(1850000 div 2)//100=936250,
+    #        c=150000+85*(575000*2)//100=1127500
+    assert r == {"a": 936250, "b": 936250, "c": 1127500}
+
+
+def test_pagerank_symmetric_pair_is_fixed_point(spark):
+    from polars_incremental_spark.functions.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    r = {row["node"]: row["rank"] for row in pagerank(edges, iterations=7).collect()}
+    assert r == {"a": 1_000_000, "b": 1_000_000}
+    with pytest.raises(ValueError):
+        pagerank(edges, iterations=0)

@@ -3869,6 +3869,82 @@ SELECT node AS doc_id, rank FROM r5 ORDER BY doc_id
 G1_SQL = _g1_sql()
 
 
+def g2_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the near-dup graph: per-document triangle
+    membership over canonical (a<b) edges — the standard clustering-
+    coefficient numerator, and the classic two-self-join graph benchmark.
+    The ordered-edge formulation enumerates each triangle exactly once;
+    both self-joins are equi-joins on node ids (no cross product)."""
+    pairs = dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.12
+    ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    members = (
+        tri.select(F.col("x").alias("doc_id"))
+        .union(tri.select("y"))
+        .union(tri.select("z"))
+    )
+    return (
+        members.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+        .orderBy("doc_id")
+    )
+
+
+G2_SQL = f"""
+WITH {_SQL_SHINGLE_CTE},
+{_SQL_H32_CTE},
+sigs AS (SELECT doc_id, {_SQL_MINHASH_MINS} FROM sh32 GROUP BY doc_id),
+bands AS ({_SQL_BANDS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+p AS (SELECT doc_id, {_sql_md5_long("shingle")} AS h FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM p GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN p pa ON pa.doc_id = c.id_a
+  JOIN p pb ON pb.doc_id = c.id_b AND pb.h = pa.h
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b, round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+),
+e AS (SELECT id_a AS a, id_b AS b FROM scored WHERE jaccard >= 0.12),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+members AS (
+  SELECT x AS doc_id FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT doc_id, COUNT(*)::BIGINT AS n_triangles
+FROM members GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def t15_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch-style readability: sentence/word/syllable-group counts (pure
     regexp_count — zero shuffle) and the reading-ease score over exact
@@ -4651,6 +4727,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "s11_diverse_topk": (s11_diverse_topk, S11_SQL),
     "t15_readability": (t15_readability, T15_SQL),
     "g1_pagerank": (g1_pagerank, G1_SQL),
+    "g2_triangles": (g2_triangles, G2_SQL),
     # --- r2-graded sentinels: fresh driver rows on post-drift data (13) ---
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -4658,8 +4735,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "q17_small_qty_revenue": (q17_small_qty_revenue, Q17_SQL),
     "q18_large_orders": (q18_large_orders, Q18_SQL),
-    "q21_waiting_supplier": (q21_waiting_supplier, Q21_SQL),
     # ================= driver window boundary (entry 50) =================
+    "q21_waiting_supplier": (q21_waiting_supplier, Q21_SQL),
     "q22_idle_customers": (q22_idle_customers, Q22_SQL),
     "r01_scan_count": (r01_scan_count, "SELECT COUNT(*) AS n_rows FROM lineitem"),
     "r12_topk_sort": (r12_topk_sort, R12_SQL),

@@ -713,3 +713,22 @@ def test_pagerank_symmetric_pair_is_fixed_point(spark):
     assert r == {"a": 1_000_000, "b": 1_000_000}
     with pytest.raises(ValueError):
         pagerank(edges, iterations=0)
+
+
+def test_triangle_count_hand_graph(spark):
+    """K4 minus one edge: exactly 2 triangles; per-node membership known."""
+    from polars_incremental_spark.queries import g2_triangles  # noqa: F401
+    from pyspark.sql import functions as F
+
+    # reuse the query's core shape directly on a constructed edge list
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], "a long, b long"
+    )  # missing (3,4): triangles are {1,2,3} and {1,2,4}
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z"))
+    )
+    triangles = sorted(tuple(r) for r in tri.collect())
+    assert triangles == [(1, 2, 3), (1, 2, 4)]

@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "u14_temperature_sample",  # sqrt-temperature corpus rebalance
     "m4_audio_decode",  # real WAV/PCM decode in mapInPandas
     "s11_diverse_topk",  # cluster-interleaved diversified retrieval
+    "g1_pagerank",  # 5-iteration integer PageRank over the LSH graph
+    "g2_triangles",  # two-self-join triangle enumeration
 ]
 
 

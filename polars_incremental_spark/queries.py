@@ -3784,6 +3784,65 @@ ORDER BY doc_id
 """
 
 
+def u15_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-publish data-quality profile of the documents table: one agg
+    pass computes per-column null/distinct/length metrics (multi-distinct
+    via Catalyst expand), stack() reshapes wide->long map-side — the
+    deequ-style health report a pipeline gates on before a batch ships."""
+    from .functions.profiling import data_profile
+
+    doc = load_table(spark, sf_dir, "documents")
+    return data_profile(doc, ["doc_id", "lang", "source", "n_chars", "text"])
+
+
+U15_SQL = """
+WITH w AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS nu_doc_id,
+         COUNT(DISTINCT doc_id)::BIGINT AS d_doc_id,
+         SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT AS nu_lang,
+         COUNT(DISTINCT lang)::BIGINT AS d_lang,
+         COALESCE(MIN(length(lang)), 0)::BIGINT AS mn_lang,
+         COALESCE(MAX(length(lang)), 0)::BIGINT AS mx_lang,
+         SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT AS nu_source,
+         COUNT(DISTINCT source)::BIGINT AS d_source,
+         COALESCE(MIN(length(source)), 0)::BIGINT AS mn_source,
+         COALESCE(MAX(length(source)), 0)::BIGINT AS mx_source,
+         SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT AS nu_n_chars,
+         COUNT(DISTINCT n_chars)::BIGINT AS d_n_chars,
+         SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS nu_text,
+         COUNT(DISTINCT text)::BIGINT AS d_text,
+         COALESCE(MIN(length(text)), 0)::BIGINT AS mn_text,
+         COALESCE(MAX(length(text)), 0)::BIGINT AS mx_text
+  FROM documents
+),
+long AS (
+  SELECT 'doc_id' AS column_name, 'n_rows' AS metric, n AS value FROM w
+  UNION ALL SELECT 'doc_id', 'n_nulls', nu_doc_id FROM w
+  UNION ALL SELECT 'doc_id', 'n_distinct', d_doc_id FROM w
+  UNION ALL SELECT 'lang', 'n_rows', n FROM w
+  UNION ALL SELECT 'lang', 'n_nulls', nu_lang FROM w
+  UNION ALL SELECT 'lang', 'n_distinct', d_lang FROM w
+  UNION ALL SELECT 'lang', 'min_len', mn_lang FROM w
+  UNION ALL SELECT 'lang', 'max_len', mx_lang FROM w
+  UNION ALL SELECT 'source', 'n_rows', n FROM w
+  UNION ALL SELECT 'source', 'n_nulls', nu_source FROM w
+  UNION ALL SELECT 'source', 'n_distinct', d_source FROM w
+  UNION ALL SELECT 'source', 'min_len', mn_source FROM w
+  UNION ALL SELECT 'source', 'max_len', mx_source FROM w
+  UNION ALL SELECT 'n_chars', 'n_rows', n FROM w
+  UNION ALL SELECT 'n_chars', 'n_nulls', nu_n_chars FROM w
+  UNION ALL SELECT 'n_chars', 'n_distinct', d_n_chars FROM w
+  UNION ALL SELECT 'text', 'n_rows', n FROM w
+  UNION ALL SELECT 'text', 'n_nulls', nu_text FROM w
+  UNION ALL SELECT 'text', 'n_distinct', d_text FROM w
+  UNION ALL SELECT 'text', 'min_len', mn_text FROM w
+  UNION ALL SELECT 'text', 'max_len', mx_text FROM w
+)
+SELECT column_name, metric, value FROM long ORDER BY column_name, metric
+"""
+
+
 def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the near-dup similarity graph (d6's MinHash-LSH pairs,
     symmetrized): rank concentrates on documents sitting in dense duplicate
@@ -4728,14 +4787,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "t15_readability": (t15_readability, T15_SQL),
     "g1_pagerank": (g1_pagerank, G1_SQL),
     "g2_triangles": (g2_triangles, G2_SQL),
+    "u15_data_profile": (u15_data_profile, U15_SQL),
     # --- r2-graded sentinels: fresh driver rows on post-drift data (13) ---
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "q17_small_qty_revenue": (q17_small_qty_revenue, Q17_SQL),
-    "q18_large_orders": (q18_large_orders, Q18_SQL),
     # ================= driver window boundary (entry 50) =================
+    "q18_large_orders": (q18_large_orders, Q18_SQL),
     "q21_waiting_supplier": (q21_waiting_supplier, Q21_SQL),
     "q22_idle_customers": (q22_idle_customers, Q22_SQL),
     "r01_scan_count": (r01_scan_count, "SELECT COUNT(*) AS n_rows FROM lineitem"),

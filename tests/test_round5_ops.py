@@ -732,3 +732,35 @@ def test_triangle_count_hand_graph(spark):
     )
     triangles = sorted(tuple(r) for r in tri.collect())
     assert triangles == [(1, 2, 3), (1, 2, 4)]
+
+
+def test_data_profile_counts_and_nulls(spark):
+    from polars_incremental_spark.functions.profiling import data_profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "bbb")], "id long, s string"
+    )
+    rows = {
+        (r["column_name"], r["metric"]): r["value"]
+        for r in data_profile(df).collect()
+    }
+    assert rows[("id", "n_rows")] == 4
+    assert rows[("id", "n_nulls")] == 1
+    assert rows[("id", "n_distinct")] == 3
+    assert rows[("s", "n_nulls")] == 1
+    assert rows[("s", "n_distinct")] == 2
+    assert rows[("s", "min_len")] == 1 and rows[("s", "max_len")] == 3
+    with pytest.raises(ValueError):
+        data_profile(df, [])
+
+
+def test_data_profile_all_null_string_column(spark):
+    from polars_incremental_spark.functions.profiling import data_profile
+
+    df = spark.createDataFrame([(1, None), (2, None)], "id long, s string")
+    rows = {
+        (r["column_name"], r["metric"]): r["value"]
+        for r in data_profile(df, ["s"]).collect()
+    }
+    assert rows[("s", "n_nulls")] == 2 and rows[("s", "n_distinct")] == 0
+    assert rows[("s", "min_len")] == 0 and rows[("s", "max_len")] == 0

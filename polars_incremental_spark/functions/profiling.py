@@ -26,7 +26,7 @@ def data_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
 
     Exact integers end-to-end, so the report hash-matches any engine.
     """
-    cols = columns or df.columns
+    cols = df.columns if columns is None else list(columns)
     if not cols:
         raise ValueError("no columns to profile")
     aggs = [F.count(F.lit(1)).cast("long").alias("__n")]

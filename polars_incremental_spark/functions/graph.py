@@ -46,9 +46,12 @@ def pagerank(
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1; got {iterations}")
     teleport = scale * (damping_den - damping_num) // damping_den
+    # materialize the edge list ONCE: the caller's edge plan (often a full
+    # LSH-pair pipeline) would otherwise re-execute on every iteration's
+    # join — measured 22.9s -> ~5s for the g1 query at sf0.1
     e = edges.select(
         F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
-    )
+    ).localCheckpoint()
     deg = e.groupBy("__src").agg(F.count("*").cast("long").alias("__deg"))
     nodes = deg.select(F.col("__src").alias("node"))
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))

@@ -3934,9 +3934,15 @@ def g2_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     coefficient numerator, and the classic two-self-join graph benchmark.
     The ordered-edge formulation enumerates each triangle exactly once;
     both self-joins are equi-joins on node ids (no cross product)."""
-    pairs = dedup.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.12
-    ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    # materialize the pair list once: three self-joins would otherwise
+    # re-run the whole LSH pipeline three times (6.6s -> ~2.5s at sf0.1)
+    pairs = (
+        dedup.minhash_lsh_pairs(
+            load_table(spark, sf_dir, "documents"), threshold=0.12
+        )
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .localCheckpoint()
+    )
     e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.b") == F.col("e2.a"))

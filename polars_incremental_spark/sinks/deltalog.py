@@ -264,6 +264,11 @@ CHECKPOINT_INTERVAL = 10  # real Delta's delta.checkpointInterval default
 
 CONSTRAINT_PREFIX = "delta.constraints."  # PROTOCOL.md CHECK constraint keys
 
+# Upper bound on deleted-row positions collected to the driver per DELETE:
+# files beyond the budget fall back to copy-on-write (smallest hit-counts
+# get the metadata-only route first).
+DV_GLOBAL_POSITION_BUDGET = 1_000_000
+
 GENERATION_KEY = "delta.generationExpression"  # PROTOCOL.md generated columns
 
 
@@ -1019,9 +1024,17 @@ def delete_where(
     if not hits:
         return {**empty, "files_matched": len(candidates)}
     rows_deleted = sum(r["__n"] for r in hits)
-    dv_uris = [
-        r["__file"] for r in hits if r["__n"] <= dv_max_rows_per_file
-    ] if dv_max_rows_per_file > 0 else []
+    # per-file threshold AND a global budget cap the driver-side position
+    # collect: smallest hit-counts take the DV route first, the rest
+    # rewrite — a wide DELETE over thousands of files can never
+    # accumulate unbounded positions on the driver
+    dv_uris: list = []
+    if dv_max_rows_per_file > 0:
+        budget = DV_GLOBAL_POSITION_BUDGET
+        for r in sorted(hits, key=lambda r: r["__n"]):
+            if r["__n"] <= dv_max_rows_per_file and r["__n"] <= budget:
+                dv_uris.append(r["__file"])
+                budget -= r["__n"]
     rw_uris = [r["__file"] for r in hits if r["__file"] not in set(dv_uris)]
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = [

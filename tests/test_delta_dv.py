@@ -206,3 +206,28 @@ def test_update_and_time_travel_respect_dv(spark, tmp_path):
     assert out.filter("x >= 1000").count() == 25
     # time travel to before the delete sees all rows
     assert read_table(spark, path, version=v0).count() == 100
+
+
+def test_dv_global_budget_demotes_to_rewrite(spark, tmp_path):
+    """Per-file counts below the threshold but above the GLOBAL budget:
+    the overflow files rewrite instead of accumulating unbounded driver
+    positions."""
+    from polars_incremental_spark.sinks import deltalog as dl
+
+    path = str(tmp_path / "t")
+    write_table(
+        spark.range(300)
+        .select(F.col("id").alias("x"))
+        .repartitionByRange(3, "x"),
+        path,
+    )
+    set_table_properties(path, {"delta.enableDeletionVectors": "true"})
+    orig = dl.DV_GLOBAL_POSITION_BUDGET
+    dl.DV_GLOBAL_POSITION_BUDGET = 150  # fits ~1-2 files of 100 hits each
+    try:
+        res = delete_rows(spark, path, "pmod(x, 1) = 0")  # all 300 rows hit
+    finally:
+        dl.DV_GLOBAL_POSITION_BUDGET = orig
+    assert res["files_dv"] == 1  # only one 100-hit file fits the budget
+    assert res["files_rewritten"] == 2
+    assert read_table(spark, path).count() == 0

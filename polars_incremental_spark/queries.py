@@ -3784,6 +3784,72 @@ ORDER BY doc_id
 """
 
 
+def g3_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution: how many near-dup clusters of
+    each size exist — the audit a dedup pass publishes (a 10k-document
+    cluster means template spam; a long tail of pairs means crawl echo).
+    Composition of d9's connected components + two bounded groupBys."""
+    pairs = dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.12
+    )
+    clusters = dedup.connected_components(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+G3_SQL = f"""
+WITH RECURSIVE {_SQL_SHINGLE_CTE},
+{_SQL_H32_CTE},
+sigs AS (SELECT doc_id, {_SQL_MINHASH_MINS} FROM sh32 GROUP BY doc_id),
+bands AS ({_SQL_BANDS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+p AS (SELECT doc_id, {_sql_md5_long("shingle")} AS h FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM p GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN p pa ON pa.doc_id = c.id_a
+  JOIN p pb ON pb.doc_id = c.id_b AND pb.h = pa.h
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b, round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+),
+prs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.12),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM prs
+  UNION
+  SELECT id_b, id_a FROM prs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+labels AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+),
+csizes AS (
+  SELECT cluster_id, COUNT(*)::BIGINT AS cluster_size FROM labels GROUP BY cluster_id
+)
+SELECT cluster_size, COUNT(*)::BIGINT AS n_clusters
+FROM csizes GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
 def u15_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-publish data-quality profile of the documents table: one agg
     pass computes per-column null/distinct/length metrics (multi-distinct
@@ -4794,13 +4860,14 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "g1_pagerank": (g1_pagerank, G1_SQL),
     "g2_triangles": (g2_triangles, G2_SQL),
     "u15_data_profile": (u15_data_profile, U15_SQL),
+    "g3_cluster_sizes": (g3_cluster_sizes, G3_SQL),
     # --- r2-graded sentinels: fresh driver rows on post-drift data (13) ---
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
-    "q17_small_qty_revenue": (q17_small_qty_revenue, Q17_SQL),
     # ================= driver window boundary (entry 50) =================
+    "q17_small_qty_revenue": (q17_small_qty_revenue, Q17_SQL),
     "q18_large_orders": (q18_large_orders, Q18_SQL),
     "q21_waiting_supplier": (q21_waiting_supplier, Q21_SQL),
     "q22_idle_customers": (q22_idle_customers, Q22_SQL),

@@ -159,3 +159,35 @@ def test_merge_cdf_emits_full_change_set(spark, target):
     assert (1, "delete") in types
     assert (2, "update_preimage") in types and (2, "update_postimage") in types
     assert (500, "insert") in types
+
+
+@pytest.mark.parametrize("seed", [3, 17, 41])
+def test_merge_upsert_equals_apply_cdc(spark, tmp_path, seed):
+    """Coherence: merge_into(update+insert) on random batches must land
+    the same final table as the independent apply_cdc merge semantics —
+    two implementations of upsert, one answer."""
+    import random
+
+    from polars_incremental_spark.cdc import apply_cdc
+
+    rnd = random.Random(seed)
+    base = [(k, rnd.randint(0, 99)) for k in rnd.sample(range(50), 30)]
+    batch = [(k, rnd.randint(100, 199)) for k in rnd.sample(range(70), 25)]
+    path = str(tmp_path / f"t{seed}")
+    write_table(spark.createDataFrame(base, "k long, v long"), path)
+    merge_into(
+        spark, path,
+        spark.createDataFrame(batch, "k long, v long"),
+        keys=["k"], when_matched_update={"v": "src.v"},
+    )
+    got = {r["k"]: r["v"] for r in read_table(spark, path).collect()}
+    expected_df = apply_cdc(
+        spark.createDataFrame(
+            [(k, v, "update_postimage") for k, v in batch],
+            "k long, v long, _change_type string",
+        ),
+        spark.createDataFrame(base, "k long, v long"),
+        keys=["k"],
+    )
+    want = {r["k"]: r["v"] for r in expected_df.collect()}
+    assert got == want

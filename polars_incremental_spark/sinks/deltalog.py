@@ -1164,6 +1164,13 @@ def update_where(
     unknown = set(set_exprs) - known
     if unknown:
         raise ValueError(f"SET targets unknown columns: {sorted(unknown)}")
+    gen_exprs = _generated_columns(meta)
+    direct = set(set_exprs) & set(gen_exprs)
+    if direct:
+        raise ValueError(
+            f"cannot directly assign generated columns {sorted(direct)}; "
+            f"update their source columns and the values recompute"
+        )
     candidates = _candidate_adds(log, meta, where)
     if not candidates:
         return {
@@ -1202,7 +1209,24 @@ def update_where(
         else F.col(f.name)
         for f in schema.fields
     ]
-    rewritten = hit_df.select(*new_cols, "__file")
+    rewritten = hit_df.select(*new_cols, matched.alias("__m"), "__file")
+    if gen_exprs:
+        # a changed generation SOURCE must flow through: recompute every
+        # generated column on updated rows from the POST-update values (a
+        # stale derived value would corrupt partition pruning)
+        rewritten = rewritten.select(
+            *[
+                F.when(F.col("__m"), F.expr(gen_exprs[f.name]).cast(f.dataType))
+                .otherwise(F.col(f.name))
+                .alias(f.name)
+                if f.name in gen_exprs
+                else F.col(f.name)
+                for f in schema.fields
+            ],
+            "__m",
+            "__file",
+        )
+    rewritten = rewritten.drop("__m")
     constraints = _check_constraints(meta)
     if constraints:
         updated_only = rewritten.filter(
@@ -1315,6 +1339,14 @@ def merge_into(
 
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         part_cols = meta.get("partitionColumns") or []
+    gen_exprs = _generated_columns(meta)
+    if when_matched_update:
+        direct = set(when_matched_update) & set(gen_exprs)
+        if direct:
+            raise ValueError(
+                f"cannot directly assign generated columns {sorted(direct)}; "
+                f"update their source columns and the values recompute"
+            )
     metrics = {"rows_updated": 0, "rows_deleted": 0, "rows_inserted": 0}
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = [
@@ -1328,7 +1360,6 @@ def merge_into(
     ]
     cdc_frames = []
     constraints = _check_constraints(meta)
-    gen_exprs = _generated_columns(meta)
     hit_uris: list = []
     if df is not None and (when_matched_update or when_matched_delete):
         import re as _re
@@ -1392,6 +1423,26 @@ def merge_into(
                 "__file",
                 "__ri",
             )
+            if gen_exprs:
+                # recompute generated columns on updated rows from the
+                # post-update values (same rule as update_where)
+                rewritten_all = rewritten_all.select(
+                    *[
+                        F.when(
+                            F.col("__upd"),
+                            F.expr(gen_exprs[f.name]).cast(f.dataType),
+                        )
+                        .otherwise(F.col(f.name))
+                        .alias(f.name)
+                        if f.name in gen_exprs
+                        else F.col(f.name)
+                        for f in schema.fields
+                    ],
+                    "__del",
+                    "__upd",
+                    "__file",
+                    "__ri",
+                )
             counts = rewritten_all.agg(
                 F.sum(F.col("__del").cast("long")).alias("d"),
                 F.sum(F.col("__upd").cast("long")).alias("u"),

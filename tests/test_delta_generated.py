@@ -99,3 +99,62 @@ def test_generated_partition_column_prunes(spark, tmp_path):
                 h.write(b"junk")
     rows = read_table(spark, path, where="d = '2024-01-02'").collect()
     assert sorted(r["id"] for r in rows) == [i for i in range(18) if i % 3 == 1]
+
+
+def test_update_recomputes_generated_column(spark, tmp_path):
+    """UPDATE that changes a generation SOURCE column must recompute the
+    generated column (and re-bucket partitioned rows) — a stale derived
+    value silently corrupts partition pruning."""
+    from polars_incremental_spark.sinks.deltalog import update_where
+
+    path = str(tmp_path / "t")
+    write_delta_fallback(
+        _events(spark, range(6)),
+        path,
+        generated_columns={"d": "CAST(ts AS DATE)"},
+        partition_by=["d"],
+    )
+    update_where(
+        spark, path, "id = 0", {"ts": "timestamp'2024-02-20 09:00:00'"}
+    )
+    rows = {r["id"]: r for r in read_table(spark, path).collect()}
+    assert str(rows[0]["d"]) == "2024-02-20"  # recomputed, not stale
+    log = DeltaLog(path)
+    parts = {
+        a["partitionValues"]["d"]
+        for a in log.snapshot_files(log.latest_version())
+    }
+    assert "2024-02-20" in parts  # row moved to the new hive dir
+    # every row still satisfies the generation invariant
+    assert all(r["d"] == r["ts"].date() for r in rows.values())
+
+
+def test_update_rejects_direct_generated_assignment(spark, tmp_path):
+    from polars_incremental_spark.sinks.deltalog import update_where
+
+    path = str(tmp_path / "t")
+    write_delta_fallback(
+        _events(spark, range(3)), path, generated_columns={"d": "CAST(ts AS DATE)"}
+    )
+    with pytest.raises(ValueError, match="generated"):
+        update_where(spark, path, "id = 1", {"d": "DATE'1999-01-01'"})
+
+
+def test_merge_update_recomputes_generated_column(spark, tmp_path):
+    from polars_incremental_spark.sinks.deltalog import merge_into
+
+    path = str(tmp_path / "t")
+    write_delta_fallback(
+        _events(spark, range(4)), path, generated_columns={"d": "CAST(ts AS DATE)"}
+    )
+    source = spark.createDataFrame(
+        [(2, "2024-03-03 08:00:00")], "id long, ts_s string"
+    ).select("id", F.col("ts_s").cast("timestamp").alias("ts"))
+    merge_into(
+        spark, path, source, keys=["id"],
+        when_matched_update={"ts": "src.ts"},
+        when_not_matched_insert=False,
+    )
+    rows = {r["id"]: r for r in read_table(spark, path).collect()}
+    assert str(rows[2]["d"]) == "2024-03-03"
+    assert all(r["d"] == r["ts"].date() for r in rows.values())

@@ -648,39 +648,66 @@ _PRUNABLE_NUMERIC = {"byte", "short", "integer", "long", "float", "double"}
 _PRUNABLE_STRING = {"string"}
 
 
+_LIT_RE_SRC = r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"|-?\d+(?:\.\d+)?)"
+
+
+def _parse_literal(raw: str):
+    if raw.startswith("'"):
+        return raw[1:-1].replace("''", "'")
+    if raw.startswith('"'):
+        return raw[1:-1].replace('""', '"')
+    return float(raw) if "." in raw else int(raw)
+
+
 def _skipping_conjuncts(where: str) -> list[tuple[str, str, Any]]:
     """The pushdown-able subset of ``where``: top-level AND-ed
-    ``col OP literal`` comparisons (OP in =, ==, <, <=, >, >=; literal a
-    number or quoted string).  Conjuncts that don't fit are simply not
-    used for pruning (the residual filter keeps semantics exact).  Any
-    ``OR`` bails out entirely — an unparenthesized OR changes precedence,
-    so AND-operands are then not independently necessary."""
+    ``col OP literal`` comparisons (OP in =, ==, <, <=, >, >=), plus
+    ``col BETWEEN a AND b`` (rewritten to two range conjuncts) and
+    ``col IN (literals)`` (pruned when NO member can fall in the file's
+    range).  Conjuncts that don't fit are simply not used for pruning
+    (the residual filter keeps semantics exact).  Any ``OR`` — or a NOT
+    near a BETWEEN, whose rewrite would invert wrongly — bails out
+    entirely: an unparenthesized OR changes precedence, so AND-operands
+    are then not independently necessary."""
     global _CONJUNCT_RE
     import re
 
     if _CONJUNCT_RE is None:
         _CONJUNCT_RE = re.compile(
-            r"^\s*(\w+)\s*(==|=|<=|>=|<|>)\s*"
-            r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"|-?\d+(?:\.\d+)?)\s*$"
+            r"^\s*(\w+)\s*(==|=|<=|>=|<|>)\s*" + _LIT_RE_SRC + r"\s*$"
         )
     if re.search(r"\bor\b", where, re.IGNORECASE):
         return []
+    if re.search(r"\bnot\b[\s\S]*\bbetween\b", where, re.IGNORECASE):
+        return []
+    # BETWEEN rewrites BEFORE the AND split (its AND is not a conjunction)
+    where = re.sub(
+        r"\b(\w+)\s+between\s+" + _LIT_RE_SRC + r"\s+and\s+" + _LIT_RE_SRC,
+        r"\1 >= \2 and \1 <= \3",
+        where,
+        flags=re.IGNORECASE,
+    )
+    in_re = re.compile(r"^\s*(\w+)\s+in\s*\(([^()]*)\)\s*$", re.IGNORECASE)
+    item_re = re.compile(r"^\s*" + _LIT_RE_SRC + r"\s*$")
     out: list[tuple[str, str, Any]] = []
     for part in re.split(r"\band\b", where, flags=re.IGNORECASE):
         m = _CONJUNCT_RE.match(part)
-        if not m:
+        if m:
+            col, op, raw = m.group(1), m.group(2), m.group(3)
+            out.append((col, "=" if op == "==" else op, _parse_literal(raw)))
             continue
-        col, op, raw = m.group(1), m.group(2), m.group(3)
-        lit: Any
-        if raw.startswith("'"):
-            lit = raw[1:-1].replace("''", "'")
-        elif raw.startswith('"'):
-            lit = raw[1:-1].replace('""', '"')
-        elif "." in raw:
-            lit = float(raw)
-        else:
-            lit = int(raw)
-        out.append((col, "=" if op == "==" else op, lit))
+        mi = in_re.match(part)
+        if mi:
+            items = mi.group(2).split(",")
+            parsed = []
+            for item in items:
+                li = item_re.match(item)
+                if not li:
+                    parsed = None
+                    break
+                parsed.append(_parse_literal(li.group(1)))
+            if parsed:
+                out.append((mi.group(1), "in", parsed))
     return out
 
 
@@ -718,6 +745,13 @@ def _file_may_match(
                     return False  # all-null file: no comparison can hold
                 continue
             lo, hi = mins[col], maxs[col]
+        if op == "in":
+            members = lit
+            if any(isinstance(m, str) != isinstance(lo, str) for m in members):
+                continue  # mixed/unknown literal types: fail open
+            if not any(lo <= m <= hi for m in members):
+                return False
+            continue
         if isinstance(lit, str) != isinstance(lo, str):
             continue
         if op == "=":

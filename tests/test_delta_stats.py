@@ -318,3 +318,62 @@ def test_streaming_tailer_refuses_unsupported_features(spark, tmp_path):
     cp = DeltaTableCheckpoint(ckpt, path)
     with pytest.raises(PlanningError, match="v2Checkpoint"):
         cp.plan_batch(DeltaSource(path=path))
+
+
+def test_between_and_in_pushdown(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _ranged_table(spark, path)
+    log = DeltaLog(path)
+    # BETWEEN: corrupt files disjoint from [150, 250]
+    for add in log.snapshot_files(log.latest_version()):
+        stats = json.loads(add["stats"])
+        if stats["maxValues"]["x"] < 150 or stats["minValues"]["x"] > 250:
+            _corrupt(log.abs_path(add["path"]))
+    rows = read_table(spark, path, where="x between 150 and 250").collect()
+    assert sorted(r["x"] for r in rows) == list(range(150, 251))
+
+
+def test_in_list_pushdown(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _ranged_table(spark, path)
+    log = DeltaLog(path)
+    targets = [5, 7, 42]
+    for add in log.snapshot_files(log.latest_version()):
+        stats = json.loads(add["stats"])
+        lo, hi = stats["minValues"]["x"], stats["maxValues"]["x"]
+        if not any(lo <= t <= hi for t in targets):
+            _corrupt(log.abs_path(add["path"]))
+    rows = read_table(spark, path, where="x in (5, 7, 42)").collect()
+    assert sorted(r["x"] for r in rows) == targets
+
+
+def test_conjunct_parser_between_and_in_rules():
+    assert _skipping_conjuncts("x between 3 and 9") == [
+        ("x", ">=", 3),
+        ("x", "<=", 9),
+    ]
+    assert _skipping_conjuncts("k in ('a', 'b') and x > 1") == [
+        ("x", ">", 1),
+        ("k", "in", ["a", "b"]),
+    ] or _skipping_conjuncts("k in ('a', 'b') and x > 1") == [
+        ("k", "in", ["a", "b"]),
+        ("x", ">", 1),
+    ]
+    # NOT near a BETWEEN bails entirely (the rewrite would invert wrongly)
+    assert _skipping_conjuncts("not x between 1 and 5") == []
+    # NOT IN is simply not used for pruning; other conjuncts still are
+    assert _skipping_conjuncts("x not in (1, 2) and x > 7") == [("x", ">", 7)]
+
+
+def test_in_matcher_prunes_disjoint_members():
+    add = {
+        "path": "p",
+        "stats": json.dumps(
+            {"numRecords": 10, "minValues": {"x": 100}, "maxValues": {"x": 200},
+             "nullCount": {"x": 0}}
+        ),
+    }
+    assert not _file_may_match(add, [("x", "in", [1, 2, 300])], set(), {"x": "long"})
+    assert _file_may_match(add, [("x", "in", [1, 150])], set(), {"x": "long"})
+    # mixed literal types fail open
+    assert _file_may_match(add, [("x", "in", [1, "a"])], set(), {"x": "long"})

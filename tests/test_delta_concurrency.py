@@ -146,3 +146,46 @@ def test_dml_conflict_surfaces(spark, tmp_path):
         dl._write_commit = real_commit
     # the failed DELETE changed nothing
     assert read_table(spark, path).count() == 2
+
+
+def test_append_races_dml_consistently(spark, tmp_path):
+    """An append thread racing a DELETE: the append always lands (rebase),
+    the DELETE either wins its version or surfaces a conflict — never a
+    torn table."""
+    path = str(tmp_path / "t")
+    write_table(
+        spark.createDataFrame([(i,) for i in range(50)], "x long"), path
+    )
+    results = {}
+
+    def do_appends():
+        try:
+            for i in range(3):
+                write_delta_fallback(
+                    spark.createDataFrame([(1000 + i,)], "x long"),
+                    path,
+                    mode="append",
+                )
+            results["append"] = "ok"
+        except Exception as exc:  # noqa: BLE001
+            results["append"] = exc
+
+    def do_delete():
+        try:
+            results["delete"] = delete_where(spark, path, "x < 10")
+        except CommitConflictError:
+            results["delete"] = "conflict"
+
+    ta = threading.Thread(target=do_appends)
+    td = threading.Thread(target=do_delete)
+    ta.start(); td.start(); ta.join(); td.join()
+    assert results["append"] == "ok"
+    rows = {r["x"] for r in read_table(spark, path).collect()}
+    assert {1000, 1001, 1002} <= rows  # every append landed
+    if results["delete"] == "conflict":
+        assert set(range(50)) <= rows  # delete cleanly aborted
+    else:
+        assert rows.isdisjoint(set(range(10)))  # delete cleanly applied
+    log = DeltaLog(path)
+    vs = log.versions()
+    assert vs == list(range(vs[-1] + 1))  # contiguous chain, no gaps

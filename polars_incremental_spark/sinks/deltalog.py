@@ -688,6 +688,9 @@ def _skipping_conjuncts(where: str) -> list[tuple[str, str, Any]]:
         flags=re.IGNORECASE,
     )
     in_re = re.compile(r"^\s*(\w+)\s+in\s*\(([^()]*)\)\s*$", re.IGNORECASE)
+    null_re = re.compile(
+        r"^\s*(\w+)\s+is\s+(not\s+)?null\s*$", re.IGNORECASE
+    )
     item_re = re.compile(r"^\s*" + _LIT_RE_SRC + r"\s*$")
     out: list[tuple[str, str, Any]] = []
     for part in re.split(r"\band\b", where, flags=re.IGNORECASE):
@@ -695,6 +698,10 @@ def _skipping_conjuncts(where: str) -> list[tuple[str, str, Any]]:
         if m:
             col, op, raw = m.group(1), m.group(2), m.group(3)
             out.append((col, "=" if op == "==" else op, _parse_literal(raw)))
+            continue
+        mn = null_re.match(part)
+        if mn:
+            out.append((mn.group(1), "notnull" if mn.group(2) else "isnull", None))
             continue
         mi = in_re.match(part)
         if mi:
@@ -723,6 +730,20 @@ def _file_may_match(
     pv = add.get("partitionValues") or {}
     for col, op, lit in conjuncts:
         ftype = field_types.get(col, "")
+        if op in ("isnull", "notnull"):
+            # null-predicate pruning works for ANY column type: it needs
+            # only the logged nullCount/numRecords
+            if stats is None or col in part_cols:
+                continue
+            nc = stats.get("nullCount", {}).get(col)
+            nr = stats.get("numRecords")
+            if nc is None or nr is None:
+                continue
+            if op == "isnull" and nc == 0:
+                return False
+            if op == "notnull" and nc == nr and nr > 0:
+                return False
+            continue
         numeric = ftype in _PRUNABLE_NUMERIC
         if not (numeric or ftype in _PRUNABLE_STRING):
             continue

@@ -377,3 +377,38 @@ def test_in_matcher_prunes_disjoint_members():
     assert _file_may_match(add, [("x", "in", [1, 150])], set(), {"x": "long"})
     # mixed literal types fail open
     assert _file_may_match(add, [("x", "in", [1, "a"])], set(), {"x": "long"})
+
+
+def test_null_predicate_pruning(spark, tmp_path):
+    path = str(tmp_path / "t")
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "id long, w string")
+    b = spark.createDataFrame([(3, None), (4, None)], "id long, w string")
+    write_table(a.coalesce(1), path)
+    write_table(b.coalesce(1), path)
+    log = DeltaLog(path)
+    # IS NULL: corrupt the no-nulls file; the query must still answer
+    for add in log.snapshot_files(log.latest_version()):
+        if json.loads(add["stats"])["nullCount"]["w"] == 0:
+            _corrupt(log.abs_path(add["path"]))
+    rows = read_table(spark, path, where="w is null").collect()
+    assert sorted(r["id"] for r in rows) == [3, 4]
+
+
+def test_not_null_predicate_pruning(spark, tmp_path):
+    path = str(tmp_path / "t")
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "id long, w string")
+    b = spark.createDataFrame([(3, None), (4, None)], "id long, w string")
+    write_table(a.coalesce(1), path)
+    write_table(b.coalesce(1), path)
+    log = DeltaLog(path)
+    for add in log.snapshot_files(log.latest_version()):
+        st = json.loads(add["stats"])
+        if st["nullCount"]["w"] == st["numRecords"]:
+            _corrupt(log.abs_path(add["path"]))
+    rows = read_table(spark, path, where="w is not null").collect()
+    assert sorted(r["id"] for r in rows) == [1, 2]
+    assert _skipping_conjuncts("w is not null") == [("w", "notnull", None)]
+    assert _skipping_conjuncts("w is null and x > 1") == [
+        ("w", "isnull", None),
+        ("x", ">", 1),
+    ]

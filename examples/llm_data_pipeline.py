@@ -114,13 +114,21 @@ def main() -> None:
     print(f"curated after batch 2: {n2} docs (overlap 200-299 deduped)")
 
     # duplicate-cluster report over the curated corpus: near-dup pairs that
-    # survived the per-batch threshold resolve into clusters for auditing
+    # survived the per-batch threshold resolve into clusters for auditing,
+    # and PageRank centrality flags the template hubs worth inspecting
     curated_df = read_table(spark, curated)
     pairs = dedup.minhash_lsh_pairs(curated_df, threshold=0.3).persist()
     if pairs.take(1):
         clusters = dedup.connected_components(pairs)
         n_clusters = clusters.select("cluster_id").distinct().count()
         print(f"residual near-dup clusters at 0.3: {n_clusters}")
+        from polars_incremental_spark.functions.graph import pagerank
+
+        sym = pairs.select("id_a", "id_b").union(
+            pairs.select(F.col("id_b"), F.col("id_a"))
+        ).toDF("src", "dst")
+        top = pagerank(sym, iterations=3).orderBy(F.col("rank").desc()).limit(3)
+        print("most-central dup hubs:", [(r["node"], r["rank"]) for r in top.collect()])
     else:
         print("residual near-dup clusters at 0.3: 0 (corpus fully deduped)")
     pairs.unpersist()

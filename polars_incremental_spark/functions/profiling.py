@@ -3,9 +3,13 @@ long-format (column, metric, value) report — the deequ-style health check
 a pipeline runs before publishing a batch.
 
 Scale shape: a single agg computes every per-column metric (null counts,
-exact distinct counts, min/max lengths); Catalyst plans the multi-distinct
-via expand, so the cost is one logical pass regardless of column count.
-The wide->long reshape is a map-side stack() — no extra shuffle.
+exact distinct counts, min/max lengths).  Catalyst plans the
+multi-distinct via EXPAND, which replicates each scanned row once per
+distinct aggregate — so profiling N columns costs ~N row-copies through
+the first shuffle.  Fine for routine health checks; for a very wide
+table at full scale, profile in column batches or swap the exact
+distincts for approx_count_distinct.  The wide->long reshape is a
+map-side stack() — no extra shuffle.
 """
 
 from __future__ import annotations

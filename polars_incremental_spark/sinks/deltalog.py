@@ -937,14 +937,6 @@ def _snapshot_reader(spark: SparkSession, log: DeltaLog, meta: dict[str, Any]):
     return reader, schema, part_cols
 
 
-def _rel_path_of(file_uri: str, table_path: str) -> str:
-    """``_metadata.file_path`` URI -> the add-action's relative path."""
-    p = file_uri
-    if p.startswith("file:"):
-        p = p[len("file:"):]
-    return os.path.relpath(p, os.path.abspath(table_path))
-
-
 def _file_uri(log: DeltaLog, rel_path: str) -> str:
     """The ``_metadata.file_path`` URI Spark reports for an add's file."""
     return "file:" + os.path.abspath(log.abs_path(rel_path))
@@ -1151,15 +1143,17 @@ def delete_where(
             actions.append({"add": payload})
     rw_rel = set()
     if rw_uris:
-        rw_rel = {_rel_path_of(u, table_path) for u in rw_uris}
+        rw_uri_set = set(rw_uris)
         survivors = (
             df.filter(F.col("__file").isin(rw_uris))
             .filter(~F.coalesce(pred, F.lit(False)))
             .drop("__file", "__ri")
         )
         adds = _stage_data_files(survivors, table_path, part_cols or None)
+        rw_rel = set()
         for a in candidates:
-            if a["path"] in rw_rel:
+            if _file_uri(log, a["path"]) in rw_uri_set:
+                rw_rel.add(a["path"])
                 actions.append(
                     {
                         "remove": {
@@ -1249,9 +1243,14 @@ def update_where(
             "rows_updated": 0,
             "version": None,
         }
-    hit_rel = {_rel_path_of(r["__file"], table_path) for r in hits}
     rows_updated = sum(r["__n"] for r in hits)
     hit_uris = [r["__file"] for r in hits]
+    hit_uri_set = set(hit_uris)
+    hit_rel = {
+        a["path"]
+        for a in candidates
+        if _file_uri(log, a["path"]) in hit_uri_set
+    }
     hit_df = df.filter(F.col("__file").isin(hit_uris))
     matched = F.coalesce(pred, F.lit(False))
     # all assignments evaluate against the PRE-update row: build every new
@@ -1335,6 +1334,68 @@ def update_where(
         "rows_updated": rows_updated,
         "version": version,
     }
+
+
+def clone_table(
+    source_path: str,
+    target_path: str,
+    *,
+    version: int | None = None,
+) -> dict[str, Any]:
+    """SHALLOW CLONE: create a new Delta table whose log REFERENCES the
+    source's data files by absolute path — a zero-copy snapshot for
+    dev/test/what-if work (real Delta's ``CREATE TABLE ... SHALLOW CLONE``;
+    the spec allows absolute paths in add actions, and ``abs_path``'s
+    os.path.join passes absolute entries through untouched).
+
+    The clone is independent from version 0: appends land in the clone's
+    own directory, DML rewrites hit files INTO the clone (copy-on-write
+    pulls the rows out of the shared source file), and the clone's VACUUM
+    walks only the clone directory so shared source files are never
+    reclaimed by it.  ``version`` clones a historical snapshot (time
+    travel at clone time).  Deletion vectors on the source snapshot are
+    carried verbatim (inline DVs live in the log).
+    """
+    src_log = DeltaLog(source_path)
+    latest = src_log.latest_version()
+    if latest is None:
+        raise FileNotFoundError(f"not a delta table: {source_path}")
+    at = latest if version is None else version
+    src_log.check_reader_supported(at_version=at)
+    meta = src_log.table_metadata(at_version=at) or {}
+    adds = src_log.snapshot_files(at)
+    proto = src_log.protocol(at_version=at) or {
+        "minReaderVersion": 1,
+        "minWriterVersion": 2,
+    }
+    os.makedirs(os.path.join(target_path, LOG_DIR), exist_ok=True)
+    now_ms = int(time.time() * 1000)
+    actions: list[dict[str, Any]] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "CLONE",
+                "operationParameters": {
+                    "source": source_path,
+                    "sourceVersion": at,
+                },
+            }
+        },
+        {"protocol": proto},
+        {
+            "metaData": {
+                **meta,
+                "id": str(uuid.uuid4()),  # a clone is a NEW table identity
+                "createdTime": now_ms,
+            }
+        },
+    ]
+    for add in adds:
+        payload = {k: v for k, v in add.items() if k != "commit_version"}
+        payload["path"] = os.path.abspath(src_log.abs_path(add["path"]))
+        actions.append({"add": payload})
+    _write_commit(os.path.join(target_path, LOG_DIR), 0, actions)
+    return {"files_referenced": len(adds), "source_version": at, "version": 0}
 
 
 def merge_into(
@@ -1510,9 +1571,9 @@ def merge_into(
             if constraints:
                 _enforce_constraints(survivors, constraints)
             adds = _stage_data_files(survivors, table_path, part_cols or None)
-            hit_rel = {_rel_path_of(u, table_path) for u in hit_uris}
+            hit_uri_set = set(hit_uris)
             for a in candidates:
-                if a["path"] in hit_rel:
+                if _file_uri(log, a["path"]) in hit_uri_set:
                     actions.append(
                         {
                             "remove": {

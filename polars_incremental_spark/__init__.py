@@ -35,12 +35,23 @@ from .patterns import (
 from .pipeline import Pipeline, RunResult, call_with_context
 from .schema import SchemaEvolution, apply_schema, widen_types
 from .session import get_spark
+from .errors import ConstraintViolationError
 from .sinks.delta import (
     apply_cdc_table,
+    delete_rows,
     read_table,
     restore_table,
     table_history,
+    update_rows,
     write_table,
+)
+from .sinks.deltalog import (
+    add_check_constraint,
+    analyze_table,
+    clone_table,
+    drop_check_constraint,
+    merge_into,
+    set_table_properties,
 )
 from .sinks.parquet import write_parquet_batch
 from .sources.base import AutoSource, DeltaSource, FilesSource, infer_source_format
@@ -53,6 +64,7 @@ __all__ = [
     "BaseObserver",
     "ChangeDataFeedError",
     "CommitError",
+    "ConstraintViolationError",
     "DatasetSpec",
     "DeltaSource",
     "FilesSource",
@@ -72,9 +84,14 @@ __all__ = [
     "TransformError",
     "UnsupportedFormatError",
     "WriterError",
+    "add_check_constraint",
+    "analyze_table",
     "apply_cdc",
     "apply_cdc_table",
     "apply_schema",
+    "clone_table",
+    "delete_rows",
+    "drop_check_constraint",
     "call_with_context",
     "cross_batch_dedupe",
     "dedupe_changes",
@@ -83,12 +100,15 @@ __all__ = [
     "incremental_aggregate",
     "infer_source_format",
     "latest_per_key",
+    "merge_into",
     "normalize_change_types",
     "read_table",
     "restore_table",
     "route_late",
+    "set_table_properties",
     "strip_cdc_columns",
     "table_history",
+    "update_rows",
     "upsert_latest",
     "widen_types",
     "write_parquet_batch",

@@ -1606,8 +1606,8 @@ R25_SQL = """
 WITH cand AS (
   SELECT ts, value,
          unnest([
-           to_timestamp(floor(epoch(ts) / 300) * 300),
-           to_timestamp(floor(epoch(ts) / 300) * 300 - 300)
+           time_bucket(INTERVAL 5 MINUTE, ts),
+           time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE
          ]) AS window_start
   FROM events
 )

@@ -1280,16 +1280,19 @@ def update_where(
             "__m",
             "__file",
         )
-    rewritten = rewritten.drop("__m")
+    # Keep __m (the PRE-update match flag) alive until after the CDF step:
+    # re-evaluating `matched` against post-update values drops any row whose
+    # SET falsified its own WHERE predicate (e.g. UPDATE SET x=0 WHERE x=1),
+    # silently losing update_postimage rows from the change feed.
     constraints = _check_constraints(meta)
     if constraints:
         updated_only = rewritten.filter(
             F.col("__file").isin(hit_uris)
-        ).drop("__file")
+        ).drop("__m", "__file")
         # cheap subset: only rows in rewritten files can have changed
         _enforce_constraints(updated_only, constraints)
     adds = _stage_data_files(
-        rewritten.drop("__file"), table_path, part_cols or None
+        rewritten.drop("__m", "__file"), table_path, part_cols or None
     )
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = [
@@ -1320,8 +1323,8 @@ def update_where(
             .withColumn("_change_type", F.lit("update_preimage"))
         )
         post = (
-            rewritten.filter(matched)
-            .drop("__file")
+            rewritten.filter(F.col("__m"))
+            .drop("__m", "__file")
             .withColumn("_change_type", F.lit("update_postimage"))
         )
         cdc_df = pre.unionByName(post)
@@ -1490,9 +1493,14 @@ def merge_into(
             *[F.col(c).alias(f"__src_{c}") for c in source.columns],
             F.lit(1).alias("__matched"),
         )
+        # Plain (null-unsafe) equality, matching real Delta's `ON t.k = s.k`:
+        # a NULL merge key never matches, so NULL-key source rows fall through
+        # to the not-matched insert clause — the same comparison the left_anti
+        # join below uses.  eqNullSafe here would both update the NULL-key
+        # target row AND insert the source row, duplicating it.
         cond = None
         for k in keys:
-            term = df[k].eqNullSafe(F.col(f"__src_{k}"))
+            term = df[k] == F.col(f"__src_{k}")
             cond = term if cond is None else (cond & term)
         joined = df.join(src_sel, cond, "inner")
         # Delta's multiple-match guard: >1 source row per target row aborts
@@ -2082,9 +2090,24 @@ def restore_table_fallback(table_path: str, *, version: int) -> dict[str, Any]:
         and meta_v.get("schemaString") != meta_cur.get("schemaString")
     ):
         actions.append({"metaData": meta_v})
+    def _add_payload(a: dict) -> tuple:
+        # Everything that affects the LOGICAL content of an add action: a DV
+        # DELETE (or an in-place stats rewrite from analyze) keeps the same
+        # path but changes the action, and RESTORE must revert it — diffing
+        # by path alone would report success while deleted rows stay dead.
+        return tuple(
+            json.dumps(a.get(k), sort_keys=True)
+            for k in ("deletionVector", "stats", "size", "partitionValues", "tags")
+        )
+
     n_removed = 0
+    changed = {
+        p
+        for p in target
+        if p in current and _add_payload(target[p]) != _add_payload(current[p])
+    }
     for p in current:
-        if p not in target:
+        if p not in target or p in changed:
             actions.append(
                 {
                     "remove": {
@@ -2097,7 +2120,7 @@ def restore_table_fallback(table_path: str, *, version: int) -> dict[str, Any]:
             n_removed += 1
     n_added = 0
     for p, add in target.items():
-        if p not in current:
+        if p not in current or p in changed:
             actions.append({"add": dict(add, dataChange=True)})
             n_added += 1
     _write_commit(os.path.join(table_path, LOG_DIR), latest + 1, actions)

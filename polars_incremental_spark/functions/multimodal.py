@@ -44,6 +44,13 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType(), False),
         T.StructField("n_bytes", T.LongType(), True),
         T.StructField("byte_entropy", T.DoubleType(), True),
+        # integer-exact companions to the (transcendental, hence not
+        # hash-verifiable) entropy: all three derive from the same byte
+        # histogram, so an oracle that verifies them exercises the exact
+        # mapInPandas path that produces the entropy too
+        T.StructField("distinct_bytes", T.IntegerType(), True),
+        T.StructField("mode_count", T.IntegerType(), True),
+        T.StructField("byte_sum", T.LongType(), True),
         T.StructField("head_hex", T.StringType(), True),
     ]
 )
@@ -294,7 +301,7 @@ def extract_features(df: DataFrame) -> DataFrame:
             rows = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 if content is None:
-                    rows.append((media_id, 0, 0.0, ""))
+                    rows.append((media_id, 0, 0.0, 0, 0, 0, ""))
                     continue
                 data = bytes(content)
                 n = len(data)
@@ -302,12 +309,23 @@ def extract_features(df: DataFrame) -> DataFrame:
                     # vectorized histogram — a per-byte Python loop would be
                     # the batch bottleneck at real media sizes
                     counts = np.bincount(np.frombuffer(data, dtype=np.uint8), minlength=256)
-                    p = counts[counts > 0] / n
+                    nz = counts[counts > 0]
+                    p = nz / n
                     entropy = float(-(p * np.log2(p)).sum())
+                    distinct = int(nz.size)
+                    mode_count = int(nz.max())
+                    byte_sum = int((counts * np.arange(256, dtype=np.int64)).sum())
                 else:
-                    entropy = 0.0
-                rows.append((media_id, n, round(entropy, 6), data[:8].hex()))
-            yield pd.DataFrame(rows, columns=["media_id", "n_bytes", "byte_entropy", "head_hex"])
+                    entropy, distinct, mode_count, byte_sum = 0.0, 0, 0, 0
+                rows.append(
+                    (media_id, n, round(entropy, 6), distinct, mode_count,
+                     byte_sum, data[:8].hex())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_bytes", "byte_entropy", "distinct_bytes",
+                         "mode_count", "byte_sum", "head_hex"],
+            )
 
     return df.select("media_id", "content").mapInPandas(_batches, FEATURE_SCHEMA)
 

@@ -539,6 +539,7 @@ def ivf_refine_centroids(
     n_iter: int = 3,
     vec_col: str = "embedding",
     assign_method: str = "expr",
+    scale: int = 1_000_000,
 ) -> list[list[float]]:
     """SPHERICAL k-means refinement of the seed centroids, Spark-shaped:
     each iteration is one map-side assignment + one groupBy(cell, dim)
@@ -547,8 +548,15 @@ def ivf_refine_centroids(
     averages UNIT vectors (the mean direction maximizes within-cell cosine;
     a raw-vector mean would optimize Euclidean distortion instead and can
     INCREASE cosine inertia when magnitudes vary).  Empty cells keep their
-    previous centroid; zero-norm vectors are excluded.  Iterative ⇒ no SQL
-    oracle; verified by the inertia-monotonicity test.
+    previous centroid; zero-norm vectors are excluded.
+
+    Determinism (what makes the TRAINED index oracle-replayable): the mean
+    goes through ``scale``-scaled integer sums — per (cell, dim) the update
+    is ``sum(round(unit_d * scale)) / (n * scale)``, an integer sum (order-
+    independent under any partitioning) followed by ONE exact IEEE double
+    division, no final rounding.  Every term is bit-reproducible in any
+    engine (same trick as ``label_centroids``), so an unrolled-CTE oracle
+    can replay the full Lloyd loop — see S5B_SQL in queries.py.
     """
     for _ in range(n_iter):
         assigned = ivf_assign(vectors, centroids, vec_col=vec_col, method=assign_method)
@@ -561,13 +569,20 @@ def ivf_refine_centroids(
             .withColumn("__n", norm(F.col(vec_col)))
             .select(F.col("__cell"), F.posexplode(unit).alias("__dim", "__x"))
             .groupBy("__cell", "__dim")
-            .agg(F.avg(F.col("__x")).alias("__m"))
+            .agg(
+                F.count("__x").cast("long").alias("__c"),
+                F.sum(F.round(F.col("__x") * scale).cast("long")).alias("__s"),
+            )
             .collect()
         )
         new = [list(c) for c in centroids]
         by_cell: dict[int, dict[int, float]] = {}
         for r in means:
-            by_cell.setdefault(r["__cell"] - 1, {})[r["__dim"]] = r["__m"]
+            if r["__s"] is None or not r["__c"]:
+                continue
+            by_cell.setdefault(r["__cell"] - 1, {})[r["__dim"]] = r["__s"] / (
+                r["__c"] * float(scale)
+            )
         for cell, dims in by_cell.items():
             new[cell] = [dims[d] for d in sorted(dims)]
         centroids = new

@@ -2879,14 +2879,56 @@ FROM r WHERE rank <= 5
 """
 
 
+def _sql_ivf_refine_iter(prev: str, out: str) -> str:
+    """One unrolled Lloyd iteration over CTE ``v`` (vec_id, e) given
+    centroids CTE ``prev`` (cell, c): rounded-cosine assignment (first-max
+    tie on the lowest cell), then the scaled-integer spherical mean —
+    ``sum(round(unit*1e6))::BIGINT / (n*1e6)`` — exactly the arithmetic
+    ``similarity.ivf_refine_centroids`` performs, so the trained centroids
+    replay bit-for-bit.  Empty cells keep the previous centroid."""
+    return f"""
+sims_{out} AS (
+  SELECT v.vec_id, v.e, p.cell, round({_sql_cosine("v.e", "p.c")}, 6) AS sim
+  FROM v CROSS JOIN {prev} p
+),
+a_{out} AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT vec_id, e, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rnk
+    FROM sims_{out} WHERE sim IS NOT NULL
+  ) WHERE rnk = 1
+),
+u_{out} AS (
+  SELECT cell,
+         unnest(range(0, len(e))) AS dim,
+         unnest(list_transform(
+           e, x -> (x / nullif(sqrt(list_sum(list_transform(e, y -> y * y))), 0.0))
+                   * 1000000.0
+         )) AS xs
+  FROM a_{out}
+),
+m_{out} AS (
+  SELECT cell, dim, COUNT(xs) AS n, SUM(CAST(round(xs) AS BIGINT)) AS s
+  FROM u_{out} WHERE xs IS NOT NULL GROUP BY cell, dim
+),
+c_{out} AS (
+  SELECT cell, list(s / (n * 1000000.0) ORDER BY dim) AS c
+  FROM m_{out} GROUP BY cell
+),
+{out} AS (
+  SELECT p.cell, COALESCE(nw.c, p.c) AS c
+  FROM {prev} p LEFT JOIN c_{out} nw ON p.cell = nw.cell
+)"""
+
+
 def s5b_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN on a TRAINED index — the real 100 TB path: spherical k-means
     refinement of the md5 seed centroids (2 Lloyd iterations, per-iteration
     shuffle O(n_cells × dim) after map-side combine) + Arrow-BLAS cell
     assignment (one numpy matmul per Arrow batch instead of interpreted
-    per-row folds).  Iterative training ⇒ no SQL oracle (driver records a
-    rows-only check); determinism and inertia-monotonicity are covered by
-    tests, and the expr-vs-arrow agreement is asserted in test_functions.
+    per-row folds).  The refinement's scaled-integer mean makes the trained
+    index engine-replayable, so the ITERATIVE training is hash-verified by
+    an unrolled-CTE oracle (the g1_pagerank trick applied to k-means).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     seeds = similarity._seed_centroids(emb, 16, "vec_id", "embedding")
@@ -2898,6 +2940,49 @@ def s5b_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, k=5, n_cells=16, n_probe=4,
         centroids=trained, assign_method="arrow",
     )
+
+
+S5B_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+ranked_seeds AS (
+  SELECT e AS c,
+         row_number() OVER (
+           ORDER BY {_sql_md5_long("CAST(vec_id AS VARCHAR)")}, vec_id
+         ) AS cell
+  FROM v
+),
+seeds AS (SELECT cell, c FROM ranked_seeds WHERE cell <= 16),
+{_sql_ivf_refine_iter("seeds", "cent1")},
+{_sql_ivf_refine_iter("cent1", "cent2")},
+sims_f AS (
+  SELECT v.vec_id, v.e, t.cell, round({_sql_cosine("v.e", "t.c")}, 6) AS sim
+  FROM v CROSS JOIN cent2 t
+),
+ranked_f AS (
+  SELECT vec_id, e, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rnk
+  FROM sims_f WHERE sim IS NOT NULL
+),
+cells AS (SELECT vec_id, e, cell FROM ranked_f WHERE rnk = 1),
+q AS (
+  SELECT vec_id AS query_id, e AS qe, cell
+  FROM ranked_f WHERE vec_id < 8 AND rnk <= 4
+),
+s AS (
+  SELECT query_id, c.vec_id, round({_sql_cosine("qe", "c.e")}, 6) AS cos
+  FROM q JOIN cells c ON q.cell = c.cell AND c.vec_id <> q.query_id
+),
+r AS (
+  SELECT query_id, vec_id, cos AS cosine_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 5
+"""
 
 
 def s6_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2947,10 +3032,43 @@ FROM r WHERE rank <= 5
 
 def m1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: synthesize media, extract byte features via
-    Arrow-batched mapInPandas.  Not SQL-expressible (entropy over a byte
-    histogram) → rows-only check."""
+    Arrow-batched mapInPandas.  The driver-facing projection is the
+    integer-exact slice of the byte histogram (distinct values, mode count,
+    byte sum) — the same histogram the entropy derives from — so the oracle
+    hash-verifies the REAL extractor end-to-end; entropy itself is a float
+    transcendental and stays pytest-verified (test_round6_fixes)."""
     media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
-    return multimodal.extract_features(media)
+    return multimodal.extract_features(media).select(
+        "media_id", "n_bytes", "distinct_bytes", "mode_count", "byte_sum",
+        "head_hex",
+    )
+
+
+M1_SQL = """
+WITH e AS (
+  SELECT doc_id AS media_id, encode(text) AS d FROM documents
+),
+bytes AS (
+  SELECT media_id,
+         CAST('0x' || substr(hex(d), 2 * i - 1, 2) AS INTEGER) AS v
+  FROM e, unnest(range(1, octet_length(d) + 1)) AS u(i)
+),
+hist AS (
+  SELECT media_id, v, COUNT(*) AS c FROM bytes GROUP BY media_id, v
+),
+feat AS (
+  SELECT media_id,
+         COUNT(*)::INTEGER AS distinct_bytes,
+         MAX(c)::INTEGER AS mode_count,
+         SUM(v * c)::BIGINT AS byte_sum
+  FROM hist GROUP BY media_id
+)
+SELECT e.media_id,
+       octet_length(e.d)::BIGINT AS n_bytes,
+       f.distinct_bytes, f.mode_count, f.byte_sum,
+       lower(substr(hex(e.d), 1, 16)) AS head_hex
+FROM e JOIN feat f ON e.media_id = f.media_id
+"""
 
 
 def m1b_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4820,7 +4938,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "d12_bloom_decontaminate": (d12_bloom_decontaminate, D12_SQL),
     "d13_dedup_canonical": (d13_dedup_canonical, D13_SQL),
     "d14_edit_distance_pairs": (d14_edit_distance_pairs, D14_SQL),
-    "s5b_ivf_refined_topk": (s5b_ivf_refined_topk, None),
+    "s5b_ivf_refined_topk": (s5b_ivf_refined_topk, S5B_SQL),
     "s7_semantic_dedup": (s7_semantic_dedup, S7_SQL),
     "t9_curate_topk": (t9_curate_topk, T9_SQL),
     "t10_quality_deciles": (t10_quality_deciles, T10_SQL),
@@ -4830,7 +4948,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "r24_trailing_hour": (r24_trailing_hour, R24_SQL),
     "r25_sliding_window": (r25_sliding_window, R25_SQL),
     "r26_ranking_functions": (r26_ranking_functions, R26_SQL),
-    "m1_multimodal_features": (m1_multimodal_features, None),
+    "m1_multimodal_features": (m1_multimodal_features, M1_SQL),
     "m2_frame_sample": (m2_frame_sample, M2_SQL),
     "m3_image_decode": (m3_image_decode, M3_SQL),
     "asof_fwd_click_after_error": (asof_fwd_click_after_error, ASOF_FWD_SQL),

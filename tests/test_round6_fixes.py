@@ -96,6 +96,35 @@ def test_restore_roundtrips_back_to_dv_state(spark, tmp_path):
     assert read_table(spark, path).count() == 4
 
 
+def test_extract_features_entropy_and_histogram_slice(spark):
+    # entropy left the driver oracle (float transcendental) — pin it here
+    # against a reference computation, alongside the integer-exact companions
+    import math
+    from collections import Counter
+
+    from polars_incremental_spark.functions.multimodal import extract_features
+
+    payloads = [b"aaaa", b"abab", bytes(range(256)), b"", "héllo".encode()]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "media_id long, content binary",
+    )
+    got = {r["media_id"]: r.asDict() for r in extract_features(df).collect()}
+    for i, p in enumerate(payloads):
+        c = Counter(p)
+        n = len(p)
+        exp_entropy = (
+            round(-sum((v / n) * math.log2(v / n) for v in c.values()), 6)
+            if n else 0.0
+        )
+        assert got[i]["n_bytes"] == n
+        assert abs(got[i]["byte_entropy"] - exp_entropy) < 1e-9, (i, p)
+        assert got[i]["distinct_bytes"] == len(c)
+        assert got[i]["mode_count"] == (max(c.values()) if c else 0)
+        assert got[i]["byte_sum"] == sum(p)
+        assert got[i]["head_hex"] == p[:8].hex()
+
+
 def test_merge_null_key_inserts_once_never_matches(spark, tmp_path):
     path = str(tmp_path / "t")
     write_table(

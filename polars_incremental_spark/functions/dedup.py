@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .iterutils import iter_checkpoint
 from .text import fingerprint, md5_long, word_chunks, word_shingles
 
 N_MINHASHES = 32
@@ -760,6 +761,7 @@ def connected_components(
     node_col: str = "doc_id",
     comp_col: str = "cluster_id",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = min node
     id of its connected component.  Turns near-dup PAIRS (minhash_lsh_pairs,
@@ -788,7 +790,9 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = sym.select("n").distinct().withColumn("lbl", F.col("n")).localCheckpoint()
+    labels = iter_checkpoint(
+        sym.select("n").distinct().withColumn("lbl", F.col("n")), checkpoint_dir
+    )
     try:
         for _ in range(max_iter):
             nbr_min = (
@@ -807,8 +811,8 @@ def connected_components(
                     F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("new_lbl"),
                     (F.coalesce("nlbl", "lbl") < F.col("lbl")).alias("chg"),
                 )
-                .localCheckpoint()
             )
+            new = iter_checkpoint(new, checkpoint_dir)
             changed = new.filter("chg").limit(1).count()
             labels = new.select("n", F.col("new_lbl").alias("lbl"))
             if changed == 0:
@@ -860,46 +864,49 @@ def chunk_dedup(
     if chunk_words < 1:
         raise ValueError(f"chunk_words must be >= 1; got {chunk_words}")
     w = chunk_words
+    # n_chunks = size(__chunks): word_chunks yields exactly ceil(n_tok/w)
+    # chunks for every input (tokens() is the same split the old separate
+    # meta branch used), so no second text pass or meta join is needed —
+    # a document whose every chunk is a repeat still rides through ``base``
+    # with its true chunk count.
     base = df.select(
         F.col(id_col),
         word_chunks(F.col(text_col), w, sep).alias("__chunks"),
-    )
-    # n_chunks comes from a map-side ARITHMETIC projection (ceil(n_tok/w)),
-    # NOT the kept-agg below: a document whose every chunk is a repeat
-    # vanishes from the agg but must still report its true chunk count —
-    # and counting needs no chunk strings, so this branch never pays the
-    # chunk build.
-    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
-    meta = df.select(
-        F.col(id_col),
-        ((n_tok + (w - 1)) / w).cast("long").alias("n_chunks"),
-    )
-    chunked = base.select(
+    ).withColumn("n_chunks", F.size("__chunks").cast("long"))
+    # Chunk TEXT never crosses a shuffle.  The winner agg moves only
+    # (md5-digest, id, chunk_idx) — fixed ~48 bytes/row with map-side
+    # min-combine on the digest — and reassembly REBUILDS the chunk array
+    # from the original document after joining the (tiny, int-list) kept
+    # indexes back per id.  The previous window formulation sort-shuffled
+    # every occurrence's full chunk text twice (rank + regroup); at 100 TB
+    # that shuffle IS the job, this one is ~5% of it.
+    digests = base.select(
         id_col, F.posexplode("__chunks").alias("chunk_idx", "chunk")
+    ).select(
+        id_col, "chunk_idx", F.md5(F.col("chunk")).alias("__dig")
     )
-    rank_w = Window.partitionBy(F.md5(F.col("chunk"))).orderBy(
-        F.col(id_col).asc(), F.col("chunk_idx").asc()
-    )
-    kept = (
-        chunked.withColumn("__rn", F.row_number().over(rank_w))
-        .filter(F.col("__rn") == 1)
-        .groupBy(id_col)
+    keep_lists = (
+        digests.groupBy("__dig")
+        .agg(F.min(F.struct(id_col, "chunk_idx")).alias("__w"))
+        .groupBy(F.col(f"__w.{id_col}").alias(id_col))
         .agg(
-            F.count("*").cast("long").alias("n_kept"),
-            F.array_join(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(chunk_idx, chunk))),"
-                    " s -> s.chunk)"
-                ),
-                sep,
-            ).alias("clean_text"),
+            F.sort_array(F.collect_list("__w.chunk_idx")).alias("__keep_idx")
         )
     )
-    return meta.join(kept, id_col, "left").select(
+    withkeep = base.join(keep_lists, id_col, "left")
+    return withkeep.select(
         id_col,
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.when(F.col("__keep_idx").isNull(), F.lit("")).otherwise(
+            F.array_join(
+                F.transform(
+                    F.col("__keep_idx"),
+                    lambda i: F.element_at(F.col("__chunks"), i + 1),
+                ),
+                sep,
+            )
+        ).alias("clean_text"),
         "n_chunks",
-        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce(F.size("__keep_idx"), F.lit(0)).cast("long").alias("n_kept"),
     )
 
 

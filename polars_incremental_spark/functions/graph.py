@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .iterutils import iter_checkpoint
+
 
 def pagerank(
     edges: DataFrame,
@@ -26,6 +28,7 @@ def pagerank(
     damping_num: int = 85,
     damping_den: int = 100,
     scale: int = 1_000_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a DIRECTED edge list; symmetrize
     before calling for undirected graphs.  Returns (node, rank) with
@@ -40,8 +43,11 @@ def pagerank(
     Scale shape: per iteration one equi-join (edges x ranks, both keyed
     by node), one groupBy(dst), one left join back to the node set —
     shuffles keyed by node id throughout, cost = iterations, the same
-    profile as connected_components.  ``localCheckpoint`` per round keeps
-    the plan linear in iterations instead of exponential.
+    profile as connected_components.  Lineage is truncated per round to
+    keep the plan linear in iterations; pass ``checkpoint_dir`` (reliable
+    storage) on a real cluster so an executor loss mid-iteration is
+    recoverable — the default ``localCheckpoint`` stores blocks on
+    executors only (see ``iterutils``).
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1; got {iterations}")
@@ -51,7 +57,8 @@ def pagerank(
     # join — measured 22.9s -> ~5s for the g1 query at sf0.1
     e = edges.select(
         F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
-    ).localCheckpoint()
+    )
+    e = iter_checkpoint(e, checkpoint_dir)
     deg = e.groupBy("__src").agg(F.count("*").cast("long").alias("__deg"))
     nodes = deg.select(F.col("__src").alias("node"))
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
@@ -81,6 +88,6 @@ def pagerank(
                 .cast("long")
                 .alias("rank"),
             )
-            .localCheckpoint()
         )
+        ranks = iter_checkpoint(ranks, checkpoint_dir)
     return ranks

@@ -1,0 +1,36 @@
+"""Lineage truncation for driver-side iterative operators.
+
+Every bounded-loop operator (pagerank, connected_components, LSH index
+compaction) must cut its lineage once per round or the logical plan doubles
+per iteration and Catalyst re-optimization dominates after ~10 rounds.  Two
+ways to cut it, chosen by the caller:
+
+- ``localCheckpoint()`` (default): blocks live on the EXECUTORS only.
+  Cheapest, right for local mode and short interactive runs — but on a real
+  cluster an executor loss mid-iteration kills the job, because the
+  truncated lineage cannot recompute the lost blocks.
+- ``checkpoint()`` with a reliable ``checkpoint_dir`` (HDFS/S3/…): blocks
+  are written to fault-tolerant storage, so a 1000-executor run survives
+  preemptions and node loss at the cost of one distributed write per round.
+  This is the 100 TB setting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def iter_checkpoint(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Truncate ``df``'s lineage: reliable ``checkpoint()`` into
+    ``checkpoint_dir`` when given, else executor-local ``localCheckpoint()``.
+
+    ``setCheckpointDir`` is idempotent per SparkContext; calling it with the
+    same directory every round is a no-op, and distinct operators may point
+    at distinct directories (last one wins for subsequent calls, which is
+    fine — each ``checkpoint()`` resolves the dir at call time).
+    """
+    if checkpoint_dir is None:
+        return df.localCheckpoint()
+    sc = df.sparkSession.sparkContext
+    sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint()

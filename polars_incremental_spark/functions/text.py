@@ -148,37 +148,26 @@ def word_chunks(col: Column, chunk_words: int, sep: str = " ") -> Column:
     for sub-document dedup / boilerplate stripping.  ceil(n/w) chunks; the
     tail chunk may be short.
 
-    Two formulations, chosen by width (both measured at sf0.1, both
-    byte-identical and property-tested against each other):
-
-    - NARROW chunks (w ≤ 8): zip-of-shifted-slices as in ``_gram_array``
-      — w array passes total instead of one interpreted slice+join per
-      chunk; 2× faster at w=3 (many chunks per doc).
-    - WIDE chunks (w > 8): transform+slice per chunk — only ceil(n/w)
-      HOF iterations, while the zip form would pay w passes over all n
-      tokens (O(n·w)); 1.8× faster at w=50.
+    ONE greedy regex pass: ``\\S+(?:\\s+\\S+){0,w-1}`` consumes up to ``w``
+    whitespace-separated tokens per match, then each chunk's internal
+    whitespace collapses to ``sep``.  This replaced the earlier HOF
+    formulations (zip-of-shifted-slices / transform+slice): those re-
+    evaluate the full ``split(trim(text))`` tokenize for every slice arm —
+    interpreted higher-order lambdas get NO common-subexpression
+    elimination, and Catalyst's generator-inferred ``size(...)>0`` filter
+    duplicates the whole build again below the shuffle.  Measured on the
+    sf0.1 corpus at w=8: explode(chunks) 1.27s → 0.17s (7×), byte-identical
+    output (property-tested).  Empty / whitespace-only input keeps the old
+    contract of one empty chunk (``['']``, like ``split('')``).
     """
-    toks = tokens(col)
-    n = F.size(toks)
-    if chunk_words > 8:
-        idx = F.sequence(
-            F.lit(0),
-            ((n + (chunk_words - 1)) / chunk_words).cast("int") - 1,
-        )
-        return F.transform(
-            idx,
-            lambda i: F.array_join(
-                F.slice(toks, i * chunk_words + 1, chunk_words), sep
-            ),
-        )
-    out = toks
-    for k in range(1, chunk_words):
-        out = F.zip_with(
-            out,
-            F.slice(toks, k + 1, F.greatest(n - k, F.lit(0))),
-            lambda a, b: F.concat_ws(sep, a, b),
-        )
-    return F.filter(out, lambda _g, i: i % chunk_words == 0)
+    if chunk_words < 1:
+        raise ValueError(f"chunk_words must be >= 1; got {chunk_words}")
+    pat = r"\S+(?:\s+\S+){0,%d}" % (chunk_words - 1)
+    raw = F.regexp_extract_all(F.trim(col), F.lit(pat), 0)
+    # replacement string is literal: escape regex-replacement specials
+    rep = sep.replace("\\", "\\\\").replace("$", "\\$")
+    chunks = F.transform(raw, lambda c: F.regexp_replace(c, r"\s+", rep))
+    return F.when(F.size(chunks) == 0, F.array(F.lit(""))).otherwise(chunks)
 
 
 def md5_long(col: Column, n_hex: int = 15) -> Column:

@@ -125,6 +125,37 @@ def test_extract_features_entropy_and_histogram_slice(spark):
         assert got[i]["head_hex"] == p[:8].hex()
 
 
+def test_iterative_ops_identical_under_reliable_checkpoint(spark, tmp_path):
+    # cluster mode: reliable checkpoint() must give bit-identical results to
+    # the default localCheckpoint() (only the storage of the cut differs)
+    from polars_incremental_spark.functions.dedup import connected_components
+    from polars_incremental_spark.functions.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5), (6, 6), (2, 4)],
+        "src long, dst long",
+    )
+    sym = edges.union(edges.selectExpr("dst as src", "src as dst")).distinct()
+    ckpt = str(tmp_path / "reliable")
+
+    pr_local = sorted(map(tuple, pagerank(sym, iterations=3).collect()))
+    pr_rel = sorted(
+        map(tuple, pagerank(sym, iterations=3, checkpoint_dir=ckpt).collect())
+    )
+    assert pr_local == pr_rel and len(pr_local) == 6
+
+    e2 = edges.selectExpr("src as id_a", "dst as id_b")
+    cc_local = sorted(map(tuple, connected_components(e2).collect()))
+    cc_rel = sorted(
+        map(tuple, connected_components(e2, checkpoint_dir=ckpt).collect())
+    )
+    assert cc_local == cc_rel and len(cc_local) == 6
+    # the reliable run actually wrote checkpoint data
+    import os
+
+    assert any(os.scandir(ckpt)), "no reliable checkpoint files written"
+
+
 def test_merge_null_key_inserts_once_never_matches(spark, tmp_path):
     path = str(tmp_path / "t")
     write_table(

@@ -85,6 +85,12 @@ BENCH_QUERIES = [
     "s11_diverse_topk",  # cluster-interleaved diversified retrieval
     "g1_pagerank",  # 5-iteration integer PageRank over the LSH graph
     "g2_triangles",  # two-self-join triangle enumeration
+    # round-6 additions — remaining heavy never-benched family members
+    "q9_product_profit",  # TPC-H Q9: 5-way join + profit agg (heaviest TPC-H)
+    "q8_market_share",  # TPC-H Q8: 6-way join, per-year share division
+    "u15_data_profile",  # one-pass multi-distinct EXPAND profile
+    "g3_cluster_sizes",  # CC cluster-size audit over the LSH graph
+    "r33_unpivot",  # wide->long melt + per-metric agg
 ]
 
 

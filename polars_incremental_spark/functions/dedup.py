@@ -1314,9 +1314,11 @@ def strip_frequent_chunks(
     chunks spread over distinct digests.  The frequency table is filtered
     to the OVER-THRESHOLD digests before touching the corpus again, so the
     join is a LEFT ANTI against only the boilerplate set (tiny relative to
-    the corpus — AQE broadcasts it), and chunk TEXT never shuffles for the
-    join; reassembly's per-document shuffle is the single wide stage that
-    moves text.  Output: (id, n_chunks, n_kept, clean_text) —
+    the corpus — AQE broadcasts it), and chunk TEXT never crosses ANY
+    shuffle: survivor selection flows as (id, chunk_idx, digest) rows only,
+    the kept-index int lists join back per document, and ``clean_text``
+    reassembles map-side from the rebuilt chunk array (same shape as
+    ``chunk_dedup``).  Output: (id, n_chunks, n_kept, clean_text) —
     ``clean_text = ''`` when every chunk was boilerplate.
 
     Greenfield Spark work (no reference counterpart; extends the reference's
@@ -1330,40 +1332,34 @@ def strip_frequent_chunks(
     base = df.select(
         F.col(id_col),
         word_chunks(F.col(text_col), w, sep).alias("__chunks"),
-    )
-    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
-    meta = df.select(
-        F.col(id_col),
-        ((n_tok + (w - 1)) / w).cast("long").alias("n_chunks"),
-    )
-    chunked = base.select(
+    ).withColumn("n_chunks", F.size("__chunks").cast("long"))
+    digests = base.select(
         id_col, F.posexplode("__chunks").alias("chunk_idx", "chunk")
-    ).withColumn("__d", F.md5(F.col("chunk")))
+    ).select(id_col, "chunk_idx", F.md5(F.col("chunk")).alias("__d"))
     boilerplate = (
-        chunked.select("__d", id_col)
+        digests.select("__d", id_col)
         .distinct()
         .groupBy("__d")
         .agg(F.count("*").alias("__df"))
         .filter(F.col("__df") > max_doc_freq)
         .select("__d")
     )
-    kept = (
-        chunked.join(boilerplate, "__d", "left_anti")
+    keep_lists = (
+        digests.join(boilerplate, "__d", "left_anti")
         .groupBy(id_col)
-        .agg(
-            F.count("*").cast("long").alias("n_kept"),
-            F.array_join(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(chunk_idx, chunk))),"
-                    " s -> s.chunk)"
-                ),
-                sep,
-            ).alias("clean_text"),
-        )
+        .agg(F.sort_array(F.collect_list("chunk_idx")).alias("__keep_idx"))
     )
-    return meta.join(kept, id_col, "left").select(
+    return base.join(keep_lists, id_col, "left").select(
         F.col(id_col),
         "n_chunks",
-        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.coalesce(F.size("__keep_idx"), F.lit(0)).cast("long").alias("n_kept"),
+        F.when(F.col("__keep_idx").isNull(), F.lit("")).otherwise(
+            F.array_join(
+                F.transform(
+                    F.col("__keep_idx"),
+                    lambda i: F.element_at(F.col("__chunks"), i + 1),
+                ),
+                sep,
+            )
+        ).alias("clean_text"),
     )

@@ -2826,16 +2826,21 @@ SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= 0.4
 def s5_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned ANN: 16 md5-seeded cells, 4 probed per query.
 
-    The corpus-side cell assignment is a pure map-side expression (zero
-    shuffle); the oracle recomputes the identical index relationally
-    (seed ranking → argmin assignment → probe ranking), so determinism of
-    the whole IVF pipeline — not just the final scores — is hash-checked.
+    The corpus-side cell assignment is a map-side Arrow-BLAS pass (one
+    numpy matmul per batch, zero shuffle — same 6-dp rounding and tie rule
+    as the expr form, agreement asserted in test_functions and proven
+    under the driver hash gate by s5b since round 5); the oracle
+    recomputes the identical index relationally (seed ranking → argmin
+    assignment → probe ranking), so determinism of the whole IVF pipeline
+    — not just the final scores — is hash-checked.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    return similarity.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+    return similarity.ivf_topk(
+        emb, queries, k=5, n_cells=16, n_probe=4, assign_method="arrow"
+    )
 
 
 S5_SQL = f"""

@@ -25,10 +25,16 @@ def test_norm_distinguishes_and_canonicalizes():
     assert cc.norm(0.1) != cc.norm(0.1 + 1e-15)
     # NaN normalizes stably (NaN != NaN would never match otherwise)
     assert cc.norm(float("nan")) == cc.norm(float("nan"))
-    # tz-aware and naive timestamps of the same instant collapse (UTC session)
+    # tz-aware and naive timestamps must NOT collapse (round-6 hardening:
+    # the driver distinguishes TIMESTAMP from TIMESTAMPTZ, and stripping
+    # tzinfo here hid exactly that oracle bug in r25_sliding_window)
     aware = dt.datetime(2024, 1, 1, 12, 0, tzinfo=dt.timezone.utc)
     naive = dt.datetime(2024, 1, 1, 12, 0)
-    assert cc.norm(aware) == cc.norm(naive)
+    assert cc.norm(aware) != cc.norm(naive)
+    # aware values canonicalize through UTC, so equal instants in different
+    # zones still match each other
+    plus2 = dt.datetime(2024, 1, 1, 14, 0, tzinfo=dt.timezone(dt.timedelta(hours=2)))
+    assert cc.norm(aware) == cc.norm(plus2)
 
 
 def test_multiset_compare_rejects_value_and_count_drift():
@@ -61,3 +67,41 @@ def test_float_nan_and_decimal_normalization():
     assert cc.rows_to_multiset(cols, [(Decimal("1.50"),)]) != cc.rows_to_multiset(
         cols, [(1.5,)]
     )
+
+
+def test_type_compare_rejects_tz_and_width_drift():
+    # the driver-strict layer added in round 6: column types compare per
+    # name, so a TIMESTAMPTZ oracle against a plain-TIMESTAMP Spark column
+    # fails schema even when the instants agree
+    from pyspark.sql import types as T
+
+    class FakeDuckType:
+        def __init__(self, s):
+            self._s = s
+
+        def __str__(self):
+            return self._s
+
+    schema = T.StructType(
+        [
+            T.StructField("w", T.TimestampType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("v", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    ok = cc.compare_types(
+        schema,
+        ["w", "n", "v"],
+        [FakeDuckType("TIMESTAMP"), FakeDuckType("BIGINT"), FakeDuckType("DOUBLE[]")],
+    )
+    assert ok == []
+    bad = cc.compare_types(
+        schema,
+        ["w", "n", "v"],
+        [
+            FakeDuckType("TIMESTAMP WITH TIME ZONE"),
+            FakeDuckType("INTEGER"),
+            FakeDuckType("DOUBLE[]"),
+        ],
+    )
+    assert len(bad) == 2 and "timestamptz" in bad[0] and "int32" in bad[1]

@@ -1821,6 +1821,13 @@ def _checkpoint_arrow_schema():
                     [
                         ("minReaderVersion", pa.int32()),
                         ("minWriterVersion", pa.int32()),
+                        # REQUIRED for (3, 7) tables: dropping the feature
+                        # lists at checkpoint time silently disarmed
+                        # reader-feature gating once expire_log removed the
+                        # JSON commit that carried them (a real delta-spark
+                        # reader rejects a (3,7) protocol without them)
+                        ("readerFeatures", pa.list_(pa.string())),
+                        ("writerFeatures", pa.list_(pa.string())),
                     ]
                 ),
             ),

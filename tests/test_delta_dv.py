@@ -231,3 +231,75 @@ def test_dv_global_budget_demotes_to_rewrite(spark, tmp_path):
     assert res["files_dv"] == 1  # only one 100-hit file fits the budget
     assert res["files_rewritten"] == 2
     assert read_table(spark, path).count() == 0
+
+
+def test_optimize_applies_and_clears_dv(spark, tmp_path):
+    """Compaction must APPLY deletion vectors (deleted rows stay dead) and
+    clear the descriptors on the compacted files."""
+    from polars_incremental_spark.maintenance import optimize_delta_table
+
+    path = str(tmp_path / "t")
+    write_table(
+        spark.range(100).select(F.col("id").alias("x")).repartition(4), path
+    )
+    delete_rows(spark, path, "x % 10 = 0", dv_max_rows_per_file=100)
+    assert read_table(spark, path).count() == 90
+    optimize_delta_table(spark, path, target_partitions=1)
+    log = DeltaLog(path)
+    snap = log.snapshot_files(log.latest_version())
+    assert len(snap) == 1 and not snap[0].get("deletionVector")
+    rows = sorted(r["x"] for r in read_table(spark, path).collect())
+    assert len(rows) == 90 and all(x % 10 != 0 for x in rows)
+
+
+def test_update_over_dv_file_keeps_rows_dead(spark, tmp_path):
+    from polars_incremental_spark.sinks.delta import update_rows
+
+    path = str(tmp_path / "t")
+    write_table(
+        spark.range(10)
+        .select(F.col("id").alias("x"), F.lit(0).cast("long").alias("v"))
+        .coalesce(1),
+        path,
+    )
+    delete_rows(spark, path, "x < 3", dv_max_rows_per_file=100)
+    update_rows(spark, path, "x >= 8", {"v": "1"})
+    rows = sorted((r["x"], r["v"]) for r in read_table(spark, path).collect())
+    assert [x for x, _ in rows] == list(range(3, 10)), "UPDATE resurrected DV rows"
+    assert all(v == (1 if x >= 8 else 0) for x, v in rows)
+
+
+def test_merge_over_dv_file_treats_dead_rows_as_unmatched(spark, tmp_path):
+    """A DV-deleted key is GONE: a source row for it must take the
+    not-matched insert clause, not match the tombstoned physical row."""
+    from polars_incremental_spark.sinks.deltalog import merge_into
+
+    path = str(tmp_path / "t")
+    write_table(
+        spark.range(10)
+        .select(F.col("id").alias("x"), F.lit(0).cast("long").alias("v"))
+        .coalesce(1),
+        path,
+    )
+    delete_rows(spark, path, "x < 3", dv_max_rows_per_file=100)
+    src = spark.createDataFrame([(1, 5), (9, 7)], "x long, v long")
+    merge_into(
+        spark, path, src, keys=["x"],
+        when_matched_update={"v": "src.v"}, when_not_matched_insert=True,
+    )
+    rows = sorted((r["x"], r["v"]) for r in read_table(spark, path).collect())
+    assert (1, 5) in rows and (9, 7) in rows
+    assert (0, 0) not in rows and (2, 0) not in rows
+
+
+def test_shallow_clone_of_dv_table(spark, tmp_path):
+    from polars_incremental_spark.sinks.deltalog import clone_table
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_table(
+        spark.range(10).select(F.col("id").alias("x")).coalesce(1), src
+    )
+    delete_rows(spark, src, "x < 3", dv_max_rows_per_file=100)
+    clone_table(src, dst)
+    assert read_table(spark, dst).count() == 7

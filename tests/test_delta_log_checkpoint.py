@@ -134,3 +134,52 @@ def test_writer_auto_checkpoints_at_interval(spark, tmp_path):
     assert DeltaLog(path).checkpoint_version() == 11
     assert not glob.glob(os.path.join(path, "_delta_log", "*.json"))
     assert read_delta_fallback(spark, path).count() == 60
+
+
+def test_checkpoint_preserves_protocol_feature_lists(spark, tmp_path):
+    """(3,7) protocols REQUIRE reader/writerFeatures; a checkpoint that
+    drops them both violates PROTOCOL.md and disarms reader-feature gating
+    once expire_log removes the JSON commit that carried them."""
+    from polars_incremental_spark.sinks.delta import delete_rows, read_table, write_table
+
+    path = str(tmp_path / "dvt")
+    write_table(spark.range(10).selectExpr("id AS x").coalesce(1), path)
+    delete_rows(spark, path, "x < 3", dv_max_rows_per_file=100)
+    checkpoint_log(path)
+    expire_log(path)
+    log = DeltaLog(path)
+    proto = log.protocol()
+    assert proto["minReaderVersion"] == 3
+    assert "deletionVectors" in (proto.get("readerFeatures") or [])
+    assert "deletionVectors" in (proto.get("writerFeatures") or [])
+    # DV still applies after expiry
+    assert read_table(spark, path).count() == 7
+
+
+def test_reader_gate_still_armed_after_expiry(spark, tmp_path):
+    """An UNSUPPORTED reader feature must still be refused when its
+    protocol action survives only inside the parquet checkpoint."""
+    from polars_incremental_spark.sinks.deltalog import _write_commit
+
+    path = str(tmp_path / "future")
+    write_delta_fallback(spark.range(5).selectExpr("id AS x"), path)
+    _write_commit(
+        os.path.join(path, "_delta_log"),
+        1,
+        [
+            {"commitInfo": {"timestamp": 1, "operation": "UPGRADE"}},
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["columnMapping"],
+                    "writerFeatures": ["columnMapping"],
+                }
+            },
+        ],
+    )
+    checkpoint_log(path)
+    expire_log(path)
+    log = DeltaLog(path)
+    with pytest.raises(Exception, match="columnMapping"):
+        log.check_reader_supported()

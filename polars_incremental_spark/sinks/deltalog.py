@@ -2089,13 +2089,13 @@ def restore_table_fallback(table_path: str, *, version: int) -> dict[str, Any]:
             }
         }
     ]
+    # real Delta's RestoreTableCommand restores the FULL metadata of the
+    # target snapshot (schema AND configuration — constraints, DV enablement,
+    # generated columns), not just the schema string: a constraint added
+    # after the target version must not survive the restore
     meta_v = log.table_metadata(at_version=version)
     meta_cur = log.table_metadata()
-    if (
-        meta_v
-        and meta_cur
-        and meta_v.get("schemaString") != meta_cur.get("schemaString")
-    ):
+    if meta_v and meta_cur and meta_v != meta_cur:
         actions.append({"metaData": meta_v})
     def _add_payload(a: dict) -> tuple:
         # Everything that affects the LOGICAL content of an add action: a DV

@@ -186,3 +186,28 @@ def test_merge_null_key_inserts_once_never_matches(spark, tmp_path):
         (None, "keep"),
         (None, "new"),
     ], f"merge result wrong: {rows} ({res})"
+
+
+def test_restore_reverts_table_metadata_not_just_schema(spark, tmp_path):
+    """Real Delta's RestoreTableCommand restores the target snapshot's FULL
+    metadata — a CHECK constraint added after the target version must not
+    survive the restore (the old path compared schemaString only)."""
+    from polars_incremental_spark.checkpoints.delta import DeltaLog
+    from polars_incremental_spark.sinks.deltalog import (
+        add_check_constraint,
+        write_delta_fallback,
+    )
+
+    path = str(tmp_path / "t")
+    write_table(spark.range(5).selectExpr("id AS x"), path)
+    log = DeltaLog(path)
+    v0 = log.latest_version()
+    add_check_constraint(spark, path, "x_nonneg", "x >= 0")
+    restore_table(path, version=v0)
+    cfg = (log.table_metadata() or {}).get("configuration") or {}
+    assert not any("constraint" in k.lower() for k in cfg)
+    # a previously-violating append now succeeds, like real Delta
+    write_delta_fallback(
+        spark.createDataFrame([(-1,)], "x long"), path, mode="append"
+    )
+    assert read_table(spark, path).count() == 6

@@ -53,6 +53,15 @@ from .sinks.deltalog import (
     merge_into,
     set_table_properties,
 )
+from .expectations import (
+    BatchExpectations,
+    Expectation,
+    ExpectationViolationError,
+    expect,
+    expect_or_drop,
+    expect_or_fail,
+    expect_or_quarantine,
+)
 from .sinks.parquet import write_parquet_batch
 from .sources.base import AutoSource, DeltaSource, FilesSource, infer_source_format
 from .state import JobState
@@ -93,6 +102,13 @@ __all__ = [
     "delete_rows",
     "drop_check_constraint",
     "call_with_context",
+    "BatchExpectations",
+    "Expectation",
+    "ExpectationViolationError",
+    "expect",
+    "expect_or_drop",
+    "expect_or_fail",
+    "expect_or_quarantine",
     "cross_batch_dedupe",
     "dedupe_changes",
     "drop_late",

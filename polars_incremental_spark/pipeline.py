@@ -285,6 +285,13 @@ class Pipeline:
     observer: PipelineObserver | None = None
     lock_timeout_s: float | None = None
     reader_options: dict[str, Any] = field(default_factory=dict)
+    # DLT-style data-quality gates (expectations.py): applied between
+    # transform and write; counts ride the writer's own action via
+    # DataFrame.observe (no extra scan), metrics land in the commit
+    # metadata under "expectations", and a violated fail-rule aborts the
+    # batch BEFORE commit so it replays
+    expectations: list[Any] | None = None
+    quarantine_writer: Callable[..., Any] | None = None
 
     # ----------------------------------------------------------------- run
     def run(
@@ -372,12 +379,38 @@ class Pipeline:
                 except Exception as exc:
                     raise TransformError(str(exc)) from exc
 
+        batch_exps = None
+        if self.expectations:
+            from .expectations import BatchExpectations
+
+            with StageTimer(observer, "expectations", batch.batch_id):
+                batch_exps = BatchExpectations(list(self.expectations))
+                df = batch_exps.apply(df)
+
         with StageTimer(observer, "write", batch.batch_id):
             try:
                 writer_result = call_with_context(self.writer, [df], context)
             except Exception as exc:
                 raise WriterError(str(exc)) from exc
         metadata = writer_result if isinstance(writer_result, dict) else {}
+
+        if batch_exps is not None:
+            with StageTimer(observer, "expectations", batch.batch_id):
+                # metrics resolved by the writer's action; a violated
+                # fail-rule raises HERE — before commit_batch — so the
+                # batch is not marked done and replays on the next run
+                exp_metrics = batch_exps.enforce()
+                metadata = {**metadata, "expectations": exp_metrics}
+                quarantined = batch_exps.quarantined
+                if quarantined is not None and self.quarantine_writer is not None:
+                    try:
+                        call_with_context(
+                            self.quarantine_writer, [quarantined], context
+                        )
+                    except Exception as exc:
+                        raise WriterError(
+                            f"quarantine writer failed: {exc}"
+                        ) from exc
 
         with StageTimer(observer, "commit", batch.batch_id):
             try:

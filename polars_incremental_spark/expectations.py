@@ -101,6 +101,7 @@ class BatchExpectations:
             raise ValueError(f"duplicate expectation names: {names}")
         self.expectations = list(expectations)
         self._observation = None
+        self._observed_df: DataFrame | None = None
         self._quarantined: DataFrame | None = None
 
     # ------------------------------------------------------------- apply
@@ -125,6 +126,9 @@ class BatchExpectations:
             )
         self._observation = Observation()
         observed = df.observe(self._observation, *metrics)
+        # retained for the no-action fallback in metrics(); holds the PRE-gate
+        # frame so fallback counts match what the observation would report
+        self._observed_df = df
         if gate:
             keep = None
             for e in gate:
@@ -134,12 +138,38 @@ class BatchExpectations:
         return observed
 
     # ----------------------------------------------------------- results
+    def _resolve(self) -> dict[str, Any]:
+        """Observation metrics, without ever blocking the pipeline.
+
+        ``Observation.get`` waits for the observed plan's first action — a
+        writer that never touches the frame (pure side-effect writer, dry
+        run) would hang it forever.  The JVM side exposes a non-blocking
+        ``getRowOrEmpty``; when it is empty we pay ONE direct aggregation
+        over the retained pre-gate frame instead (same values, one extra
+        scan — only on the degenerate no-action path).
+        """
+        obs = self._observation
+        try:
+            row_opt = obs._jo.getRowOrEmpty()  # noqa: SLF001
+            if row_opt.isEmpty():
+                raise LookupError("no action observed")
+            return obs.get  # resolved: returns immediately
+        except Exception:
+            agg_row = self._observed_df.agg(
+                F.count(F.lit(1)).alias("__rows"),
+                *[
+                    F.sum((~_ok(e)).cast("long")).alias(f"__viol_{e.name}")
+                    for e in self.expectations
+                ],
+            ).collect()[0]
+            return agg_row.asDict()
+
     def metrics(self) -> dict[str, Any]:
         """{rows_observed, per-expectation {violations, action}} — call
         after the writer's action."""
         if self._observation is None:
             return {"rows_observed": 0, "expectations": {}}
-        got = self._observation.get
+        got = self._resolve()
         out: dict[str, Any] = {
             "rows_observed": got["__rows"],
             "expectations": {},

@@ -156,3 +156,29 @@ def test_batch_expectations_unit_and_validation(spark):
         from polars_incremental_spark.expectations import Expectation
 
         Expectation("a", "x > 0", "explode")
+
+
+def test_no_action_writer_does_not_hang(spark, src, tmp_path):
+    """A writer that never touches the frame must still yield metrics:
+    the non-blocking observation probe falls back to one direct agg."""
+    pipe = Pipeline(
+        source=FilesSource(path=src),
+        checkpoint_dir=str(tmp_path / "cp"),
+        writer=lambda df, batch_id: None,  # never runs an action
+        expectations=[expect("v_positive", "v > 0")],
+    )
+    committed = {}
+
+    class Obs:
+        def on_stage_start(self, *a): ...
+        def on_stage_end(self, *a): ...
+        def on_batch_planned(self, *a): ...
+        def on_error(self, *a): ...
+        def on_batch_committed(self, batch_id, metadata):
+            committed.update(metadata)
+
+    object.__setattr__(pipe, "observer", Obs())
+    assert pipe.run(spark).batches == 1
+    assert committed["expectations"]["expectations"]["v_positive"][
+        "violations"
+    ] == 2

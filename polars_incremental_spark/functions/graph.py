@@ -61,15 +61,18 @@ def pagerank(
     e = iter_checkpoint(e, checkpoint_dir)
     deg = e.groupBy("__src").agg(F.count("*").cast("long").alias("__deg"))
     nodes = deg.select(F.col("__src").alias("node"))
+    # fold the out-degree into the edge list ONCE: the loop previously
+    # re-joined `deg` every round — one extra shuffle of the EDGE-sized
+    # relation per iteration, the largest relation in the job.  After the
+    # fold each round is exactly one edge⋈ranks join + one groupBy(dst).
+    e_deg = iter_checkpoint(e.join(deg, "__src"), checkpoint_dir)
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
     for _ in range(iterations):
-        contribs = (
-            e.join(ranks, e["__src"] == ranks["node"])
-            .join(deg, "__src")
-            .select(
-                F.col("__dst").alias("node"),
-                F.expr("rank div __deg").alias("__c"),
-            )
+        contribs = e_deg.join(
+            ranks, e_deg["__src"] == ranks["node"]
+        ).select(
+            F.col("__dst").alias("node"),
+            F.expr("rank div __deg").alias("__c"),
         )
         received = contribs.groupBy("node").agg(
             F.sum("__c").cast("long").alias("__s")

@@ -800,10 +800,16 @@ def connected_components(
                 .groupBy(F.col("m").alias("n"))
                 .agg(F.min("lbl").alias("nlbl"))
             )
-            # The convergence flag is computed INSIDE the update (old vs new
-            # label are already side-by-side after the left join) — probing it
-            # afterwards is a filter over the checkpointed partitions, not the
-            # extra new⋈old join + shuffle a separate comparison would cost.
+            # The convergence count rides the checkpoint's own
+            # materialization job via an Observation — the eager
+            # (local)checkpoint executes the observed plan, so detecting
+            # the fixpoint costs ZERO extra jobs per round (previously a
+            # separate filter+limit count over the checkpointed
+            # partitions).  Non-blocking probe + filter fallback, same
+            # contract as expectations._resolve.
+            from pyspark.sql import Observation
+
+            obs = Observation()
             new = (
                 labels.join(nbr_min, on="n", how="left")
                 .select(
@@ -811,9 +817,15 @@ def connected_components(
                     F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("new_lbl"),
                     (F.coalesce("nlbl", "lbl") < F.col("lbl")).alias("chg"),
                 )
+                .observe(obs, F.sum(F.col("chg").cast("long")).alias("n_chg"))
             )
             new = iter_checkpoint(new, checkpoint_dir)
-            changed = new.filter("chg").limit(1).count()
+            try:
+                if obs._jo.getRowOrEmpty().isEmpty():  # noqa: SLF001
+                    raise LookupError("checkpoint did not resolve observation")
+                changed = int(obs.get["n_chg"] or 0)
+            except Exception:
+                changed = new.filter("chg").limit(1).count()
             labels = new.select("n", F.col("new_lbl").alias("lbl"))
             if changed == 0:
                 return labels.select(

@@ -90,20 +90,38 @@ def run_native(
     available_now: bool = True,
     processing_time: str | None = None,
     timeout_s: float | None = None,
+    expectations: list | None = None,
+    quarantine_writer: Callable[..., Any] | None = None,
 ) -> None:
     """One Structured Streaming query over the spec; blocks until drained
-    (``available_now``) or until ``timeout_s``."""
+    (``available_now``) or until ``timeout_s``.
+
+    ``expectations`` (expectations.py) apply per micro-batch inside
+    ``foreachBatch`` — same semantics as the planned Pipeline: drop /
+    quarantine gate the written rows, a violated fail-rule raises inside
+    the batch so Structured Streaming does NOT commit the epoch and the
+    batch replays (the engine's own retry), and warn counts flow to the
+    ``quarantine_writer``-visible context metadata.
+    """
     df = build_stream_reader(spark, spec)
     if transform is not None:
         df = transform(df)
     state = JobState(os.path.join(checkpoint_dir, "state"))
 
     def _foreach_batch(batch_df: DataFrame, batch_id: int) -> None:
-        call_with_context(
-            writer,
-            [batch_df],
-            {"batch_id": batch_id, "state": state, "spark": spark},
-        )
+        context = {"batch_id": batch_id, "state": state, "spark": spark}
+        batch_exps = None
+        if expectations:
+            from ..expectations import BatchExpectations
+
+            batch_exps = BatchExpectations(list(expectations))
+            batch_df = batch_exps.apply(batch_df)
+        call_with_context(writer, [batch_df], context)
+        if batch_exps is not None:
+            batch_exps.enforce()  # raises -> epoch not committed -> replay
+            quarantined = batch_exps.quarantined
+            if quarantined is not None and quarantine_writer is not None:
+                call_with_context(quarantine_writer, [quarantined], context)
 
     stream_writer = (
         df.writeStream.foreachBatch(_foreach_batch)

@@ -182,3 +182,45 @@ def test_no_action_writer_does_not_hang(spark, src, tmp_path):
     assert committed["expectations"]["expectations"]["v_positive"][
         "violations"
     ] == 2
+
+
+def test_streaming_expectations_gate_and_fail_replay(spark, tmp_path):
+    """Expectations inside foreachBatch: drop gates the written micro-batch;
+    a fail violation aborts the epoch so the stream replays it after the
+    rule is relaxed (Structured Streaming's own exactly-once retry)."""
+    from polars_incremental_spark import FilesSource
+    from polars_incremental_spark.streaming.native import run_native
+
+    land = str(tmp_path / "land")
+    spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, 9.0)], "id long, v double"
+    ).coalesce(1).write.parquet(land)
+    spec = FilesSource(path=land, file_format="parquet")
+    written = []
+
+    def writer(df, batch_id):
+        written.append(sorted(r["id"] for r in df.collect()))
+
+    run_native(
+        spark, spec, str(tmp_path / "cp1"), writer,
+        expectations=[expect_or_drop("v_pos", "v > 0")],
+    )
+    assert written == [[1, 3]]
+
+    # fail-rule: the epoch aborts, then a relaxed rerun replays the SAME data
+    calls = []
+
+    def writer2(df, batch_id):
+        calls.append(df.count())
+
+    cp2 = str(tmp_path / "cp2")
+    with pytest.raises(Exception, match="v_pos"):
+        run_native(
+            spark, FilesSource(path=land, file_format="parquet"), cp2, writer2,
+            expectations=[expect_or_fail("v_pos", "v > 0")],
+        )
+    run_native(
+        spark, FilesSource(path=land, file_format="parquet"), cp2, writer2,
+        expectations=[expect("v_pos", "v > 0")],
+    )
+    assert calls == [3, 3]  # same batch offered twice: abort then success

@@ -91,6 +91,9 @@ BENCH_QUERIES = [
     "u15_data_profile",  # one-pass multi-distinct EXPAND profile
     "g3_cluster_sizes",  # CC cluster-size audit over the LSH graph
     "r33_unpivot",  # wide->long melt + per-metric agg
+    # round-6 additions (second wave)
+    "d16_duplicated_spans",  # stride-1 span windows + doc-freq + run stats
+    "u17_leakage_safe_split",  # LSH pairs -> CC -> cluster-keyed hash split
 ]
 
 

@@ -1375,3 +1375,103 @@ def strip_frequent_chunks(
             )
         ).alias("clean_text"),
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+    stride: int = 1,
+    max_doc_freq: int = 1,
+) -> DataFrame:
+    """Per-document duplicated-SPAN profile — the any-alignment complement
+    to ``chunk_dedup``/``strip_frequent_chunks``: overlapping
+    ``span_tokens``-token windows every ``stride`` tokens are hashed, a
+    span is "duplicated" when it occurs in more than ``max_doc_freq``
+    distinct documents, and each document reports how much of it is
+    cross-document repeated text:
+
+    (id, n_spans, n_dup_spans, max_dup_run, approx_longest_dup_tokens)
+
+    ``max_dup_run`` is the longest run of CONSECUTIVE duplicated span
+    starts; ``approx_longest_dup_tokens = (max_dup_run-1)*stride +
+    span_tokens`` bounds the longest duplicated substring — the quantity
+    suffix-array dedup (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better") computes exactly.  With ``stride=1``
+    (the default and the d16 query's setting) detection is EXACT for any
+    duplicated token span of length >= span_tokens at ANY alignment, and
+    the token estimate equals the true span length; fan-out is one window
+    per token — the same O(n_tokens) explode class as the MinHash shingle
+    pass.  ``stride>1`` cuts fan-out s-fold but only detects duplicates
+    whose document offsets are congruent mod stride (fixed chunking,
+    d10/d15, is the extreme stride=w case that misses straddling
+    duplicates entirely).
+
+    Scale shape: span TEXT never leaves the map side — digests are md5'd
+    in the same projection that builds them, the doc-frequency agg
+    shuffles (digest, id) pairs with map-side combine, and the per-doc run
+    statistics fold over a sorted int list (one aggregate over ≤
+    spans-per-doc elements).  Fan-out ≈ n_tokens/stride per doc.
+
+    Greenfield Spark work (no reference counterpart).
+    """
+    if span_tokens < 1:
+        raise ValueError(f"span_tokens must be >= 1; got {span_tokens}")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1; got {stride}")
+    w, s = span_tokens, stride
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - w, F.lit(0)), F.lit(s))
+    base = df.select(
+        F.col(id_col),
+        F.transform(
+            starts,
+            lambda st: F.md5(F.array_join(F.slice(toks, st + 1, w), " ")),
+        ).alias("__digs"),
+    ).withColumn("n_spans", F.size("__digs").cast("long"))
+    spans = base.select(
+        id_col, F.posexplode("__digs").alias("span_idx", "__d")
+    )
+    dup = (
+        spans.select("__d", id_col)
+        .distinct()
+        .groupBy("__d")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select("__d")
+    )
+    per_doc = (
+        spans.join(dup, "__d", "left_semi")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("span_idx")).alias("__dups"))
+    )
+    run = F.aggregate(
+        F.col("__dups"),
+        F.struct(
+            F.lit(0).alias("best"), F.lit(0).alias("cur"), F.lit(-2).alias("prev")
+        ),
+        lambda acc, x: F.struct(
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"] + 1, acc["cur"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+            F.when(x == acc["prev"] + 1, acc["cur"] + 1)
+            .otherwise(F.lit(1))
+            .alias("cur"),
+            x.alias("prev"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        "n_spans",
+        F.coalesce(F.size("__dups"), F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce(run, F.lit(0)).cast("int").alias("max_dup_run"),
+        F.when(F.coalesce(run, F.lit(0)) > 0, (F.coalesce(run, F.lit(0)) - 1) * s + w)
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("approx_longest_dup_tokens"),
+    )

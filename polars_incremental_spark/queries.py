@@ -2254,6 +2254,154 @@ ORDER BY doc_id
 """
 
 
+def u17_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/valid/test split: near-duplicate documents must
+    NEVER straddle a split boundary (a test doc whose near-dup sits in
+    train is evaluation leakage — the reason FineWeb/Dolma split by
+    dedup cluster, not by document).  Composition: d6's MinHash-LSH pairs
+    -> connected components -> every doc keyed by its cluster id
+    (singletons key by themselves) -> u3's deterministic md5 hash-split on
+    the CLUSTER id, so a whole duplicate group lands in one split.  The
+    oracle replays the recursive-CTE closure and the identical md5
+    bucketing."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.12)
+    clusters = dedup.connected_components(pairs)
+    labeled = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    )
+    return (
+        sampling.hash_split(
+            labeled,
+            weights={"train": 0.8, "valid": 0.1, "test": 0.1},
+            key_col="cluster_id",
+        )
+        .select("doc_id", "cluster_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+_U17_H = _sql_md5_long("'split' || cluster_id::VARCHAR")
+_U17_CASE = " ".join(
+    f"WHEN {_U17_H} >= {lo} AND {_U17_H} < {hi} THEN '{label}'"
+    for label, lo, hi in sampling.split_bounds(
+        {"train": 0.8, "valid": 0.1, "test": 0.1}
+    )
+)
+
+
+U17_SQL = f"""
+WITH RECURSIVE {_SQL_SHINGLE_CTE},
+{_SQL_H32_CTE},
+sigs AS (SELECT doc_id, {_SQL_MINHASH_MINS} FROM sh32 GROUP BY doc_id),
+bands AS ({_SQL_BANDS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+p AS (SELECT doc_id, {_sql_md5_long("shingle")} AS h FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM p GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN p pa ON pa.doc_id = c.id_a
+  JOIN p pb ON pb.doc_id = c.id_b AND pb.h = pa.h
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b, round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+),
+pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.12),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clus AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b))::BIGINT AS cluster_id
+  FROM reach GROUP BY a
+),
+labeled AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN clus c USING (doc_id)
+)
+SELECT doc_id, cluster_id, CASE {_U17_CASE} ELSE NULL END AS split
+FROM labeled ORDER BY doc_id
+"""
+
+
+def d16_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Any-alignment duplicated-span profile (the suffix-array-dedup
+    statistic of Lee et al. 2021 via stride-1 windows): an 8-token window
+    at EVERY position, a span is duplicated when >1 distinct docs contain
+    it, and each doc reports its span counts plus the longest consecutive
+    duplicated run — at stride 1 the run length recovers the exact longest
+    duplicated span (>=8 tokens) at any alignment, which fixed chunking
+    (d10/d15) structurally misses.  Span text never crosses a shuffle —
+    digests are md5'd map-side; the oracle replays the identical windows,
+    doc-frequency, and the row_number-gap run grouping."""
+    return dedup.duplicated_spans(
+        dedup.spread(load_table(spark, sf_dir, "documents")),
+        span_tokens=8,
+        stride=1,
+    ).orderBy("doc_id")
+
+
+D16_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+spans AS (
+  SELECT doc_id, u.span_idx, u.dig FROM (
+    SELECT doc_id, unnest(list_transform(range(greatest(len(t) - 8, 0) + 1),
+      i -> struct_pack(span_idx := i,
+                       dig := md5(array_to_string(t[i+1 : i+8], ' '))))) AS u
+    FROM toks)
+),
+freq AS (
+  SELECT dig FROM (
+    SELECT dig, COUNT(DISTINCT doc_id) AS df FROM spans GROUP BY dig
+  ) WHERE df > 1
+),
+dup AS (
+  SELECT s.doc_id, s.span_idx FROM spans s JOIN freq f ON s.dig = f.dig
+),
+runs AS (
+  SELECT doc_id,
+         span_idx - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY span_idx) AS grp
+  FROM dup
+),
+maxrun AS (
+  SELECT doc_id, CAST(MAX(c) AS INTEGER) AS max_dup_run FROM (
+    SELECT doc_id, grp, COUNT(*) AS c FROM runs GROUP BY doc_id, grp
+  ) GROUP BY doc_id
+),
+per AS (SELECT doc_id, COUNT(*)::BIGINT AS n_dup_spans FROM dup GROUP BY doc_id),
+meta AS (
+  SELECT doc_id, (greatest(len(t) - 8, 0) + 1)::BIGINT AS n_spans FROM toks
+)
+SELECT m.doc_id, m.n_spans,
+       COALESCE(p.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+       COALESCE(r.max_dup_run, 0)::INTEGER AS max_dup_run,
+       CAST(CASE WHEN COALESCE(r.max_dup_run, 0) > 0
+                 THEN (r.max_dup_run - 1) * 1 + 8 ELSE 0 END AS INTEGER)
+         AS approx_longest_dup_tokens
+FROM meta m LEFT JOIN per p USING (doc_id) LEFT JOIN maxrun r USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def d11_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3/PaLM-style): flag training docs
     whose word trigrams collide with a held-out set.  Here train = even
@@ -4936,6 +5084,9 @@ ORDER BY user_id, event_type
 # remaining r4-green pool — all re-verified by the local strict replica
 # every round.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # --- new in round 6: first driver rows (2) ---
+    "d16_duplicated_spans": (d16_duplicated_spans, D16_SQL),
+    "u17_leakage_safe_split": (u17_leakage_safe_split, U17_SQL),
     # --- changed in round 6: oracle or implementation (11) ---
     "r25_sliding_window": (r25_sliding_window, R25_SQL),
     "m1_multimodal_features": (m1_multimodal_features, M1_SQL),
@@ -4987,9 +5138,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_sessionize": (events_sessionize, SESSIONIZE_SQL),
     "asof_error_after_click": (asof_error_after_click, ASOF_SQL),
     "range_clicks_before_error": (range_clicks_before_error, RANGE_SQL),
+    # ================= driver window boundary (entry 50) =================
     "cdc_merge_latest": (cdc_merge_latest, CDC_MERGE_SQL),
     "w1_drop_late": (w1_drop_late, W1_SQL),
-    # ================= driver window boundary (entry 50) =================
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q11_important_parts": (q11_important_parts, Q11_SQL),
     "q12_late_priority_lines": (q12_late_priority_lines, Q12_SQL),

@@ -1,0 +1,101 @@
+"""Semantic tests for the round-6 operators: duplicated-span profiling
+(d16) and leakage-safe cluster splits (u17).  The driver oracle checks
+hash equality against DuckDB; these pin the MEANING on hand-built corpora.
+"""
+
+from pyspark.sql import functions as F
+
+from polars_incremental_spark.functions import dedup, sampling
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicated_spans_finds_planted_duplicate_run(spark):
+    # doc 1 and doc 2 share a 16-token block at DIFFERENT alignments —
+    # exactly the case fixed-chunk dedup (d10/d15) can miss
+    block = " ".join(f"dup{i}" for i in range(16))
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))  # noqa: E731
+    df = _docs(
+        spark,
+        [
+            (1, uniq("a", 4) + " " + block + " " + uniq("b", 8)),
+            (2, uniq("c", 7) + " " + block + " " + uniq("d", 5)),
+            (3, uniq("e", 30)),
+        ],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.duplicated_spans(df, span_tokens=8, stride=1).collect()
+    }
+    # the unique doc has no duplicated spans
+    assert out[3]["n_dup_spans"] == 0
+    assert out[3]["max_dup_run"] == 0
+    assert out[3]["approx_longest_dup_tokens"] == 0
+    # both sharers see a positive duplicated run approximating the block
+    for d in (1, 2):
+        # stride 1: 16-token block -> 9 shared windows, run of 9, EXACT length
+        assert out[d]["n_dup_spans"] == 9, out[d]
+        assert out[d]["max_dup_run"] == 9, out[d]
+        assert out[d]["approx_longest_dup_tokens"] == 16, out[d]
+    # n_spans arithmetic: one window per position
+    assert out[3]["n_spans"] == 30 - 8 + 1
+
+
+def test_duplicated_spans_intra_doc_repeat_not_counted(spark):
+    # a span repeated only WITHIN one doc is not cross-document duplication
+    block = " ".join(f"x{i}" for i in range(8))
+    df = _docs(
+        spark,
+        [
+            (1, block + " " + block),
+            (2, " ".join(f"y{i}" for i in range(16))),
+        ],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.duplicated_spans(df, span_tokens=8, stride=8).collect()
+    }
+    assert out[1]["n_dup_spans"] == 0
+
+
+def test_leakage_safe_split_colocates_near_dups(spark):
+    # replicate the u17 composition on a corpus with a known dup pair
+    base = " ".join(f"w{i}" for i in range(40))
+    df = _docs(
+        spark,
+        [
+            (10, base),
+            (11, base + " tail"),          # near-dup of 10
+            (12, " ".join(f"z{i}" for i in range(40))),
+        ],
+    )
+    pairs = dedup.minhash_lsh_pairs(df, threshold=0.12)
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(10, 11)}
+    clusters = dedup.connected_components(pairs)
+    labeled = (
+        df.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    )
+    out = sampling.hash_split(
+        labeled,
+        weights={"train": 0.8, "valid": 0.1, "test": 0.1},
+        key_col="cluster_id",
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # the near-dup pair shares a cluster AND therefore a split
+    assert by_id[10]["cluster_id"] == by_id[11]["cluster_id"] == 10
+    assert by_id[10]["split"] == by_id[11]["split"]
+    assert by_id[12]["cluster_id"] == 12
+
+
+def test_duplicated_spans_validation(spark):
+    import pytest
+
+    df = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError):
+        dedup.duplicated_spans(df, span_tokens=0)
+    with pytest.raises(ValueError):
+        dedup.duplicated_spans(df, stride=0)

@@ -1385,6 +1385,7 @@ def duplicated_spans(
     span_tokens: int = 8,
     stride: int = 1,
     max_doc_freq: int = 1,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Per-document duplicated-SPAN profile — the any-alignment complement
     to ``chunk_dedup``/``strip_frequent_chunks``: overlapping
@@ -1432,6 +1433,12 @@ def duplicated_spans(
             lambda st: F.md5(F.array_join(F.slice(toks, st + 1, w), " ")),
         ).alias("__digs"),
     ).withColumn("n_spans", F.size("__digs").cast("long"))
+    # materialize the digest arrays ONCE: the interpreted window build is
+    # referenced by the explode branch, the generator's inferred
+    # size()>0 filter, AND the final join — uncheckpointed it re-evaluates
+    # ~4x (measured 3.6s -> 0.7s at sf0.1).  Same lineage-cut rule as
+    # pagerank's edge materialization; pass checkpoint_dir on clusters.
+    base = iter_checkpoint(base, checkpoint_dir)
     spans = base.select(
         id_col, F.posexplode("__digs").alias("span_idx", "__d")
     )

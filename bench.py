@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     # round-6 additions (second wave)
     "d16_duplicated_spans",  # stride-1 span windows + doc-freq + run stats
     "u17_leakage_safe_split",  # LSH pairs -> CC -> cluster-keyed hash split
+    "m5_image_transform",  # decode -> crop -> NN-resize in mapInPandas
 ]
 
 

@@ -495,3 +495,67 @@ def wav_header(*, n_samples: int, sample_rate: int = 8000, bits: int = 8, n_chan
             b"data", struct.pack("<I", data_size),
         ]
     )
+
+
+def transform_image_features(
+    df: DataFrame,
+    *,
+    crop: tuple[int, int, int, int] | None = None,
+    out_w: int,
+    out_h: int,
+) -> DataFrame:
+    """Decode -> optional crop -> nearest-neighbor resize -> pixel stats,
+    Arrow-batched per item (the preprocessing stage every vision pipeline
+    runs before a model sees a pixel).  ``crop`` is (x0, y0, w, h) in
+    source pixels; resize maps output pixel ``x2`` to source column
+    ``floor(x2 * w_in / out_w)`` (the standard NN convention), so the
+    whole transform is integer pixel SELECTION — no interpolation — and a
+    relational oracle can replay the exact per-channel means from raw
+    bytes.  Per-item error isolation as in ``decode_image_features``: a
+    corrupt payload yields NULL stats + the error, never a dead stage.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    rows.append((media_id, None, None, None, None, None, "null content"))
+                    continue
+                try:
+                    img = decode_image(bytes(content))
+                    if crop is not None:
+                        x0, y0, cw, ch = crop
+                        if x0 < 0 or y0 < 0 or x0 + cw > img.shape[1] or y0 + ch > img.shape[0]:
+                            raise ValueError(
+                                f"crop {crop} outside {img.shape[1]}x{img.shape[0]}"
+                            )
+                        img = img[y0 : y0 + ch, x0 : x0 + cw]
+                    xs = (np.arange(out_w) * img.shape[1]) // out_w
+                    ys = (np.arange(out_h) * img.shape[0]) // out_h
+                    img = img[ys][:, xs]
+                    means = img.reshape(-1, 3).mean(axis=0)
+                    rows.append(
+                        (
+                            media_id,
+                            int(img.shape[1]),
+                            int(img.shape[0]),
+                            round(float(means[0]), 6),
+                            round(float(means[1]), 6),
+                            round(float(means[2]), 6),
+                            None,
+                        )
+                    )
+                except Exception as exc:  # noqa: BLE001 — per-item isolation
+                    rows.append((media_id, None, None, None, None, None, str(exc)[:200]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "mean_r", "mean_g", "mean_b",
+                    "decode_error",
+                ],
+            )
+
+    return df.select("media_id", "content").mapInPandas(_batches, IMAGE_FEATURE_SCHEMA)

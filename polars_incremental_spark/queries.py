@@ -3347,6 +3347,58 @@ ORDER BY media_id
 """
 
 
+def m5_image_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> crop -> nearest-neighbor resize -> channel stats, the
+    vision-preprocessing chain, under the hash gate: the same in-plan 4x2
+    PPM as m3, cropped to its right 2x2 quadrant-pair and NN-resized to
+    3x3.  NN resize is pure integer pixel SELECTION (src = floor(out_idx *
+    in/out)), so each output channel mean is a fixed weighted sum of
+    specific text bytes — the oracle computes those weights ([4,2;2,1]/9)
+    directly from the string, never touching an image."""
+    doc = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").rlike("^[ -~]{24}")
+    )
+    content = F.concat(
+        F.encode(F.lit("P6\n4 2\n255\n"), "utf-8"),
+        F.encode(F.substring("text", 1, 24), "utf-8"),
+    )
+    media = doc.select(F.col("doc_id").alias("media_id"), content.alias("content"))
+    return (
+        multimodal.transform_image_features(
+            media, crop=(1, 0, 2, 2), out_w=3, out_h=3
+        )
+        .select("media_id", "width", "height", "mean_r", "mean_g", "mean_b")
+        .orderBy("media_id")
+    )
+
+
+M5_SQL = """
+WITH d AS (
+  SELECT doc_id, substr(text, 1, 24) AS s FROM documents
+  WHERE regexp_matches(substr(text, 1, 24), '^[ -~]{24}$')
+),
+-- source pixel (x, y) channel c lives at string position (y*4 + x)*3 + c + 1.
+-- crop x0=1,y0=0,w=2,h=2 keeps (x,y) in {1,2}x{0,1}; NN 2x2 -> 3x3 maps
+-- output cols/rows [0,1,2] to source [0,0,1], so cropped pixel (0,0) is
+-- sampled 4x, (1,0) and (0,1) 2x, (1,1) 1x  ->  weights 4/2/2/1 over 9.
+m AS (
+  SELECT doc_id,
+         ord(substr(s, (0*4 + 1)*3 + c + 1, 1)) * 4
+       + ord(substr(s, (0*4 + 2)*3 + c + 1, 1)) * 2
+       + ord(substr(s, (1*4 + 1)*3 + c + 1, 1)) * 2
+       + ord(substr(s, (1*4 + 2)*3 + c + 1, 1)) * 1 AS wsum,
+         c
+  FROM d, unnest([0, 1, 2]) AS u(c)
+)
+SELECT doc_id AS media_id, 3 AS width, 3 AS height,
+       round(MAX(CASE WHEN c = 0 THEN wsum END) / 9.0, 6) AS mean_r,
+       round(MAX(CASE WHEN c = 1 THEN wsum END) / 9.0, 6) AS mean_g,
+       round(MAX(CASE WHEN c = 2 THEN wsum END) / 9.0, 6) AS mean_b
+FROM m GROUP BY doc_id
+ORDER BY media_id
+"""
+
+
 def m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame fan-out (one row per sampled frame), re-aggregated to per-media
     frame counts AND total sliced bytes — both replayable in SQL (slices
@@ -5084,9 +5136,10 @@ ORDER BY user_id, event_type
 # remaining r4-green pool — all re-verified by the local strict replica
 # every round.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # --- new in round 6: first driver rows (2) ---
+    # --- new in round 6: first driver rows (3) ---
     "d16_duplicated_spans": (d16_duplicated_spans, D16_SQL),
     "u17_leakage_safe_split": (u17_leakage_safe_split, U17_SQL),
+    "m5_image_transform": (m5_image_transform, M5_SQL),
     # --- changed in round 6: oracle or implementation (11) ---
     "r25_sliding_window": (r25_sliding_window, R25_SQL),
     "m1_multimodal_features": (m1_multimodal_features, M1_SQL),
@@ -5137,8 +5190,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_window_1m": (events_window, EVENTS_WINDOW_SQL),
     "events_sessionize": (events_sessionize, SESSIONIZE_SQL),
     "asof_error_after_click": (asof_error_after_click, ASOF_SQL),
-    "range_clicks_before_error": (range_clicks_before_error, RANGE_SQL),
     # ================= driver window boundary (entry 50) =================
+    "range_clicks_before_error": (range_clicks_before_error, RANGE_SQL),
     "cdc_merge_latest": (cdc_merge_latest, CDC_MERGE_SQL),
     "w1_drop_late": (w1_drop_late, W1_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),

@@ -99,3 +99,48 @@ def test_duplicated_spans_validation(spark):
         dedup.duplicated_spans(df, span_tokens=0)
     with pytest.raises(ValueError):
         dedup.duplicated_spans(df, stride=0)
+
+
+def test_transform_image_features_crop_resize_semantics(spark):
+    """Pin crop + NN-resize pixel selection against a hand-built PPM."""
+    import numpy as np
+
+    from polars_incremental_spark.functions.multimodal import (
+        transform_image_features,
+    )
+
+    # 4x2 image with unique channel values per pixel
+    pix = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    content = b"P6\n4 2\n255\n" + pix.tobytes()
+    df = spark.createDataFrame(
+        [(1, bytearray(content)), (2, bytearray(b"garbage"))],
+        "media_id long, content binary",
+    )
+    out = {
+        r["media_id"]: r.asDict()
+        for r in transform_image_features(
+            df, crop=(1, 0, 2, 2), out_w=3, out_h=3
+        ).collect()
+    }
+    good = out[1]
+    assert (good["width"], good["height"]) == (3, 3)
+    # crop keeps pixels (x,y) in {1,2}x{0,1}; NN 3x3 weights 4/2/2/1
+    crop = pix[0:2, 1:3]
+    exp = (
+        crop[0, 0].astype(int) * 4
+        + crop[0, 1].astype(int) * 2
+        + crop[1, 0].astype(int) * 2
+        + crop[1, 1].astype(int) * 1
+    ) / 9.0
+    assert abs(good["mean_r"] - round(float(exp[0]), 6)) < 1e-9
+    assert abs(good["mean_g"] - round(float(exp[1]), 6)) < 1e-9
+    assert abs(good["mean_b"] - round(float(exp[2]), 6)) < 1e-9
+    # corrupt payload isolated, not fatal
+    assert out[2]["width"] is None and out[2]["decode_error"]
+
+    # crop outside bounds is an isolated per-item error too
+    bad = transform_image_features(
+        spark.createDataFrame([(3, bytearray(content))], "media_id long, content binary"),
+        crop=(3, 0, 2, 2), out_w=2, out_h=2,
+    ).first()
+    assert bad["decode_error"] and "crop" in bad["decode_error"]

@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "d16_duplicated_spans",  # stride-1 span windows + doc-freq + run stats
     "u17_leakage_safe_split",  # LSH pairs -> CC -> cluster-keyed hash split
     "m5_image_transform",  # decode -> crop -> NN-resize in mapInPandas
+    "m6_audio_frames",  # decode -> overlapping frame energies (hop windows)
 ]
 
 

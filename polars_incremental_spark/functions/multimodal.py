@@ -559,3 +559,73 @@ def transform_image_features(
             )
 
     return df.select("media_id", "content").mapInPandas(_batches, IMAGE_FEATURE_SCHEMA)
+
+
+AUDIO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("max_frame_energy", T.LongType(), True),
+        T.StructField("argmax_frame", T.IntegerType(), True),
+        T.StructField("total_energy", T.LongType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def frame_audio_features(
+    df: DataFrame, *, frame_samples: int, hop_samples: int
+) -> DataFrame:
+    """Decode -> overlapping frame windows -> per-frame energy, the
+    windowing stage every spectrogram/VAD pipeline runs before an FFT:
+    frame k covers samples [k*hop, k*hop + frame) of channel 0 (tail
+    frames truncated; a frame exists for every start < n_samples).
+
+    Per media: frame count, the LOUDEST frame's energy and index (first
+    max on ties), and total energy — all INTEGER-exact sums of squared
+    centered samples, so the full decode+window path sits under a byte-
+    arithmetic hash oracle (see m6).  Same per-item error isolation as the
+    other decoders.
+    """
+    if frame_samples < 1 or hop_samples < 1:
+        raise ValueError("frame_samples and hop_samples must be >= 1")
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    rows.append((media_id, None, None, None, None, "null content"))
+                    continue
+                try:
+                    _rate, s = decode_audio(bytes(content))
+                    ch0 = s[:, 0].astype(np.int64)
+                    n = int(ch0.shape[0])
+                    energies = [
+                        int((ch0[st : st + frame_samples] ** 2).sum())
+                        for st in range(0, max(n, 1), hop_samples)
+                    ]
+                    best = max(range(len(energies)), key=lambda i: (energies[i], -i))
+                    rows.append(
+                        (
+                            media_id,
+                            len(energies),
+                            energies[best],
+                            best,
+                            int((ch0**2).sum()),
+                            None,
+                        )
+                    )
+                except Exception as exc:  # noqa: BLE001 — per-item isolation
+                    rows.append((media_id, None, None, None, None, str(exc)[:200]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_frames", "max_frame_energy", "argmax_frame",
+                    "total_energy", "decode_error",
+                ],
+            )
+
+    return df.select("media_id", "content").mapInPandas(_batches, AUDIO_FRAME_SCHEMA)

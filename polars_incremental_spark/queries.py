@@ -3302,6 +3302,66 @@ def m4_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m6_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame windowing under the hash gate: the same in-plan 8-bit
+    WAV as m4, cut into 16-sample frames every 8 (the spectrogram hop
+    pattern); per media the loudest frame's integer energy + index and the
+    total energy are byte-arithmetic-replayable, so the decode->window
+    chain is hash-verified end to end."""
+    from .functions.multimodal import wav_header
+
+    doc = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").rlike("^[ -~]{32}")
+    )
+    content = F.concat(
+        F.lit(wav_header(n_samples=32, sample_rate=8000, bits=8)),
+        F.encode(F.substring("text", 1, 32), "utf-8"),
+    )
+    media = doc.select(F.col("doc_id").alias("media_id"), content.alias("content"))
+    return (
+        multimodal.frame_audio_features(media, frame_samples=16, hop_samples=8)
+        .select(
+            "media_id", "n_frames", "max_frame_energy", "argmax_frame",
+            "total_energy",
+        )
+        .orderBy("media_id")
+    )
+
+
+M6_SQL = """
+WITH d AS (
+  SELECT doc_id, substr(text, 1, 32) AS s FROM documents
+  WHERE regexp_matches(substr(text, 1, 32), '^[ -~]{32}$')
+),
+samp AS (
+  SELECT doc_id, g.i AS i, CAST(ord(substr(d.s, g.i, 1)) - 128 AS BIGINT) AS v
+  FROM d, generate_series(1, 32) g(i)
+),
+-- frame f covers samples [f*8 + 1, f*8 + 16]; starts < 32 -> f in 0..3
+fr AS (
+  SELECT doc_id, f.f AS f, SUM(v * v) AS e
+  FROM samp, unnest([0, 1, 2, 3]) AS f(f)
+  WHERE i > f.f * 8 AND i <= f.f * 8 + 16
+  GROUP BY doc_id, f.f
+),
+best AS (
+  SELECT doc_id, e AS max_frame_energy, f AS argmax_frame
+  FROM (
+    SELECT doc_id, f, e,
+           row_number() OVER (PARTITION BY doc_id ORDER BY e DESC, f) AS rn
+    FROM fr
+  ) WHERE rn = 1
+),
+tot AS (SELECT doc_id, SUM(v * v) AS total_energy FROM samp GROUP BY doc_id)
+SELECT d.doc_id AS media_id, 4 AS n_frames,
+       b.max_frame_energy::BIGINT AS max_frame_energy,
+       CAST(b.argmax_frame AS INTEGER) AS argmax_frame,
+       t.total_energy::BIGINT AS total_energy
+FROM d JOIN best b ON b.doc_id = d.doc_id JOIN tot t ON t.doc_id = d.doc_id
+ORDER BY media_id
+"""
+
+
 M4_SQL = """
 WITH d AS (
   SELECT doc_id, substr(text, 1, 32) AS s FROM documents
@@ -5140,6 +5200,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "d16_duplicated_spans": (d16_duplicated_spans, D16_SQL),
     "u17_leakage_safe_split": (u17_leakage_safe_split, U17_SQL),
     "m5_image_transform": (m5_image_transform, M5_SQL),
+    "m6_audio_frames": (m6_audio_frames, M6_SQL),
     # --- changed in round 6: oracle or implementation (11) ---
     "r25_sliding_window": (r25_sliding_window, R25_SQL),
     "m1_multimodal_features": (m1_multimodal_features, M1_SQL),
@@ -5189,8 +5250,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # --- r4-graded timestamp sentinels (6) ---
     "events_window_1m": (events_window, EVENTS_WINDOW_SQL),
     "events_sessionize": (events_sessionize, SESSIONIZE_SQL),
-    "asof_error_after_click": (asof_error_after_click, ASOF_SQL),
     # ================= driver window boundary (entry 50) =================
+    "asof_error_after_click": (asof_error_after_click, ASOF_SQL),
     "range_clicks_before_error": (range_clicks_before_error, RANGE_SQL),
     "cdc_merge_latest": (cdc_merge_latest, CDC_MERGE_SQL),
     "w1_drop_late": (w1_drop_late, W1_SQL),

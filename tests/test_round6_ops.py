@@ -144,3 +144,34 @@ def test_transform_image_features_crop_resize_semantics(spark):
         crop=(3, 0, 2, 2), out_w=2, out_h=2,
     ).first()
     assert bad["decode_error"] and "crop" in bad["decode_error"]
+
+
+def test_frame_audio_features_semantics(spark):
+    """Windowed frame energies against a hand-built 8-bit WAV."""
+    import numpy as np
+
+    from polars_incremental_spark.functions.multimodal import (
+        frame_audio_features,
+        wav_header,
+    )
+
+    # 32 samples: quiet first half, loud burst in samples 16..31
+    raw = bytes([128] * 16 + [228] * 16)
+    content = wav_header(n_samples=32, sample_rate=8000, bits=8) + raw
+    df = spark.createDataFrame(
+        [(1, bytearray(content)), (2, bytearray(b"nope"))],
+        "media_id long, content binary",
+    )
+    out = {
+        r["media_id"]: r.asDict()
+        for r in frame_audio_features(
+            df, frame_samples=16, hop_samples=8
+        ).collect()
+    }
+    good = out[1]
+    # frames: [0:16]=0 energy, [8:24]=8 loud samples, [16:32]=16 loud, [24:32]=8 loud
+    assert good["n_frames"] == 4
+    assert good["argmax_frame"] == 2
+    assert good["max_frame_energy"] == 16 * 100 * 100
+    assert good["total_energy"] == 16 * 100 * 100
+    assert out[2]["n_frames"] is None and out[2]["decode_error"]

@@ -485,3 +485,68 @@ def test_dv_codec_roundtrip_property(positions, dense_block):
         positions = positions + list(range(base, base + 5000))
     d = inline_descriptor(positions)
     assert descriptor_positions(d) == sorted(set(positions))
+
+
+# ------------------------------------------------- duplicated spans (d16)
+
+
+def _py_duplicated_spans(corpus: dict[int, list[str]], w: int):
+    """Pure-Python reference for dedup.duplicated_spans at stride 1."""
+    spans = {
+        doc: [" ".join(t[i : i + w]) for i in range(max(len(t) - w, 0) + 1)]
+        for doc, t in corpus.items()
+    }
+    freq: dict[str, set[int]] = {}
+    for doc, sp in spans.items():
+        for s in sp:
+            freq.setdefault(s, set()).add(doc)
+    out = {}
+    for doc, sp in spans.items():
+        dup_idx = [i for i, s in enumerate(sp) if len(freq[s]) > 1]
+        best = cur = 0
+        prev = -2
+        for i in dup_idx:
+            cur = cur + 1 if i == prev + 1 else 1
+            best = max(best, cur)
+            prev = i
+        out[doc] = (
+            len(sp),
+            len(dup_idx),
+            best,
+            (best - 1) + w if best > 0 else 0,
+        )
+    return out
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=24
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    w=st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=8, deadline=None)
+def test_duplicated_spans_matches_python_reference(texts, w):
+    """Tiny alphabet forces genuine cross-document span collisions; the
+    Spark plan must agree with the direct per-doc computation on counts,
+    run length, and the span-length estimate."""
+    from polars_incremental_spark.session import get_spark
+
+    spark = get_spark("tests")
+    corpus = {i: toks for i, toks in enumerate(texts)}
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in corpus.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_spans"],
+            r["n_dup_spans"],
+            r["max_dup_run"],
+            r["approx_longest_dup_tokens"],
+        )
+        for r in dedup.duplicated_spans(df, span_tokens=w, stride=1).collect()
+    }
+    assert got == _py_duplicated_spans(corpus, w)

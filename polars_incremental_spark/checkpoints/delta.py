@@ -119,6 +119,41 @@ class DeltaLog:
         except (OSError, ValueError, KeyError):
             return None
 
+    def checkpoint_versions(self) -> list[int]:
+        """Every checkpoint parquet present in the log dir, sorted — not
+        just ``_last_checkpoint``: log cleanup keeps superseded checkpoints
+        until the NEXT cleanup, and a read below the newest checkpoint can
+        legitimately seed from an older one (real Delta readers do the
+        same listing)."""
+        out = []
+        try:
+            names = os.listdir(self.log_dir)
+        except OSError:
+            return out
+        for name in names:
+            if name.endswith(".checkpoint.parquet"):
+                try:
+                    out.append(int(name.split(".")[0]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def seed_checkpoint(self, version: int | None = None) -> int | None:
+        """Newest checkpoint at or below ``version`` (default: any)."""
+        cands = self.checkpoint_versions()
+        if version is not None:
+            cands = [c for c in cands if c <= version]
+        return max(cands) if cands else None
+
+    def is_reconstructible(self, version: int) -> bool:
+        """True when the snapshot AT ``version`` can be replayed: some
+        checkpoint ≤ version (or table creation) seeds it and every JSON
+        commit between the seed and ``version`` survives."""
+        seed = self.seed_checkpoint(version)
+        start = -1 if seed is None else seed
+        needed = set(range(start + 1, version + 1))
+        return needed.issubset(self.versions())
+
     def checkpoint_actions(self, version: int) -> list[dict[str, Any]]:
         """Actions stored in the ``{version}.checkpoint.parquet`` file."""
         import pyarrow.parquet as pq
@@ -157,20 +192,35 @@ class DeltaLog:
         — the latest one at or below ``at_version`` (default: table head).
         Time travel reads pass ``at_version`` so a query AS OF v sees the
         schema as of v, not the current one."""
-        cv = self.checkpoint_version()
+        return self._effective_action("metaData", at_version)
+
+    def _effective_action(
+        self, kind: str, at_version: int | None
+    ) -> dict[str, Any] | None:
+        """Latest ``kind`` action at/below ``at_version`` (default: head).
+
+        When ``at_version`` sits BELOW the checkpoint, the checkpoint must
+        NOT answer (it summarizes a LATER state — e.g. a post-upgrade
+        protocol or post-evolution schema); the walk instead continues
+        through the surviving JSON commits ≤ at_version.  If those were
+        expired, ``snapshot_files`` raises first (the read is not
+        reconstructible), so returning None here is unreachable for
+        legitimate time-travel reads.
+        """
+        cv = self.seed_checkpoint(at_version)
         for version in reversed(self.versions()):
             if at_version is not None and version > at_version:
                 continue
             if cv is not None and version <= cv:
-                break  # checkpoint already summarizes everything at/below cv
+                break  # the seed checkpoint summarizes everything at/below it
             for action in self.actions(version):
-                if "metaData" in action:
-                    return action["metaData"]
-        if cv is None or (at_version is not None and cv > at_version):
+                if kind in action:
+                    return action[kind]
+        if cv is None:
             return None
         for action in self.checkpoint_actions(cv):
-            if "metaData" in action:
-                return action["metaData"]
+            if kind in action:
+                return action[kind]
         return None
 
     def table_id(self) -> str | None:
@@ -180,21 +230,7 @@ class DeltaLog:
     def protocol(self, at_version: int | None = None) -> dict[str, Any] | None:
         """Effective protocol action at/below ``at_version`` (same walk as
         ``table_metadata``)."""
-        cv = self.checkpoint_version()
-        for version in reversed(self.versions()):
-            if at_version is not None and version > at_version:
-                continue
-            if cv is not None and version <= cv:
-                break
-            for action in self.actions(version):
-                if "protocol" in action:
-                    return action["protocol"]
-        if cv is None or (at_version is not None and cv > at_version):
-            return None
-        for action in self.checkpoint_actions(cv):
-            if "protocol" in action:
-                return action["protocol"]
-        return None
+        return self._effective_action("protocol", at_version)
 
     def check_reader_supported(
         self,
@@ -294,25 +330,22 @@ class DeltaLog:
         (checkpoint-seeded adds report the checkpoint version as their
         ``commit_version``) and walks only the JSON commits after it."""
         active: dict[str, dict[str, Any]] = {}
-        start_after = -1
-        cv = self.checkpoint_version()
-        if cv is not None and cv <= version:
+        cv = self.seed_checkpoint(version)
+        start_after = -1 if cv is None else cv
+        if not self.is_reconstructible(version):
+            # no usable seed, or a JSON gap between seed and version — a
+            # partial replay would silently present a historical version
+            # as a smaller (or empty) table
+            raise PlanningError(
+                f"version {version} is no longer reconstructible: its JSON "
+                f"commits were expired and no checkpoint at or below it "
+                f"survives (same contract as Delta log cleanup)"
+            )
+        if cv is not None:
             for action in self.checkpoint_actions(cv):
                 if "add" in action:
                     add = action["add"]
                     active[add["path"]] = {**add, "commit_version": cv}
-            start_after = cv
-        elif cv is not None:
-            # version < checkpoint floor: only honest if the full JSON chain
-            # 0..version survived — a partial replay would silently present
-            # a historical version as a smaller (or empty) table
-            have = {v for v in self.versions() if v <= version}
-            if have != set(range(version + 1)):
-                raise PlanningError(
-                    f"version {version} predates checkpoint {cv} and its JSON "
-                    f"commits were expired — that history is no longer "
-                    f"reconstructible (same contract as Delta log cleanup)"
-                )
         for v in self.versions():
             if v <= start_after:
                 continue

@@ -844,16 +844,10 @@ def read_delta_fallback(
             raise ValueError(
                 f"version {version} out of range [0, {latest}] for {table_path}"
             )
-        avail = log.versions()
-        cv = log.checkpoint_version()
-        reconstructible = (cv is not None and version >= cv) or (
-            avail and version >= avail[0] and (cv is not None or avail[0] == 0)
-        )
-        if not reconstructible:
+        if not log.is_reconstructible(version):
             raise ValueError(
-                f"version {version} has expired from the log "
-                f"(earliest reconstructible: "
-                f"{cv if cv is not None else (avail[0] if avail else 0)})"
+                f"version {version} has expired from the log (no surviving "
+                f"checkpoint at or below it seeds a complete replay)"
             )
     meta = log.table_metadata(at_version=version) or {}
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
@@ -2060,12 +2054,7 @@ def restore_table_fallback(table_path: str, *, version: int) -> dict[str, Any]:
         raise FileNotFoundError(f"not a delta table: {table_path}")
     if version < 0 or version > latest:
         raise ValueError(f"version {version} out of range [0, {latest}]")
-    avail = log.versions()
-    cv = log.checkpoint_version()
-    reconstructible = (cv is not None and version >= cv) or (
-        avail and version >= avail[0] and (cv is not None or avail[0] == 0)
-    )
-    if not reconstructible:
+    if not log.is_reconstructible(version):
         raise ValueError(f"version {version} has expired from the log")
     target = {a["path"]: a for a in log.snapshot_files(version)}
     current = {a["path"]: a for a in log.snapshot_files(latest)}

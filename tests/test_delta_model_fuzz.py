@@ -1,0 +1,156 @@
+"""Model-based fuzz of the jar-less Delta writer.
+
+A seeded random interleaving of append / DV-or-CoW DELETE / UPDATE /
+MERGE / RESTORE / OPTIMIZE / checkpoint+expire / vacuum runs against BOTH
+the real table and a trivial in-memory dict model.  After every operation
+the snapshot must equal the model, and a randomly chosen HISTORICAL
+version must equal the model state recorded when that version was
+committed (time travel through every feature interaction, including
+reads that replay through a parquet log checkpoint).
+
+This is the cheapest way to catch cross-feature bugs the per-feature
+suites miss — the round-6 RESTORE-vs-deletion-vector and
+checkpoint-protocol defects were both of exactly this class.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_incremental_spark.checkpoints.delta import DeltaLog
+from polars_incremental_spark.maintenance import (
+    optimize_delta_table,
+    vacuum_delta_table,
+)
+from polars_incremental_spark.sinks.delta import (
+    delete_rows,
+    read_table,
+    restore_table,
+    update_rows,
+    write_table,
+)
+from polars_incremental_spark.sinks.deltalog import (
+    checkpoint_log,
+    merge_into,
+    write_delta_fallback,
+)
+
+
+def _snapshot(spark, path, version=None):
+    df = read_table(spark, path, version=version)
+    return sorted((r["k"], r["v"]) for r in df.collect())
+
+
+def _model_rows(model):
+    return sorted(model.items())
+
+
+@pytest.mark.parametrize("seed", [7, 23, 41])
+def test_random_dml_interleaving_matches_model(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    path = str(tmp_path / f"t{seed}")
+    model: dict[int, int] = {i: 0 for i in range(20)}
+    write_table(
+        spark.createDataFrame(list(model.items()), "k long, v long").coalesce(2),
+        path,
+    )
+    log = DeltaLog(path)
+    # version -> model snapshot at that version (data-changing commits only;
+    # metadata-only commits like checkpoint/vacuum don't create versions)
+    history: dict[int, list] = {log.latest_version(): _model_rows(model)}
+    next_key = 100
+    expired = False  # expire_log drops pre-checkpoint versions from history
+
+    def record():
+        history[log.latest_version()] = _model_rows(model)
+
+    for step in range(24):
+        op = rng.choice(
+            ["append", "delete", "update", "merge", "restore", "optimize",
+             "checkpoint", "vacuum"]
+        )
+        if op == "append":
+            n = rng.randint(1, 4)
+            rows = [(next_key + i, rng.randint(0, 9)) for i in range(n)]
+            next_key += n
+            write_delta_fallback(
+                spark.createDataFrame(rows, "k long, v long"), path, mode="append"
+            )
+            model.update(dict(rows))
+            record()
+        elif op == "delete":
+            lo = rng.choice(sorted(model) or [0])
+            dv = rng.choice([0, 100])
+            res = delete_rows(
+                spark, path, f"k >= {lo} AND k < {lo + 5}",
+                write_cdf=rng.random() < 0.5, dv_max_rows_per_file=dv,
+            )
+            for k in [k for k in model if lo <= k < lo + 5]:
+                del model[k]
+            if res["version"] is not None:
+                record()
+        elif op == "update":
+            m = rng.randint(2, 5)
+            update_rows(
+                spark, path, f"k % {m} = 0", {"v": f"v + {m}"},
+                write_cdf=rng.random() < 0.5,
+            )
+            for k in model:
+                if k % m == 0:
+                    model[k] += m
+            record()
+        elif op == "merge":
+            keys = rng.sample(sorted(model), k=min(3, len(model))) if model else []
+            src = [(k, rng.randint(50, 59)) for k in keys] + [
+                (next_key, rng.randint(50, 59))
+            ]
+            next_key += 1
+            merge_into(
+                spark,
+                path,
+                spark.createDataFrame(src, "k long, v long"),
+                keys=["k"],
+                when_matched_update={"v": "src.v"},
+                when_not_matched_insert=True,
+            )
+            model.update(dict(src))
+            record()
+        elif op == "restore":
+            candidates = sorted(history)
+            target = rng.choice(candidates)
+            try:
+                restore_table(path, version=target)
+            except ValueError:
+                assert expired, "restore refused with full history present"
+                continue
+            model = dict(history[target])
+            record()
+        elif op == "optimize":
+            optimize_delta_table(spark, path, target_partitions=2)
+            # dataChange=false commit: snapshot unchanged, new version
+            record()
+        elif op == "checkpoint":
+            checkpoint_log(path)
+            if rng.random() < 0.5:
+                from polars_incremental_spark.sinks.deltalog import expire_log
+
+                expire_log(path)
+                expired = True
+                cv = DeltaLog(path).checkpoint_version()
+                for v in [v for v in history if v < cv]:
+                    del history[v]
+        elif op == "vacuum":
+            vacuum_delta_table(spark, path, retention_hours=1e6)
+
+        got = _snapshot(spark, path)
+        assert got == _model_rows(model), f"seed={seed} step={step} op={op}"
+        # time-travel spot check against the recorded history
+        probe = rng.choice(sorted(history))
+        assert _snapshot(spark, path, version=probe) == history[probe], (
+            f"seed={seed} step={step} time-travel to v{probe} after {op}"
+        )
+
+    # final: full history agreement on every surviving version
+    for v, want in history.items():
+        assert _snapshot(spark, path, version=v) == want, f"final v{v}"

@@ -154,3 +154,101 @@ def test_random_dml_interleaving_matches_model(spark, tmp_path, seed):
     # final: full history agreement on every surviving version
     for v, want in history.items():
         assert _snapshot(spark, path, version=v) == want, f"final v{v}"
+
+
+def _cdc_rows_for_version(spark, path, version):
+    log = DeltaLog(path)
+    out = []
+    for action in log.actions(version):
+        if "cdc" in action:
+            for r in spark.read.parquet(log.abs_path(action["cdc"]["path"])).collect():
+                out.append((r["k"], r["v"], r["_change_type"]))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_random_dml_change_feed_matches_model_diffs(spark, tmp_path, seed):
+    """Every CDF-writing operation's change files must equal the model's
+    before/after diff — deletes list the removed rows, updates list exact
+    pre+post images, merges list pre/post/insert."""
+    rng = random.Random(seed)
+    path = str(tmp_path / f"c{seed}")
+    model: dict[int, int] = {i: i % 7 for i in range(15)}
+    write_table(
+        spark.createDataFrame(list(model.items()), "k long, v long").coalesce(2),
+        path,
+    )
+    log = DeltaLog(path)
+    next_key = 100
+    for step in range(14):
+        op = rng.choice(["append", "delete", "update", "merge"])
+        expected = None
+        prev_version = log.latest_version()
+        if op == "append":
+            rows = [(next_key, rng.randint(0, 9))]
+            next_key += 1
+            write_delta_fallback(
+                spark.createDataFrame(rows, "k long, v long"), path, mode="append"
+            )
+            model.update(dict(rows))
+        elif op == "delete":
+            lo = rng.choice(sorted(model) or [0])
+            res = delete_rows(
+                spark, path, f"k >= {lo} AND k < {lo + 4}",
+                write_cdf=True, dv_max_rows_per_file=rng.choice([0, 100]),
+            )
+            gone = {k: v for k, v in model.items() if lo <= k < lo + 4}
+            for k in gone:
+                del model[k]
+            expected = sorted((k, v, "delete") for k, v in gone.items())
+            if res["version"] is None:
+                assert expected == []
+                continue
+        elif op == "update":
+            m = rng.randint(2, 5)
+            # SET touches the predicate column's own source — the round-6
+            # postimage regression class
+            update_rows(
+                spark, path, f"v % {m} = 0", {"v": f"v + {m}"}, write_cdf=True
+            )
+            hit = {k: v for k, v in model.items() if v % m == 0}
+            expected = sorted(
+                [(k, v, "update_preimage") for k, v in hit.items()]
+                + [(k, v + m, "update_postimage") for k, v in hit.items()]
+            )
+            for k in hit:
+                model[k] += m
+        elif op == "merge":
+            keys = rng.sample(sorted(model), k=min(2, len(model))) if model else []
+            src = [(k, rng.randint(70, 79)) for k in keys] + [
+                (next_key, rng.randint(70, 79))
+            ]
+            next_key += 1
+            merge_into(
+                spark,
+                path,
+                spark.createDataFrame(src, "k long, v long"),
+                keys=["k"],
+                when_matched_update={"v": "src.v"},
+                when_not_matched_insert=True,
+                write_cdf=True,
+            )
+            pre = [(k, model[k], "update_preimage") for k, _ in src if k in model]
+            post = [(k, nv, "update_postimage") for k, nv in src if k in model]
+            ins = [(k, nv, "insert") for k, nv in src if k not in model]
+            expected = sorted(pre + post + ins)
+            model.update(dict(src))
+
+        v = log.latest_version()
+        if expected is not None:
+            if v == prev_version:
+                # a no-hit UPDATE/MERGE commits nothing: no new version,
+                # and nothing must have been expected of it
+                assert expected == [], f"seed={seed} step={step} op={op}"
+            else:
+                got = _cdc_rows_for_version(spark, path, v)
+                assert got == expected, f"seed={seed} step={step} op={op} v={v}"
+        # and the snapshot still matches
+        assert _snapshot(spark, path) == _model_rows(model), (
+            f"seed={seed} step={step} op={op}"
+        )

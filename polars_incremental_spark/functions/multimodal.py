@@ -629,3 +629,68 @@ def frame_audio_features(
             )
 
     return df.select("media_id", "content").mapInPandas(_batches, AUDIO_FRAME_SCHEMA)
+
+
+SCENE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("max_frame_diff", T.LongType(), True),
+        T.StructField("cut_frame", T.IntegerType(), True),
+        T.StructField("total_frame_diff", T.LongType(), True),
+    ]
+)
+
+
+def frame_differences(frames: DataFrame) -> DataFrame:
+    """Per-media temporal frame differencing (scene-change / keyframe
+    detection): the sum of absolute byte differences between each frame
+    and its predecessor, reduced per media to the sharpest cut (max diff;
+    ``cut_frame`` is the LATER frame's index, first on ties) and the total
+    motion.  Shorter/longer neighbor frames compare over the common
+    prefix.
+
+    Scale shape: ``applyInPandas`` grouped on media_id — a video's frames
+    MUST meet in one task for temporal ops, and grouping by media id is
+    the natural co-partitioning (bounded by frames-per-video, not corpus
+    size).  This is the grouped-temporal companion to the per-item
+    ``mapInPandas`` decoders.  All-integer sums -> hash-verifiable (m7).
+    """
+
+    def _per_media(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("frame_idx")
+        frames_b = [bytes(b) if b is not None else b"" for b in pdf["frame_bytes"]]
+        diffs = []
+        for i in range(1, len(frames_b)):
+            a, b = frames_b[i - 1], frames_b[i]
+            m = min(len(a), len(b))
+            if m:
+                av = np.frombuffer(a[:m], dtype=np.uint8).astype(np.int64)
+                bv = np.frombuffer(b[:m], dtype=np.uint8).astype(np.int64)
+                diffs.append(int(np.abs(av - bv).sum()))
+            else:
+                diffs.append(0)
+        if diffs:
+            best = max(range(len(diffs)), key=lambda i: (diffs[i], -i))
+            max_d, cut, total = diffs[best], best + 1, sum(diffs)
+        else:
+            max_d, cut, total = 0, 0, 0
+        return pd.DataFrame(
+            [
+                (
+                    int(pdf["media_id"].iloc[0]),
+                    len(frames_b),
+                    max_d,
+                    cut,
+                    total,
+                )
+            ],
+            columns=[
+                "media_id", "n_frames", "max_frame_diff", "cut_frame",
+                "total_frame_diff",
+            ],
+        )
+
+    return frames.groupBy("media_id").applyInPandas(_per_media, SCENE_SCHEMA)

@@ -3362,6 +3362,60 @@ ORDER BY media_id
 """
 
 
+def m7_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change detection under the hash gate: 32-byte payloads cut
+    into four 8-byte frames by the REAL frame sampler, then per-media
+    frame differencing in grouped applyInPandas (frames of one video meet
+    in one task).  Every diff is an integer sum of absolute byte deltas,
+    so the oracle replays cut selection and totals from the text bytes."""
+    doc = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").rlike("^[ -~]{32}")
+    )
+    media = doc.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.substring("text", 1, 32), "utf-8").alias("content"),
+        F.struct(
+            F.lit("application/x-fake").alias("mime"),
+            F.lit(0).cast("int").alias("width"),
+            F.lit(0).cast("int").alias("height"),
+            F.lit(2000).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    frames = multimodal.sample_frames(media, every_ms=500)  # 4 frames of 8B
+    return multimodal.frame_differences(frames).orderBy("media_id")
+
+
+M7_SQL = """
+WITH d AS (
+  SELECT doc_id, substr(text, 1, 32) AS s FROM documents
+  WHERE regexp_matches(substr(text, 1, 32), '^[ -~]{32}$')
+),
+-- frame f = bytes [f*8+1, f*8+8]; diff(f) vs frame f-1 over positions j in 1..8
+diffs AS (
+  SELECT doc_id, f.f AS f,
+         SUM(abs(ord(substr(s, f.f * 8 + g.j, 1))
+               - ord(substr(s, (f.f - 1) * 8 + g.j, 1)))) AS dsum
+  FROM d, unnest([1, 2, 3]) AS f(f), generate_series(1, 8) g(j)
+  GROUP BY doc_id, f.f
+),
+best AS (
+  SELECT doc_id, dsum AS max_frame_diff, f AS cut_frame
+  FROM (
+    SELECT doc_id, f, dsum,
+           row_number() OVER (PARTITION BY doc_id ORDER BY dsum DESC, f) AS rn
+    FROM diffs
+  ) WHERE rn = 1
+),
+tot AS (SELECT doc_id, SUM(dsum) AS total_frame_diff FROM diffs GROUP BY doc_id)
+SELECT d.doc_id AS media_id, 4 AS n_frames,
+       b.max_frame_diff::BIGINT AS max_frame_diff,
+       CAST(b.cut_frame AS INTEGER) AS cut_frame,
+       t.total_frame_diff::BIGINT AS total_frame_diff
+FROM d JOIN best b ON b.doc_id = d.doc_id JOIN tot t ON t.doc_id = d.doc_id
+ORDER BY media_id
+"""
+
+
 M4_SQL = """
 WITH d AS (
   SELECT doc_id, substr(text, 1, 32) AS s FROM documents
@@ -5201,6 +5255,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "u17_leakage_safe_split": (u17_leakage_safe_split, U17_SQL),
     "m5_image_transform": (m5_image_transform, M5_SQL),
     "m6_audio_frames": (m6_audio_frames, M6_SQL),
+    "m7_scene_changes": (m7_scene_changes, M7_SQL),
     # --- changed in round 6: oracle or implementation (11) ---
     "r25_sliding_window": (r25_sliding_window, R25_SQL),
     "m1_multimodal_features": (m1_multimodal_features, M1_SQL),
@@ -5249,8 +5304,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "r06_cast": (r06_cast, R06_SQL),
     # --- r4-graded timestamp sentinels (6) ---
     "events_window_1m": (events_window, EVENTS_WINDOW_SQL),
-    "events_sessionize": (events_sessionize, SESSIONIZE_SQL),
     # ================= driver window boundary (entry 50) =================
+    "events_sessionize": (events_sessionize, SESSIONIZE_SQL),
     "asof_error_after_click": (asof_error_after_click, ASOF_SQL),
     "range_clicks_before_error": (range_clicks_before_error, RANGE_SQL),
     "cdc_merge_latest": (cdc_merge_latest, CDC_MERGE_SQL),

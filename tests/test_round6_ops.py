@@ -175,3 +175,34 @@ def test_frame_audio_features_semantics(spark):
     assert good["max_frame_energy"] == 16 * 100 * 100
     assert good["total_energy"] == 16 * 100 * 100
     assert out[2]["n_frames"] is None and out[2]["decode_error"]
+
+
+def test_frame_differences_semantics(spark):
+    """Pin cut selection on hand-built frames with a known sharp cut."""
+    from polars_incremental_spark.functions.multimodal import frame_differences
+
+    frames = spark.createDataFrame(
+        [
+            # media 1: flat, flat, BURST, flat-again -> cut at frame 2
+            (1, 0, bytearray(b"\x10" * 8)),
+            (1, 1, bytearray(b"\x10" * 8)),
+            (1, 2, bytearray(b"\x90" * 8)),
+            (1, 3, bytearray(b"\x90" * 8)),
+            # media 2: single frame -> no diffs
+            (2, 0, bytearray(b"abc")),
+            # media 3: unequal frame lengths compare over the common prefix
+            (3, 0, bytearray(b"\x00\x00\x00\x00")),
+            (3, 1, bytearray(b"\x05\x05")),
+        ],
+        "media_id long, frame_idx int, frame_bytes binary",
+    )
+    out = {r["media_id"]: r.asDict() for r in frame_differences(frames).collect()}
+    assert out[1]["n_frames"] == 4
+    assert out[1]["cut_frame"] == 2
+    assert out[1]["max_frame_diff"] == 8 * 0x80
+    assert out[1]["total_frame_diff"] == 8 * 0x80
+    assert out[2] == {
+        "media_id": 2, "n_frames": 1, "max_frame_diff": 0,
+        "cut_frame": 0, "total_frame_diff": 0,
+    }
+    assert out[3]["max_frame_diff"] == 2 * 5

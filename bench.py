@@ -96,7 +96,7 @@ BENCH_QUERIES = [
     "u17_leakage_safe_split",  # LSH pairs -> CC -> cluster-keyed hash split
     "m5_image_transform",  # decode -> crop -> NN-resize in mapInPandas
     "m6_audio_frames",  # decode -> overlapping frame energies (hop windows)
-    "m7_scene_changes",  # grouped applyInPandas temporal frame differencing
+    "m7_scene_changes",  # frame-pair join + vectorized pandas_udf byte delta
 ]
 
 

@@ -650,47 +650,57 @@ def frame_differences(frames: DataFrame) -> DataFrame:
     motion.  Shorter/longer neighbor frames compare over the common
     prefix.
 
-    Scale shape: ``applyInPandas`` grouped on media_id — a video's frames
-    MUST meet in one task for temporal ops, and grouping by media id is
-    the natural co-partitioning (bounded by frames-per-video, not corpus
-    size).  This is the grouped-temporal companion to the per-item
-    ``mapInPandas`` decoders.  All-integer sums -> hash-verifiable (m7).
+    Scale shape: consecutive frames meet through an equi-join on
+    ``(media_id, frame_idx - 1)`` — co-partitioned by media, the natural
+    temporal join — and the byte delta is ONE vectorized Arrow
+    ``pandas_udf`` over the paired blobs, thousands of frame pairs per
+    Python call.  (A groupBy(media).applyInPandas formulation measured
+    17s vs ~1s at sf0.1: per-group Python dispatch dominates when groups
+    are small, and short clips are the common case in a crawled corpus.)
+    The reduction is a plain ``max_by``/``sum`` aggregate.  All-integer
+    sums -> hash-verifiable (m7).
     """
+    from pyspark.sql.functions import pandas_udf
 
-    def _per_media(pdf: pd.DataFrame) -> pd.DataFrame:
+    @pandas_udf("long")
+    def _absdiff(a: pd.Series, b: pd.Series) -> pd.Series:
         import numpy as np
 
-        pdf = pdf.sort_values("frame_idx")
-        frames_b = [bytes(b) if b is not None else b"" for b in pdf["frame_bytes"]]
-        diffs = []
-        for i in range(1, len(frames_b)):
-            a, b = frames_b[i - 1], frames_b[i]
-            m = min(len(a), len(b))
+        out = []
+        for x, y in zip(a, b):
+            xb = bytes(x) if x is not None else b""
+            yb = bytes(y) if y is not None else b""
+            m = min(len(xb), len(yb))
             if m:
-                av = np.frombuffer(a[:m], dtype=np.uint8).astype(np.int64)
-                bv = np.frombuffer(b[:m], dtype=np.uint8).astype(np.int64)
-                diffs.append(int(np.abs(av - bv).sum()))
+                xv = np.frombuffer(xb[:m], dtype=np.uint8).astype(np.int64)
+                yv = np.frombuffer(yb[:m], dtype=np.uint8).astype(np.int64)
+                out.append(int(np.abs(xv - yv).sum()))
             else:
-                diffs.append(0)
-        if diffs:
-            best = max(range(len(diffs)), key=lambda i: (diffs[i], -i))
-            max_d, cut, total = diffs[best], best + 1, sum(diffs)
-        else:
-            max_d, cut, total = 0, 0, 0
-        return pd.DataFrame(
-            [
-                (
-                    int(pdf["media_id"].iloc[0]),
-                    len(frames_b),
-                    max_d,
-                    cut,
-                    total,
-                )
-            ],
-            columns=[
-                "media_id", "n_frames", "max_frame_diff", "cut_frame",
-                "total_frame_diff",
-            ],
-        )
+                out.append(0)
+        return pd.Series(out, dtype="int64")
 
-    return frames.groupBy("media_id").applyInPandas(_per_media, SCENE_SCHEMA)
+    counts = frames.groupBy("media_id").agg(
+        F.count("*").cast("int").alias("n_frames")
+    )
+    prev = frames.select(
+        "media_id",
+        (F.col("frame_idx") + 1).alias("frame_idx"),
+        F.col("frame_bytes").alias("__prev"),
+    )
+    pairs = frames.join(prev, ["media_id", "frame_idx"]).select(
+        "media_id",
+        F.col("frame_idx").alias("__idx"),
+        _absdiff(F.col("__prev"), F.col("frame_bytes")).alias("__d"),
+    )
+    diffs = pairs.groupBy("media_id").agg(
+        F.max("__d").alias("max_frame_diff"),
+        F.expr("max_by(__idx, struct(__d, -__idx))").alias("cut_frame"),
+        F.sum("__d").alias("total_frame_diff"),
+    )
+    return counts.join(diffs, "media_id", "left").select(
+        "media_id",
+        "n_frames",
+        F.coalesce("max_frame_diff", F.lit(0)).cast("long").alias("max_frame_diff"),
+        F.coalesce("cut_frame", F.lit(0)).cast("int").alias("cut_frame"),
+        F.coalesce("total_frame_diff", F.lit(0)).cast("long").alias("total_frame_diff"),
+    )

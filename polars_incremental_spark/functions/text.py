@@ -614,3 +614,161 @@ def readability_columns(col: Column) -> list[Column]:
         n_syllables.alias("n_syllables"),
         ease.alias("reading_ease"),
     ]
+
+
+def bm25_topk(
+    df,
+    query_terms: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 retrieval scoring against a fixed query-term list — the
+    classic lexical ranker (Robertson/Sparck Jones; reference exposes the
+    corpus-statistic machinery via its scan+agg surface, this composes it
+    into the end ranker).  Returns the global top-``k`` docs as
+    (id, score, rank), ties broken by id asc.
+
+    Determinism contract (what lets a float ranker sit under a hash
+    oracle): every input to the float math is an exact integer — per-term
+    tf comes from a conditional count (no double summation), avg doc
+    length is carried as the exact pair (sum_dl, n_docs) so ``dl/avgdl``
+    is the single division ``dl*n_docs/sum_dl`` — and the per-term score
+    terms are added in the FIXED order of ``query_terms`` (an explicit
+    left-associated expression, never a groupBy-sum over doubles whose
+    addition order is partition-dependent).
+
+    Scale shape: one token explode feeds ONE hash agg on doc_id carrying
+    dl + every per-term tf as conditional counts (one shuffle total);
+    corpus stats (sum_dl, n_docs, per-term df) are ONE 1-row agg
+    broadcast back; the global top-k is orderBy+limit = TakeOrdered,
+    never a single-partition window (the rank column is stamped on the
+    already-materialized k rows).
+    """
+    from pyspark.sql import functions as _F
+
+    toks = df.select(
+        _F.col(id_col),
+        _F.explode(tokens(_F.lower(_F.col(text_col)))).alias("term"),
+    ).filter(_F.col("term") != "")
+    base = toks.groupBy(id_col).agg(
+        _F.count("*").cast("long").alias("__dl"),
+        *[
+            _F.sum((_F.col("term") == t).cast("long"))
+            .cast("long")
+            .alias(f"__tf_{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    stats = base.agg(
+        _F.sum("__dl").cast("long").alias("__sum_dl"),
+        _F.count("*").cast("long").alias("__n_docs"),
+        *[
+            _F.sum((_F.col(f"__tf_{i}") > 0).cast("long"))
+            .cast("long")
+            .alias(f"__df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = base.crossJoin(_F.broadcast(stats))
+    # idf_t = ln(1 + (N - df + 0.5)/(df + 0.5)); tf norm with exact
+    # dl*N/sum_dl for dl/avgdl.  Left-associated fixed-order sum.
+    score = _F.lit(0.0)
+    for i in range(len(query_terms)):
+        tf = _F.col(f"__tf_{i}").cast("double")
+        dfq = _F.col(f"__df_{i}").cast("double")
+        n_docs = _F.col("__n_docs").cast("double")
+        rel_dl = (
+            _F.col("__dl").cast("double")
+            * _F.col("__n_docs").cast("double")
+            / _F.col("__sum_dl").cast("double")
+        )
+        idf = _F.log(
+            _F.lit(1.0) + (n_docs - dfq + _F.lit(0.5)) / (dfq + _F.lit(0.5))
+        )
+        score = score + idf * (
+            tf
+            * _F.lit(k1 + 1.0)
+            / (tf + _F.lit(k1) * (_F.lit(1.0 - b) + _F.lit(b) * rel_dl))
+        )
+    ranked = (
+        scored.select(id_col, _F.round(score, 6).alias("score"))
+        .orderBy(_F.col("score").desc(), _F.col(id_col).asc())
+        .limit(k)
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.orderBy(_F.col("score").desc(), _F.col(id_col).asc())
+    return ranked.withColumn("rank", _F.row_number().over(w).cast("int"))
+
+
+def term_pmi(
+    df,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_vocab: int = 64,
+    min_pair_count: int = 5,
+):
+    """Term co-occurrence PMI lift over document-level presence — which
+    term pairs appear in the same document more often than chance (query
+    expansion / topic-pair mining).  INTEGER-EXACT: emits the raw counts
+    plus ``lift_ppm = (c_ab * N * 1e6) div (c_a * c_b)`` — floor division
+    of exact bigints, so the iterative-free ranking is hash-identical in
+    any engine (the float ``pmi = ln(lift)`` is monotone in it; callers
+    who want nats apply log themselves).
+
+    Scale shape: vocabulary = top ``max_vocab`` terms by doc-freq
+    (orderBy+limit = TakeOrdered, then BROADCAST back), so the per-doc
+    self-join is bounded at |vocab| terms/doc — never an unbounded
+    all-token pair explosion.  Pair counting is one hash agg on
+    (term_a, term_b).
+
+    Overflow note: c_ab*N*1e6 needs N·N·1e6 < 2^63, i.e. N ≲ 3e6 docs at
+    full co-occurrence; above that switch the lift to DECIMAL(38,0) or
+    double — kept bigint here because exactness is what the verification
+    gate buys.
+    """
+    from pyspark.sql import functions as _F
+
+    dt = (
+        df.select(
+            _F.col(id_col).alias("doc"),
+            _F.explode(
+                _F.array_distinct(tokens(_F.lower(_F.col(text_col))))
+            ).alias("term"),
+        )
+        .filter(_F.col("term") != "")
+    )
+    dfreq = dt.groupBy("term").agg(_F.count("*").cast("long").alias("c"))
+    vocab = dfreq.orderBy(
+        _F.col("c").desc(), _F.col("term").asc()
+    ).limit(max_vocab)
+    n_docs = df.agg(_F.count("*").cast("long").alias("n_docs"))
+    dv = dt.join(_F.broadcast(vocab), "term").select("doc", "term", "c")
+    a = dv.select(
+        "doc", _F.col("term").alias("term_a"), _F.col("c").alias("c_a")
+    )
+    bb = dv.select(
+        "doc", _F.col("term").alias("term_b"), _F.col("c").alias("c_b")
+    )
+    pairs = (
+        a.join(bb, "doc")
+        .filter(_F.col("term_a") < _F.col("term_b"))
+        .groupBy("term_a", "term_b", "c_a", "c_b")
+        .agg(_F.count("*").cast("long").alias("c_ab"))
+        .filter(_F.col("c_ab") >= min_pair_count)
+    )
+    return pairs.crossJoin(_F.broadcast(n_docs)).select(
+        "term_a",
+        "term_b",
+        "c_ab",
+        "c_a",
+        "c_b",
+        _F.expr("(c_ab * n_docs * 1000000) div (c_a * c_b)")
+        .cast("long")
+        .alias("lift_ppm"),
+    )

@@ -5228,6 +5228,196 @@ ORDER BY user_id, event_type
 """
 
 
+_T16_TERMS = ["join", "hash", "vector", "stream"]
+
+
+def t16_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval ranking: top-20 documents for a fixed query-term
+    set (the classic lexical ranker over the corpus the engine curates).
+    Float math but hash-verifiable: integer-exact inputs, fixed-order
+    term addition, exact (sum_dl, n_docs) instead of a float avgdl — see
+    text.bm25_topk."""
+    return tx.bm25_topk(
+        load_table(spark, sf_dir, "documents"), _T16_TERMS, k=20
+    )
+
+
+def _t16_sql(k1: float = 1.2, b: float = 0.75) -> str:
+    tf_cols = ",\n         ".join(
+        f"SUM(CASE WHEN term = '{t}' THEN 1 ELSE 0 END)::BIGINT AS tf_{i}"
+        for i, t in enumerate(_T16_TERMS)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)::BIGINT AS df_{i}"
+        for i in range(len(_T16_TERMS))
+    )
+    rel = (
+        "(CAST(b.dl AS DOUBLE) * CAST(s.n_docs AS DOUBLE) "
+        "/ CAST(s.sum_dl AS DOUBLE))"
+    )
+    # mirror the Spark float expression EXACTLY: same literals (repr of
+    # the same Python doubles), same left-associated addition order
+    parts = []
+    for i in range(len(_T16_TERMS)):
+        idf = (
+            f"ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(s.df_{i} AS DOUBLE)"
+            f" + 0.5) / (CAST(s.df_{i} AS DOUBLE) + 0.5))"
+        )
+        tfn = (
+            f"CAST(b.tf_{i} AS DOUBLE) * {k1 + 1.0!r} /"
+            f" (CAST(b.tf_{i} AS DOUBLE) + {k1!r} * ({1.0 - b!r} + {b!r}"
+            f" * {rel}))"
+        )
+        parts.append(f"{idf} * ({tfn})")
+    score = "0.0\n           + " + "\n           + ".join(parts)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_sql_tokens("lower(text)")}) AS term FROM documents
+),
+tt AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+base AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS dl,
+         {tf_cols}
+  FROM tt GROUP BY doc_id
+),
+stats AS (
+  SELECT SUM(dl)::BIGINT AS sum_dl, COUNT(*)::BIGINT AS n_docs, {df_cols}
+  FROM base
+),
+scored AS (
+  SELECT b.doc_id,
+         round({score}, 6) AS score
+  FROM base b, stats s
+),
+topk AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+FROM topk
+"""
+
+
+T16_SQL = _t16_sql()
+
+
+def t17_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-pair PMI lift over document co-occurrence (topic-pair mining /
+    query expansion).  Integer-exact lift_ppm — floor-divided bigints —
+    so the ranking hash-matches any engine; vocabulary bounded at 32
+    terms by doc-freq before the per-doc pair join (text.term_pmi)."""
+    return tx.term_pmi(
+        load_table(spark, sf_dir, "documents"), max_vocab=32, min_pair_count=5
+    ).orderBy("term_a", "term_b")
+
+
+T17_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_sql_tokens("lower(text)")})) AS term
+  FROM documents
+),
+dt AS (SELECT doc_id AS doc, term FROM toks WHERE term <> ''),
+dfreq AS (SELECT term, COUNT(*)::BIGINT AS c FROM dt GROUP BY term),
+vocab AS (SELECT term, c FROM dfreq ORDER BY c DESC, term ASC LIMIT 32),
+nd AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
+dv AS (SELECT dt.doc, dt.term, v.c FROM dt JOIN vocab v USING (term)),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, a.c AS c_a, b.c AS c_b,
+         COUNT(*)::BIGINT AS c_ab
+  FROM dv a JOIN dv b ON a.doc = b.doc AND a.term < b.term
+  GROUP BY 1, 2, 3, 4
+  HAVING COUNT(*) >= 5
+)
+SELECT term_a, term_b, c_ab, c_a, c_b,
+       ((c_ab * n_docs * 1000000) // (c_a * c_b))::BIGINT AS lift_ppm
+FROM pairs, nd
+ORDER BY term_a, term_b
+"""
+
+
+def g4_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via synchronous label propagation over the
+    near-dup similarity graph (same LSH edges as g1/g2) — 3 rounds of
+    mode-with-min-tiebreak label adoption, fully deterministic, so the
+    ITERATIVE result is hash-verified against an unrolled-CTE replay
+    (the g1 contract applied to LPA)."""
+    from .functions.graph import label_propagation
+
+    pairs = dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.12
+    ).select("id_a", "id_b")
+    edges = pairs.union(pairs.select(F.col("id_b"), F.col("id_a"))).toDF(
+        "src", "dst"
+    )
+    return (
+        label_propagation(edges, iterations=3)
+        .select(F.col("node").alias("doc_id"), F.col("label").alias("community"))
+        .orderBy("doc_id")
+    )
+
+
+def _g4_sql(iterations: int = 3) -> str:
+    prev = "l0"
+    ctes = []
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""c{i} AS (
+  SELECT e.dst AS node, l.label, COUNT(*) AS c
+  FROM edges e JOIN {prev} l ON e.src = l.node
+  GROUP BY 1, 2
+),
+p{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+),
+l{i} AS (
+  SELECT l.node, coalesce(p.label, l.label)::BIGINT AS label
+  FROM {prev} l LEFT JOIN p{i} p ON l.node = p.node
+)"""
+        )
+        prev = f"l{i}"
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {_SQL_SHINGLE_CTE},
+{_SQL_H32_CTE},
+sigs AS (SELECT doc_id, {_SQL_MINHASH_MINS} FROM sh32 GROUP BY doc_id),
+bands AS ({_SQL_BANDS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+p AS (SELECT doc_id, {_sql_md5_long("shingle")} AS h FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM p GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN p pa ON pa.doc_id = c.id_a
+  JOIN p pb ON pb.doc_id = c.id_b AND pb.h = pa.h
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b, round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+),
+pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.12),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+l0 AS (SELECT DISTINCT src AS node, src::BIGINT AS label FROM edges),
+{joined}
+SELECT node AS doc_id, label AS community FROM l{iterations} ORDER BY doc_id
+"""
+
+
+G4_SQL = _g4_sql()
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5250,7 +5440,10 @@ ORDER BY user_id, event_type
 # remaining r4-green pool — all re-verified by the local strict replica
 # every round.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # --- new in round 6: first driver rows (3) ---
+    # --- new in round 6: first driver rows ---
+    "t16_bm25_topk": (t16_bm25_topk, T16_SQL),
+    "t17_term_pmi": (t17_term_pmi, T17_SQL),
+    "g4_communities": (g4_communities, G4_SQL),
     "d16_duplicated_spans": (d16_duplicated_spans, D16_SQL),
     "u17_leakage_safe_split": (u17_leakage_safe_split, U17_SQL),
     "m5_image_transform": (m5_image_transform, M5_SQL),

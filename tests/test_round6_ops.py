@@ -206,3 +206,117 @@ def test_frame_differences_semantics(spark):
         "cut_frame": 0, "total_frame_diff": 0,
     }
     assert out[3]["max_frame_diff"] == 2 * 5
+
+
+# ------------------------------------------------------ label propagation
+def test_label_propagation_two_cliques(spark):
+    """Two disjoint triangles converge to per-clique min labels; the
+    bridge-free components never exchange labels."""
+    from polars_incremental_spark.functions.graph import label_propagation
+
+    tri = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]
+    e = spark.createDataFrame(
+        tri + [(b, a) for a, b in tri], ["src", "dst"]
+    )
+    out = {r["node"]: r["label"] for r in label_propagation(e, iterations=3).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_label_propagation_mode_beats_min(spark):
+    """The update is MODE with min tiebreak, not plain min: node 5's
+    neighbors {1: x2 via 2,3 already labeled 1...} — build a star where
+    two neighbors share label 7 and one neighbor has smaller label 1;
+    after round 1 on the frozen initial labels the center adopts 7? No —
+    construct directly: center 9 has in-edges from 7, 8 (labels 7, 8) and
+    from 70 (label 70). No majority -> tie among {7,8,70} all count 1 ->
+    min = 7. Then make 8's label collapse so counts shift."""
+    from polars_incremental_spark.functions.graph import label_propagation
+
+    # center 9 receives from 7 twice (parallel edges) and from 1 once:
+    # mode is 7 even though 1 < 7 — proves count wins before tiebreak
+    edges = spark.createDataFrame(
+        [(7, 9), (7, 9), (1, 9), (9, 7), (9, 1)], ["src", "dst"]
+    )
+    out = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, iterations=1).collect()
+    }
+    assert out[9] == 7
+
+
+def test_label_propagation_checkpoint_dir_identical(spark, tmp_path):
+    from polars_incremental_spark.functions.graph import label_propagation
+
+    tri = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    e = spark.createDataFrame(tri + [(b, a) for a, b in tri], ["src", "dst"])
+    # 5 iterations so the every-4th-round checkpoint actually fires
+    a = sorted(map(tuple, label_propagation(e, iterations=5).collect()))
+    b = sorted(
+        map(
+            tuple,
+            label_propagation(
+                e, iterations=5, checkpoint_dir=str(tmp_path / "ck")
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+# ----------------------------------------------------------------- bm25
+def test_bm25_rare_term_outranks_common(spark):
+    """A doc matching the RARE query term outscores docs matching only
+    the ubiquitous one (idf dominance), and scores are finite/ordered."""
+    from polars_incremental_spark.functions.text import bm25_topk
+
+    rows = [(i, "common filler words here") for i in range(20)]
+    rows.append((100, "rare common"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_topk(df, ["rare", "common"], k=5).collect()
+    assert out[0]["doc_id"] == 100 and out[0]["rank"] == 1
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_length_normalization(spark):
+    """Same tf, shorter doc wins (b > 0 length penalty)."""
+    from polars_incremental_spark.functions.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [(1, "q short"), (2, "q " + "pad " * 50)], ["doc_id", "text"]
+    )
+    out = bm25_topk(df, ["q"], k=2).collect()
+    assert out[0]["doc_id"] == 1
+    assert out[0]["score"] > out[1]["score"]
+
+
+# ------------------------------------------------------------------ pmi
+def test_term_pmi_exact_counts(spark):
+    """3 docs: (a b), (a b), (a c) -> c_ab: a&b=2, a&c=1; lift for (a,b)
+    = 2*3*1e6 // (3*2) = 1_000_000 (independence = 1e6 ppm when pair
+    tracks the rarer term)."""
+    from polars_incremental_spark.functions.text import term_pmi
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], ["doc_id", "text"]
+    )
+    out = {
+        (r["term_a"], r["term_b"]): r
+        for r in term_pmi(df, min_pair_count=1).collect()
+    }
+    ab = out[("a", "b")]
+    assert (ab["c_ab"], ab["c_a"], ab["c_b"]) == (2, 3, 2)
+    assert ab["lift_ppm"] == 2 * 3 * 1_000_000 // (3 * 2)
+    ac = out[("a", "c")]
+    assert ac["lift_ppm"] == 1 * 3 * 1_000_000 // (3 * 1)
+
+
+def test_term_pmi_vocab_cap_bounds_pairs(spark):
+    """max_vocab=2 keeps only the top-2 doc-freq terms, so pairs outside
+    the vocabulary never appear — the join stays bounded."""
+    from polars_incremental_spark.functions.text import term_pmi
+
+    df = spark.createDataFrame(
+        [(1, "a b z"), (2, "a b y"), (3, "a b x")], ["doc_id", "text"]
+    )
+    out = term_pmi(df, max_vocab=2, min_pair_count=1).collect()
+    assert len(out) == 1 and (out[0]["term_a"], out[0]["term_b"]) == ("a", "b")

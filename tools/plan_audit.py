@@ -54,6 +54,8 @@ SCALAR_NLJ_ALLOWED = {
     "q11_important_parts",  # global value total = 1-row sum aggregate
     "t10_quality_deciles",  # decile boundaries = 1-row percentile aggregate
     "t11_char_lm_score",  # LM normalizer (total, vocab) = 1-row aggregate onto the charset^3-bounded model table
+    "t16_bm25_topk",  # corpus stats (sum_dl, n_docs, per-term df) = 1-row aggregate
+    "t17_term_pmi",  # N_docs denominator = 1-row aggregate onto the vocab-bounded pair set
 }
 NLJ_ALLOWED |= SCALAR_NLJ_ALLOWED
 

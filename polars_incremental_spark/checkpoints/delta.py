@@ -238,6 +238,7 @@ class DeltaLog:
         adds: list | None = None,
         *,
         allow_inline_dv: bool = True,
+        allow_column_mapping: bool = False,
     ) -> None:
         """Refuse to read a table whose protocol demands reader capabilities
         this jar-less implementation lacks — PROTOCOL.md's contract; the
@@ -257,6 +258,10 @@ class DeltaLog:
             supported = set(SUPPORTED_READER_FEATURES)
             if not allow_inline_dv:
                 supported.discard("deletionVectors")
+            if allow_column_mapping:
+                # the snapshot reader (sinks/deltalog) translates physical
+                # names; raw-file paths keep failing closed on this feature
+                supported.add("columnMapping")
             unsupported = set(proto.get("readerFeatures") or []) - supported
             if unsupported:
                 raise PlanningError(
@@ -271,10 +276,17 @@ class DeltaLog:
         meta = self.table_metadata(at_version=at_version) or {}
         mapping = (meta.get("configuration") or {}).get("delta.columnMapping.mode")
         if mapping and mapping != "none":
-            raise PlanningError(
-                f"table uses column mapping mode {mapping!r}; physical parquet "
-                f"columns no longer match the logical schema — use delta-spark"
-            )
+            if mapping != "name" or not allow_column_mapping:
+                raise PlanningError(
+                    f"table uses column mapping mode {mapping!r}; physical "
+                    f"parquet columns no longer match the logical schema — "
+                    + (
+                        "this reader path reads raw files and would misbind "
+                        "columns; read through read_table/read_delta_fallback"
+                        if mapping == "name"
+                        else "only 'name' mode is implemented — use delta-spark"
+                    )
+                )
         if adds is None:
             version = (
                 at_version if at_version is not None else self.latest_version()

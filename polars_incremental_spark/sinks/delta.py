@@ -353,3 +353,42 @@ def update_rows(
     from .deltalog import update_where as _update
 
     return _update(spark, path, where, set_exprs, write_cdf=write_cdf)
+
+
+def enable_column_mapping_table(spark: SparkSession, path: str) -> dict:
+    """Enable column mapping ('name' mode) — native TBLPROPERTIES DDL when
+    the jar is present, else the jar-less metadata commit
+    (deltalog.enable_column_mapping): per-field ids + physical names,
+    protocol reader v2 / writer v5, renames/drops become metadata-only."""
+    if delta_available():  # pragma: no cover (no jar here)
+        spark.sql(
+            f"ALTER TABLE delta.`{path}` SET TBLPROPERTIES ("
+            "'delta.columnMapping.mode' = 'name', "
+            "'delta.minReaderVersion' = '2', 'delta.minWriterVersion' = '5')"
+        )
+        return {"native": True}
+    from .deltalog import enable_column_mapping as _enable
+
+    return {"native": False, "version": _enable(path)}
+
+
+def rename_table_column(spark: SparkSession, path: str, old: str, new: str) -> dict:
+    """ALTER TABLE ... RENAME COLUMN — metadata-only on column-mapped
+    tables (deltalog.rename_column); native DDL when the jar is present."""
+    if delta_available():  # pragma: no cover (no jar here)
+        spark.sql(f"ALTER TABLE delta.`{path}` RENAME COLUMN `{old}` TO `{new}`")
+        return {"native": True}
+    from .deltalog import rename_column as _rename
+
+    return {"native": False, "version": _rename(path, old, new)}
+
+
+def drop_table_column(spark: SparkSession, path: str, name: str) -> dict:
+    """ALTER TABLE ... DROP COLUMN — metadata-only on column-mapped tables
+    (deltalog.drop_column); native DDL when the jar is present."""
+    if delta_available():  # pragma: no cover (no jar here)
+        spark.sql(f"ALTER TABLE delta.`{path}` DROP COLUMN `{name}`")
+        return {"native": True}
+    from .deltalog import drop_column as _drop
+
+    return {"native": False, "version": _drop(path, name)}

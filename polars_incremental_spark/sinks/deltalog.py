@@ -172,7 +172,10 @@ def _collect_file_stats(dest: str) -> str | None:
 
 
 def _stage_data_files(
-    df: DataFrame, table_path: str, partition_by: list[str] | None = None
+    df: DataFrame,
+    table_path: str,
+    partition_by: list[str] | None = None,
+    mapping: dict[str, str] | None = None,
 ) -> list[dict[str, Any]]:
     """Write ``df`` as parquet parts and move them into the table dir under
     unique names; returns add-action payloads (path, size, modificationTime,
@@ -181,9 +184,18 @@ def _stage_data_files(
     With ``partition_by``, parts are written through Spark's Hive-style
     ``partitionBy`` and moved PRESERVING the ``col=value/`` directory
     layout; each add action carries the parsed ``partitionValues`` map
-    (Delta spec) so log readers can partition-prune without listing."""
+    (Delta spec) so log readers can partition-prune without listing.
+
+    ``mapping`` (logical -> physical, column-mapped tables) renames the
+    frame before writing so parquet columns, footer-derived stats keys,
+    and partitionValues keys all carry PHYSICAL names per PROTOCOL.md;
+    ``partition_by`` arrives logical and is translated here."""
     from urllib.parse import unquote
 
+    if mapping:
+        df = _to_physical(df, mapping)
+        if partition_by:
+            partition_by = [mapping.get(c, c) for c in partition_by]
     staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
     if partition_by:
@@ -271,6 +283,66 @@ DV_GLOBAL_POSITION_BUDGET = 1_000_000
 
 GENERATION_KEY = "delta.generationExpression"  # PROTOCOL.md generated columns
 
+# PROTOCOL.md column mapping: logical names live only in the schemaString;
+# parquet files, stats keys, and partitionValues keys use per-field
+# physical names so renames/drops are metadata-only commits
+CM_MODE_KEY = "delta.columnMapping.mode"
+CM_MAX_ID_KEY = "delta.columnMapping.maxColumnId"
+CM_ID_KEY = "delta.columnMapping.id"
+CM_PHYS_KEY = "delta.columnMapping.physicalName"
+
+
+def _column_mapping(meta: dict[str, Any] | None) -> dict[str, str] | None:
+    """Logical -> physical column-name map when the table runs column
+    mapping in ``name`` mode; ``None`` for unmapped tables.  ``id`` mode
+    (field resolution by parquet field-id) is refused — misreading by
+    name against an id-mode table would silently misbind columns."""
+    if not meta:
+        return None
+    mode = (meta.get("configuration") or {}).get(CM_MODE_KEY, "none")
+    if mode in ("none", None, ""):
+        return None
+    if mode != "name":
+        raise ValueError(
+            f"column mapping mode {mode!r} is not implemented (only 'name'); "
+            f"use delta-spark for this table"
+        )
+    parsed = json.loads(meta["schemaString"])
+    return {
+        f["name"]: (f.get("metadata") or {}).get(CM_PHYS_KEY, f["name"])
+        for f in parsed.get("fields", [])
+    }
+
+
+def _to_physical(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    return df.select(
+        *[F.col(f"`{c}`").alias(mapping.get(c, c)) for c in df.columns]
+    )
+
+
+def _assign_mapping_ids(
+    schema_str: str, config: dict[str, str]
+) -> tuple[str, dict[str, str]]:
+    """Give every field WITHOUT mapping metadata a fresh id + physical
+    name (``col-<uuid>`` like the jar) and bump maxColumnId — the schema-
+    evolution companion for mapped tables."""
+    parsed = json.loads(schema_str)
+    max_id = int(config.get(CM_MAX_ID_KEY, "0"))
+    changed = False
+    for f in parsed.get("fields", []):
+        md = dict(f.get("metadata") or {})
+        if CM_PHYS_KEY not in md:
+            max_id += 1
+            md[CM_ID_KEY] = max_id
+            md[CM_PHYS_KEY] = f"col-{uuid.uuid4()}"
+            f["metadata"] = md
+            changed = True
+    if not changed:
+        return schema_str, config
+    new_config = dict(config)
+    new_config[CM_MAX_ID_KEY] = str(max_id)
+    return json.dumps(parsed, separators=(",", ":")), new_config
+
 
 def set_table_properties(table_path: str, props: dict[str, str]) -> None:
     """``ALTER TABLE SET TBLPROPERTIES``: commit a metaData update with
@@ -281,6 +353,19 @@ def set_table_properties(table_path: str, props: dict[str, str]) -> None:
     if latest is None:
         raise FileNotFoundError(f"not a delta table: {table_path}")
     meta = log.table_metadata() or {}
+    if props.get(CM_MODE_KEY):
+        raise ValueError(
+            "set column mapping through enable_column_mapping(table_path) — "
+            "it also assigns field ids/physical names and bumps the protocol"
+        )
+    if (
+        props.get("delta.enableChangeDataFeed") == "true"
+        and _column_mapping(meta) is not None
+    ):
+        raise ValueError(
+            "change data feed on column-mapped tables is not implemented "
+            "in the jar-less path"
+        )
     conf = dict(meta.get("configuration") or {})
     conf.update(props)
     actions = [
@@ -294,6 +379,223 @@ def set_table_properties(table_path: str, props: dict[str, str]) -> None:
         {"metaData": {**meta, "configuration": conf}},
     ]
     _write_commit(os.path.join(table_path, LOG_DIR), latest + 1, actions)
+
+
+def _expr_references(expr: str, column: str) -> bool:
+    """Word-boundary check: does a stored SQL expression reference the
+    column?  (Conservative — a false positive merely blocks a rename.)"""
+    import re as _re
+
+    return bool(
+        _re.search(rf"(?<![A-Za-z0-9_`]){_re.escape(column)}(?![A-Za-z0-9_])", expr)
+    )
+
+
+def enable_column_mapping(table_path: str) -> int:
+    """``ALTER TABLE ... SET TBLPROPERTIES ('delta.columnMapping.mode' =
+    'name')`` the way the jar does it: every existing field gets a stable
+    column id and a physical name EQUAL to its current logical name (so
+    every already-written file stays readable), configuration records the
+    mode + maxColumnId, and the protocol rises to reader v2 / writer v5
+    (PROTOCOL.md's column-mapping minimums).  From then on renames and
+    drops are metadata-only commits and new columns stage under
+    ``col-<uuid>`` physical names.
+
+    Refused when change data feed is enabled: CDF parquet would need the
+    physical-name treatment end-to-end and this fallback does not
+    implement that combination (fail closed rather than misread).
+    Returns the commit version."""
+    log = DeltaLog(table_path)
+    latest = log.latest_version()
+    if latest is None:
+        raise FileNotFoundError(f"not a delta table: {table_path}")
+    meta = log.table_metadata() or {}
+    conf = dict(meta.get("configuration") or {})
+    mode = conf.get(CM_MODE_KEY, "none")
+    if mode == "name":
+        return latest  # idempotent
+    if mode not in ("none", "", None):
+        raise ValueError(f"table already uses column mapping mode {mode!r}")
+    if conf.get("delta.enableChangeDataFeed") == "true":
+        raise ValueError(
+            "column mapping + change data feed is not implemented in the "
+            "jar-less path; disable CDF first"
+        )
+    parsed = json.loads(meta["schemaString"])
+    for i, f in enumerate(parsed.get("fields", []), start=1):
+        md = dict(f.get("metadata") or {})
+        md[CM_ID_KEY] = i
+        md[CM_PHYS_KEY] = f["name"]  # upgrade: physical = current logical
+        f["metadata"] = md
+    conf[CM_MODE_KEY] = "name"
+    conf[CM_MAX_ID_KEY] = str(len(parsed.get("fields", [])))
+    proto = log.protocol() or {}
+    actions: list[dict[str, Any]] = [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "SET TBLPROPERTIES",
+                "operationParameters": {
+                    "properties": json.dumps({CM_MODE_KEY: "name"})
+                },
+            }
+        }
+    ]
+    mrv, mwv = proto.get("minReaderVersion", 1), proto.get("minWriterVersion", 2)
+    if mrv == 3 or mwv == 7:
+        actions.append(
+            {
+                "protocol": {
+                    **proto,
+                    "readerFeatures": sorted(
+                        set(proto.get("readerFeatures") or []) | {"columnMapping"}
+                    ),
+                    "writerFeatures": sorted(
+                        set(proto.get("writerFeatures") or []) | {"columnMapping"}
+                    ),
+                }
+            }
+        )
+    elif mrv < 2 or mwv < 5:
+        actions.append(
+            {"protocol": {"minReaderVersion": max(mrv, 2), "minWriterVersion": max(mwv, 5)}}
+        )
+    actions.append(
+        {
+            "metaData": {
+                **meta,
+                "schemaString": json.dumps(parsed, separators=(",", ":")),
+                "configuration": conf,
+            }
+        }
+    )
+    version = latest + 1
+    _write_commit(os.path.join(table_path, LOG_DIR), version, actions)
+    return version
+
+
+def rename_column(table_path: str, old: str, new: str) -> int:
+    """``ALTER TABLE ... RENAME COLUMN`` as a METADATA-ONLY commit —
+    requires column mapping (``enable_column_mapping``); the physical
+    name and column id never change, so no data file is rewritten and
+    time travel to pre-rename versions still shows the old name.
+
+    Refused when a CHECK constraint or generation expression references
+    the column (real Delta's rule — the stored expression text would
+    silently stop binding).  Partition columns rename cleanly: the
+    logical ``partitionColumns`` list updates, directories keep the
+    physical name."""
+    log = DeltaLog(table_path)
+    latest = log.latest_version()
+    if latest is None:
+        raise FileNotFoundError(f"not a delta table: {table_path}")
+    meta = log.table_metadata() or {}
+    if _column_mapping(meta) is None:
+        raise ValueError(
+            "RENAME COLUMN requires column mapping; call "
+            "enable_column_mapping(table_path) first"
+        )
+    parsed = json.loads(meta["schemaString"])
+    names = [f["name"] for f in parsed.get("fields", [])]
+    if old not in names:
+        raise ValueError(f"no such column {old!r} (have {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    for cname, expr in _check_constraints(meta).items():
+        if _expr_references(expr, old):
+            raise ValueError(
+                f"column {old!r} is referenced by CHECK constraint "
+                f"{cname!r} ({expr}); drop the constraint first"
+            )
+    for gcol, expr in _generated_columns(meta).items():
+        if gcol == old or _expr_references(expr, old):
+            raise ValueError(
+                f"column {old!r} participates in generated column {gcol!r} "
+                f"({expr}); renames would unbind the stored expression"
+            )
+    for f in parsed["fields"]:
+        if f["name"] == old:
+            f["name"] = new
+    part_cols = [
+        new if c == old else c for c in (meta.get("partitionColumns") or [])
+    ]
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "RENAME COLUMN",
+                "operationParameters": {"oldName": old, "newName": new},
+            }
+        },
+        {
+            "metaData": {
+                **meta,
+                "schemaString": json.dumps(parsed, separators=(",", ":")),
+                "partitionColumns": part_cols,
+            }
+        },
+    ]
+    version = latest + 1
+    _write_commit(os.path.join(table_path, LOG_DIR), version, actions)
+    return version
+
+
+def drop_column(table_path: str, name: str) -> int:
+    """``ALTER TABLE ... DROP COLUMN`` as a METADATA-ONLY commit (needs
+    column mapping).  The physical column stays in the parquet files —
+    readers simply never project it — and time travel to pre-drop
+    versions still sees it; that is exactly real Delta's contract.
+    Partition columns and columns referenced by constraints / generation
+    expressions are refused."""
+    log = DeltaLog(table_path)
+    latest = log.latest_version()
+    if latest is None:
+        raise FileNotFoundError(f"not a delta table: {table_path}")
+    meta = log.table_metadata() or {}
+    if _column_mapping(meta) is None:
+        raise ValueError(
+            "DROP COLUMN without a rewrite requires column mapping; call "
+            "enable_column_mapping(table_path) first"
+        )
+    parsed = json.loads(meta["schemaString"])
+    names = [f["name"] for f in parsed.get("fields", [])]
+    if name not in names:
+        raise ValueError(f"no such column {name!r} (have {names})")
+    if len(names) == 1:
+        raise ValueError("cannot drop the only column")
+    if name in (meta.get("partitionColumns") or []):
+        raise ValueError(f"{name!r} is a partition column; repartition instead")
+    for cname, expr in _check_constraints(meta).items():
+        if _expr_references(expr, name):
+            raise ValueError(
+                f"column {name!r} is referenced by CHECK constraint "
+                f"{cname!r} ({expr}); drop the constraint first"
+            )
+    for gcol, expr in _generated_columns(meta).items():
+        if gcol == name or _expr_references(expr, name):
+            raise ValueError(
+                f"column {name!r} participates in generated column {gcol!r} "
+                f"({expr})"
+            )
+    parsed["fields"] = [f for f in parsed["fields"] if f["name"] != name]
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "DROP COLUMNS",
+                "operationParameters": {"columns": json.dumps([name])},
+            }
+        },
+        {
+            "metaData": {
+                **meta,
+                "schemaString": json.dumps(parsed, separators=(",", ":")),
+            }
+        },
+    ]
+    version = latest + 1
+    _write_commit(os.path.join(table_path, LOG_DIR), version, actions)
+    return version
 
 
 def _generated_columns(meta: dict[str, Any] | None) -> dict[str, str]:
@@ -524,7 +826,37 @@ def write_delta_fallback(
             _enforce_constraints(df, constraints)
     elif generated_columns:
         df = _apply_generated_columns(df, generated_columns)
-    adds = _stage_data_files(df, table_path, partition_by)
+    # Column-mapped tables: resolve the POST-merge mapping before staging,
+    # so brand-new columns stage under their freshly-assigned physical
+    # names and the same commit's metaData action declares them.
+    cm_mapping: dict[str, str] | None = None
+    cm_meta_action: dict[str, Any] | None = None
+    if latest is not None:
+        cm_stored = log.table_metadata() or {}
+        if _column_mapping(cm_stored) is not None:
+            if cdc_df is not None:
+                raise ValueError(
+                    "change-data files on column-mapped tables are not "
+                    "implemented (CDF parquet would need physical names "
+                    "end-to-end); disable one or the other"
+                )
+            cm_merged = _merge_schema_strings(
+                cm_stored.get("schemaString"), df.schema.json()
+            )
+            cm_conf = dict(cm_stored.get("configuration") or {})
+            cm_merged, cm_new_conf = _assign_mapping_ids(cm_merged, cm_conf)
+            if cm_merged != cm_stored.get("schemaString"):
+                cm_meta_action = {
+                    "metaData": {
+                        **cm_stored,
+                        "schemaString": cm_merged,
+                        "configuration": cm_new_conf,
+                    }
+                }
+            cm_mapping = _column_mapping(
+                {"schemaString": cm_merged, "configuration": cm_new_conf}
+            )
+    adds = _stage_data_files(df, table_path, partition_by, mapping=cm_mapping)
     actions: list[dict[str, Any]] = [
         {
             "commitInfo": {
@@ -573,11 +905,17 @@ def write_delta_fallback(
     else:
         version = latest + 1
         stored_meta = log.table_metadata() or {}
-        merged_schema = _merge_schema_strings(
-            stored_meta.get("schemaString"), df.schema.json()
-        )
-        if merged_schema != stored_meta.get("schemaString"):
-            actions.append({"metaData": {**stored_meta, "schemaString": merged_schema}})
+        if cm_mapping is not None:
+            if cm_meta_action is not None:
+                actions.append(cm_meta_action)
+        else:
+            merged_schema = _merge_schema_strings(
+                stored_meta.get("schemaString"), df.schema.json()
+            )
+            if merged_schema != stored_meta.get("schemaString"):
+                actions.append(
+                    {"metaData": {**stored_meta, "schemaString": merged_schema}}
+                )
         if mode == "overwrite":
             for active in log.snapshot_files(latest):
                 actions.append(
@@ -611,6 +949,20 @@ def write_delta_fallback(
             fresh_parts = fresh_meta.get("partitionColumns") or []
             if list(partition_by or []) != list(fresh_parts):
                 raise
+            if cm_mapping is not None:
+                # mapped-table rebase is safe only when our staged physical
+                # names are still what the fresh mapping implies: a schema-
+                # evolving append (fresh uuid assignments) or a concurrent
+                # mapping change can't be rebased blindly — surface the
+                # conflict and let the caller re-run
+                if cm_meta_action is not None:
+                    raise
+                fresh_mapping = _column_mapping(fresh_meta) or {}
+                if any(
+                    fresh_mapping.get(c) != cm_mapping.get(c)
+                    for c in df.columns
+                ):
+                    raise
             fresh_constraints = _check_constraints(fresh_meta)
             if fresh_constraints:
                 _enforce_constraints(df, fresh_constraints)
@@ -621,13 +973,15 @@ def write_delta_fallback(
                 for a in actions
                 if "metaData" not in a
             ]
-            merged_schema = _merge_schema_strings(
-                fresh_meta.get("schemaString"), df.schema.json()
-            )
-            if merged_schema != fresh_meta.get("schemaString"):
-                actions.insert(
-                    1, {"metaData": {**fresh_meta, "schemaString": merged_schema}}
+            if cm_mapping is None:
+                merged_schema = _merge_schema_strings(
+                    fresh_meta.get("schemaString"), df.schema.json()
                 )
+                if merged_schema != fresh_meta.get("schemaString"):
+                    actions.insert(
+                        1,
+                        {"metaData": {**fresh_meta, "schemaString": merged_schema}},
+                    )
     else:
         raise CommitConflictError(
             f"append to {table_path} lost {16} consecutive commit races"
@@ -853,7 +1207,9 @@ def read_delta_fallback(
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     adds = log.snapshot_files(version)
     # one replay: the protocol/DV check reuses the adds just computed
-    log.check_reader_supported(at_version=version, adds=adds)
+    log.check_reader_supported(
+        at_version=version, adds=adds, allow_column_mapping=True
+    )
     if where:
         conjuncts = _skipping_conjuncts(where)
         if conjuncts:
@@ -863,6 +1219,9 @@ def read_delta_fallback(
                 for f in json.loads(meta["schemaString"])["fields"]
                 if isinstance(f.get("type"), str)
             }
+            conjuncts, part_cols, field_types = _physical_prune_ctx(
+                meta, conjuncts, part_cols, field_types
+            )
             adds = [
                 a
                 for a in adds
@@ -920,12 +1279,22 @@ def analyze_table(table_path: str) -> dict[str, Any]:
 
 def _snapshot_reader(spark: SparkSession, log: DeltaLog, meta: dict[str, Any]):
     """(reader, schema, part_cols) for the current snapshot — schema-pinned
-    and basePath-aware so partition columns reconstruct."""
+    and basePath-aware so partition columns reconstruct.  On column-mapped
+    tables the scan schema (and partition dirs) carry PHYSICAL names; the
+    returned ``schema``/``part_cols`` stay LOGICAL — ``_load_snapshot_df``
+    renames after the scan, so every caller sees logical columns."""
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = meta.get("partitionColumns") or []
-    reader = spark.read.schema(schema)
+    mapping = _column_mapping(meta)
+    scan_schema = schema
+    if mapping:
+        parsed = json.loads(meta["schemaString"])
+        for f in parsed.get("fields", []):
+            f["name"] = mapping.get(f["name"], f["name"])
+        scan_schema = StructType.fromJson(parsed)
+    reader = spark.read.schema(scan_schema)
     if part_cols:
         reader = reader.option("basePath", log.table_path)
     return reader, schema, part_cols
@@ -974,7 +1343,34 @@ def _load_snapshot_df(
         )
     if not keep_meta_cols and dv_adds:
         df = df.drop("__file", "__ri")
+    mapping = _column_mapping(meta)
+    if mapping:
+        # physical -> logical: callers (readers, DML, compaction) always
+        # operate in the logical namespace; staging translates back
+        inverse = {p: l for l, p in mapping.items()}
+        df = df.select(
+            *[F.col(f"`{c}`").alias(inverse.get(c, c)) for c in df.columns]
+        )
     return df, schema, part_cols
+
+
+def _physical_prune_ctx(
+    meta: dict[str, Any],
+    conjuncts: list[tuple[str, str, Any]],
+    part_cols: set[str],
+    field_types: dict[str, str],
+) -> tuple[list[tuple[str, str, Any]], set[str], dict[str, str]]:
+    """Translate a pruning context to PHYSICAL names on column-mapped
+    tables: logged stats keys and partitionValues keys are physical, the
+    caller's predicate is logical."""
+    mapping = _column_mapping(meta)
+    if not mapping:
+        return conjuncts, part_cols, field_types
+    return (
+        [(mapping.get(c, c), op, lit) for c, op, lit in conjuncts],
+        {mapping.get(c, c) for c in part_cols},
+        {mapping.get(k, k): v for k, v in field_types.items()},
+    )
 
 
 def _candidate_adds(
@@ -993,6 +1389,9 @@ def _candidate_adds(
         for f in json.loads(meta["schemaString"])["fields"]
         if isinstance(f.get("type"), str)
     }
+    conjuncts, part_cols, field_types = _physical_prune_ctx(
+        meta, conjuncts, part_cols, field_types
+    )
     return [
         a for a in adds if _file_may_match(a, conjuncts, part_cols, field_types)
     ]
@@ -1036,8 +1435,13 @@ def delete_where(
     latest = log.latest_version()
     if latest is None:
         raise FileNotFoundError(f"not a delta table: {table_path}")
-    log.check_reader_supported()
+    log.check_reader_supported(allow_column_mapping=True)
     meta = log.table_metadata() or {}
+    if write_cdf and _column_mapping(meta) is not None:
+        raise ValueError(
+            "write_cdf on column-mapped tables is not implemented in the "
+            "jar-less path (CDF parquet would need physical names)"
+        )
     if dv_max_rows_per_file is None:
         enabled = (meta.get("configuration") or {}).get(
             "delta.enableDeletionVectors"
@@ -1143,7 +1547,10 @@ def delete_where(
             .filter(~F.coalesce(pred, F.lit(False)))
             .drop("__file", "__ri")
         )
-        adds = _stage_data_files(survivors, table_path, part_cols or None)
+        adds = _stage_data_files(
+            survivors, table_path, part_cols or None,
+            mapping=_column_mapping(meta),
+        )
         rw_rel = set()
         for a in candidates:
             if _file_uri(log, a["path"]) in rw_uri_set:
@@ -1201,8 +1608,13 @@ def update_where(
     latest = log.latest_version()
     if latest is None:
         raise FileNotFoundError(f"not a delta table: {table_path}")
-    log.check_reader_supported()
+    log.check_reader_supported(allow_column_mapping=True)
     meta = log.table_metadata() or {}
+    if write_cdf and _column_mapping(meta) is not None:
+        raise ValueError(
+            "write_cdf on column-mapped tables is not implemented in the "
+            "jar-less path (CDF parquet would need physical names)"
+        )
     known = {f["name"] for f in json.loads(meta["schemaString"])["fields"]}
     unknown = set(set_exprs) - known
     if unknown:
@@ -1286,7 +1698,8 @@ def update_where(
         # cheap subset: only rows in rewritten files can have changed
         _enforce_constraints(updated_only, constraints)
     adds = _stage_data_files(
-        rewritten.drop("__m", "__file"), table_path, part_cols or None
+        rewritten.drop("__m", "__file"), table_path, part_cols or None,
+        mapping=_column_mapping(meta),
     )
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = [
@@ -1358,7 +1771,7 @@ def clone_table(
     if latest is None:
         raise FileNotFoundError(f"not a delta table: {source_path}")
     at = latest if version is None else version
-    src_log.check_reader_supported(at_version=at)
+    src_log.check_reader_supported(at_version=at, allow_column_mapping=True)
     meta = src_log.table_metadata(at_version=at) or {}
     adds = src_log.snapshot_files(at)
     proto = src_log.protocol(at_version=at) or {
@@ -1441,8 +1854,13 @@ def merge_into(
     latest = log.latest_version()
     if latest is None:
         raise FileNotFoundError(f"not a delta table: {table_path}")
-    log.check_reader_supported()
+    log.check_reader_supported(allow_column_mapping=True)
     meta = log.table_metadata() or {}
+    if write_cdf and _column_mapping(meta) is not None:
+        raise ValueError(
+            "write_cdf on column-mapped tables is not implemented in the "
+            "jar-less path (CDF parquet would need physical names)"
+        )
     candidates = log.snapshot_files(latest)
     df, schema, part_cols = _load_snapshot_df(
         spark, log, meta, candidates, keep_meta_cols=True
@@ -1572,7 +1990,10 @@ def merge_into(
             )
             if constraints:
                 _enforce_constraints(survivors, constraints)
-            adds = _stage_data_files(survivors, table_path, part_cols or None)
+            adds = _stage_data_files(
+                survivors, table_path, part_cols or None,
+                mapping=_column_mapping(meta),
+            )
             hit_uri_set = set(hit_uris)
             for a in candidates:
                 if _file_uri(log, a["path"]) in hit_uri_set:
@@ -1631,7 +2052,10 @@ def merge_into(
         if n_ins:
             actions.extend(
                 {"add": add}
-                for add in _stage_data_files(aligned, table_path, part_cols or None)
+                for add in _stage_data_files(
+                    aligned, table_path, part_cols or None,
+                    mapping=_column_mapping(meta),
+                )
             )
             if write_cdf:
                 cdc_frames.append(
@@ -1738,7 +2162,8 @@ def compact_fallback(
     if latest is None:
         raise FileNotFoundError(f"not a delta table: {table_path}")
     snapshot = log.snapshot_files(latest)
-    part_cols = (log.table_metadata() or {}).get("partitionColumns") or []
+    meta = log.table_metadata() or {}
+    part_cols = meta.get("partitionColumns") or []
     if partition_filter:
         unknown = set(partition_filter) - set(part_cols)
         if unknown:
@@ -1746,21 +2171,22 @@ def compact_fallback(
                 f"partition_filter keys {sorted(unknown)} are not partition "
                 f"columns {part_cols}"
             )
+        # logged partitionValues keys are PHYSICAL on mapped tables
+        cm = _column_mapping(meta) or {}
+        phys_filter = {cm.get(k, k): v for k, v in partition_filter.items()}
         snapshot = [
             a
             for a in snapshot
             if all(
                 a.get("partitionValues", {}).get(k) == v
-                for k, v in partition_filter.items()
+                for k, v in phys_filter.items()
             )
         ]
     if not snapshot:
         return
     # read through the DV-applying loader: OPTIMIZE materializes any
     # inline deletion vectors (rewritten files carry no DV)
-    df, _schema, _parts = _load_snapshot_df(
-        spark, log, log.table_metadata() or {}, snapshot
-    )
+    df, _schema, _parts = _load_snapshot_df(spark, log, meta, snapshot)
     if z_order_by:
         from ..functions.layout import zorder_by as _zorder
 
@@ -1773,7 +2199,9 @@ def compact_fallback(
         df = df.coalesce(target_partitions)
     else:
         df = df.coalesce(1)
-    adds = _stage_data_files(df, table_path, part_cols or None)
+    adds = _stage_data_files(
+        df, table_path, part_cols or None, mapping=_column_mapping(meta)
+    )
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = [
         {

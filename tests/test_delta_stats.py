@@ -276,7 +276,11 @@ def test_reader_refuses_deletion_vector_files(spark, tmp_path):
         read_table(spark, path)
 
 
-def test_reader_refuses_column_mapping(spark, tmp_path):
+def test_reader_column_mapping_contract(spark, tmp_path):
+    """Since round 6 the snapshot reader SUPPORTS 'name'-mode column
+    mapping (it translates physical names — test_delta_column_mapping
+    covers the full lifecycle); raw-file paths (the streaming tailer's
+    gate) still refuse, and 'id' mode fails closed everywhere."""
     from polars_incremental_spark.errors import PlanningError
 
     path = str(tmp_path / "t")
@@ -285,7 +289,16 @@ def test_reader_refuses_column_mapping(spark, tmp_path):
     meta = dict(log.table_metadata())
     meta["configuration"] = {"delta.columnMapping.mode": "name"}
     _append_action(path, {"metaData": meta})
+    # batch read path: supported (physicalName defaults to the logical
+    # name when absent, so this legacy-shaped table reads as before)
+    assert read_table(spark, path).count() == 400
+    # raw-file path: still fails closed
     with pytest.raises(PlanningError, match="column mapping"):
+        DeltaLog(path).check_reader_supported()
+    # id mode: fails closed even for the batch reader
+    meta["configuration"] = {"delta.columnMapping.mode": "id"}
+    _append_action(path, {"metaData": meta})
+    with pytest.raises(PlanningError, match="only 'name'"):
         read_table(spark, path)
 
 

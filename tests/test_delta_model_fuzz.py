@@ -347,7 +347,9 @@ def test_random_constraint_lifecycle_with_restore(spark, tmp_path, seed):
             n_rows += 1
             cons_hist[log.latest_version()] = frozenset(live)
         elif op == "append_bad":
-            # v = -1 violates v_pos when live
+            # v = -1 violates v_pos when live; when NOT live it lands in
+            # the table and must block a LATER ALTER ADD (existing-data
+            # validation) until a restore reverts it
             try:
                 write_delta_fallback(
                     spark.createDataFrame([(200 + step, -1)], "k long, v long"),
@@ -362,9 +364,16 @@ def test_random_constraint_lifecycle_with_restore(spark, tmp_path, seed):
         elif op == "add":
             if "v_pos" in live:
                 continue
-            add_check_constraint(spark, path, "v_pos", "v > 0")
-            live.add("v_pos")
-            cons_hist[log.latest_version()] = frozenset(live)
+            has_bad = read_table(spark, path).filter("v <= 0").count() > 0
+            try:
+                add_check_constraint(spark, path, "v_pos", "v > 0")
+                assert not has_bad, f"ALTER ADD accepted over violating rows, step={step}"
+                live.add("v_pos")
+                cons_hist[log.latest_version()] = frozenset(live)
+            except ConstraintViolationError:
+                # existing-data validation: correct iff a bad row is present
+                assert has_bad, f"ALTER ADD rejected a clean table, step={step}"
+                assert log.latest_version() == before, "rejected ADD grew the log"
         elif op == "drop":
             if "v_pos" not in live:
                 continue
@@ -384,3 +393,125 @@ def test_random_constraint_lifecycle_with_restore(spark, tmp_path, seed):
         got = {k.split(".")[-1] for k in cfg if k.startswith("delta.constraints.")}
         assert got == live, f"step={step} op={op}: log says {got}, model {live}"
         assert read_table(spark, path).count() == n_rows
+
+
+@pytest.mark.parametrize("seed", [11, 29])
+def test_random_column_mapping_lifecycle(spark, tmp_path, seed):
+    """Interleave appends / DML / RENAME COLUMN / DROP COLUMN / optimize /
+    checkpoint+expire on a column-mapped table.  The model tracks the
+    rows AND the logical column names per version: every snapshot must
+    read under the CURRENT logical names, and time travel must show the
+    names as of that version (renames are metadata-only, so historical
+    reads replay the old schema against the same physical files)."""
+    from polars_incremental_spark.sinks.deltalog import (
+        drop_column,
+        enable_column_mapping,
+        expire_log,
+        rename_column,
+    )
+
+    rng = random.Random(seed)
+    path = str(tmp_path / f"cm{seed}")
+    model: dict[int, tuple[int, int]] = {i: (i * 2, i % 3) for i in range(20)}
+    vname, have_w = "v", True
+    write_table(
+        spark.createDataFrame(
+            [(k, v, w) for k, (v, w) in model.items()], "k long, v long, w int"
+        ).coalesce(2),
+        path,
+    )
+    enable_column_mapping(path)
+    log = DeltaLog(path)
+
+    def rows_now():
+        df = read_table(spark, path)
+        cols = ["k", vname] + (["w"] if have_w else [])
+        assert sorted(df.columns) == sorted(cols), (vname, have_w, df.columns)
+        out = []
+        for r in df.collect():
+            out.append((r["k"], r[vname], r["w"] if have_w else None))
+        return sorted(out)
+
+    def model_rows():
+        return sorted(
+            (k, v, w if have_w else None) for k, (v, w) in model.items()
+        )
+
+    # version -> (vname, have_w, rows)
+    history = {log.latest_version(): (vname, have_w, model_rows())}
+    next_key, renames, expired = 100, 0, False
+
+    def record():
+        history[log.latest_version()] = (vname, have_w, model_rows())
+
+    for step in range(20):
+        op = rng.choice(
+            ["append", "delete", "update", "rename", "drop_w", "optimize",
+             "checkpoint"]
+        )
+        if op == "append":
+            n = rng.randint(1, 3)
+            rows = [
+                (next_key + i, rng.randint(0, 9), rng.randint(0, 2))
+                for i in range(n)
+            ]
+            next_key += n
+            cols = f"k long, {vname} long" + (", w int" if have_w else "")
+            data = [r if have_w else r[:2] for r in rows]
+            write_delta_fallback(spark.createDataFrame(data, cols), path)
+            model.update({r[0]: (r[1], r[2] if have_w else None) for r in rows})
+            record()
+        elif op == "delete":
+            lo = rng.choice(sorted(model))
+            res = delete_rows(spark, path, f"k >= {lo} AND k < {lo + 4}")
+            for k in [k for k in model if lo <= k < lo + 4]:
+                del model[k]
+            if res["version"] is not None:
+                record()
+        elif op == "update":
+            m = rng.randint(2, 4)
+            update_rows(spark, path, f"k % {m} = 1", {vname: f"{vname} + 100"})
+            model.update(
+                {
+                    k: (v + 100, w)
+                    for k, (v, w) in model.items()
+                    if k % m == 1
+                }
+            )
+            record()
+        elif op == "rename":
+            renames += 1
+            new = f"v{renames}"
+            rename_column(path, vname, new)
+            vname = new
+            record()
+        elif op == "drop_w" and have_w:
+            drop_column(path, "w")
+            have_w = False
+            record()
+        elif op == "optimize":
+            optimize_delta_table(spark, path, target_partitions=2)
+            record()
+        elif op == "checkpoint":
+            checkpoint_log(path)
+            if rng.random() < 0.5:
+                expire_log(path)
+                expired = True
+                cv = DeltaLog(path).checkpoint_version()
+                for v in [v for v in history if v < cv]:
+                    del history[v]
+
+        assert rows_now() == model_rows(), f"seed={seed} step={step} op={op}"
+        # time travel: the schema (logical names!) must be as of the probe
+        probe = rng.choice(sorted(history))
+        pv, pw, prows = history[probe]
+        old = read_table(spark, path, version=probe)
+        assert pv in old.columns and ("w" in old.columns) == pw, (
+            f"seed={seed} v{probe}: {old.columns} want {pv}, w={pw}"
+        )
+        got_old = sorted(
+            (r["k"], r[pv], r["w"] if pw else None) for r in old.collect()
+        )
+        assert got_old == prows, f"seed={seed} time travel v{probe} after {op}"
+
+    assert renames > 0 or seed != 11  # the interleaving actually exercised renames

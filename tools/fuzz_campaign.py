@@ -36,6 +36,7 @@ def main() -> int:
         ("cdf", M.test_random_dml_change_feed_matches_model_diffs),
         ("part", M.test_random_dml_on_partitioned_table),
         ("cons", M.test_random_constraint_lifecycle_with_restore),
+        ("cmap", M.test_random_column_mapping_lifecycle),
     ]
     # strip the pytest parametrize wrapper: call the raw function
     raw = []

@@ -502,11 +502,17 @@ class DeltaTableCheckpoint:
             return pending
         self._guard_table_id()
         # refuse tables whose protocol demands reader features this tailer
-        # lacks (column mapping, ...) — streaming a misread is worse than
-        # stopping.  Deletion vectors gate PER PHASE below: CDF tail
-        # batches ride cdc files (DV-safe); raw-file phases (snapshot,
-        # non-CDF tail) refuse DV'd adds they cannot apply.
-        self.log.check_reader_supported()
+        # lacks — streaming a misread is worse than stopping.  Deletion
+        # vectors gate PER PHASE below: CDF tail batches ride cdc files
+        # (DV-safe); raw-file phases (snapshot, non-CDF tail) refuse DV'd
+        # adds they cannot apply.  Column mapping ('name' mode) is allowed
+        # for plain-file reads — DeltaSourceImpl.read_batch pins the
+        # physical scan schema and renames to the current logical names —
+        # but NOT for CDF reads (the insert-fallback would leak physical
+        # names through raw cdc/add parquet).
+        self.log.check_reader_supported(
+            allow_column_mapping=not getattr(spec, "read_change_feed", False)
+        )
         start = self._resolve_start(spec)
         position = self._position()
 

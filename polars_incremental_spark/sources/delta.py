@@ -74,9 +74,34 @@ class DeltaSourceImpl:
         if not self.spec.read_change_feed or not entries:
             # basePath lets partitioned tables reconstruct partition columns
             # from their col=value/ dirs (harmless for unpartitioned ones)
-            return (
-                spark.read.option("basePath", self.spec.path).parquet(*batch.files)
-            )
+            reader = spark.read.option("basePath", self.spec.path)
+            mapping = self._current_mapping()
+            if mapping:
+                # column-mapped table: pin the scan to the PHYSICAL schema
+                # and rename to the CURRENT logical names (same contract as
+                # delta-spark streaming with schema tracking: a mid-stream
+                # rename surfaces the new name from the next batch on)
+                import json as _json
+
+                from pyspark.sql.types import StructType
+
+                from ..checkpoints.delta import DeltaLog
+
+                meta = DeltaLog(self.spec.path).table_metadata() or {}
+                parsed = _json.loads(meta["schemaString"])
+                for f in parsed.get("fields", []):
+                    f["name"] = mapping.get(f["name"], f["name"])
+                df = reader.schema(StructType.fromJson(parsed)).parquet(
+                    *batch.files
+                )
+                inverse = {p: l for l, p in mapping.items()}
+                return df.select(
+                    *[
+                        F.col(f"`{c}`").alias(inverse.get(c, c))
+                        for c in df.columns
+                    ]
+                )
+            return reader.parquet(*batch.files)
         # CDF read: group per (commit_version, injected change_type) so each
         # group gets its commit metadata columns attached once
         groups: dict[tuple, list[dict]] = {}
@@ -99,6 +124,13 @@ class DeltaSourceImpl:
 
     def commit_batch(self, batch, metadata=None) -> None:
         self.checkpoint.commit_batch(batch, metadata)
+
+    def _current_mapping(self) -> dict | None:
+        """Logical -> physical names when the table runs column mapping."""
+        from ..checkpoints.delta import DeltaLog
+        from ..sinks.deltalog import _column_mapping
+
+        return _column_mapping(DeltaLog(self.spec.path).table_metadata())
 
     def _abs(self, rel_path: str) -> str:
         import os

@@ -291,15 +291,48 @@ def test_mapping_gates(spark, tmp_path):
         read_delta_fallback(spark, p3)
 
 
-def test_streaming_tailer_fails_closed_on_mapped_table(spark, tmp_path):
-    """The raw-file streaming tailer does not translate names — it must
-    refuse mapped tables instead of misbinding columns."""
+def test_streaming_tailer_raw_gate_and_pipeline_reads(spark, tmp_path):
+    """check_reader_supported still fails closed by DEFAULT (raw-file
+    callers that don't translate names), but the planned streaming source
+    translates: a pipeline streams a mapped table under logical names,
+    and a mid-stream rename surfaces the new name from the next batch on
+    (delta-spark's schema-tracking contract)."""
+    from polars_incremental_spark.pipeline import Pipeline
+    from polars_incremental_spark.sources.base import DeltaSource
+
     path = str(tmp_path / "t")
-    _mk(spark, path)
+    _mk(spark, path, n=10)
     enable_column_mapping(path)
     log = DeltaLog(path)
     with pytest.raises(PlanningError, match="column mapping"):
-        log.check_reader_supported()
+        log.check_reader_supported()  # default stays fail-closed
+
+    seen: list[tuple[list[str], int]] = []
+
+    def writer(df):
+        seen.append((sorted(df.columns), df.count()))
+
+    ck = str(tmp_path / "ck")
+    p = Pipeline(source=DeltaSource(path), checkpoint_dir=ck, writer=writer)
+    p.run(spark)
+    assert seen == [(["g", "k", "v"], 10)]
+    rename_column(path, "v", "value")
+    more = spark.range(10, 14).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("g"),
+        (F.col("id") * 2).alias("value"),
+    )
+    write_table(more, path)
+    p.run(spark)
+    assert seen[-1] == (["g", "k", "value"], 4)
+    # CDF-mode streaming of a mapped table stays fail-closed at plan time
+    pc = Pipeline(
+        source=DeltaSource(path, read_change_feed=True),
+        checkpoint_dir=str(tmp_path / "ck2"),
+        writer=writer,
+    )
+    with pytest.raises(PlanningError, match="column mapping"):
+        pc.run(spark)
 
 
 def test_overwrite_and_compact_on_mapped_table(spark, tmp_path):

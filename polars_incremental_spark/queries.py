@@ -5228,6 +5228,78 @@ ORDER BY user_id, event_type
 """
 
 
+def r34_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent preceding click — the standard marketing-analytics join of a
+    conversion stream onto its touchpoint stream.  One per-user window
+    (keyed, ROWS unbounded-to-current, ignore-nulls last) carries the
+    click timestamp forward; per-user aggregates stay hash-exact via the
+    scaled-integer double sum and microsecond-exact latencies
+    (unix_micros vs DuckDB epoch_us — both exact bigints, no float
+    seconds truncation mismatch)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.withColumn(
+        "last_click_ts",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("ts")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    att = F.col("last_click_ts").isNotNull()
+    return (
+        flagged.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum(att.cast("long")).cast("long").alias("n_attributed"),
+            _spark_dsum(
+                F.when(att, F.col("value")).otherwise(F.lit(0.0)),
+                "attributed_value",
+            ),
+            F.sum(
+                F.when(
+                    att,
+                    F.unix_micros(F.col("ts"))
+                    - F.unix_micros(F.col("last_click_ts")),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("latency_us_total"),
+        )
+        .orderBy("user_id")
+    )
+
+
+R34_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_type, ts, value, event_id,
+         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_click_ts
+  FROM events
+)
+SELECT user_id,
+       COUNT(*)::BIGINT AS n_purchases,
+       SUM(CASE WHEN last_click_ts IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_attributed,
+       {_dsum("CASE WHEN last_click_ts IS NOT NULL THEN value ELSE 0.0 END",
+              "attributed_value")},
+       SUM(CASE WHEN last_click_ts IS NOT NULL
+                THEN epoch_us(ts) - epoch_us(last_click_ts) ELSE 0 END)::BIGINT
+         AS latency_us_total
+FROM flagged
+WHERE event_type = 'purchase'
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 _T16_TERMS = ["join", "hash", "vector", "stream"]
 
 
@@ -5441,6 +5513,7 @@ G4_SQL = _g4_sql()
 # every round.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- new in round 6: first driver rows ---
+    "r34_attribution": (r34_attribution, R34_SQL),
     "t16_bm25_topk": (t16_bm25_topk, T16_SQL),
     "t17_term_pmi": (t17_term_pmi, T17_SQL),
     "g4_communities": (g4_communities, G4_SQL),

@@ -320,3 +320,38 @@ def test_term_pmi_vocab_cap_bounds_pairs(spark):
     )
     out = term_pmi(df, max_vocab=2, min_pair_count=1).collect()
     assert len(out) == 1 and (out[0]["term_a"], out[0]["term_b"]) == ("a", "b")
+
+
+# ---------------------------------------------------------- attribution
+def test_attribution_last_touch_semantics(spark, tmp_path):
+    """Hand-built stream: purchase credits the MOST RECENT preceding
+    click; purchases before any click stay unattributed; a later click
+    re-anchors the next purchase."""
+    import datetime as dt
+    import os
+
+    from polars_incremental_spark.queries import r34_attribution
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: purchase(1s) before click -> unattributed; click(2s);
+        # purchase(5s) -> latency 3s; click(6s); purchase(7s) -> 1s
+        (1, t0 + dt.timedelta(seconds=1), 1, "purchase", 10.0, "{}"),
+        (2, t0 + dt.timedelta(seconds=2), 1, "click", 0.0, "{}"),
+        (3, t0 + dt.timedelta(seconds=5), 1, "purchase", 20.0, "{}"),
+        (4, t0 + dt.timedelta(seconds=6), 1, "click", 0.0, "{}"),
+        (5, t0 + dt.timedelta(seconds=7), 1, "purchase", 40.0, "{}"),
+        # user 2: clicks only -> no output row
+        (6, t0, 2, "click", 0.0, "{}"),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).write.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = {r["user_id"]: r for r in r34_attribution(spark, sf_dir).collect()}
+    assert set(out) == {1}
+    u1 = out[1]
+    assert u1["n_purchases"] == 3 and u1["n_attributed"] == 2
+    assert u1["attributed_value"] == 60.0
+    assert u1["latency_us_total"] == (3 + 1) * 1_000_000

@@ -41,15 +41,52 @@ def _spark_schema_to_delta(schema_json: str) -> str:
     return schema_json
 
 
+# primitive widening chains (Delta typeWidening's integer and float
+# families): a same-name field whose incoming type is WIDER adopts the
+# wider type in the merged schema; narrower incoming data upcasts at read
+# (Spark's pinned-schema parquet reader promotes int32->long etc.)
+_INT_WIDTH = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+_FLOAT_WIDTH = {"float": 0, "double": 1}
+
+
+def _merged_field_type(stored_t: Any, incoming_t: Any, name: str) -> Any:
+    """The type the merged schema keeps for a field present on both sides.
+    Same type -> itself; both on one widening chain -> the WIDER one;
+    anything else -> refuse loudly (the old silent keep-stored behavior
+    staged files whose parquet type could not be read back under the
+    logged schema — a deferred misread)."""
+    if stored_t == incoming_t:
+        return stored_t
+    if isinstance(stored_t, str) and isinstance(incoming_t, str):
+        for chain in (_INT_WIDTH, _FLOAT_WIDTH):
+            if stored_t in chain and incoming_t in chain:
+                return stored_t if chain[stored_t] >= chain[incoming_t] else incoming_t
+    raise ValueError(
+        f"incompatible type change for column {name!r}: table has "
+        f"{stored_t!r}, incoming batch has {incoming_t!r} — only widening "
+        f"within the integer (byte<short<int<long) and float (float<double) "
+        f"chains merges; cast the batch explicitly"
+    )
+
+
 def _merge_schema_strings(stored: str | None, incoming: str) -> str:
-    """mergeSchema: union of fields, stored order first, new fields appended."""
+    """mergeSchema: union of fields, stored order first, new fields
+    appended; same-name fields may WIDEN (int chain, float chain) —
+    stored field metadata (column mapping ids, generation expressions)
+    always survives a widen."""
     if not stored:
         return incoming
     a = json.loads(stored)
     b = json.loads(incoming)
     if a.get("type") != "struct" or b.get("type") != "struct":
         return incoming
-    fields = list(a.get("fields", []))
+    incoming_by_name = {f["name"]: f for f in b.get("fields", [])}
+    fields = []
+    for f in a.get("fields", []):
+        inc = incoming_by_name.get(f["name"])
+        if inc is not None and inc.get("type") != f.get("type"):
+            f = dict(f, type=_merged_field_type(f.get("type"), inc.get("type"), f["name"]))
+        fields.append(f)
     have = {f["name"] for f in fields}
     for f in b.get("fields", []):
         if f["name"] not in have:

@@ -353,3 +353,73 @@ def test_overwrite_and_compact_on_mapped_table(spark, tmp_path):
     df = read_table(spark, path)
     assert df.count() == 7
     assert df.agg(F.sum("value")).collect()[0][0] == sum(3 * i for i in range(7))
+
+
+# -------------------------------------------------- type widening (merge)
+def test_type_widening_on_append(spark, tmp_path):
+    """An append carrying a WIDER primitive widens the logged schema; old
+    (narrower) files upcast at read — Delta typeWidening semantics on the
+    mergeSchema path."""
+    path = str(tmp_path / "t")
+    write_table(
+        spark.range(5).select(
+            F.col("id").cast("int").alias("k"),
+            F.col("id").cast("float").alias("v"),
+        ),
+        path,
+    )
+    write_delta_fallback(
+        spark.range(5, 8).select(
+            F.col("id").cast("long").alias("k"),
+            F.col("id").cast("double").alias("v"),
+        ),
+        path,
+    )
+    df = read_table(spark, path)
+    assert dict(df.dtypes) == {"k": "bigint", "v": "double"}
+    assert df.count() == 8
+    assert df.agg(F.sum("k")).collect()[0][0] == sum(range(8))
+
+
+def test_narrower_append_keeps_wide_schema(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_table(spark.range(3).select(F.col("id").alias("k")), path)  # long
+    write_delta_fallback(
+        spark.range(3, 6).select(F.col("id").cast("int").alias("k")), path
+    )
+    df = read_table(spark, path)
+    assert dict(df.dtypes) == {"k": "bigint"} and df.count() == 6
+
+
+def test_incompatible_type_change_is_rejected(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_table(spark.range(3).select(F.col("id").alias("k")), path)
+    before = DeltaLog(path).latest_version()
+    with pytest.raises(ValueError, match="incompatible type change"):
+        write_delta_fallback(
+            spark.range(3).select(F.col("id").cast("string").alias("k")), path
+        )
+    assert DeltaLog(path).latest_version() == before  # nothing staged/committed
+
+
+def test_widening_composes_with_column_mapping(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_table(
+        spark.range(4).select(
+            F.col("id").alias("k"), F.col("id").cast("int").alias("v")
+        ),
+        path,
+    )
+    enable_column_mapping(path)
+    rename_column(path, "v", "val")
+    write_delta_fallback(
+        spark.range(4, 6).select(
+            F.col("id").alias("k"), F.col("id").cast("long").alias("val")
+        ),
+        path,
+    )
+    df = read_table(spark, path)
+    assert dict(df.dtypes) == {"k": "bigint", "val": "bigint"}
+    assert df.count() == 6
+    # the widen kept the mapping metadata (physical name still 'v')
+    assert _field_meta(path)["val"][CM_PHYS_KEY] == "v"

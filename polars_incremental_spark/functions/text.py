@@ -772,3 +772,80 @@ def term_pmi(
         .cast("long")
         .alias("lift_ppm"),
     )
+
+
+def rake_keywords(
+    df,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: tuple = STOPWORDS["en"],
+    k: int = 15,
+):
+    """RAKE keyword extraction (Rose et al.): candidate phrases are the
+    maximal stopword-free token runs; each word scores degree/frequency
+    over the candidate corpus and a phrase scores the sum of its word
+    scores.  Returns the global top-``k`` distinct phrases as
+    (phrase, n_words, n_occurrences, score_ppm), ties by phrase asc.
+
+    INTEGER-EXACT for the hash gate: word scores are
+    ``floor(degree * 1e6 / freq)`` bigints and phrase scores sum them —
+    no float division anywhere.
+
+    Scale shape: one posexplode feeds a per-doc cumulative-stopword
+    window (KEYED by doc — never global) that assigns phrase ids; phrase
+    assembly and word stats are hash aggs; the word-score table is
+    vocabulary-sized and BROADCASTS back onto phrase words; the global
+    top-k is orderBy+limit = TakeOrdered.
+    """
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    toks = df.select(
+        _F.col(id_col).alias("doc"),
+        _F.posexplode(tokens(_F.lower(_F.col(text_col)))).alias("pos", "word"),
+    ).withColumn(
+        "stop",
+        _F.col("word").isin(list(stopwords)) | (_F.col("word") == ""),
+    )
+    w = _W.partitionBy("doc").orderBy("pos")
+    pw = (
+        toks.withColumn("phrase_id", _F.sum(_F.col("stop").cast("int")).over(w))
+        .filter(~_F.col("stop"))
+        .select("doc", "phrase_id", "pos", "word")
+    )
+    phrases = pw.groupBy("doc", "phrase_id").agg(
+        _F.count("*").cast("long").alias("plen"),
+        _F.array_join(
+            _F.transform(
+                _F.array_sort(_F.collect_list(_F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("phrase"),
+    )
+    enriched = pw.join(phrases.select("doc", "phrase_id", "plen"), ["doc", "phrase_id"])
+    word_scores = (
+        enriched.groupBy("word")
+        .agg(
+            _F.count("*").cast("long").alias("freq"),
+            _F.sum("plen").cast("long").alias("deg"),
+        )
+        .select("word", _F.expr("(deg * 1000000) div freq").alias("wscore"))
+    )
+    phrase_scores = (
+        pw.join(_F.broadcast(word_scores), "word")
+        .groupBy("doc", "phrase_id")
+        .agg(_F.sum("wscore").cast("long").alias("score_ppm"))
+    )
+    return (
+        phrases.join(phrase_scores, ["doc", "phrase_id"])
+        .groupBy("phrase")
+        .agg(
+            _F.max("plen").cast("long").alias("n_words"),
+            _F.count("*").cast("long").alias("n_occurrences"),
+            _F.max("score_ppm").cast("long").alias("score_ppm"),
+        )
+        .orderBy(_F.col("score_ppm").desc(), _F.col("phrase").asc())
+        .limit(k)
+    )

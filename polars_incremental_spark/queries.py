@@ -5228,6 +5228,37 @@ ORDER BY user_id, event_type
 """
 
 
+def r35_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (the remaining GROUPING SETS variant next to the
+    ROLLUP and explicit-sets entries): event revenue across ALL subsets of
+    (event_type, source-lang of nothing — use events alone: type x hour
+    bucket), with grouping_id to disambiguate NULL group values from NULL
+    data.  One EXPAND + hash agg, the canonical Catalyst plan."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.hour("ts").cast("int").alias("hr"),
+        "value",
+    )
+    return (
+        base.cube("event_type", "hr")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            _spark_dsum(F.col("value"), "revenue"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+R35_SQL = f"""
+SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr, COUNT(*)::BIGINT AS n,
+       {_dsum("value", "revenue")},
+       CAST(GROUPING(event_type, hour(ts)) AS INTEGER) AS gid
+FROM events
+GROUP BY CUBE (event_type, hour(ts))
+"""
+
+
 def r34_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution: each purchase credits the user's most
     recent preceding click — the standard marketing-analytics join of a
@@ -5405,6 +5436,60 @@ ORDER BY term_a, term_b
 """
 
 
+def t18_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction: top-15 stopword-delimited phrases by the
+    classic degree/frequency word score — integer-exact (floor-scaled
+    word scores, summed as bigints) so the extraction hash-matches the
+    DuckDB replay.  See text.rake_keywords for the plan shape."""
+    return tx.rake_keywords(load_table(spark, sf_dir, "documents"), k=15)
+
+
+def _t18_sql(k: int = 15) -> str:
+    stops = ", ".join(f"'{w}'" for w in tx.STOPWORDS["en"])
+    return f"""
+WITH d AS (
+  SELECT doc_id AS doc, {_sql_tokens("lower(text)")} AS a FROM documents
+),
+toks AS (
+  SELECT doc, u.i - 1 AS pos, a[u.i] AS word,
+         (a[u.i] IN ({stops}) OR a[u.i] = '') AS stop
+  FROM d, unnest(range(1, len(a) + 1)) AS u(i)
+),
+pw AS (
+  SELECT doc, pos, word,
+         SUM(CASE WHEN stop THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phrase_id
+  FROM toks
+  QUALIFY NOT stop
+),
+phrases AS (
+  SELECT doc, phrase_id, COUNT(*)::BIGINT AS plen,
+         string_agg(word, ' ' ORDER BY pos) AS phrase
+  FROM pw GROUP BY doc, phrase_id
+),
+word_scores AS (
+  SELECT word, ((SUM(plen) * 1000000) // COUNT(*))::BIGINT AS wscore
+  FROM pw JOIN phrases USING (doc, phrase_id)
+  GROUP BY word
+),
+phrase_scores AS (
+  SELECT doc, phrase_id, SUM(wscore)::BIGINT AS score_ppm
+  FROM pw JOIN word_scores USING (word)
+  GROUP BY doc, phrase_id
+)
+SELECT phrase, MAX(plen)::BIGINT AS n_words, COUNT(*)::BIGINT AS n_occurrences,
+       MAX(score_ppm)::BIGINT AS score_ppm
+FROM phrases JOIN phrase_scores USING (doc, phrase_id)
+GROUP BY phrase
+ORDER BY score_ppm DESC, phrase ASC
+LIMIT {k}
+"""
+
+
+T18_SQL = _t18_sql()
+
+
 def g4_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection via synchronous label propagation over the
     near-dup similarity graph (same LSH edges as g1/g2) — 3 rounds of
@@ -5514,8 +5599,10 @@ G4_SQL = _g4_sql()
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- new in round 6: first driver rows ---
     "r34_attribution": (r34_attribution, R34_SQL),
+    "r35_cube_revenue": (r35_cube_revenue, R35_SQL),
     "t16_bm25_topk": (t16_bm25_topk, T16_SQL),
     "t17_term_pmi": (t17_term_pmi, T17_SQL),
+    "t18_rake_keywords": (t18_rake_keywords, T18_SQL),
     "g4_communities": (g4_communities, G4_SQL),
     "d16_duplicated_spans": (d16_duplicated_spans, D16_SQL),
     "u17_leakage_safe_split": (u17_leakage_safe_split, U17_SQL),

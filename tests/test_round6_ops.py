@@ -355,3 +355,41 @@ def test_attribution_last_touch_semantics(spark, tmp_path):
     assert u1["n_purchases"] == 3 and u1["n_attributed"] == 2
     assert u1["attributed_value"] == 60.0
     assert u1["latency_us_total"] == (3 + 1) * 1_000_000
+
+
+# ------------------------------------------------------------------ rake
+def test_rake_scores_multiword_phrases_highest(spark):
+    """Classic RAKE property: words that co-occur in long phrases get
+    high degree, so multi-word phrases outrank singletons built from the
+    same vocabulary."""
+    from polars_incremental_spark.functions.text import rake_keywords
+
+    df = spark.createDataFrame(
+        [
+            (1, "deep neural networks and deep neural networks for the win"),
+            (2, "networks of the deep"),
+        ],
+        "doc_id long, text string",
+    )
+    out = rake_keywords(df, k=10).collect()
+    top = out[0]
+    assert top["phrase"] == "deep neural networks"
+    assert top["n_words"] == 3 and top["n_occurrences"] == 2
+    scores = {r["phrase"]: r["score_ppm"] for r in out}
+    # exact RAKE arithmetic over the candidate phrases
+    #   doc1: [deep neural networks] x2, [win]; doc2: [networks], [deep]
+    # deep:     freq 3, deg 3+3+1=7 -> floor(7e6/3) = 2333333
+    # neural:   freq 2, deg 6       -> 3000000
+    # networks: freq 3, deg 3+3+1=7 -> 2333333
+    assert scores["deep neural networks"] == 2333333 + 3000000 + 2333333
+    assert scores["win"] == 1_000_000  # singleton: deg==freq
+
+
+def test_rake_stopwords_split_phrases(spark):
+    from polars_incremental_spark.functions.text import rake_keywords
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta the gamma")], "doc_id long, text string"
+    )
+    phrases = {r["phrase"] for r in rake_keywords(df, k=10).collect()}
+    assert phrases == {"alpha beta", "gamma"}

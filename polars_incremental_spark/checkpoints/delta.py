@@ -505,14 +505,10 @@ class DeltaTableCheckpoint:
         # lacks — streaming a misread is worse than stopping.  Deletion
         # vectors gate PER PHASE below: CDF tail batches ride cdc files
         # (DV-safe); raw-file phases (snapshot, non-CDF tail) refuse DV'd
-        # adds they cannot apply.  Column mapping ('name' mode) is allowed
-        # for plain-file reads — DeltaSourceImpl.read_batch pins the
-        # physical scan schema and renames to the current logical names —
-        # but NOT for CDF reads (the insert-fallback would leak physical
-        # names through raw cdc/add parquet).
-        self.log.check_reader_supported(
-            allow_column_mapping=not getattr(spec, "read_change_feed", False)
-        )
+        # adds they cannot apply.  Column mapping ('name' mode) is allowed:
+        # DeltaSourceImpl.read_batch renames physical parquet columns to
+        # the current logical names on both the plain-file and CDF paths.
+        self.log.check_reader_supported(allow_column_mapping=True)
         start = self._resolve_start(spec)
         position = self._position()
 

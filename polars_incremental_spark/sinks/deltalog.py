@@ -281,9 +281,20 @@ def _stage_data_files(
     return adds
 
 
-def _stage_cdc_files(cdc_df: DataFrame, table_path: str) -> list[dict[str, Any]]:
+def _stage_cdc_files(
+    cdc_df: DataFrame,
+    table_path: str,
+    mapping: dict[str, str] | None = None,
+) -> list[dict[str, Any]]:
     """Write change rows (carrying ``_change_type``) under ``_change_data/``;
-    returns cdc-action payloads."""
+    returns cdc-action payloads.  On column-mapped tables, data columns
+    stage under PHYSICAL names (the CDF columns ``_change_type`` /
+    ``_commit_*`` are not table columns and stay as-is); the streaming
+    CDF reader renames back through the same mapping."""
+    if mapping:
+        cdc_df = cdc_df.select(
+            *[F.col(f"`{c}`").alias(mapping.get(c, c)) for c in cdc_df.columns]
+        )
     staging = os.path.join(table_path, f".cdc-staging-{uuid.uuid4().hex}")
     cdc_df.write.mode("overwrite").parquet(staging)
     cdc_dir = os.path.join(table_path, "_change_data")
@@ -395,14 +406,6 @@ def set_table_properties(table_path: str, props: dict[str, str]) -> None:
             "set column mapping through enable_column_mapping(table_path) — "
             "it also assigns field ids/physical names and bumps the protocol"
         )
-    if (
-        props.get("delta.enableChangeDataFeed") == "true"
-        and _column_mapping(meta) is not None
-    ):
-        raise ValueError(
-            "change data feed on column-mapped tables is not implemented "
-            "in the jar-less path"
-        )
     conf = dict(meta.get("configuration") or {})
     conf.update(props)
     actions = [
@@ -438,9 +441,8 @@ def enable_column_mapping(table_path: str) -> int:
     drops are metadata-only commits and new columns stage under
     ``col-<uuid>`` physical names.
 
-    Refused when change data feed is enabled: CDF parquet would need the
-    physical-name treatment end-to-end and this fallback does not
-    implement that combination (fail closed rather than misread).
+    Composes with change data feed: cdc files stage under physical names
+    like data files, and the streaming CDF reader renames them back.
     Returns the commit version."""
     log = DeltaLog(table_path)
     latest = log.latest_version()
@@ -453,11 +455,6 @@ def enable_column_mapping(table_path: str) -> int:
         return latest  # idempotent
     if mode not in ("none", "", None):
         raise ValueError(f"table already uses column mapping mode {mode!r}")
-    if conf.get("delta.enableChangeDataFeed") == "true":
-        raise ValueError(
-            "column mapping + change data feed is not implemented in the "
-            "jar-less path; disable CDF first"
-        )
     parsed = json.loads(meta["schemaString"])
     for i, f in enumerate(parsed.get("fields", []), start=1):
         md = dict(f.get("metadata") or {})
@@ -871,12 +868,6 @@ def write_delta_fallback(
     if latest is not None:
         cm_stored = log.table_metadata() or {}
         if _column_mapping(cm_stored) is not None:
-            if cdc_df is not None:
-                raise ValueError(
-                    "change-data files on column-mapped tables are not "
-                    "implemented (CDF parquet would need physical names "
-                    "end-to-end); disable one or the other"
-                )
             cm_merged = _merge_schema_strings(
                 cm_stored.get("schemaString"), df.schema.json()
             )
@@ -966,7 +957,10 @@ def write_delta_fallback(
                 )
     actions.extend({"add": add} for add in adds)
     if cdc_df is not None:
-        actions.extend({"cdc": c} for c in _stage_cdc_files(cdc_df, table_path))
+        actions.extend(
+            {"cdc": c}
+            for c in _stage_cdc_files(cdc_df, table_path, mapping=cm_mapping)
+        )
     for _attempt in range(16):
         try:
             _write_commit(log_dir, version, actions)
@@ -1474,11 +1468,6 @@ def delete_where(
         raise FileNotFoundError(f"not a delta table: {table_path}")
     log.check_reader_supported(allow_column_mapping=True)
     meta = log.table_metadata() or {}
-    if write_cdf and _column_mapping(meta) is not None:
-        raise ValueError(
-            "write_cdf on column-mapped tables is not implemented in the "
-            "jar-less path (CDF parquet would need physical names)"
-        )
     if dv_max_rows_per_file is None:
         enabled = (meta.get("configuration") or {}).get(
             "delta.enableDeletionVectors"
@@ -1610,7 +1599,12 @@ def delete_where(
             .drop("__file", "__ri")
             .withColumn("_change_type", F.lit("delete"))
         )
-        actions.extend({"cdc": c} for c in _stage_cdc_files(deleted, table_path))
+        actions.extend(
+            {"cdc": c}
+            for c in _stage_cdc_files(
+                deleted, table_path, mapping=_column_mapping(meta)
+            )
+        )
     version = latest + 1
     _write_commit(os.path.join(table_path, LOG_DIR), version, actions)
     return {
@@ -1647,11 +1641,6 @@ def update_where(
         raise FileNotFoundError(f"not a delta table: {table_path}")
     log.check_reader_supported(allow_column_mapping=True)
     meta = log.table_metadata() or {}
-    if write_cdf and _column_mapping(meta) is not None:
-        raise ValueError(
-            "write_cdf on column-mapped tables is not implemented in the "
-            "jar-less path (CDF parquet would need physical names)"
-        )
     known = {f["name"] for f in json.loads(meta["schemaString"])["fields"]}
     unknown = set(set_exprs) - known
     if unknown:
@@ -1772,7 +1761,12 @@ def update_where(
             .withColumn("_change_type", F.lit("update_postimage"))
         )
         cdc_df = pre.unionByName(post)
-        actions.extend({"cdc": c} for c in _stage_cdc_files(cdc_df, table_path))
+        actions.extend(
+            {"cdc": c}
+            for c in _stage_cdc_files(
+                cdc_df, table_path, mapping=_column_mapping(meta)
+            )
+        )
     version = latest + 1
     _write_commit(os.path.join(table_path, LOG_DIR), version, actions)
     return {
@@ -1893,11 +1887,6 @@ def merge_into(
         raise FileNotFoundError(f"not a delta table: {table_path}")
     log.check_reader_supported(allow_column_mapping=True)
     meta = log.table_metadata() or {}
-    if write_cdf and _column_mapping(meta) is not None:
-        raise ValueError(
-            "write_cdf on column-mapped tables is not implemented in the "
-            "jar-less path (CDF parquet would need physical names)"
-        )
     candidates = log.snapshot_files(latest)
     df, schema, part_cols = _load_snapshot_df(
         spark, log, meta, candidates, keep_meta_cols=True
@@ -2104,7 +2093,12 @@ def merge_into(
         cdc_df = cdc_frames[0]
         for frame in cdc_frames[1:]:
             cdc_df = cdc_df.unionByName(frame)
-        actions.extend({"cdc": c} for c in _stage_cdc_files(cdc_df, table_path))
+        actions.extend(
+            {"cdc": c}
+            for c in _stage_cdc_files(
+                cdc_df, table_path, mapping=_column_mapping(meta)
+            )
+        )
     version = latest + 1
     _write_commit(os.path.join(table_path, LOG_DIR), version, actions)
     return {**metrics, "version": version}

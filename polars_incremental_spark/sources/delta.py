@@ -108,11 +108,24 @@ class DeltaSourceImpl:
         for entry in entries:
             key = (entry["commit_version"], entry["commit_timestamp_ms"], entry["change_type"])
             groups.setdefault(key, []).append(entry)
+        cdf_inverse = {
+            p: l for l, p in (self._current_mapping() or {}).items()
+        }
         out = None
         for (version, ts_ms, change_type), group in sorted(groups.items(), key=lambda kv: kv[0][:2]):
             df = spark.read.parquet(
                 *[e.get("abs_path") or self._abs(e["path"]) for e in group]
             )
+            if cdf_inverse:
+                # mapped table: cdc/add parquet carries PHYSICAL data
+                # columns; the CDF metadata columns (_change_type, ...)
+                # aren't table columns and pass through unchanged
+                df = df.select(
+                    *[
+                        F.col(f"`{c}`").alias(cdf_inverse.get(c, c))
+                        for c in df.columns
+                    ]
+                )
             if change_type is not None and "_change_type" not in df.columns:
                 df = df.withColumn("_change_type", F.lit(change_type))
             if "_commit_version" not in df.columns:

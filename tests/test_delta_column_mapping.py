@@ -263,17 +263,6 @@ def test_mapping_gates(spark, tmp_path):
     # raw-props route is intercepted
     with pytest.raises(ValueError, match="enable_column_mapping"):
         set_table_properties(path, {"delta.columnMapping.mode": "name"})
-    # CDF + mapping is refused in both orders
-    set_table_properties(path, {"delta.enableChangeDataFeed": "true"})
-    with pytest.raises(ValueError, match="change data feed"):
-        enable_column_mapping(path)
-    p2 = str(tmp_path / "t2")
-    _mk(spark, p2)
-    enable_column_mapping(p2)
-    with pytest.raises(ValueError, match="change data feed"):
-        set_table_properties(p2, {"delta.enableChangeDataFeed": "true"})
-    with pytest.raises(ValueError, match="write_cdf"):
-        delete_rows(spark, p2, "k = 0", write_cdf=True)
     # id mode fails closed everywhere
     p3 = str(tmp_path / "t3")
     _mk(spark, p3)
@@ -289,6 +278,50 @@ def test_mapping_gates(spark, tmp_path):
     )
     with pytest.raises(PlanningError, match="only 'name'"):
         read_delta_fallback(spark, p3)
+
+
+def test_cdf_on_mapped_table_roundtrip(spark, tmp_path):
+    """CDF + column mapping compose: cdc parquet stages under PHYSICAL
+    names, and the streaming CDF reader renames back to the logical names
+    CURRENT at read time — a DML after a rename streams changes under the
+    new name."""
+    import pyarrow.parquet as _pq
+
+    from polars_incremental_spark.pipeline import Pipeline
+    from polars_incremental_spark.sources.base import DeltaSource
+
+    path = str(tmp_path / "t")
+    _mk(spark, path, n=10)
+    enable_column_mapping(path)
+    set_table_properties(path, {"delta.enableChangeDataFeed": "true"})
+    rename_column(path, "v", "value")
+
+    batches = []
+    p = Pipeline(
+        source=DeltaSource(path, read_change_feed=True),
+        checkpoint_dir=str(tmp_path / "ck"),
+        writer=lambda df: batches.append(
+            sorted(
+                (r["k"], r["value"], r["_change_type"]) for r in df.collect()
+            )
+        ),
+    )
+    p.run(spark)  # initial snapshot: 10 rows as inserts, logical names
+    assert sorted(r[0] for r in batches[0]) == list(range(10))
+    assert all(r[2] == "insert" and r[1] == 2 * r[0] for r in batches[0])
+
+    delete_rows(spark, path, "value >= 16", write_cdf=True)  # k in {8, 9}
+    # the staged cdc parquet itself carries the PHYSICAL name
+    cdc_dir = os.path.join(path, "_change_data")
+    cdc_files = [f for f in os.listdir(cdc_dir) if f.endswith(".parquet")]
+    assert cdc_files
+    names = _pq.read_schema(os.path.join(cdc_dir, cdc_files[0])).names
+    assert "v" in names and "value" not in names and "_change_type" in names
+
+    p.run(spark)  # CDF tail: precise deletes under the CURRENT logical name
+    deletes = [r for b in batches[1:] for r in b if r[2] == "delete"]
+    assert sorted(r[0] for r in deletes) == [8, 9]
+    assert all(r[1] == 2 * r[0] for r in deletes)  # logical 'value' intact
 
 
 def test_streaming_tailer_raw_gate_and_pipeline_reads(spark, tmp_path):
@@ -325,14 +358,15 @@ def test_streaming_tailer_raw_gate_and_pipeline_reads(spark, tmp_path):
     write_table(more, path)
     p.run(spark)
     assert seen[-1] == (["g", "k", "value"], 4)
-    # CDF-mode streaming of a mapped table stays fail-closed at plan time
+    # CDF-mode streaming of a mapped table also works (see
+    # test_cdf_on_mapped_table_roundtrip for the precise change-set check)
     pc = Pipeline(
         source=DeltaSource(path, read_change_feed=True),
         checkpoint_dir=str(tmp_path / "ck2"),
         writer=writer,
     )
-    with pytest.raises(PlanningError, match="column mapping"):
-        pc.run(spark)
+    pc.run(spark)
+    assert seen[-1][1] == 14  # snapshot as inserts, current logical names
 
 
 def test_overwrite_and_compact_on_mapped_table(spark, tmp_path):

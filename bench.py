@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "r34_attribution",  # last-touch attribution: keyed carry-forward window
     "t18_rake_keywords",  # RAKE phrases: keyed cumsum window + 2 hash aggs
     "r35_cube_revenue",  # CUBE: one EXPAND + hash agg, grouping_id
+    "s12_pq_topk",  # PQ ANN: codebook train + 4-byte codes + LUT scan
 ]
 
 

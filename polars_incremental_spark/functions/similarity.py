@@ -850,3 +850,116 @@ def diversified_topk(
     return top.withColumn(
         "final_rank", F.row_number().over(w_final).cast("long")
     )
+
+
+def _centroid_dots(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """array<double> of round(dot(vec, c_i), 6) per centroid — the
+    asymmetric-distance LUT primitive for product quantization.  Same
+    literal-matrix + transform shape as ``_centroid_sims`` (the unrolled
+    variant plans superlinearly — see that docstring), minus the
+    normalization."""
+    C = F.lit([[float(x) for x in c] for c in centroids])
+    idxs = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+    return F.transform(
+        idxs,
+        lambda i: F.round(
+            F.aggregate(
+                F.zip_with(vec_col, F.get(C, i), lambda x, h: x.cast("double") * h),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ),
+            F.lit(6),
+        ),
+    )
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_sub: int = 4,
+    n_codes: int = 16,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """PRODUCT-QUANTIZATION approximate top-k (Jégou et al.): the vector
+    splits into ``n_sub`` subvectors, each encoded as its nearest entry in
+    a per-subspace codebook (trained by the same replayable spherical
+    k-means as the IVF index), and a query scores a corpus vector by
+    summing per-subspace LUT dot products — the asymmetric-distance scan.
+    Returns (query_id, vec_id, pq_score, rank).
+
+    Memory story at 100 TB: n_sub code bytes per vector (4 here) instead
+    of dim floats — a 64-dim float64 corpus compresses 128×, which is what
+    lets the scan side of ANN live in executor memory; the int8 path (s6)
+    stops at 8×.  Scoring per pair is n_sub array lookups + adds, no
+    dim-length loop.
+
+    Plan shape: codebook training = n_sub × n_iter (assignment projection
+    + O(n_codes × sub_dim) partial-agg shuffle); corpus encoding is ONE
+    map-side projection attaching all n_sub code columns (no joins, no
+    shuffle); scoring joins the tiny query LUT set (|Q| rows, broadcast)
+    against the coded corpus and ranks per query — the same
+    top-k-per-group window every ANN entry here uses.
+
+    Determinism: codebooks come out of ``ivf_refine_centroids``'s
+    scaled-integer means, assignment uses the 6-dp-rounded cosine argmax
+    (first-max tie), LUT entries round to 6 dp, and the final score adds
+    them in fixed subspace order — every term bit-reproducible in DuckDB,
+    so the FULL train→encode→scan pipeline sits under a hash oracle.
+    """
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])  # 1-row scalar fetch
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sub = dim // n_sub
+
+    def slices(df, col):
+        return [F.slice(F.col(col), i * sub + 1, sub) for i in range(n_sub)]
+
+    codebooks = []
+    for i in range(n_sub):
+        sl = vectors.select(
+            F.col(id_col), slices(vectors, vec_col)[i].alias("embedding")
+        )
+        seeds = _seed_centroids(sl, n_codes, id_col, "embedding")
+        codebooks.append(
+            ivf_refine_centroids(sl, seeds, n_iter=n_iter, assign_method="expr")
+        )
+
+    # ONE pass: all subspace code assignments as map-side projections
+    coded = vectors.select(
+        F.col(id_col),
+        *[s.alias(f"__sub_{i}") for i, s in enumerate(slices(vectors, vec_col))],
+    )
+    for i, cb in enumerate(codebooks):
+        coded = ivf_assign(coded, cb, vec_col=f"__sub_{i}", cell_col=f"__code_{i}")
+    coded = coded.select(id_col, *[f"__code_{i}" for i in range(n_sub)])
+
+    q = queries.select(
+        F.col(query_id_col),
+        *[
+            _centroid_dots(s, cb).alias(f"__lut_{i}")
+            for i, (s, cb) in enumerate(zip(slices(queries, vec_col), codebooks))
+        ],
+    )
+    joined = F.broadcast(q).crossJoin(coded).filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    score = F.lit(0.0)
+    for i in range(n_sub):
+        score = score + F.element_at(f"__lut_{i}", F.col(f"__code_{i}"))
+    scored = joined.select(
+        query_id_col, id_col, score.alias("pq_score")
+    ).filter(F.col("pq_score").isNotNull())
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("pq_score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -3032,8 +3032,8 @@ FROM r WHERE rank <= 5
 """
 
 
-def _sql_ivf_refine_iter(prev: str, out: str) -> str:
-    """One unrolled Lloyd iteration over CTE ``v`` (vec_id, e) given
+def _sql_ivf_refine_iter(prev: str, out: str, src: str = "v") -> str:
+    """One unrolled Lloyd iteration over CTE ``src`` (vec_id, e) given
     centroids CTE ``prev`` (cell, c): rounded-cosine assignment (first-max
     tie on the lowest cell), then the scaled-integer spherical mean —
     ``sum(round(unit*1e6))::BIGINT / (n*1e6)`` — exactly the arithmetic
@@ -3041,8 +3041,9 @@ def _sql_ivf_refine_iter(prev: str, out: str) -> str:
     replay bit-for-bit.  Empty cells keep the previous centroid."""
     return f"""
 sims_{out} AS (
-  SELECT v.vec_id, v.e, p.cell, round({_sql_cosine("v.e", "p.c")}, 6) AS sim
-  FROM v CROSS JOIN {prev} p
+  SELECT {src}.vec_id, {src}.e, p.cell,
+         round({_sql_cosine(f"{src}.e", "p.c")}, 6) AS sim
+  FROM {src} CROSS JOIN {prev} p
 ),
 a_{out} AS (
   SELECT vec_id, e, cell FROM (
@@ -3136,6 +3137,98 @@ r AS (
 SELECT query_id, vec_id, cosine_sim, CAST(rank AS INTEGER) AS rank
 FROM r WHERE rank <= 5
 """
+
+
+def s12_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 4 subspace codebooks (16 codes each,
+    trained by the replayable spherical k-means), 4-byte corpus codes,
+    asymmetric LUT scan — the 128×-compression companion to s6's int8
+    path.  The ENTIRE train→encode→scan pipeline is hash-verified by an
+    unrolled-CTE oracle (similarity.pq_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return similarity.pq_topk(
+        emb, queries, k=5, n_sub=4, n_codes=16, n_iter=1, dim=64
+    )
+
+
+def _s12_sql(n_sub: int = 4, n_codes: int = 16, sub: int = 16, k: int = 5) -> str:
+    parts = []
+    for i in range(n_sub):
+        lo, hi = i * sub + 1, (i + 1) * sub
+        parts.append(
+            f"v{i} AS (SELECT vec_id, e[{lo}:{hi}] AS e FROM v),\n"
+            f"seeds{i} AS (SELECT cell, c[{lo}:{hi}] AS c FROM ranked_seeds "
+            f"WHERE cell <= {n_codes}),"
+        )
+        parts.append(_sql_ivf_refine_iter(f"seeds{i}", f"cb{i}", src=f"v{i}") + ",")
+        parts.append(
+            f"""encs{i} AS (
+  SELECT v{i}.vec_id, p.cell,
+         round({_sql_cosine(f"v{i}.e", "p.c")}, 6) AS sim
+  FROM v{i} CROSS JOIN cb{i} p
+),
+enc{i} AS (
+  SELECT vec_id, cell AS code_{i} FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rnk
+    FROM encs{i} WHERE sim IS NOT NULL
+  ) WHERE rnk = 1
+),"""
+        )
+    score_terms = []
+    for i in range(n_sub):
+        off = i * sub
+        dot = (
+            f"list_sum(list_transform(range(1, {sub} + 1), "
+            f"j -> q.e[j + {off}] * c{i}.c[j]))"
+        )
+        score_terms.append(f"round({dot}, 6)")
+    score = "0.0\n           + " + "\n           + ".join(score_terms)
+    code_join = "\n  ".join(
+        f"JOIN cb{i} c{i} ON c{i}.cell = d.code_{i}" for i in range(n_sub)
+    )
+    enc_join = " ".join(
+        f"JOIN enc{i} USING (vec_id)" if i else "enc0" for i in range(n_sub)
+    )
+    body = "\n".join(parts)
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+ranked_seeds AS (
+  SELECT e AS c,
+         row_number() OVER (
+           ORDER BY {_sql_md5_long("CAST(vec_id AS VARCHAR)")}, vec_id
+         ) AS cell
+  FROM v
+),
+{body}
+codes AS (SELECT * FROM {enc_join}),
+q AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, d.vec_id,
+         {score} AS pq_score
+  FROM q
+  JOIN codes d ON d.vec_id <> q.query_id
+  {code_join}
+),
+r AS (
+  SELECT query_id, vec_id, pq_score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY pq_score DESC, vec_id
+         ) AS rank
+  FROM scored WHERE pq_score IS NOT NULL
+)
+SELECT query_id, vec_id, pq_score, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
+S12_SQL = _s12_sql()
 
 
 def s6_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5603,6 +5696,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "t16_bm25_topk": (t16_bm25_topk, T16_SQL),
     "t17_term_pmi": (t17_term_pmi, T17_SQL),
     "t18_rake_keywords": (t18_rake_keywords, T18_SQL),
+    "s12_pq_topk": (s12_pq_topk, S12_SQL),
     "g4_communities": (g4_communities, G4_SQL),
     "d16_duplicated_spans": (d16_duplicated_spans, D16_SQL),
     "u17_leakage_safe_split": (u17_leakage_safe_split, U17_SQL),

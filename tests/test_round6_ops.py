@@ -393,3 +393,54 @@ def test_rake_stopwords_split_phrases(spark):
     )
     phrases = {r["phrase"] for r in rake_keywords(df, k=10).collect()}
     assert phrases == {"alpha beta", "gamma"}
+
+
+# -------------------------------------------------------------------- pq
+def test_pq_exact_on_prototype_corpus(spark):
+    """When every corpus vector IS one of a few prototypes, each subspace
+    codebook can represent its slices exactly, so PQ scores equal exact
+    dot products and the ranking matches brute force."""
+    from polars_incremental_spark.functions.similarity import pq_topk
+
+    protos = [
+        [1.0, 0.0, 0.0, 0.0, 2.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0, 0.0, 2.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 2.0, 0.0],
+    ]
+    rows = [(i, protos[i % 3]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(100, protos[0])], "query_id long, embedding array<double>"
+    )
+    out = pq_topk(df, q, k=12, n_sub=2, n_codes=3, n_iter=1, dim=8).collect()
+    assert len(out) == 12
+    by_id = {r["vec_id"]: r for r in out}
+    # prototype-0 copies (ids 0,3,6,9) score the exact dot 1+4=5...
+    # after spherical refinement centroids are unit-mean directions, but
+    # the RANKING is what must hold: all proto-0 copies above the rest
+    proto0 = {0, 3, 6, 9}
+    top4 = {r["vec_id"] for r in out if r["rank"] <= 4}
+    assert top4 == proto0, sorted((r["rank"], r["vec_id"]) for r in out)
+    s0 = {by_id[i]["pq_score"] for i in proto0}
+    assert len(s0) == 1  # identical codes -> identical scores
+
+
+def test_pq_codes_are_bounded_and_deterministic(spark):
+    from polars_incremental_spark.functions.similarity import pq_topk
+
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(0, rows[0][1]), (1, rows[1][1])],
+        "query_id long, embedding array<double>",
+    )
+    a = sorted(map(tuple, pq_topk(df, q, k=3, n_sub=4, n_codes=4, dim=16).collect()))
+    b = sorted(map(tuple, pq_topk(df, q, k=3, n_sub=4, n_codes=4, dim=16).collect()))
+    assert a == b and len(a) == 6
+    with __import__("pytest").raises(ValueError, match="not divisible"):
+        pq_topk(df, q, n_sub=5, dim=16)

@@ -40,6 +40,7 @@ NLJ_ALLOWED = {
     "s1_cosine_topk",  # scale path: s2_lsh_ann_topk
     "s4_cosine_near_dup_exact",  # scale path: s3_cosine_near_dup
     "s6_quantized_topk",  # same documented baseline shape as s1, int8 memory
+    "s12_pq_topk",  # ADC scan IS the design: O(n_sub) lookups/pair over 4-byte codes; scale path partitions by IVF cell (s5 composition)
 }
 
 # queries whose nested-loop join attaches a 1-ROW broadcast frame (a corpus

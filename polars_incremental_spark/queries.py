@@ -3150,7 +3150,8 @@ def s12_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     return similarity.pq_topk(
-        emb, queries, k=5, n_sub=4, n_codes=16, n_iter=1, dim=64
+        emb, queries, k=5, n_sub=4, n_codes=16, n_iter=1, dim=64,
+        assign_method="arrow",
     )
 
 

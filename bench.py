@@ -104,6 +104,9 @@ BENCH_QUERIES = [
     "t18_rake_keywords",  # RAKE phrases: keyed cumsum window + 2 hash aggs
     "r35_cube_revenue",  # CUBE: one EXPAND + hash agg, grouping_id
     "s12_pq_topk",  # PQ ANN: codebook train + 4-byte codes + LUT scan
+    "r36_funnel",  # 4-step windowed funnel: one shuffle + array walk
+    "r37_gap_fill",  # hourly resample + dense grid + ffill window
+    "u18_cms_heavy_hitters",  # count-min sketch build + broadcast estimate
 ]
 
 

@@ -112,3 +112,108 @@ def kmv_merge(
         *[F.col(c) for c in group_cols], F.explode(F.col(hashes_col)).alias("__h")
     )
     return _bottom_k(exploded, group_cols, k, hashes_col)
+
+
+# --------------------------------------------------------------------------
+# Count-Min Sketch — frequency estimation / heavy hitters in fixed memory
+# --------------------------------------------------------------------------
+#
+# The frequency-counting sibling of KMV: ``depth`` independent hash rows x
+# ``width`` counters.  Item count estimate = min over rows of its cell — an
+# OVERestimate only (collisions add, never subtract), within
+# eps = e/width of the true count with probability 1 - e^-depth (Cormode &
+# Muthukrishnan 2005).  Same determinism contract as KMV: row hashes are
+# salted md5, so any engine replays the sketch bit-for-bit.
+#
+# Scale shape: the sketch is a SUM over (row, col) cells, so it map-side
+# combines to <= depth*width rows per partition regardless of stream size,
+# and per-batch sketches merge by adding cells (cms_merge) — the same
+# roll-up-without-history property as KMV.  Estimation broadcasts the
+# (bounded, <= depth*width-row) sketch against the key set: no shuffle of
+# the corpus at all.
+
+
+def cms_position(key: "F.Column", row: int, width: int) -> "F.Column":
+    """Counter column for ``key`` in hash row ``row``: salted-md5 mod width.
+
+    MUST stay identical between build and estimate (and any SQL replay) or
+    estimates are garbage — the contract mirrored by _bloom_position.
+    """
+    return F.pmod(md5_long(F.concat(key, F.lit(f":cms{row}"))), F.lit(width))
+
+
+def cms_build(
+    df: DataFrame,
+    *,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """(row int, col int, cnt long) — the sparse Count-Min sketch of the
+    ``key_col`` stream (one increment per input row; pre-aggregate first if
+    you want distinct-per-group semantics).
+
+    Plan: one projection computes all ``depth`` positions per item
+    (posexplode of a depth-length array — map-side), then a single
+    groupBy(row, col) count whose partial aggregation bounds the shuffle at
+    depth*width rows per task.  Never more than depth*width output rows
+    total, by construction.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1, width >= 2; got {depth}x{width}")
+    keyed = df.select(F.col(key_col).cast("string").alias("__k"))
+    pos = keyed.select(
+        F.posexplode(
+            F.array(*[cms_position(F.col("__k"), r, width) for r in range(depth)])
+        ).alias("row", "col")
+    )
+    return pos.groupBy("row", "col").agg(F.count("*").cast("long").alias("cnt"))
+
+
+def cms_merge(sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with identical (depth, width): cells add.
+
+    CMS is a linear sketch, so merge(CMS(A), CMS(B)) == CMS(A ++ B)
+    EXACTLY (not approximately) — the property the unit test pins.
+    """
+    return sketches.groupBy("row", "col").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    *,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    out_col: str = "est_count",
+) -> DataFrame:
+    """keys + (out_col long) — Count-Min estimate for every row of ``keys``
+    (pass DISTINCT key rows; extra columns ride along through the group-by).
+
+    The sketch is at most depth*width rows, so it is broadcast: estimating
+    any number of keys costs one broadcast-hash-join plus a re-group on the
+    keys' own columns — the corpus itself is never reshuffled.  Keys absent
+    from the stream estimate 0 via the left join's coalesce.
+    """
+    carry = [c for c in keys.columns]
+    pos = keys.select(
+        *carry,
+        F.posexplode(
+            F.array(
+                *[
+                    cms_position(F.col(key_col).cast("string"), r, width)
+                    for r in range(depth)
+                ]
+            )
+        ).alias("row", "col"),
+    )
+    from pyspark.sql.functions import broadcast
+
+    return (
+        pos.join(broadcast(sketch), ["row", "col"], "left")
+        .groupBy(*carry)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias(out_col))
+    )

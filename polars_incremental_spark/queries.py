@@ -5670,6 +5670,296 @@ G4_SQL = _g4_sql()
 
 
 # --------------------------------------------------------------------------
+# Funnel / gap-fill / count-min sketch (r36, r37, u18)
+# --------------------------------------------------------------------------
+
+_R36_STEPS = ["signup", "view", "click", "purchase"]
+_R36_WINDOW_US = 72 * 3600 * 1_000_000  # funnel must complete within 72h
+
+
+def r36_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion (the ClickHouse ``windowFunnel`` shape):
+    per user, how far through signup → view → click → purchase did they
+    get, each step STRICTLY after the previous and within 72h of the
+    anchor (the user's FIRST signup — anchored semantics, so the greedy
+    earliest-match walk equals the SQL min-chain oracle exactly).
+
+    Plan: ONE shuffle — groupBy(user) collects the user's step events as a
+    sorted (us, type) array, then a single ``F.aggregate`` lambda walks it
+    carrying (stage, t1..t4); per-user event counts bound the array, so
+    this scales as a plain keyed aggregation (no self-joins — the naive
+    k-step funnel is k-1 joins of events against itself).  Latencies are
+    integer microseconds (unix_micros ↔ epoch_us), hash-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type").isin(_R36_STEPS))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("us"),
+            "event_type",
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(F.struct("us", "event_type"))).alias("evs"))
+    )
+
+    def _st(stage, t1, t2, t3, t4):
+        return F.struct(
+            stage.alias("stage"),
+            t1.alias("t1"),
+            t2.alias("t2"),
+            t3.alias("t3"),
+            t4.alias("t4"),
+        )
+
+    zero_t = F.lit(0).cast("long")
+    zero = _st(F.lit(0), zero_t, zero_t, zero_t, zero_t)
+    w_us = F.lit(_R36_WINDOW_US)
+
+    def walk(acc, e):
+        in_w = e["us"] <= acc["t1"] + w_us
+        return (
+            F.when(
+                (acc["stage"] == 0) & (e["event_type"] == _R36_STEPS[0]),
+                _st(F.lit(1), e["us"], acc["t2"], acc["t3"], acc["t4"]),
+            )
+            .when(
+                (acc["stage"] == 1)
+                & (e["event_type"] == _R36_STEPS[1])
+                & (e["us"] > acc["t1"])
+                & in_w,
+                _st(F.lit(2), acc["t1"], e["us"], acc["t3"], acc["t4"]),
+            )
+            .when(
+                (acc["stage"] == 2)
+                & (e["event_type"] == _R36_STEPS[2])
+                & (e["us"] > acc["t2"])
+                & in_w,
+                _st(F.lit(3), acc["t1"], acc["t2"], e["us"], acc["t4"]),
+            )
+            .when(
+                (acc["stage"] == 3)
+                & (e["event_type"] == _R36_STEPS[3])
+                & (e["us"] > acc["t3"])
+                & in_w,
+                _st(F.lit(4), acc["t1"], acc["t2"], acc["t3"], e["us"]),
+            )
+            .otherwise(acc)
+        )
+
+    st = per_user.select(F.aggregate("evs", zero, walk).alias("s"))
+    lat = [
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("s.stage") >= k,
+                    F.col(f"s.t{k}") - F.col("s.t1"),
+                ).otherwise(F.lit(0))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias(f"l{k}")
+        for k in (2, 3, 4)
+    ]
+    summary = st.agg(
+        *[
+            F.coalesce(F.sum((F.col("s.stage") >= k).cast("long")), F.lit(0))
+            .cast("long")
+            .alias(f"n{k}")
+            for k in (1, 2, 3, 4)
+        ],
+        *lat,
+    )
+    rows = [
+        F.struct(
+            F.lit(k).alias("step"),
+            F.lit(name).alias("event_type"),
+            F.col(f"n{k}").alias("n_users"),
+            (F.col(f"l{k}") if k > 1 else F.lit(0).cast("long")).alias(
+                "latency_us_total"
+            ),
+        )
+        for k, name in enumerate(_R36_STEPS, start=1)
+    ]
+    return (
+        summary.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.*")
+        .orderBy("step")
+    )
+
+
+R36_SQL = f"""
+WITH s0 AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s1 AS (
+  SELECT s0.user_id, s0.t1, MIN(epoch_us(e.ts)) AS t2
+  FROM s0 JOIN events e ON e.user_id = s0.user_id AND e.event_type = 'view'
+   AND epoch_us(e.ts) > s0.t1 AND epoch_us(e.ts) <= s0.t1 + {_R36_WINDOW_US}
+  GROUP BY 1, 2
+),
+s2 AS (
+  SELECT s1.user_id, s1.t1, MIN(epoch_us(e.ts)) AS t3
+  FROM s1 JOIN events e ON e.user_id = s1.user_id AND e.event_type = 'click'
+   AND epoch_us(e.ts) > s1.t2 AND epoch_us(e.ts) <= s1.t1 + {_R36_WINDOW_US}
+  GROUP BY 1, 2
+),
+s3 AS (
+  SELECT s2.user_id, s2.t1, MIN(epoch_us(e.ts)) AS t4
+  FROM s2 JOIN events e ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+   AND epoch_us(e.ts) > s2.t3 AND epoch_us(e.ts) <= s2.t1 + {_R36_WINDOW_US}
+  GROUP BY 1, 2
+)
+SELECT 1 AS step, 'signup' AS event_type, COUNT(*)::BIGINT AS n_users,
+       0::BIGINT AS latency_us_total FROM s0
+UNION ALL
+SELECT 2, 'view', COUNT(*)::BIGINT, COALESCE(SUM(t2 - t1), 0)::BIGINT FROM s1
+UNION ALL
+SELECT 3, 'click', COUNT(*)::BIGINT, COALESCE(SUM(t3 - t1), 0)::BIGINT FROM s2
+UNION ALL
+SELECT 4, 'purchase', COUNT(*)::BIGINT, COALESCE(SUM(t4 - t1), 0)::BIGINT FROM s3
+ORDER BY step
+"""
+
+
+def r37_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill: hourly revenue per event type on a
+    DENSE hour grid (each type's own min..max hour), missing hours
+    forward-filled from the last observed hour (the standard prep step
+    before any time-series model sees the data — ~5% of hours are empty in
+    this corpus).
+
+    Plan: hourly pre-agg (the only full shuffle) → per-type grid via
+    sequence()+explode (grid size = hours in range, bounded regardless of
+    row count) → left join back (post-agg side, tiny) → ffill as an
+    ignore-nulls last() window.  The window partitions by event type, so
+    its per-partition work is bounded by the grid length, not the data."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        _spark_dsum(F.col("value"), "rev"),
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+            F.last("rev", ignorenulls=True).over(w).alias("revenue_ffill"),
+            F.col("n").isNull().alias("is_gap"),
+        )
+        .orderBy("event_type", "hr")
+    )
+
+
+R37_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*)::BIGINT AS n,
+         {_dsum("value", "rev")}
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, MIN(hr) AS h0, MAX(hr) AS h1 FROM hourly GROUP BY 1
+),
+grid AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+  FROM bounds
+)
+SELECT g.event_type, g.hr, COALESCE(h.n, 0)::BIGINT AS n_events,
+       last_value(h.rev IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.hr
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue_ffill,
+       (h.n IS NULL) AS is_gap
+FROM grid g LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hr = g.hr
+ORDER BY g.event_type, g.hr
+"""
+
+
+_U18_DEPTH, _U18_WIDTH, _U18_MIN = 4, 32768, 5
+
+
+def u18_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch heavy hitters: estimate each 3-word shingle's
+    document frequency from a fixed-memory 4x32768 sketch and emit the
+    shingles estimated in >= 5 documents next to their exact counts (15 of
+    166 are honest sketch false positives at sf0.01 — CMS only ever
+    OVERcounts, so threshold recall is exact by construction).
+
+    This is the sketch-side version of d15's boilerplate detection: the
+    sketch is a bounded (depth*width cells) linear aggregate that map-side
+    combines and merges across batches (sketches.cms_merge), and the
+    estimate pass BROADCASTS it — the corpus is never reshuffled.  The
+    oracle replays the identical salted-md5 sketch in SQL."""
+    from .functions import sketches as sk
+
+    docs = load_table(spark, sf_dir, "documents")
+    stream = docs.select(
+        F.explode(tx.word_shingles(F.col("text"), 3)).alias("shingle")
+    )
+    sketch = sk.cms_build(
+        stream, key_col="shingle", depth=_U18_DEPTH, width=_U18_WIDTH
+    )
+    exact = stream.groupBy("shingle").agg(
+        F.count("*").cast("long").alias("exact_count")
+    )
+    est = sk.cms_estimate(
+        sketch,
+        exact,
+        key_col="shingle",
+        depth=_U18_DEPTH,
+        width=_U18_WIDTH,
+        out_col="est_count",
+    )
+    return (
+        est.filter(F.col("est_count") >= _U18_MIN)
+        .select("shingle", "est_count", "exact_count")
+        .orderBy(F.desc("est_count"), "shingle")
+    )
+
+
+U18_SQL = f"""
+WITH {_SQL_SHINGLE_CTE},
+cells AS (
+  SELECT r.range AS row,
+         {_sql_md5_long("shingle || ':cms' || r.range")} % {_U18_WIDTH} AS col,
+         COUNT(*)::BIGINT AS cnt
+  FROM sh, range({_U18_DEPTH}) r GROUP BY 1, 2
+),
+exact AS (SELECT shingle, COUNT(*)::BIGINT AS exact_count FROM sh GROUP BY 1),
+pos AS (
+  SELECT e.shingle, e.exact_count, r.range AS row,
+         {_sql_md5_long("e.shingle || ':cms' || r.range")} % {_U18_WIDTH} AS col
+  FROM exact e, range({_U18_DEPTH}) r
+),
+est AS (
+  SELECT shingle, MIN(exact_count)::BIGINT AS exact_count,
+         MIN(COALESCE(c.cnt, 0))::BIGINT AS est_count
+  FROM pos p LEFT JOIN cells c USING (row, col) GROUP BY shingle
+)
+SELECT shingle, est_count, exact_count FROM est
+WHERE est_count >= {_U18_MIN}
+ORDER BY est_count DESC, shingle
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -5681,7 +5971,8 @@ G4_SQL = _g4_sql()
 # previously-verified entries keep getting re-checked by the local replica
 # (tools/check_correctness.py runs all entries every time).
 #
-# Round-6 window (first 50): the 11 entries whose implementation or oracle
+# Round-6 window (first 50): the never-graded round-6 additions (r34-r37,
+# t16-t18, s12, g4, d16, u17-u18, m5-m7), the 11 entries whose implementation or oracle
 # CHANGED this round (the r25 tz fix, m1/s5b's first hash oracles, the
 # d10/d15 no-text-shuffle rewrites, s5's Arrow assignment, the
 # pagerank/CC iteration optimizations) + the 33 entries whose latest
@@ -5692,6 +5983,9 @@ G4_SQL = _g4_sql()
 # every round.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- new in round 6: first driver rows ---
+    "r36_funnel": (r36_funnel, R36_SQL),
+    "r37_gap_fill": (r37_gap_fill, R37_SQL),
+    "u18_cms_heavy_hitters": (u18_cms_heavy_hitters, U18_SQL),
     "r34_attribution": (r34_attribution, R34_SQL),
     "r35_cube_revenue": (r35_cube_revenue, R35_SQL),
     "t16_bm25_topk": (t16_bm25_topk, T16_SQL),

@@ -444,3 +444,145 @@ def test_pq_codes_are_bounded_and_deterministic(spark):
     assert a == b and len(a) == 6
     with __import__("pytest").raises(ValueError, match="not divisible"):
         pq_topk(df, q, n_sub=5, dim=16)
+
+
+# --------------------------------------------------------------------------
+# Count-Min Sketch (u18)
+# --------------------------------------------------------------------------
+
+
+def _cms_stream(spark, items):
+    return spark.createDataFrame([(x,) for x in items], "k string")
+
+
+def test_cms_estimate_never_undercounts(spark):
+    from polars_incremental_spark.functions import sketches as sk
+
+    items = ["a"] * 7 + ["b"] * 3 + ["c"] * 1 + [f"x{i}" for i in range(50)]
+    df = _cms_stream(spark, items)
+    sketch = sk.cms_build(df, key_col="k", depth=3, width=16)  # tiny: collisions
+    keys = df.groupBy("k").agg(F.count("*").cast("long").alias("exact"))
+    est = {
+        r["k"]: (r["est"], r["exact"])
+        for r in sk.cms_estimate(
+            sketch, keys, key_col="k", depth=3, width=16, out_col="est"
+        ).collect()
+    }
+    assert len(est) == 53
+    for k, (e, x) in est.items():
+        assert e >= x, (k, e, x)  # CMS only ever overcounts
+    # a width wide enough to avoid collisions is exact for the heavy key
+    wide = sk.cms_build(df, key_col="k", depth=4, width=4096)
+    e2 = {
+        r["k"]: r["est"]
+        for r in sk.cms_estimate(
+            wide, keys, key_col="k", depth=4, width=4096, out_col="est"
+        ).collect()
+    }
+    assert e2["a"] == 7 and e2["b"] == 3 and e2["c"] == 1
+
+
+def test_cms_merge_is_exactly_linear(spark):
+    from polars_incremental_spark.functions import sketches as sk
+
+    a = _cms_stream(spark, ["a", "a", "b", "q", "r"])
+    b = _cms_stream(spark, ["a", "b", "b", "s"])
+    kw = dict(key_col="k", depth=3, width=8)
+    merged = sk.cms_merge(
+        sk.cms_build(a, **kw).unionByName(sk.cms_build(b, **kw))
+    )
+    whole = sk.cms_build(a.unionByName(b), **kw)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_cms_unseen_key_estimates_zero_and_validation(spark):
+    import pytest
+
+    from polars_incremental_spark.functions import sketches as sk
+
+    df = _cms_stream(spark, ["only"])
+    sketch = sk.cms_build(df, key_col="k", depth=2, width=64)
+    keys = _cms_stream(spark, ["never-seen"])
+    [row] = sk.cms_estimate(
+        sketch, keys, key_col="k", depth=2, width=64
+    ).collect()
+    assert row["est_count"] == 0
+    with pytest.raises(ValueError, match="depth"):
+        sk.cms_build(df, key_col="k", depth=0, width=64)
+
+
+# --------------------------------------------------------------------------
+# Funnel (r36) and gap fill (r37)
+# --------------------------------------------------------------------------
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_funnel_semantics(spark, tmp_path, monkeypatch):
+    import datetime as dt
+
+    from polars_incremental_spark import queries as q
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # user 1: full funnel in order, inside the 72h window
+        (1, t0, 1, "signup", 1.0),
+        (2, t0 + 1 * h, 1, "view", 1.0),
+        (3, t0 + 2 * h, 1, "click", 1.0),
+        (4, t0 + 3 * h, 1, "purchase", 1.0),
+        # user 2: purchase BEFORE click — stops at click (order matters)
+        (5, t0, 2, "signup", 1.0),
+        (6, t0 + 1 * h, 2, "view", 1.0),
+        (7, t0 + 2 * h, 2, "purchase", 1.0),
+        (8, t0 + 3 * h, 2, "click", 1.0),
+        # user 3: completes but outside 72h of FIRST signup — stops at view
+        (9, t0, 3, "signup", 1.0),
+        (10, t0 + 1 * h, 3, "view", 1.0),
+        (11, t0 + 100 * h, 3, "click", 1.0),
+        (12, t0 + 101 * h, 3, "purchase", 1.0),
+        # user 4: no signup at all — never enters the funnel
+        (13, t0, 4, "view", 1.0),
+        (14, t0 + 1 * h, 4, "click", 1.0),
+    ]
+    ev = _events(spark, rows)
+    monkeypatch.setattr(q, "load_table", lambda s, d, t: ev)
+    out = {r["step"]: r.asDict() for r in q.r36_funnel(spark, "ignored").collect()}
+    assert [out[k]["n_users"] for k in (1, 2, 3, 4)] == [3, 3, 2, 1]
+    assert out[1]["latency_us_total"] == 0
+    # step-2 latency: users 1,2,3 each view 1h after signup
+    assert out[2]["latency_us_total"] == 3 * 3600 * 1_000_000
+    # step 4: only user 1, purchase 3h after signup
+    assert out[4]["latency_us_total"] == 3 * 3600 * 1_000_000
+
+
+def test_gap_fill_semantics(spark, monkeypatch):
+    import datetime as dt
+
+    from polars_incremental_spark import queries as q
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows = [
+        (1, t0, 1, "click", 10.0),
+        (2, t0 + dt.timedelta(minutes=30), 1, "click", 2.5),
+        # hours +1 and +2 are GAPS
+        (3, t0 + 3 * h, 2, "click", 7.0),
+        (4, t0, 1, "view", 1.0),  # second series: single hour, no grid
+    ]
+    ev = _events(spark, rows)
+    monkeypatch.setattr(q, "load_table", lambda s, d, t: ev)
+    out = q.r37_gap_fill(spark, "ignored").collect()
+    clicks = [r.asDict() for r in out if r["event_type"] == "click"]
+    assert [r["n_events"] for r in clicks] == [2, 0, 0, 1]
+    assert [r["is_gap"] for r in clicks] == [False, True, True, False]
+    # gap hours carry the last observed hourly revenue forward
+    assert [r["revenue_ffill"] for r in clicks] == [12.5, 12.5, 12.5, 7.0]
+    views = [r.asDict() for r in out if r["event_type"] == "view"]
+    assert len(views) == 1 and views[0]["n_events"] == 1

@@ -217,3 +217,181 @@ def cms_estimate(
         .groupBy(*carry)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias(out_col))
     )
+
+
+# --------------------------------------------------------------------------
+# Persisted incremental CMS index — exactly-once additive sketch store
+# --------------------------------------------------------------------------
+#
+# The incremental form of cms_build, shaped like dedup.update_bloom_index /
+# incremental_lsh_dedup — but with a stricter store: bloom union is an
+# idempotent OR and LSH replay dedupes by id, while CMS cells ADD, so
+# folding the same batch twice silently corrupts every estimate.  The store
+# therefore keeps a MANIFEST.json (atomic tmp+replace, mutated only under
+# the pipeline's single-writer lock like every maintenance op here):
+#
+#   {"meta": {depth, width}, "active": [dir, ...], "folded": [id, ...]}
+#
+# - update: write the batch's sketch dir FIRST, then add it to the
+#   manifest.  A crash between the two leaves an unreferenced dir; the
+#   retry overwrites it and commits the manifest — exactly-once.
+# - replay of an already-folded batch id is a NO-OP (returns False): its
+#   counts are already in, whether its dir is still active or was consumed
+#   by a compaction.
+# - compaction: write the merged dir (unreferenced), atomically swap the
+#   manifest (consumed dirs -> compact dir, their ids appended to
+#   ``folded``), THEN delete sources.  Every crash window leaves only
+#   unreferenced orphans, never double counts — the property the additive
+#   sketch demands and the bloom store never needed.
+
+
+def _cms_manifest_path(index_path: str) -> str:
+    import os
+
+    return os.path.join(index_path, "MANIFEST.json")
+
+
+def _cms_read_manifest(index_path: str) -> dict | None:
+    import json
+    import os
+
+    p = _cms_manifest_path(index_path)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _cms_write_manifest(index_path: str, manifest: dict) -> None:
+    import json
+    import os
+
+    p = _cms_manifest_path(index_path)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, p)
+
+
+def update_cms_index(
+    df: DataFrame,
+    index_path: str,
+    *,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    batch_id: int | None = None,
+) -> bool:
+    """Fold one batch's key stream into the persisted sketch.  Returns
+    True if folded, False if this batch id was already accounted for
+    (idempotent replay — the retry contract Pipeline sinks rely on).
+
+    Without a ``batch_id`` the id is content-addressed: an order-
+    insensitive digest of the batch's own (row, col, cnt) sketch (bounded
+    by depth*width rows), so retrying an identical ad-hoc batch is also a
+    no-op rather than a double count.
+    """
+    import os
+    import uuid
+
+    meta = {"depth": depth, "width": width}
+    os.makedirs(index_path, exist_ok=True)
+    manifest = _cms_read_manifest(index_path)
+    if manifest is None:
+        manifest = {"meta": meta, "active": [], "folded": []}
+    elif manifest["meta"] != meta:
+        raise ValueError(
+            f"cms index at {index_path} was built with {manifest['meta']}; "
+            f"refusing update with {meta}"
+        )
+
+    sketch = cms_build(df, key_col=key_col, depth=depth, width=width)
+    if batch_id is not None:
+        bid = f"batch_{batch_id}"
+    else:
+        sketch = sketch.persist()
+        row = sketch.agg(
+            F.count("*").cast("long").alias("__n"),
+            F.coalesce(F.expr("bit_xor(hash(row, col, cnt))"), F.lit(0))
+            .cast("long")
+            .alias("__x"),
+        ).collect()[0]
+        bid = f"adhoc_{row['__x'] & 0xFFFFFFFFFFFFFFFF:016x}_{row['__n']}"
+    if bid in manifest["folded"]:
+        if batch_id is None:
+            sketch.unpersist()
+        return False
+
+    sub = f"sketch_{bid}_{uuid.uuid4().hex[:8]}"
+    try:
+        sketch.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(index_path, sub)
+        )
+    finally:
+        if batch_id is None:
+            sketch.unpersist()
+    manifest["active"].append(sub)
+    manifest["folded"].append(bid)
+    _cms_write_manifest(index_path, manifest)
+    return True
+
+
+def read_cms_index(spark, index_path: str) -> tuple[DataFrame, dict]:
+    """(merged sketch, meta) — union of the manifest's active dirs run
+    through cms_merge; bounded by depth*width rows regardless of history."""
+    import os
+
+    manifest = _cms_read_manifest(index_path)
+    if manifest is None or not manifest["active"]:
+        raise ValueError(f"cms index at {index_path} has no folded batches")
+    dirs = [os.path.join(index_path, d) for d in manifest["active"]]
+    return cms_merge(spark.read.parquet(*dirs)), manifest["meta"]
+
+
+def cms_index_estimate(
+    spark,
+    index_path: str,
+    keys: DataFrame,
+    *,
+    key_col: str,
+    out_col: str = "est_count",
+) -> DataFrame:
+    """cms_estimate against the persisted index (parameters come from the
+    manifest, so probes can never use a mismatched hash layout)."""
+    sketch, meta = read_cms_index(spark, index_path)
+    return cms_estimate(
+        sketch,
+        keys,
+        key_col=key_col,
+        depth=meta["depth"],
+        width=meta["width"],
+        out_col=out_col,
+    )
+
+
+def compact_cms_index(spark, index_path: str) -> int:
+    """Merge all active sketch dirs into one (small-file maintenance).
+    Returns the number of dirs consumed.  Safe against every crash
+    window: the compacted dir is invisible until the atomic manifest swap,
+    and source dirs are deleted only after it — orphans are possible,
+    double counts are not.  Run under the pipeline single-writer lock."""
+    import os
+    import shutil
+    import uuid
+
+    manifest = _cms_read_manifest(index_path)
+    if manifest is None or len(manifest["active"]) <= 1:
+        return 0
+    old = list(manifest["active"])
+    merged = cms_merge(
+        spark.read.parquet(*[os.path.join(index_path, d) for d in old])
+    )
+    sub = f"sketch_compact_{uuid.uuid4().hex[:8]}"
+    merged.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_path, sub)
+    )
+    manifest["active"] = [sub]
+    _cms_write_manifest(index_path, manifest)
+    for d in old:
+        shutil.rmtree(os.path.join(index_path, d), ignore_errors=True)
+    return len(old)

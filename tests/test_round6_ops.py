@@ -586,3 +586,72 @@ def test_gap_fill_semantics(spark, monkeypatch):
     assert [r["revenue_ffill"] for r in clicks] == [12.5, 12.5, 12.5, 7.0]
     views = [r.asDict() for r in out if r["event_type"] == "view"]
     assert len(views) == 1 and views[0]["n_events"] == 1
+
+
+def test_cms_index_incremental_equals_oneshot(spark, tmp_path):
+    from polars_incremental_spark.functions import sketches as sk
+
+    idx = str(tmp_path / "cms")
+    a = _cms_stream(spark, ["a", "a", "b", "x1", "x2"])
+    b = _cms_stream(spark, ["a", "b", "b", "y1"])
+    kw = dict(key_col="k", depth=3, width=64)
+    assert sk.update_cms_index(a, idx, batch_id=1, **kw) is True
+    assert sk.update_cms_index(b, idx, batch_id=2, **kw) is True
+    merged, meta = sk.read_cms_index(spark, idx)
+    whole = sk.cms_build(a.unionByName(b), **kw)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    assert meta == {"depth": 3, "width": 64}
+    # estimate through the index facade
+    keys = _cms_stream(spark, ["a", "b", "never"])
+    est = {
+        r["k"]: r["est_count"]
+        for r in sk.cms_index_estimate(spark, idx, keys, key_col="k").collect()
+    }
+    assert est["a"] >= 3 and est["b"] >= 3 and est["never"] == 0
+
+
+def test_cms_index_replay_is_noop(spark, tmp_path):
+    from polars_incremental_spark.functions import sketches as sk
+
+    idx = str(tmp_path / "cms")
+    a = _cms_stream(spark, ["a", "a", "b"])
+    kw = dict(key_col="k", depth=2, width=32)
+    assert sk.update_cms_index(a, idx, batch_id=7, **kw) is True
+    before = sorted(map(tuple, sk.read_cms_index(spark, idx)[0].collect()))
+    # same batch id replayed (Pipeline retry) — must NOT double count
+    assert sk.update_cms_index(a, idx, batch_id=7, **kw) is False
+    assert sorted(map(tuple, sk.read_cms_index(spark, idx)[0].collect())) == before
+    # ad-hoc identical batch: content-addressed, second fold is a no-op
+    assert sk.update_cms_index(a, idx, **kw) is True  # new counts (no batch id)
+    assert sk.update_cms_index(a, idx, **kw) is False
+    # parameter mismatch is refused loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="refusing update"):
+        sk.update_cms_index(a, idx, key_col="k", depth=4, width=32)
+
+
+def test_cms_index_compaction_preserves_counts_and_blocks_replay(
+    spark, tmp_path
+):
+    from polars_incremental_spark.functions import sketches as sk
+
+    idx = str(tmp_path / "cms")
+    kw = dict(key_col="k", depth=2, width=32)
+    for i, items in enumerate((["a", "b"], ["a", "c"], ["b", "b"])):
+        assert sk.update_cms_index(
+            _cms_stream(spark, items), idx, batch_id=i, **kw
+        )
+    before = sorted(map(tuple, sk.read_cms_index(spark, idx)[0].collect()))
+    assert sk.compact_cms_index(spark, idx) == 3
+    assert sorted(map(tuple, sk.read_cms_index(spark, idx)[0].collect())) == before
+    # a batch folded BEFORE compaction replayed AFTER it: still a no-op
+    assert (
+        sk.update_cms_index(_cms_stream(spark, ["a", "b"]), idx, batch_id=0, **kw)
+        is False
+    )
+    assert sorted(map(tuple, sk.read_cms_index(spark, idx)[0].collect())) == before
+    # nothing left to compact
+    assert sk.compact_cms_index(spark, idx) == 0

@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "r36_funnel",  # 4-step windowed funnel: one shuffle + array walk
     "r37_gap_fill",  # hourly resample + dense grid + ffill window
     "u18_cms_heavy_hitters",  # count-min sketch build + broadcast estimate
+    "u19_quantile_sketch",  # bottom-k-by-hash sample quantile estimation
 ]
 
 

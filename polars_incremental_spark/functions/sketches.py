@@ -395,3 +395,104 @@ def compact_cms_index(spark, index_path: str) -> int:
     for d in old:
         shutil.rmtree(os.path.join(index_path, d), ignore_errors=True)
     return len(old)
+
+
+# --------------------------------------------------------------------------
+# Bottom-k-sample quantile sketch — the third leg of the deterministic trio
+# --------------------------------------------------------------------------
+#
+# KMV answers distinct-count, CMS answers frequency; this answers
+# QUANTILES with the same contracts: bounded (k values per group),
+# mergeable (bottom-k by hash of a union is the bottom-k of the merged
+# bottom-k's), and deterministic (inclusion is decided by the salted md5
+# of a ROW IDENTITY — hashing the value itself would correlate duplicate
+# values' inclusion and bias the sample).  The k kept rows are a uniform
+# random sample of the group, so the nearest-rank estimate carries the
+# standard sampling error ~ sqrt(q(1-q)/k) in rank space; Spark's native
+# percentile_approx (KLL-ish) has tighter guarantees at equal memory but,
+# like HLL, engine-defined results — this one any engine replays exactly.
+
+
+def quantile_sketch(
+    df: DataFrame,
+    *,
+    group_cols: Sequence[str],
+    value_col: str,
+    id_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """(group..., qsk array<struct<h long, v double>>) — the k sample rows
+    with smallest salted row-identity hash per group, h-sorted.
+
+    Same plan shape as kmv_sketch: hash projected in-scan, one shuffle on
+    the group keys, ranking window on that partitioning for bottom-k.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1; got {k}")
+    gcols = [F.col(c) for c in group_cols]
+    hashed = df.select(
+        *gcols,
+        md5_long(F.concat(F.col(id_col).cast("string"), F.lit(":qs"))).alias(
+            "__h"
+        ),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    # __v tiebreak: md5 collisions are ~2^-40 at 1e6 rows/group, but a tie
+    # broken differently by another engine would swap the boundary sample
+    # row — order by (hash, value) everywhere, including the SQL twins.
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("__h").asc(), F.col("__v").asc()
+    )
+    return (
+        hashed.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .groupBy(*group_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__h").alias("h"), F.col("__v").alias("v")))
+            ).alias("qsk")
+        )
+    )
+
+
+def quantile_sketch_merge(
+    sketches: DataFrame,
+    *,
+    group_cols: Sequence[str],
+    k: int = 256,
+) -> DataFrame:
+    """Bottom-k of the union of per-batch samples — merge(sketch(A),
+    sketch(B)) == sketch(A ++ B) exactly when A and B are disjoint row
+    sets (the per-batch case; shared rows dedup by hash)."""
+    exploded = sketches.select(
+        *[F.col(c) for c in group_cols], F.explode("qsk").alias("e")
+    ).select(
+        *group_cols, F.col("e.h").alias("__h"), F.col("e.v").alias("__v")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("__h").asc(), F.col("__v").asc()
+    )
+    return (
+        exploded.distinct()
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .groupBy(*group_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__h").alias("h"), F.col("__v").alias("v")))
+            ).alias("qsk")
+        )
+    )
+
+
+def quantile_estimate_expr(qsk_col: str, q: float):
+    """Nearest-rank estimate from a sketch array: the ceil(q*m)-th
+    smallest sampled VALUE (m = sample size, index clamped to [1, m]).
+    Plain ceil on an IEEE product + element_at — identical in any engine;
+    no interpolation, so the result is always an actual data value."""
+    vals = F.array_sort(F.transform(F.col(qsk_col), lambda x: x["v"]))
+    m = F.size(vals)
+    idx = F.greatest(
+        F.lit(1), F.least(m, F.ceil(F.lit(q) * m).cast("int"))
+    )
+    return F.element_at(vals, idx)

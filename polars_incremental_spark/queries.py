@@ -5959,6 +5959,115 @@ ORDER BY est_count DESC, shingle
 """
 
 
+_U19_QS = [0.5, 0.9, 0.99]
+_U19_K = 256
+
+
+def u19_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a bounded bottom-k-by-hash sample sketch
+    (sketches.quantile_sketch — the quantile leg of the deterministic
+    sketch trio next to KMV and CMS), reported beside the full-data
+    nearest-rank quantile so sampling error is visible in the output.
+
+    Scale: the sketch path is one keyed shuffle + a k-bounded ranking
+    window; the exact path is the u13-style full ranking — at 100 TB you
+    would keep ONLY the sketch columns and drop the exact join (it exists
+    here to hash-pin the estimator against its oracle replay)."""
+    from .functions import sketches as sk
+
+    ev = load_table(spark, sf_dir, "events")
+    skdf = sk.quantile_sketch(
+        ev,
+        group_cols=["event_type"],
+        value_col="value",
+        id_col="event_id",
+        k=_U19_K,
+    )
+    est = skdf.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        sk.quantile_estimate_expr("qsk", q).alias("est_value"),
+                    )
+                    for q in _U19_QS
+                ]
+            )
+        ).alias("r"),
+    ).select("event_type", "r.q", "r.est_value")
+    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    exact = (
+        ranked.select(
+            "event_type",
+            "value",
+            "rn",
+            "n",
+            F.explode(F.array(*[F.lit(q) for q in _U19_QS])).alias("q"),
+        )
+        .filter(
+            F.col("rn")
+            == F.greatest(
+                F.lit(1),
+                F.least(
+                    F.col("n"), F.ceil(F.col("q") * F.col("n")).cast("int")
+                ),
+            )
+        )
+        .select("event_type", "q", F.col("value").alias("exact_value"))
+    )
+    return est.join(exact, ["event_type", "q"]).orderBy("event_type", "q")
+
+
+_U19_SQL_QS = ", ".join(f"(CAST({q} AS DOUBLE))" for q in _U19_QS)
+
+U19_SQL = f"""
+WITH hh AS (
+  SELECT event_type, value,
+         {_sql_md5_long("CAST(event_id AS VARCHAR) || ':qs'")} AS h
+  FROM events
+),
+h AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h, value)
+         AS r FROM hh
+),
+samp AS (
+  SELECT event_type, list_sort(list(value)) AS vals
+  FROM h WHERE r <= {_U19_K} GROUP BY 1
+),
+qs(q) AS (VALUES {_U19_SQL_QS}),
+est AS (
+  SELECT event_type, q,
+         vals[greatest(1, least(len(vals),
+              CAST(ceil(q * len(vals)) AS INT)))] AS est_value
+  FROM samp, qs
+),
+rk AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+exact AS (
+  SELECT event_type, q, value AS exact_value
+  FROM rk, qs
+  WHERE rn = greatest(1, least(n, CAST(ceil(q * n) AS INT)))
+)
+SELECT e.event_type, e.q, e.est_value, x.exact_value
+FROM est e JOIN exact x USING (event_type, q)
+ORDER BY event_type, q
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5972,7 +6081,7 @@ ORDER BY est_count DESC, shingle
 # (tools/check_correctness.py runs all entries every time).
 #
 # Round-6 window (first 50): the never-graded round-6 additions (r34-r37,
-# t16-t18, s12, g4, d16, u17-u18, m5-m7), the 11 entries whose implementation or oracle
+# t16-t18, s12, g4, d16, u17-u19, m5-m7 and the sketch-family u19), the 11 entries whose implementation or oracle
 # CHANGED this round (the r25 tz fix, m1/s5b's first hash oracles, the
 # d10/d15 no-text-shuffle rewrites, s5's Arrow assignment, the
 # pagerank/CC iteration optimizations) + the 33 entries whose latest
@@ -5986,6 +6095,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "r36_funnel": (r36_funnel, R36_SQL),
     "r37_gap_fill": (r37_gap_fill, R37_SQL),
     "u18_cms_heavy_hitters": (u18_cms_heavy_hitters, U18_SQL),
+    "u19_quantile_sketch": (u19_quantile_sketch, U19_SQL),
     "r34_attribution": (r34_attribution, R34_SQL),
     "r35_cube_revenue": (r35_cube_revenue, R35_SQL),
     "t16_bm25_topk": (t16_bm25_topk, T16_SQL),

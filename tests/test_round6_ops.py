@@ -655,3 +655,65 @@ def test_cms_index_compaction_preserves_counts_and_blocks_replay(
     assert sorted(map(tuple, sk.read_cms_index(spark, idx)[0].collect())) == before
     # nothing left to compact
     assert sk.compact_cms_index(spark, idx) == 0
+
+
+# --------------------------------------------------------------------------
+# Quantile sketch (u19)
+# --------------------------------------------------------------------------
+
+
+def _vals(spark, rows):
+    return spark.createDataFrame(rows, "g string, id long, v double")
+
+
+def test_quantile_sketch_exact_when_k_covers_group(spark):
+    from polars_incremental_spark.functions import sketches as sk
+
+    rows = [("a", i, float(i)) for i in range(1, 101)]
+    df = _vals(spark, rows)
+    skdf = sk.quantile_sketch(
+        df, group_cols=["g"], value_col="v", id_col="id", k=500
+    )
+    [r] = skdf.select(
+        "g",
+        sk.quantile_estimate_expr("qsk", 0.5).alias("p50"),
+        sk.quantile_estimate_expr("qsk", 0.9).alias("p90"),
+        sk.quantile_estimate_expr("qsk", 0.01).alias("p01"),
+    ).collect()
+    # k >= group size: the "sample" is the whole group, nearest-rank exact
+    assert (r["p50"], r["p90"], r["p01"]) == (50.0, 90.0, 1.0)
+
+
+def test_quantile_sketch_merge_equals_oneshot(spark):
+    from polars_incremental_spark.functions import sketches as sk
+
+    a = _vals(spark, [("a", i, float(i * 7 % 100)) for i in range(200)])
+    b = _vals(spark, [("a", i, float(i * 3 % 100)) for i in range(200, 350)])
+    kw = dict(group_cols=["g"], value_col="v", id_col="id", k=64)
+    merged = sk.quantile_sketch_merge(
+        sk.quantile_sketch(a, **kw).unionByName(sk.quantile_sketch(b, **kw)),
+        group_cols=["g"],
+        k=64,
+    )
+    whole = sk.quantile_sketch(a.unionByName(b), **kw)
+    [m], [w] = merged.collect(), whole.collect()
+    assert [tuple(e) for e in m["qsk"]] == [tuple(e) for e in w["qsk"]]
+    assert len(m["qsk"]) == 64
+
+
+def test_quantile_sketch_estimate_within_sampling_error(spark):
+    from polars_incremental_spark.functions import sketches as sk
+
+    # 10k uniform values 0..9999: p50 should land near 5000 for k=256
+    rows = [("a", i, float(i)) for i in range(10_000)]
+    df = _vals(spark, rows)
+    skdf = sk.quantile_sketch(
+        df, group_cols=["g"], value_col="v", id_col="id", k=256
+    )
+    [r] = skdf.select(
+        sk.quantile_estimate_expr("qsk", 0.5).alias("p50")
+    ).collect()
+    # 4-sigma rank-space bound: 0.5*10000 +- 4*sqrt(.25/256)*10000
+    assert abs(r["p50"] - 5000) < 1300, r["p50"]
+    with __import__("pytest").raises(ValueError, match="k must be"):
+        sk.quantile_sketch(df, group_cols=["g"], value_col="v", id_col="id", k=0)

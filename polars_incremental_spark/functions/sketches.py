@@ -148,26 +148,37 @@ def cms_build(
     key_col: str,
     depth: int = 4,
     width: int = 1024,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(row int, col int, cnt long) — the sparse Count-Min sketch of the
-    ``key_col`` stream (one increment per input row; pre-aggregate first if
-    you want distinct-per-group semantics).
+    ``key_col`` stream: one increment per input row, or ``weight_col``
+    increments when given.  Weights make a PRE-AGGREGATED (key, count)
+    frame an exact substitute for the raw stream — build the sketch and
+    the exact counts from ONE explode+groupBy instead of scanning the
+    corpus twice (the u18 plan), or fold upstream per-partition counts
+    without expanding them back into rows.
 
     Plan: one projection computes all ``depth`` positions per item
     (posexplode of a depth-length array — map-side), then a single
-    groupBy(row, col) count whose partial aggregation bounds the shuffle at
+    groupBy(row, col) sum whose partial aggregation bounds the shuffle at
     depth*width rows per task.  Never more than depth*width output rows
     total, by construction.
     """
     if depth < 1 or width < 2:
         raise ValueError(f"need depth >= 1, width >= 2; got {depth}x{width}")
-    keyed = df.select(F.col(key_col).cast("string").alias("__k"))
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    keyed = df.select(F.col(key_col).cast("string").alias("__k"), w.alias("__w"))
     pos = keyed.select(
+        "__w",
         F.posexplode(
             F.array(*[cms_position(F.col("__k"), r, width) for r in range(depth)])
-        ).alias("row", "col")
+        ).alias("row", "col"),
     )
-    return pos.groupBy("row", "col").agg(F.count("*").cast("long").alias("cnt"))
+    return pos.groupBy("row", "col").agg(F.sum("__w").cast("long").alias("cnt"))
 
 
 def cms_merge(sketches: DataFrame) -> DataFrame:

@@ -5913,11 +5913,18 @@ def u18_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = docs.select(
         F.explode(tx.word_shingles(F.col("text"), 3)).alias("shingle")
     )
-    sketch = sk.cms_build(
-        stream, key_col="shingle", depth=_U18_DEPTH, width=_U18_WIDTH
-    )
+    # ONE explode+groupBy: the pre-aggregated counts feed BOTH the exact
+    # column and (as weights) the sketch — identical cells to building
+    # from the raw stream, at half the corpus scans
     exact = stream.groupBy("shingle").agg(
         F.count("*").cast("long").alias("exact_count")
+    )
+    sketch = sk.cms_build(
+        exact,
+        key_col="shingle",
+        depth=_U18_DEPTH,
+        width=_U18_WIDTH,
+        weight_col="exact_count",
     )
     est = sk.cms_estimate(
         sketch,

@@ -717,3 +717,17 @@ def test_quantile_sketch_estimate_within_sampling_error(spark):
     assert abs(r["p50"] - 5000) < 1300, r["p50"]
     with __import__("pytest").raises(ValueError, match="k must be"):
         sk.quantile_sketch(df, group_cols=["g"], value_col="v", id_col="id", k=0)
+
+
+def test_cms_weighted_build_equals_raw_stream(spark):
+    from polars_incremental_spark.functions import sketches as sk
+
+    items = ["a"] * 5 + ["b"] * 2 + ["c"]
+    raw = sk.cms_build(_cms_stream(spark, items), key_col="k", depth=3, width=16)
+    agg = (
+        _cms_stream(spark, items).groupBy("k").agg(F.count("*").alias("n"))
+    )
+    weighted = sk.cms_build(agg, key_col="k", depth=3, width=16, weight_col="n")
+    assert sorted(map(tuple, raw.collect())) == sorted(
+        map(tuple, weighted.collect())
+    )

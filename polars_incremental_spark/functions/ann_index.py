@@ -226,3 +226,195 @@ def ivf_index_search(
             F.col("__rank").alias("rank"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# IVF+PQ: probed cells + 4-byte LUT codes — the production ANN layout
+# --------------------------------------------------------------------------
+#
+# The FAISS-style composition: a coarse IVF quantizer picks which
+# partition directories to read (I/O ∝ n_probe/n_cells), and inside them
+# the corpus exists only as n_sub-byte PQ codes scored by per-query
+# lookup tables (memory ∝ codes, 128× down from float64 at dim=64).
+# Neither trick needs the other's data: cells prune DISK, codes shrink
+# RAM — composed, a 100 TB corpus serves from ~1.6% I/O × ~1% memory.
+# Scores are asymmetric-distance approximations (recall < exact IVF
+# serving, same ranking determinism contract as pq_topk).
+
+_CODEBOOKS = "codebooks.json"
+
+
+def build_ivfpq_index(
+    spark,
+    vectors: DataFrame,
+    index_path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    refine_iters: int = 1,
+    n_sub: int = 4,
+    n_codes: int = 16,
+    pq_iters: int = 1,
+    assign_method: str = "expr",
+    batch_id: int = 0,
+) -> dict:
+    """Train the coarse quantizer AND the PQ codebooks, store codes (not
+    vectors) partitioned by coarse cell.  The stored payload per vector is
+    the id + n_sub small ints — nothing else survives, which is the point."""
+    from .similarity import pq_encode, pq_train_codebooks
+
+    meta_path = os.path.join(index_path, _META)
+    if os.path.exists(meta_path):
+        raise ValueError(
+            f"ivfpq index already exists at {index_path}; "
+            "rebuild requires removing it first"
+        )
+    os.makedirs(index_path, exist_ok=True)
+    centroids = _seed_centroids(vectors, n_cells, id_col, vec_col)
+    if refine_iters > 0:
+        centroids = ivf_refine_centroids(
+            vectors, centroids, n_iter=refine_iters,
+            vec_col=vec_col, assign_method=assign_method,
+        )
+    codebooks = pq_train_codebooks(
+        vectors, n_sub=n_sub, n_codes=n_codes, n_iter=pq_iters,
+        id_col=id_col, vec_col=vec_col, assign_method=assign_method,
+    )
+    _write_json_atomic(os.path.join(index_path, _CENTROIDS), centroids)
+    _write_json_atomic(os.path.join(index_path, _CODEBOOKS), codebooks)
+    coarse = ivf_assign(
+        vectors, centroids, vec_col=vec_col, cell_col="cell",
+        method=assign_method,
+    ).filter(F.col("cell").isNotNull())
+    coded = pq_encode(
+        coarse, codebooks, id_col=id_col, vec_col=vec_col,
+        assign_method=assign_method, keep_cols=("cell",),
+    )
+    (
+        coded.withColumn("batch", F.lit(f"batch_{batch_id}"))
+        .write.partitionBy("cell", "batch")
+        .parquet(os.path.join(index_path, _ASSIGN))
+    )
+    meta = {
+        "kind": "ivfpq",
+        "n_cells": len(centroids),
+        "dim": len(centroids[0]) if centroids else 0,
+        "n_sub": len(codebooks),
+        "n_codes": len(codebooks[0]) if codebooks else 0,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "folded": [f"batch_{batch_id}"],
+    }
+    _write_json_atomic(meta_path, meta)
+    return meta
+
+
+def append_to_ivfpq_index(
+    spark,
+    new_vectors: DataFrame,
+    index_path: str,
+    *,
+    batch_id: int,
+    assign_method: str = "expr",
+) -> bool:
+    """Encode new vectors under the FROZEN coarse centroids + codebooks;
+    exactly-once per batch id, same dynamic-partition-overwrite retry
+    contract as append_to_ivf_index."""
+    centroids, meta = load_ivf_index(index_path)
+    with open(os.path.join(index_path, _CODEBOOKS)) as fh:
+        codebooks = json.load(fh)
+    bid = f"batch_{batch_id}"
+    if bid in meta["folded"]:
+        return False
+    from .similarity import pq_encode
+
+    coarse = ivf_assign(
+        new_vectors, centroids, vec_col=meta["vec_col"], cell_col="cell",
+        method=assign_method,
+    ).filter(F.col("cell").isNotNull())
+    coded = pq_encode(
+        coarse, codebooks, id_col=meta["id_col"], vec_col=meta["vec_col"],
+        assign_method=assign_method, keep_cols=("cell",),
+    )
+    (
+        coded.withColumn("batch", F.lit(bid))
+        .write.partitionBy("cell", "batch")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(os.path.join(index_path, _ASSIGN))
+    )
+    meta["folded"] = meta["folded"] + [bid]
+    _write_json_atomic(os.path.join(index_path, _META), meta)
+    return True
+
+
+def ivfpq_index_search(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    n_probe: int = 4,
+    query_id_col: str = "query_id",
+    vec_col: str | None = None,
+) -> DataFrame:
+    """(query_id, vec_id, pq_score, rank) — LUT scan over the probed
+    cells' CODES.  I/O prunes to the probed partition dirs; per-candidate
+    work is n_sub array lookups, never a dim-length product."""
+    from .similarity import pq_query_luts, pq_score_expr
+
+    centroids, meta = load_ivf_index(index_path)
+    with open(os.path.join(index_path, _CODEBOOKS)) as fh:
+        codebooks = json.load(fh)
+    id_col = meta["id_col"]
+    qv = vec_col or meta["vec_col"]
+    q = queries.select(
+        F.col(query_id_col), F.col(qv).alias("__qvec")
+    ).withColumn("__sims", _centroid_sims("__qvec", centroids))
+    probe = (
+        q.select(
+            F.col(query_id_col),
+            F.col("__qvec"),
+            F.posexplode("__sims").alias("__pos", "__sim"),
+        )
+        .withColumn(
+            "__pr",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(
+                    F.col("__sim").desc(), F.col("__pos").asc()
+                )
+            ),
+        )
+        .filter(F.col("__pr") <= n_probe)
+        .select(F.col(query_id_col), (F.col("__pos") + 1).alias("cell"))
+    )
+    # LUTs once per QUERY (not per probe row), then fan out to the probed
+    # (query, cell) pairs — both sides bounded by |Q| × n_probe
+    luts = pq_query_luts(
+        q.select(query_id_col, F.col("__qvec").alias(qv)),
+        codebooks,
+        query_id_col=query_id_col,
+        vec_col=qv,
+    ).join(probe, query_id_col)
+    cells = sorted(
+        r["cell"] for r in probe.select("cell").distinct().collect()
+    )
+    coded = spark.read.parquet(os.path.join(index_path, _ASSIGN)).filter(
+        F.col("cell").isin(cells)
+    )
+    joined = coded.join(F.broadcast(luts), on="cell").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = joined.select(
+        query_id_col,
+        id_col,
+        pq_score_expr(meta["n_sub"]).alias("pq_score"),
+    ).filter(F.col("pq_score").isNotNull())
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("pq_score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

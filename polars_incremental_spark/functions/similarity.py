@@ -873,32 +873,25 @@ def _centroid_dots(vec_col: Column, centroids: list[list[float]]) -> Column:
     )
 
 
-def pq_topk(
+def _pq_slices(col, n_sub: int, sub: int):
+    return [F.slice(F.col(col), i * sub + 1, sub) for i in range(n_sub)]
+
+
+def pq_train_codebooks(
     vectors: DataFrame,
-    queries: DataFrame,
     *,
-    k: int = 5,
     n_sub: int = 4,
     n_codes: int = 16,
     n_iter: int = 1,
     id_col: str = "vec_id",
-    query_id_col: str = "query_id",
     vec_col: str = "embedding",
     dim: int | None = None,
     assign_method: str = "expr",
-) -> DataFrame:
-    """PRODUCT-QUANTIZATION approximate top-k (Jégou et al.): the vector
-    splits into ``n_sub`` subvectors, each encoded as its nearest entry in
-    a per-subspace codebook (trained by the same replayable spherical
-    k-means as the IVF index), and a query scores a corpus vector by
-    summing per-subspace LUT dot products — the asymmetric-distance scan.
-    Returns (query_id, vec_id, pq_score, rank).
-
-    Memory story at 100 TB: n_sub code bytes per vector (4 here) instead
-    of dim floats — a 64-dim float64 corpus compresses 128×, which is what
-    lets the scan side of ANN live in executor memory; the int8 path (s6)
-    stops at 8×.  Scoring per pair is n_sub array lookups + adds, no
-    dim-length loop.
+) -> list[list[list[float]]]:
+    """Per-subspace PQ codebooks (n_sub × n_codes × dim/n_sub), trained by
+    the fused one-job spherical k-means described in ``pq_topk`` (which is
+    now a composition of this + ``pq_encode`` + the LUT scan — extracted
+    so a persisted index can train once and serve separately).
 
     Plan shape: seeds come from ONE corpus pass (the per-subspace seed is
     a slice of the same n_codes rows, so there is no reason to re-rank
@@ -908,25 +901,12 @@ def pq_topk(
     codebook means (n_sub × n_codes × sub_dim rows after map-side
     combine, corpus-size-independent).  Measured 13.3s -> 4.5s cold /
     6.7s -> 2.4s warm at sf0.1 vs the naive per-subspace training loop.
-    Corpus encoding is ONE map-side projection attaching all n_sub code
-    columns (no joins, no shuffle); scoring joins the tiny query LUT set
-    (|Q| rows, broadcast) against the coded corpus and ranks per query —
-    the same top-k-per-group window every ANN entry here uses.
-
-    Determinism: codebooks come out of ``ivf_refine_centroids``'s
-    scaled-integer means, assignment uses the 6-dp-rounded cosine argmax
-    (first-max tie), LUT entries round to 6 dp, and the final score adds
-    them in fixed subspace order — every term bit-reproducible in DuckDB,
-    so the FULL train→encode→scan pipeline sits under a hash oracle.
     """
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])  # 1-row scalar fetch
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
     sub = dim // n_sub
-
-    def slices(df, col):
-        return [F.slice(F.col(col), i * sub + 1, sub) for i in range(n_sub)]
 
     # seeds once (ordering depends only on the id); slice per subspace
     full_seeds = _seed_centroids(vectors, n_codes, id_col, vec_col)
@@ -936,7 +916,10 @@ def pq_topk(
     scale = 1_000_000
     for _ in range(n_iter):
         assigned = vectors.select(
-            *[s.alias(f"__sub_{i}") for i, s in enumerate(slices(vectors, vec_col))]
+            *[
+                sl.alias(f"__sub_{i}")
+                for i, sl in enumerate(_pq_slices(vec_col, n_sub, sub))
+            ]
         )
         for i, cb in enumerate(codebooks):
             assigned = ivf_assign(
@@ -989,34 +972,127 @@ def pq_topk(
         for (s_i, cell), dims in by_key.items():
             new[s_i][cell] = [dims[d] for d in sorted(dims)]
         codebooks = new
+    return codebooks
 
-    # ONE pass: all subspace code assignments as map-side projections
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_method: str = "expr",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, __code_0..__code_{n_sub-1}, *keep_cols) — ONE map-side pass
+    attaching every subspace's code (no joins, no shuffle).  n_sub bytes
+    of payload per vector — the 128× compression the scan side lives on."""
+    n_sub = len(codebooks)
+    sub = len(codebooks[0][0])
     coded = vectors.select(
         F.col(id_col),
-        *[s.alias(f"__sub_{i}") for i, s in enumerate(slices(vectors, vec_col))],
+        *[F.col(c) for c in keep_cols],
+        *[
+            sl.alias(f"__sub_{i}")
+            for i, sl in enumerate(_pq_slices(vec_col, n_sub, sub))
+        ],
     )
     for i, cb in enumerate(codebooks):
         coded = ivf_assign(
             coded, cb, vec_col=f"__sub_{i}", cell_col=f"__code_{i}",
             method=assign_method,
         )
-    coded = coded.select(id_col, *[f"__code_{i}" for i in range(n_sub)])
+    return coded.select(
+        id_col, *keep_cols, *[f"__code_{i}" for i in range(n_sub)]
+    )
 
-    q = queries.select(
+
+def pq_query_luts(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, __lut_0..) — per-subspace asymmetric-distance lookup
+    tables: round(dot(query_sub, code), 6) per codebook entry."""
+    n_sub = len(codebooks)
+    sub = len(codebooks[0][0])
+    return queries.select(
         F.col(query_id_col),
         *[
-            _centroid_dots(s, cb).alias(f"__lut_{i}")
-            for i, (s, cb) in enumerate(zip(slices(queries, vec_col), codebooks))
+            _centroid_dots(sl, cb).alias(f"__lut_{i}")
+            for i, (sl, cb) in enumerate(
+                zip(_pq_slices(vec_col, n_sub, sub), codebooks)
+            )
         ],
+    )
+
+
+def pq_score_expr(n_sub: int):
+    """sum of LUT lookups in FIXED subspace order (determinism: the same
+    left-to-right double adds in any engine)."""
+    score = F.lit(0.0)
+    for i in range(n_sub):
+        score = score + F.element_at(f"__lut_{i}", F.col(f"__code_{i}"))
+    return score
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_sub: int = 4,
+    n_codes: int = 16,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    assign_method: str = "expr",
+) -> DataFrame:
+    """PRODUCT-QUANTIZATION approximate top-k (Jégou et al.): the vector
+    splits into ``n_sub`` subvectors, each encoded as its nearest entry in
+    a per-subspace codebook (trained by the same replayable spherical
+    k-means as the IVF index), and a query scores a corpus vector by
+    summing per-subspace LUT dot products — the asymmetric-distance scan.
+    Returns (query_id, vec_id, pq_score, rank).
+
+    Memory story at 100 TB: n_sub code bytes per vector (4 here) instead
+    of dim floats — a 64-dim float64 corpus compresses 128×, which is what
+    lets the scan side of ANN live in executor memory; the int8 path (s6)
+    stops at 8×.  Scoring per pair is n_sub array lookups + adds, no
+    dim-length loop.
+
+    Composition of ``pq_train_codebooks`` (fused one-job Lloyd loop) →
+    ``pq_encode`` (one map-side projection) → broadcast LUT scan; the
+    persisted form lives in ann_index.build_pq_index, which stores the
+    codebooks + codes and skips the training at serve time.
+
+    Determinism: codebooks come out of ``ivf_refine_centroids``'s
+    scaled-integer means, assignment uses the 6-dp-rounded cosine argmax
+    (first-max tie), LUT entries round to 6 dp, and the final score adds
+    them in fixed subspace order — every term bit-reproducible in DuckDB,
+    so the FULL train→encode→scan pipeline sits under a hash oracle
+    (S12_SQL in queries.py).
+    """
+    codebooks = pq_train_codebooks(
+        vectors, n_sub=n_sub, n_codes=n_codes, n_iter=n_iter,
+        id_col=id_col, vec_col=vec_col, dim=dim, assign_method=assign_method,
+    )
+    coded = pq_encode(
+        vectors, codebooks, id_col=id_col, vec_col=vec_col,
+        assign_method=assign_method,
+    )
+    q = pq_query_luts(
+        queries, codebooks, query_id_col=query_id_col, vec_col=vec_col
     )
     joined = F.broadcast(q).crossJoin(coded).filter(
         F.col(id_col) != F.col(query_id_col)
     )
-    score = F.lit(0.0)
-    for i in range(n_sub):
-        score = score + F.element_at(f"__lut_{i}", F.col(f"__code_{i}"))
     scored = joined.select(
-        query_id_col, id_col, score.alias("pq_score")
+        query_id_col, id_col, pq_score_expr(len(codebooks)).alias("pq_score")
     ).filter(F.col("pq_score").isNotNull())
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("pq_score").desc(), F.col(id_col)

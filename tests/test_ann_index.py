@@ -132,3 +132,72 @@ def test_build_refuses_overwrite(spark, emb, tmp_path):
     ai.build_ivf_index(spark, emb.limit(50), idx, n_cells=4, refine_iters=0)
     with pytest.raises(ValueError, match="already exists"):
         ai.build_ivf_index(spark, emb.limit(50), idx, n_cells=4)
+
+
+def test_ivfpq_full_probe_matches_pq_topk(spark, emb, tmp_path):
+    """With every cell probed, index serving must reproduce the in-query
+    pq_topk ranking exactly (same codebooks — both train deterministically
+    from the same corpus)."""
+    from polars_incremental_spark.functions.similarity import pq_topk
+
+    idx = str(tmp_path / "ivfpq")
+    ai.build_ivfpq_index(
+        spark, emb, idx, n_cells=4, refine_iters=1, n_sub=4, n_codes=8,
+        pq_iters=1,
+    )
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        map(
+            tuple,
+            ai.ivfpq_index_search(spark, idx, queries, k=5, n_probe=4)
+            .select("query_id", "vec_id", "pq_score", "rank")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            pq_topk(
+                emb, queries, k=5, n_sub=4, n_codes=8, n_iter=1
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) == 20
+
+
+def test_ivfpq_stores_codes_not_vectors(spark, emb, tmp_path):
+    idx = str(tmp_path / "ivfpq")
+    ai.build_ivfpq_index(
+        spark, emb, idx, n_cells=4, refine_iters=0, n_sub=4, n_codes=8
+    )
+    stored = spark.read.parquet(os.path.join(idx, "assignments"))
+    assert set(stored.columns) == {
+        "vec_id", "__code_0", "__code_1", "__code_2", "__code_3",
+        "cell", "batch",
+    }
+    assert stored.count() == emb.count()
+    # every code is a valid 1-based codebook entry
+    for i in range(4):
+        mx = stored.agg(F.max(f"__code_{i}"), F.min(f"__code_{i}")).first()
+        assert 1 <= mx[1] and mx[0] <= 8
+
+
+def test_ivfpq_append_exactly_once(spark, emb, tmp_path):
+    idx = str(tmp_path / "ivfpq")
+    base = emb.filter(F.col("vec_id") < 400)
+    extra = emb.filter(F.col("vec_id") >= 400)
+    ai.build_ivfpq_index(
+        spark, base, idx, n_cells=4, refine_iters=1, n_sub=4, n_codes=8
+    )
+    assert ai.append_to_ivfpq_index(spark, extra, idx, batch_id=1) is True
+    assert ai.append_to_ivfpq_index(spark, extra, idx, batch_id=1) is False
+    n = spark.read.parquet(os.path.join(idx, "assignments")).count()
+    assert n == emb.count()
+    # appended vectors are served
+    queries = emb.filter(F.col("vec_id") == 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ai.ivfpq_index_search(spark, idx, queries, k=400, n_probe=4)
+    assert got.filter(F.col("vec_id") >= 400).count() > 0

@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "r37_gap_fill",  # hourly resample + dense grid + ffill window
     "u18_cms_heavy_hitters",  # count-min sketch build + broadcast estimate
     "u19_quantile_sketch",  # bottom-k-by-hash sample quantile estimation
+    "d17_prefix_filter_join",  # exact PPJoin-style prefix-filtered jaccard
 ]
 
 

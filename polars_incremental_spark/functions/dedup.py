@@ -1482,3 +1482,69 @@ def duplicated_spans(
         .cast("int")
         .alias("approx_longest_dup_tokens"),
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    *,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    Chaudhuri/Bayardo "all-pairs" lineage behind PPJoin): (id_a, id_b,
+    jaccard) for every pair with shingle-Jaccard >= threshold, with NO
+    false negatives — the guarantee LSH (minhash_lsh_pairs) trades away
+    for speed, recovered here without the full posting self-join.
+
+    The filter: order every doc's shingles by GLOBAL document frequency
+    (rarest first — ties by hash), keep only the first
+    ``sz - ceil(threshold*sz) + 1`` as its prefix, and generate candidates
+    from prefix-prefix collisions only.  Why that is exact: J >= t forces
+    an overlap o >= t*|d| against either doc (via o >= t(|a|+|b|)/(1+t)),
+    and the smallest common shingle in the global order can be preceded by
+    at most |d| - o non-shared shingles in d, so it sits inside both
+    prefixes.  Rare-first ordering makes those prefixes the LOWEST-
+    document-frequency shingles each doc has — the candidate join runs on
+    the least skewed keys in the corpus, the opposite end from the hot-key
+    blowup _filter_hot_shingles exists to cap.
+
+    Scale shape: doc-freq agg + one ranking window on the doc partitioning
+    + prefix-prefix equi-join (keys are rare by construction) + the
+    d4-style candidate-only verification (_jaccard_for_pairs).  At
+    threshold 0.5 the prefix is half the posting volume; pruning improves
+    as the threshold rises, exactly when exactness matters most.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1]; got {threshold}")
+    postings = shingle_posting_list(df, text_col, id_col, n=ngram)
+    sizes = postings.groupBy(id_col).agg(F.count("*").alias("__sz"))
+    dfreq = postings.groupBy("shingle_hash").agg(F.count("*").alias("__df"))
+    w = Window.partitionBy(id_col).orderBy("__df", "shingle_hash")
+    prefix = (
+        postings.join(dfreq, "shingle_hash")
+        .withColumn("__r", F.row_number().over(w))
+        .join(sizes, id_col)
+        .filter(
+            F.col("__r")
+            <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+        )
+        .select(id_col, "shingle_hash")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle_hash") == F.col("b.shingle_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return _jaccard_for_pairs(cand, postings, id_col, threshold).orderBy(
+        "id_a", "id_b"
+    )

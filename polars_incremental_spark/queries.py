@@ -5966,6 +5966,40 @@ ORDER BY est_count DESC, shingle
 """
 
 
+def d17_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join via prefix filtering (the all-pairs
+    / PPJoin lineage): every pair with shingle-Jaccard >= 0.4, NO false
+    negatives — candidates come only from collisions between the docs'
+    rarest-first shingle prefixes (sz - ceil(0.4*sz) + 1 long), then the
+    d4-style candidate-only verification scores them.  The oracle computes
+    the UNFILTERED exact pair set — equality proves the prefix filter
+    dropped nothing."""
+    return dedup.prefix_filter_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.4
+    )
+
+
+D17_SQL = f"""
+WITH {_SQL_SHINGLE_CTE},
+p AS (SELECT doc_id, {_sql_md5_long("shingle")} AS h FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM p GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b,
+         round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
 _U19_QS = [0.5, 0.9, 0.99]
 _U19_K = 256
 
@@ -6088,7 +6122,7 @@ ORDER BY event_type, q
 # (tools/check_correctness.py runs all entries every time).
 #
 # Round-6 window (first 50): the never-graded round-6 additions (r34-r37,
-# t16-t18, s12, g4, d16, u17-u19, m5-m7 and the sketch-family u19), the 11 entries whose implementation or oracle
+# t16-t18, s12, g4, d16, u17-u19, d17, m5-m7 and the sketch-family u19), the 11 entries whose implementation or oracle
 # CHANGED this round (the r25 tz fix, m1/s5b's first hash oracles, the
 # d10/d15 no-text-shuffle rewrites, s5's Arrow assignment, the
 # pagerank/CC iteration optimizations) + the 33 entries whose latest
@@ -6103,6 +6137,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "r37_gap_fill": (r37_gap_fill, R37_SQL),
     "u18_cms_heavy_hitters": (u18_cms_heavy_hitters, U18_SQL),
     "u19_quantile_sketch": (u19_quantile_sketch, U19_SQL),
+    "d17_prefix_filter_join": (d17_prefix_filter_join, D17_SQL),
     "r34_attribution": (r34_attribution, R34_SQL),
     "r35_cube_revenue": (r35_cube_revenue, R35_SQL),
     "t16_bm25_topk": (t16_bm25_topk, T16_SQL),

@@ -731,3 +731,51 @@ def test_cms_weighted_build_equals_raw_stream(spark):
     assert sorted(map(tuple, raw.collect())) == sorted(
         map(tuple, weighted.collect())
     )
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtering exact similarity join (d17)
+# --------------------------------------------------------------------------
+
+
+def test_prefix_filter_exact_no_false_negatives(spark):
+    """Brute-force cross-check on a corpus where prefixes genuinely prune:
+    every qualifying pair must survive, every non-qualifying one must not."""
+    import itertools
+
+    from polars_incremental_spark.functions import dedup
+
+    base = [f"w{i}" for i in range(30)]
+    texts = {
+        1: " ".join(base),
+        2: " ".join(base[:24] + [f"x{i}" for i in range(6)]),   # high overlap
+        3: " ".join(base[:12] + [f"y{i}" for i in range(18)]),  # mid overlap
+        4: " ".join(f"z{i}" for i in range(30)),                # disjoint
+    }
+    df = _docs(spark, list(texts.items()))
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.prefix_filter_pairs(df, threshold=0.3).collect()
+    }
+
+    def shingles(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    want = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        j = round(len(sa & sb) / len(sa | sb), 6)
+        if j >= 0.3:
+            want[(a, b)] = j
+    assert got == want and len(want) > 0
+
+
+def test_prefix_filter_threshold_validation(spark):
+    import pytest
+
+    from polars_incremental_spark.functions import dedup
+
+    df = _docs(spark, [(1, "a b c d")])
+    with pytest.raises(ValueError, match="threshold"):
+        dedup.prefix_filter_pairs(df, threshold=0.0)

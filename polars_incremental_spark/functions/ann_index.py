@@ -92,17 +92,19 @@ def build_ivf_index(
     ).filter(F.col("cell").isNotNull())
     # same (cell, batch) layout as appends — partition discovery requires
     # one consistent directory depth across the whole assignments tree
-    (
-        assigned.select(id_col, vec_col, "cell")
-        .withColumn("batch", F.lit(f"batch_{batch_id}"))
-        .write.partitionBy("cell", "batch")
-        .parquet(os.path.join(index_path, _ASSIGN))
+    payload = assigned.select(id_col, vec_col, "cell").withColumn(
+        "batch", F.lit(f"batch_{batch_id}")
+    )
+    payload.write.partitionBy("cell", "batch").parquet(
+        os.path.join(index_path, _ASSIGN)
     )
     meta = {
         "n_cells": len(centroids),
         "dim": dim,
         "id_col": id_col,
         "vec_col": vec_col,
+        # pinned read schema — serving skips footer-sampling inference
+        "schema": __import__("json").loads(payload.schema.json()),
         "folded": [f"batch_{batch_id}"],
     }
     _write_json_atomic(meta_path, meta)
@@ -115,6 +117,17 @@ def load_ivf_index(index_path: str) -> tuple[list[list[float]], dict]:
     with open(os.path.join(index_path, _CENTROIDS)) as fh:
         centroids = json.load(fh)
     return centroids, meta
+
+
+def _read_assignments(spark, index_path: str, meta: dict) -> DataFrame:
+    """Assignments reader with the meta-pinned schema when present (no
+    parquet footer sampling — see text_index for why that matters)."""
+    from pyspark.sql.types import StructType
+
+    reader = spark.read
+    if "schema" in meta:
+        reader = reader.schema(StructType.fromJson(meta["schema"]))
+    return reader.parquet(os.path.join(index_path, _ASSIGN))
 
 
 def append_to_ivf_index(
@@ -174,7 +187,7 @@ def ivf_index_search(
     centroids, meta = load_ivf_index(index_path)
     id_col = meta["id_col"]
     qv = vec_col or meta["vec_col"]
-    corpus = spark.read.parquet(os.path.join(index_path, _ASSIGN))
+    corpus = _read_assignments(spark, index_path, meta)
     q = queries.select(
         F.col(query_id_col), F.col(qv).alias("__qvec")
     ).withColumn("__sims", _centroid_sims("__qvec", centroids))
@@ -291,13 +304,13 @@ def build_ivfpq_index(
         coarse, codebooks, id_col=id_col, vec_col=vec_col,
         assign_method=assign_method, keep_cols=("cell",),
     )
-    (
-        coded.withColumn("batch", F.lit(f"batch_{batch_id}"))
-        .write.partitionBy("cell", "batch")
-        .parquet(os.path.join(index_path, _ASSIGN))
+    payload = coded.withColumn("batch", F.lit(f"batch_{batch_id}"))
+    payload.write.partitionBy("cell", "batch").parquet(
+        os.path.join(index_path, _ASSIGN)
     )
     meta = {
         "kind": "ivfpq",
+        "schema": __import__("json").loads(payload.schema.json()),
         "n_cells": len(centroids),
         "dim": len(centroids[0]) if centroids else 0,
         "n_sub": len(codebooks),
@@ -400,7 +413,7 @@ def ivfpq_index_search(
     cells = sorted(
         r["cell"] for r in probe.select("cell").distinct().collect()
     )
-    coded = spark.read.parquet(os.path.join(index_path, _ASSIGN)).filter(
+    coded = _read_assignments(spark, index_path, meta).filter(
         F.col("cell").isin(cells)
     )
     joined = coded.join(F.broadcast(luts), on="cell").filter(

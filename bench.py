@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "u18_cms_heavy_hitters",  # count-min sketch build + broadcast estimate
     "u19_quantile_sketch",  # bottom-k-by-hash sample quantile estimation
     "d17_prefix_filter_join",  # exact PPJoin-style prefix-filtered jaccard
+    "r38_activity_streaks",  # gaps-and-islands: rank-difference streaks
 ]
 
 

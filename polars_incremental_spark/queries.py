@@ -5966,6 +5966,62 @@ ORDER BY est_count DESC, shingle
 """
 
 
+def r38_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user CONSECUTIVE-day activity streaks via the
+    row_number-difference trick (days-since-epoch minus per-user rank is
+    constant within an island) — the classic islands shape the registry's
+    time-gap sessionization (events_sessionize) does not cover.
+
+    Plan: distinct (user, day) → one ranking window on the user
+    partitioning → groupBy(user, island) → per-user rollup; the two aggs
+    after the window share its exchange.  Day counts per user are bounded
+    by the calendar, so windows never see unbounded partitions."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.select(
+        "user_id",
+        (
+            F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("__g"),
+    )
+    streaks = islands.groupBy("user_id", "__g").agg(
+        F.count("*").cast("long").alias("len")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.sum("len").cast("long").alias("n_active_days"),
+            F.count("*").cast("long").alias("n_streaks"),
+            F.max("len").cast("long").alias("longest_streak"),
+        )
+        .orderBy("user_id")
+    )
+
+
+R38_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events
+),
+islands AS (
+  SELECT user_id,
+         date_diff('day', DATE '1970-01-01', d)
+           - row_number() OVER (PARTITION BY user_id ORDER BY d) AS g
+  FROM days
+),
+streaks AS (
+  SELECT user_id, g, COUNT(*)::BIGINT AS len FROM islands GROUP BY 1, 2
+)
+SELECT user_id, SUM(len)::BIGINT AS n_active_days,
+       COUNT(*)::BIGINT AS n_streaks, MAX(len)::BIGINT AS longest_streak
+FROM streaks GROUP BY user_id ORDER BY user_id
+"""
+
+
 def d17_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact set-similarity self-join via prefix filtering (the all-pairs
     / PPJoin lineage): every pair with shingle-Jaccard >= 0.4, NO false
@@ -6122,7 +6178,7 @@ ORDER BY event_type, q
 # (tools/check_correctness.py runs all entries every time).
 #
 # Round-6 window (first 50): the never-graded round-6 additions (r34-r37,
-# t16-t18, s12, g4, d16, u17-u19, d17, m5-m7 and the sketch-family u19), the 11 entries whose implementation or oracle
+# t16-t18, s12, g4, d16, u17-u19, d17, r38, m5-m7 and the sketch-family u19), the 11 entries whose implementation or oracle
 # CHANGED this round (the r25 tz fix, m1/s5b's first hash oracles, the
 # d10/d15 no-text-shuffle rewrites, s5's Arrow assignment, the
 # pagerank/CC iteration optimizations) + the 33 entries whose latest
@@ -6138,6 +6194,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "u18_cms_heavy_hitters": (u18_cms_heavy_hitters, U18_SQL),
     "u19_quantile_sketch": (u19_quantile_sketch, U19_SQL),
     "d17_prefix_filter_join": (d17_prefix_filter_join, D17_SQL),
+    "r38_activity_streaks": (r38_activity_streaks, R38_SQL),
     "r34_attribution": (r34_attribution, R34_SQL),
     "r35_cube_revenue": (r35_cube_revenue, R35_SQL),
     "t16_bm25_topk": (t16_bm25_topk, T16_SQL),

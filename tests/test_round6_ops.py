@@ -779,3 +779,32 @@ def test_prefix_filter_threshold_validation(spark):
     df = _docs(spark, [(1, "a b c d")])
     with pytest.raises(ValueError, match="threshold"):
         dedup.prefix_filter_pairs(df, threshold=0.0)
+
+
+def test_activity_streaks_islands_semantics(spark, monkeypatch):
+    import datetime as dt
+
+    from polars_incremental_spark import queries as q
+
+    def day(n):
+        return dt.datetime(2024, 1, n)
+
+    rows = []
+    eid = 0
+    # user 1: days 1,2,3  7,8  10  -> 3 streaks, longest 3, 6 active days
+    for n in (1, 2, 3, 7, 8, 10):
+        for _ in range(2):  # duplicate events same day collapse
+            eid += 1
+            rows.append((eid, day(n), 1, "view", 1.0))
+    # user 2: single day
+    eid += 1
+    rows.append((eid, day(5), 2, "click", 1.0))
+    ev = _events(spark, rows)
+    monkeypatch.setattr(q, "load_table", lambda s, d, t: ev)
+    out = {r["user_id"]: r.asDict() for r in q.r38_activity_streaks(spark, "x").collect()}
+    assert out[1]["n_active_days"] == 6
+    assert out[1]["n_streaks"] == 3
+    assert out[1]["longest_streak"] == 3
+    assert out[2] == {
+        "user_id": 2, "n_active_days": 1, "n_streaks": 1, "longest_streak": 1
+    }

@@ -110,6 +110,12 @@ BENCH_QUERIES = [
     "u19_quantile_sketch",  # bottom-k-by-hash sample quantile estimation
     "d17_prefix_filter_join",  # exact PPJoin-style prefix-filtered jaccard
     "r38_activity_streaks",  # gaps-and-islands: rank-difference streaks
+    # round-6 additions (third wave)
+    "r39_session_incident_overlap",  # interval×interval canonical-cell join
+    "r40_event_transitions",  # per-user lead window + transition matrix
+    "d18_containment_pairs",  # directional containment over posting lists
+    "s13_event_cooccurrence",  # user-incidence cosine co-occurrence
+    "u20_kmv_set_ops",  # KMV sketch union/intersection estimates
 ]
 
 

@@ -1548,3 +1548,59 @@ def prefix_filter_pairs(
     return _jaccard_for_pairs(cand, postings, id_col, threshold).orderBy(
         "id_a", "id_b"
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+    max_doc_freq: int | None = None,
+    cache_intermediate: bool = True,
+) -> DataFrame:
+    """DIRECTIONAL near-dup containment: (contained_id, container_id,
+    containment) pairs where containment = |A∩B| / |A| >= threshold over
+    word-``n``-gram shingle sets.
+
+    Symmetric Jaccard misses the "short doc embedded in a long one" case —
+    the union is dominated by the long doc, so the score collapses even at
+    100% overlap.  Containment normalizes by the CONTAINED side only,
+    which is the quote/excerpt/boilerplate-inclusion detector a corpus
+    pipeline actually wants next to d4's symmetric scorer.
+
+    Scale shape is d4's inverted-index join: candidates only from shared
+    shingle hashes (8-byte keys), counts stay integers until one rounded
+    division, ``max_doc_freq`` caps posting-list skew.  The self-join keeps
+    BOTH orientations of each colliding pair (a<>b, not a<b) because the
+    score is directional — cost is 2× d4's candidate count, not a new
+    asymptotic term.
+    """
+    postings = _filter_hot_shingles(
+        shingle_posting_list(df, text_col, id_col, n), max_doc_freq
+    )
+    if cache_intermediate:
+        postings = postings.persist()
+    sizes = postings.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    a = postings.alias("a")
+    b = postings.alias("b")
+    common = (
+        a.join(b, on="shingle_hash")
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("contained_id"),
+            F.col(f"b.{id_col}").alias("container_id"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(
+            sizes.withColumnRenamed(id_col, "contained_id"), "contained_id"
+        )
+        .withColumn(
+            "containment", F.round(F.col("n_common") / F.col("set_size"), 6)
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("contained_id", "container_id", "containment")
+    )

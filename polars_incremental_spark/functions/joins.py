@@ -193,3 +193,73 @@ def range_join_bucketed(
         (F.col(f"{right_ts}{suffix}") >= F.col(left_ts) - F.expr(upper))
         & (F.col(f"{right_ts}{suffix}") <= F.col(left_ts) - F.expr(lower))
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: Sequence[str] = (),
+    left_start: str = "start",
+    left_end: str = "end",
+    right_start: str = "start",
+    right_end: str = "end",
+    bucket: str = "INTERVAL 1 HOUR",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval × interval overlap join: pairs where
+    ``[left_start, left_end)`` intersects ``[right_start, right_end)``
+    (half-open — touching endpoints do NOT overlap), optionally per key.
+
+    A raw inequality join (``l.start < r.end AND r.start < l.end``) plans
+    as a nested loop — O(|L|·|R|) per key.  The scale shape instead tiles
+    time into fixed ``bucket``-width cells, explodes EACH side to the cells
+    its interval covers, and equi-joins on (keys, cell).  An overlapping
+    pair collides in every shared cell, so to avoid a dedup shuffle the
+    join keeps only the CANONICAL cell — the one containing
+    ``greatest(l.start, r.start)``, which both intervals cover by
+    definition of overlap — making each qualifying pair survive exactly
+    once with no ``distinct``.
+
+    Cost: each row lands in O(interval_len / bucket) cells; pick ``bucket``
+    near the typical interval length so that factor stays O(1).  Join cost
+    is then O(pairs-that-share-a-cell), not O(|L|·|R|).
+    """
+    on = list(on)
+    width_us = F.expr(
+        f"unix_micros(timestamp'1970-01-01' + {bucket}) - unix_micros(timestamp'1970-01-01')"
+    )
+
+    def _cells(df: DataFrame, start: str, end: str, rename: bool) -> DataFrame:
+        b0 = F.floor(F.unix_micros(F.col(start)) / width_us)
+        # half-open end: an interval ending exactly on a cell edge does not
+        # enter the next cell
+        b1 = F.floor(
+            (F.unix_micros(F.col(end)) - F.lit(1)) / width_us
+        )
+        payload = [c for c in df.columns if c not in on]
+        cols = [
+            F.col(c).alias(f"{c}{suffix}") if rename else F.col(c)
+            for c in payload
+        ]
+        return df.select(
+            *on, *cols, F.explode(F.sequence(b0, F.greatest(b0, b1))).alias("__cell")
+        )
+
+    l = _cells(left, left_start, left_end, rename=False)
+    r = _cells(right, right_start, right_end, rename=True)
+    rs, re_ = f"{right_start}{suffix}", f"{right_end}{suffix}"
+    joined = l.join(r, [*on, "__cell"])
+    return joined.filter(
+        (F.col(left_start) < F.col(re_))
+        & (F.col(rs) < F.col(left_end))
+        # canonical cell: the one holding the later of the two starts —
+        # covered by both intervals whenever they overlap, so exactly one
+        # copy of each pair survives
+        & (
+            F.col("__cell")
+            == F.floor(
+                F.unix_micros(F.greatest(F.col(left_start), F.col(rs))) / width_us
+            )
+        )
+    ).drop("__cell")

@@ -507,3 +507,116 @@ def quantile_estimate_expr(qsk_col: str, q: float):
         F.lit(1), F.least(m, F.ceil(F.lit(q) * m).cast("int"))
     )
     return F.element_at(vals, idx)
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV set-operation estimates for every pair of groups: approximate
+    ``|values(a) ∪ values(b)|`` and ``|values(a) ∩ values(b)|`` computed
+    purely from the per-group bottom-k sketches — the union by merging the
+    two hash arrays (bottom-k of the combined set, the KMV mergeability
+    property), the intersection via the standard KMV Jaccard estimator
+    (the fraction of union-sketch members present in BOTH side sketches,
+    scaled by the union estimate — Beyer et al., SIGMOD'07).
+
+    Exact counts ride beside the estimates so sketch error is visible in
+    the output: (type_a, type_b, est_union, est_intersection, exact_union,
+    exact_intersection).
+
+    Scale: the sketch build is u4's one keyed shuffle; everything after
+    operates on |groups| rows of k-bounded arrays — the pair frame is
+    |groups|² tiny and the array math is per-row Catalyst expressions, so
+    at 100 TB the corpus is scanned once and the set algebra costs
+    nothing.  (The exact companions are for test-scale visibility; at
+    production scale drop them and no corpus self-join exists at all.)
+    """
+    sk_df = kmv_sketch(df, group_cols=[group_col], value_col=value_col, k=k)
+    a = sk_df.select(
+        F.col(group_col).alias("type_a"), F.col("kmv_hashes").alias("__ha")
+    )
+    b = sk_df.select(
+        F.col(group_col).alias("type_b"), F.col("kmv_hashes").alias("__hb")
+    )
+    # all-pairs of per-group SKETCHES: |groups|² rows of bounded arrays — a
+    # nested-loop join over broadcast-sized frames is the correct plan here
+    # (plan-audit allowlisted, same class as the 1-row scalar attaches)
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"), "inner")
+    union_sk = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col("__ha"), F.col("__hb")))),
+        1,
+        k,
+    )
+    pairs = pairs.withColumn("__u", union_sk)
+    n_u = F.size(F.col("__u"))
+    est_union = F.when(n_u < k, n_u.cast("long")).otherwise(
+        F.round(
+            F.lit(float(k - 1))
+            * F.lit(float(KMV_SPACE))
+            / F.element_at(F.col("__u"), k).cast("double")
+        ).cast("long")
+    )
+    n_both = F.size(
+        F.array_intersect(F.array_intersect(F.col("__u"), F.col("__ha")), F.col("__hb"))
+    )
+    est = pairs.select(
+        "type_a",
+        "type_b",
+        est_union.alias("est_union"),
+        F.round(est_union * n_both / n_u).cast("long").alias("est_intersection"),
+    )
+    # exact companions (test-scale visibility): distinct incidence pairs,
+    # per-value work bounded by |groups| — same shape as s13
+    ut = df.select(
+        F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
+    ).distinct()
+    n_exact = ut.groupBy("__g").agg(F.count("*").cast("long").alias("__n"))
+    both_exact = (
+        ut.join(ut.select(F.col("__g").alias("__g2"), "__v"), "__v")
+        .filter(F.col("__g") < F.col("__g2"))
+        .groupBy(F.col("__g").alias("type_a"), F.col("__g2").alias("type_b"))
+        .agg(F.count("*").cast("long").alias("exact_intersection"))
+    )
+    exact = (
+        both_exact.join(
+            n_exact.withColumnRenamed("__g", "type_a").withColumnRenamed("__n", "__na"),
+            "type_a",
+        )
+        .join(
+            n_exact.withColumnRenamed("__g", "type_b").withColumnRenamed("__n", "__nb"),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            (F.col("__na") + F.col("__nb") - F.col("exact_intersection")).alias(
+                "exact_union"
+            ),
+            "exact_intersection",
+        )
+    )
+    # outer on the exact side: group pairs with NO shared value never form
+    # a both_exact row but still carry sketch estimates
+    out = est.join(exact, ["type_a", "type_b"], "left")
+    na = n_exact.withColumnRenamed("__g", "type_a").withColumnRenamed("__n", "__na")
+    nb = n_exact.withColumnRenamed("__g", "type_b").withColumnRenamed("__n", "__nb")
+    return (
+        out.join(na, "type_a")
+        .join(nb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "est_union",
+            "est_intersection",
+            F.coalesce(F.col("exact_union"), F.col("__na") + F.col("__nb")).alias(
+                "exact_union"
+            ),
+            F.coalesce(F.col("exact_intersection"), F.lit(0).cast("long")).alias(
+                "exact_intersection"
+            ),
+        )
+    )

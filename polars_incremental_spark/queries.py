@@ -6165,6 +6165,322 @@ ORDER BY event_type, q
 """
 
 
+def r39_session_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join (joins.interval_overlap_join): user
+    activity sessions (native session_window, 30-min gap, padded 10 min
+    past the last event) against global error-incident windows (15-min
+    tumbling windows holding >= 3 errors).
+
+    Scale shape: both interval sets explode to 15-minute cells and
+    equi-join on the cell; the canonical-cell filter (cell of the later
+    start) keeps each overlapping pair exactly once with no distinct, so
+    cost is O(pairs sharing a cell), never the nested-loop O(|L|·|R|) a
+    raw inequality join plans.  Session end = w.end − gap + pad, all
+    inside the session_window agg's single shuffle."""
+    from .functions import joins
+
+    ev = load_table(spark, sf_dir, "events")
+    sessions = (
+        ev.groupBy(F.session_window(F.col("ts"), "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").cast("long").alias("n_ev"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            # w.end = last event + 30-min gap; trim to a 10-min trailing pad
+            (F.col("w.end") - F.expr("INTERVAL 20 MINUTES")).alias("s_end"),
+            "n_ev",
+        )
+    )
+    incidents = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.window(F.col("ts"), "15 minutes").alias("w"))
+        .agg(F.count("*").cast("long").alias("n_errors"))
+        .filter(F.col("n_errors") >= 3)
+        .select(
+            F.col("w.start").alias("incident_start"),
+            F.col("w.end").alias("i_end"),
+            "n_errors",
+        )
+    )
+    pairs = joins.interval_overlap_join(
+        sessions,
+        incidents,
+        left_start="session_start",
+        left_end="s_end",
+        right_start="incident_start",
+        right_end="i_end",
+        bucket="INTERVAL 15 MINUTES",
+    )
+    return pairs.select(
+        "user_id",
+        "session_start",
+        "n_ev",
+        F.col("incident_start_r").alias("incident_start"),
+        F.col("n_errors_r").alias("n_errors"),
+    ).orderBy("user_id", "session_start", "incident_start")
+
+
+R39_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+sessions AS (
+  SELECT user_id, MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL 10 MINUTE AS s_end, COUNT(*)::BIGINT AS n_ev
+  FROM sess GROUP BY user_id, sid
+),
+incidents AS (
+  SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS incident_start,
+         time_bucket(INTERVAL 15 MINUTE, ts) + INTERVAL 15 MINUTE AS i_end,
+         COUNT(*)::BIGINT AS n_errors
+  FROM events WHERE event_type = 'error' GROUP BY 1, 2 HAVING COUNT(*) >= 3
+)
+SELECT s.user_id, s.session_start, s.n_ev, i.incident_start, i.n_errors
+FROM sessions s JOIN incidents i
+  ON s.session_start < i.i_end AND i.incident_start < s.s_end
+ORDER BY user_id, session_start, incident_start
+"""
+
+
+def r40_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over per-user event sequences: for each
+    (from_type, to_type) consecutive pair, the count and the transition
+    probability P(to | from).  One ranking window on the user partitioning
+    (deterministic tie-break on event_id) + one 25-cell agg; the
+    probability divides two integer counts, rounded to 6 dp so the hash is
+    engine-portable.  Output is |types|² rows — constant, never a scale
+    concern; the window partitions by user so no global sort exists."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wf = Window.partitionBy("from_type")
+    return (
+        counts.withColumn(
+            "p", F.round(F.col("n") / F.sum("n").over(wf), 6)
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+R40_SQL = """
+WITH steps AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, COUNT(*)::BIGINT AS n
+  FROM steps WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(n / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+FROM counts ORDER BY from_type, to_type
+"""
+
+
+def d18_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional near-dup containment: pairs where >= 60% of doc A's
+    word-3-gram shingles also appear in doc B (Jaccard CONTAINMENT
+    |A∩B| / |A| — catches a short doc embedded in a long one, which
+    symmetric Jaccard misses because the union is dominated by the long
+    doc).  Same posting-list shape as d4: candidates only from shared
+    shingles, scored by integer intersection counts over the candidate
+    set — no all-pairs work."""
+    return dedup.containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.6
+    )
+
+
+D18_SQL = f"""
+WITH {_SQL_SHINGLE_CTE},
+p AS (SELECT doc_id, {_sql_md5_long("shingle")} AS h FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM p GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM p a JOIN p b ON a.h = b.h AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a AS contained_id, id_b AS container_id,
+         round(n_common / sa.sz, 6) AS containment
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+)
+SELECT contained_id, container_id, containment
+FROM scored WHERE containment >= 0.6
+ORDER BY contained_id, container_id
+"""
+
+
+def s13_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence similarity (the collaborative-filtering
+    primitive): event types scored by the cosine of their binary
+    user-incidence vectors — n_both / sqrt(n_a · n_b) over DISTINCT
+    (user, type) pairs.
+
+    Scale: the self-join is keyed on user_id and each user contributes at
+    most |types| distinct rows, so per-user work is the constant
+    |types|², never O(events²); counts stay integers until one final
+    rounded division."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n = ut.groupBy("event_type").agg(F.count("*").cast("long").alias("n_users"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    both = (
+        ut.join(b, "user_id")
+        .filter(F.col("event_type") < F.col("type_b"))
+        .groupBy(F.col("event_type").alias("type_a"), "type_b")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    return (
+        both.join(n.withColumnRenamed("event_type", "type_a"), "type_a")
+        .withColumnRenamed("n_users", "n_a")
+        .join(n.withColumnRenamed("event_type", "type_b"), "type_b")
+        .withColumnRenamed("n_users", "n_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.col("n_both") / F.sqrt(F.col("n_a") * F.col("n_b")), 6
+            ).alias("cosine"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+S13_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT event_type, COUNT(*)::BIGINT AS n_users FROM ut GROUP BY 1),
+both_ AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*)::BIGINT AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_both,
+       round(n_both / sqrt(na.n_users * nb.n_users), 6) AS cosine
+FROM both_
+JOIN n na ON na.event_type = type_a
+JOIN n nb ON nb.event_type = type_b
+ORDER BY type_a, type_b
+"""
+
+
+def u20_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET OPERATIONS: estimate |users(A) ∪ users(B)| and
+    |users(A) ∩ users(B)| for every pair of event types from the same
+    per-type bottom-k sketches u4 builds — union by merging sketches
+    (bottom-k of the combined hash set), intersection via the standard
+    KMV Jaccard estimator (fraction of the union sketch's members present
+    in both sides).  Everything derives from md5 hashes + integer ranks,
+    so unlike HLL the estimates are engine-reproducible and fully
+    hash-verified; sketches are mergeable, which is the property that
+    matters at 100 TB (combine per-partition sketches, never re-scan).
+    Exact counts ride beside the estimates so sketch error is visible."""
+    from .functions import sketches as sk
+
+    return sk.kmv_set_ops(
+        load_table(spark, sf_dir, "events"),
+        group_col="event_type",
+        value_col="user_id",
+        k=32,
+    ).orderBy("type_a", "type_b")
+
+
+_U20_M = float(1 << 60)
+
+U20_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT event_type, user_id,
+         {_sql_md5_long("user_id::VARCHAR")} AS h
+  FROM events
+),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+),
+sk AS (SELECT event_type, h FROM r WHERE rn <= 32),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM (SELECT DISTINCT event_type FROM h) a
+  JOIN (SELECT DISTINCT event_type FROM h) b ON a.event_type < b.event_type
+),
+umem AS (
+  -- distinct FIRST: a hash in both side sketches must count once in the
+  -- merged bottom-k, or the kth-min shrinks and the estimate doubles
+  SELECT DISTINCT p.type_a, p.type_b, s.h
+  FROM pairs p JOIN sk s ON s.event_type IN (p.type_a, p.type_b)
+),
+merged AS (
+  SELECT type_a, type_b, h,
+         row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+  FROM umem
+),
+uni AS (
+  SELECT type_a, type_b, COUNT(*) AS n,
+         MAX(CASE WHEN rn = 32 THEN h END) AS kth
+  FROM merged WHERE rn <= 32 GROUP BY 1, 2
+),
+est_u AS (
+  SELECT type_a, type_b,
+         CASE WHEN n < 32 THEN n::BIGINT
+              ELSE CAST(round(31.0 * {_U20_M!r} / kth) AS BIGINT)
+         END AS est_union
+  FROM uni
+),
+jac AS (
+  SELECT m.type_a, m.type_b,
+         SUM(CASE WHEN ia.h IS NOT NULL AND ib.h IS NOT NULL
+                  THEN 1 ELSE 0 END) AS n_both,
+         COUNT(*) AS n_samp
+  FROM merged m
+  LEFT JOIN sk ia ON ia.event_type = m.type_a AND ia.h = m.h
+  LEFT JOIN sk ib ON ib.event_type = m.type_b AND ib.h = m.h
+  WHERE m.rn <= 32
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT p.type_a, p.type_b,
+         (SELECT COUNT(DISTINCT user_id) FROM h
+           WHERE event_type IN (p.type_a, p.type_b)) AS exact_union,
+         (SELECT COUNT(*) FROM
+             (SELECT user_id FROM h WHERE event_type = p.type_a
+              INTERSECT
+              SELECT user_id FROM h WHERE event_type = p.type_b) t)
+           AS exact_intersection
+  FROM pairs p
+)
+SELECT e.type_a, e.type_b, e.est_union,
+       CAST(round(e.est_union * j.n_both / j.n_samp) AS BIGINT)
+         AS est_intersection,
+       x.exact_union::BIGINT AS exact_union,
+       x.exact_intersection::BIGINT AS exact_intersection
+FROM est_u e
+JOIN jac j USING (type_a, type_b)
+JOIN exact x USING (type_a, type_b)
+ORDER BY type_a, type_b
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6189,6 +6505,11 @@ ORDER BY event_type, q
 # every round.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- new in round 6: first driver rows ---
+    "r39_session_incident_overlap": (r39_session_incident_overlap, R39_SQL),
+    "r40_event_transitions": (r40_event_transitions, R40_SQL),
+    "d18_containment_pairs": (d18_containment_pairs, D18_SQL),
+    "s13_event_cooccurrence": (s13_event_cooccurrence, S13_SQL),
+    "u20_kmv_set_ops": (u20_kmv_set_ops, U20_SQL),
     "r36_funnel": (r36_funnel, R36_SQL),
     "r37_gap_fill": (r37_gap_fill, R37_SQL),
     "u18_cms_heavy_hitters": (u18_cms_heavy_hitters, U18_SQL),

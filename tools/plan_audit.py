@@ -41,6 +41,7 @@ NLJ_ALLOWED = {
     "s4_cosine_near_dup_exact",  # scale path: s3_cosine_near_dup
     "s6_quantized_topk",  # same documented baseline shape as s1, int8 memory
     "s12_pq_topk",  # ADC scan IS the design: O(n_sub) lookups/pair over 4-byte codes; scale path partitions by IVF cell (s5 composition)
+    "u20_kmv_set_ops",  # all-pairs join of PER-GROUP SKETCHES: |groups|² rows of k-bounded arrays, broadcast-sized by construction
 }
 
 # queries whose nested-loop join attaches a 1-ROW broadcast frame (a corpus

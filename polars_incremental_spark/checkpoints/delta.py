@@ -318,12 +318,21 @@ class DeltaLog:
             try:
                 with open(os.path.join(self.log_dir, "_last_checkpoint")) as fh:
                     info = json.load(fh)
+                # ICT-enabled tables: the sidecar's inCommitTimestampMs is
+                # the commit's true (monotone) time; mod-time-derived
+                # timestampMs is the pre-ICT fallback
+                if "inCommitTimestampMs" in info:
+                    return int(info["inCommitTimestampMs"])
                 if "timestampMs" in info:
                     return int(info["timestampMs"])
             except (OSError, ValueError):
                 pass
         for action in self.actions(version):
             info = action.get("commitInfo")
+            if info and "inCommitTimestamp" in info:
+                # PROTOCOL.md: when present, the in-commit timestamp IS the
+                # commit time (monotone by construction; survives log copy)
+                return int(info["inCommitTimestamp"])
             if info and "timestamp" in info:
                 return int(info["timestamp"])
         return int(os.stat(json_path).st_mtime * 1000)

@@ -101,12 +101,57 @@ class CommitConflictError(FileExistsError):
     table state (real Delta's ConcurrentModificationException)."""
 
 
+def _prev_in_commit_timestamp(log_dir: str, version: int) -> int | None:
+    """The previous commit's ``inCommitTimestamp``, or None when the table
+    has not enabled in-commit timestamps (spec: presence in the immediately
+    preceding commit is the enablement signal for every later commit).
+
+    If the previous commit expired at a log checkpoint, the
+    ``_last_checkpoint`` sidecar's ``inCommitTimestampMs`` (written by
+    ``checkpoint_log``) carries the chain across the expiry."""
+    if version == 0:
+        return None
+    prev = os.path.join(log_dir, f"{version - 1:020d}.json")
+    try:
+        with open(prev) as handle:
+            for line in handle:
+                info = json.loads(line).get("commitInfo")
+                if info is not None:
+                    ict = info.get("inCommitTimestamp")
+                    return int(ict) if ict is not None else None
+        return None
+    except OSError:
+        try:
+            with open(os.path.join(log_dir, "_last_checkpoint")) as handle:
+                info = json.load(handle)
+            ict = info.get("inCommitTimestampMs")
+            return int(ict) if ict is not None else None
+        except (OSError, ValueError):
+            return None
+
+
 def _write_commit(log_dir: str, version: int, actions: list[dict[str, Any]]) -> None:
     """Atomically claim ``version``: write a tmp file, then ``os.link`` it
     to the final name — link fails with EEXIST if ANY other writer claimed
     the version first (no exists-check TOCTOU window; the filesystem
     arbitrates exactly one winner, the same contract object stores give
-    real Delta via put-if-absent)."""
+    real Delta via put-if-absent).
+
+    In-commit timestamps: when the previous commit carries one (the table
+    enabled the feature), THIS commit's commitInfo is stamped with
+    ``max(now, prev + 1)`` — the spec's monotonicity rule — right here at
+    the single commit choke point, so every writer path (append, DML,
+    OPTIMIZE, RESTORE) inherits it, including conflict-rebase retries
+    which re-enter with a new version and re-read the new predecessor."""
+    prev_ict = _prev_in_commit_timestamp(log_dir, version)
+    if prev_ict is not None:
+        ict = max(int(time.time() * 1000), prev_ict + 1)
+        for action in actions:
+            if "commitInfo" in action:
+                action["commitInfo"]["inCommitTimestamp"] = ict
+                break
+        else:
+            actions = [{"commitInfo": {"timestamp": ict, "inCommitTimestamp": ict}}] + actions
     path = os.path.join(log_dir, f"{version:020d}.json")
     tmp = path + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as handle:
@@ -331,6 +376,20 @@ DV_GLOBAL_POSITION_BUDGET = 1_000_000
 
 GENERATION_KEY = "delta.generationExpression"  # PROTOCOL.md generated columns
 
+# PROTOCOL.md identity columns (writer version 6): generation state lives in
+# field metadata; the high watermark advances with every generating commit
+IDENTITY_START_KEY = "delta.identity.start"
+IDENTITY_STEP_KEY = "delta.identity.step"
+IDENTITY_HWM_KEY = "delta.identity.highWaterMark"
+IDENTITY_ALLOW_KEY = "delta.identity.allowExplicitInsert"
+
+# PROTOCOL.md in-commit timestamps (writerFeatures "inCommitTimestamp"):
+# commit time recorded INSIDE commitInfo, monotonically increasing — file
+# modification times shift under log copy/restore, ICTs don't
+ICT_ENABLE_KEY = "delta.enableInCommitTimestamps"
+ICT_VERSION_KEY = "delta.inCommitTimestampEnablementVersion"
+ICT_TIMESTAMP_KEY = "delta.inCommitTimestampEnablementTimestamp"
+
 # PROTOCOL.md column mapping: logical names live only in the schemaString;
 # parquet files, stats keys, and partitionValues keys use per-field
 # physical names so renames/drops are metadata-only commits
@@ -419,6 +478,71 @@ def set_table_properties(table_path: str, props: dict[str, str]) -> None:
         {"metaData": {**meta, "configuration": conf}},
     ]
     _write_commit(os.path.join(table_path, LOG_DIR), latest + 1, actions)
+
+
+def enable_in_commit_timestamps(table_path: str) -> int:
+    """Enable PROTOCOL.md in-commit timestamps: from this commit on, every
+    commit's ``commitInfo`` carries a monotonically-increasing
+    ``inCommitTimestamp`` (``max(now, prev + 1)``) that time travel and
+    CDF ordering use instead of file modification times — mod-times shift
+    under log copy, backup restore, or filesystem migration; ICTs are part
+    of the commit content and survive all three.
+
+    Writes one commit: protocol → ``minWriterVersion`` 7 with
+    ``writerFeatures ∪ {"inCommitTimestamp"}`` (reader side untouched —
+    ICT is writer-only), metaData configuration gains
+    ``delta.enableInCommitTimestamps`` plus the two enablement-provenance
+    keys the spec requires when the feature turns on AFTER table creation
+    (timestamps before the enablement version still resolve by the old
+    rule).  Returns the enablement version.  Stamping for every LATER
+    commit happens inside ``_write_commit`` (the single choke point), so
+    all writer paths inherit the feature with no per-path code.
+    """
+    log = DeltaLog(table_path)
+    latest = log.latest_version()
+    if latest is None:
+        raise FileNotFoundError(f"not a delta table: {table_path}")
+    meta = log.table_metadata() or {}
+    conf = dict(meta.get("configuration") or {})
+    if conf.get(ICT_ENABLE_KEY) == "true":
+        return latest  # already on; stamping is self-sustaining
+    version = latest + 1
+    now_ms = int(time.time() * 1000)
+    # first ICT: still monotone vs the pre-enablement commit's wall time
+    ict = max(now_ms, log.commit_timestamp_ms(latest) + 1)
+    conf[ICT_ENABLE_KEY] = "true"
+    conf[ICT_VERSION_KEY] = str(version)
+    conf[ICT_TIMESTAMP_KEY] = str(ict)
+    proto = log.protocol() or {}
+    actions: list[dict[str, Any]] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "inCommitTimestamp": ict,
+                "operation": "SET TBLPROPERTIES",
+                "operationParameters": {
+                    "properties": json.dumps({ICT_ENABLE_KEY: "true"})
+                },
+            }
+        },
+        {
+            "protocol": {
+                "minReaderVersion": proto.get("minReaderVersion", 1),
+                "minWriterVersion": 7,
+                **(
+                    {"readerFeatures": proto["readerFeatures"]}
+                    if proto.get("readerFeatures") is not None
+                    else {}
+                ),
+                "writerFeatures": sorted(
+                    set(proto.get("writerFeatures") or []) | {"inCommitTimestamp"}
+                ),
+            }
+        },
+        {"metaData": {**meta, "configuration": conf}},
+    ]
+    _write_commit(os.path.join(table_path, LOG_DIR), version, actions)
+    return version
 
 
 def _expr_references(expr: str, column: str) -> bool:
@@ -669,6 +793,101 @@ def _apply_generated_columns(
     return df
 
 
+def _identity_columns(meta: dict[str, Any] | None) -> dict[str, dict[str, Any]]:
+    """name -> {start, step, hwm, allow} for every identity column in the
+    logged schema (PROTOCOL.md: state lives in field metadata; ``hwm`` is
+    None until the first generating commit records one)."""
+    if not meta or not meta.get("schemaString"):
+        return {}
+    out: dict[str, dict[str, Any]] = {}
+    for f in json.loads(meta["schemaString"]).get("fields", []):
+        md = f.get("metadata") or {}
+        if IDENTITY_START_KEY in md:
+            hwm = md.get(IDENTITY_HWM_KEY)
+            out[f["name"]] = {
+                "start": int(md[IDENTITY_START_KEY]),
+                "step": int(md.get(IDENTITY_STEP_KEY, 1)),
+                "hwm": int(hwm) if hwm is not None else None,
+                "allow": bool(md.get(IDENTITY_ALLOW_KEY, False)),
+            }
+    return out
+
+
+def _apply_identity_columns(
+    df: DataFrame, idents: dict[str, dict[str, Any]]
+) -> tuple[DataFrame, list[str]]:
+    """Generate absent identity columns; returns (df, generated names).
+
+    Values are ``base + monotonically_increasing_id() · step`` with
+    ``base = hwm + step`` (or ``start`` on first generation): unique,
+    congruent to ``start (mod step)``, strictly past the high watermark in
+    the step's direction — everything the spec requires.  The spec
+    explicitly allows GAPS, which is what makes this one distributed
+    map-side expression instead of a global row_number sort: partition k's
+    ids start at ``k·2³³``, so watermarks advance by ~#partitions·2³³ per
+    commit, a spend of the 63-bit space that sustains tens of millions of
+    appends (the same block-reservation trade real Delta makes).
+
+    A PROVIDED identity column passes through only when the field was
+    declared ``allowExplicitInsert`` (GENERATED BY DEFAULT); GENERATED
+    ALWAYS rejects it, matching the jar.
+    """
+    generated: list[str] = []
+    for name, spec in idents.items():
+        if name in df.columns:
+            if not spec["allow"]:
+                raise ValueError(
+                    f"identity column {name!r} is GENERATED ALWAYS — remove "
+                    f"it from the batch, or declare it with "
+                    f"allow_explicit_insert=True"
+                )
+            continue
+        step = spec["step"]
+        base = spec["start"] if spec["hwm"] is None else spec["hwm"] + step
+        df = df.withColumn(
+            name,
+            (
+                F.lit(base) + F.monotonically_increasing_id() * F.lit(step)
+            ).cast("long"),
+        )
+        generated.append(name)
+    return df, generated
+
+
+def _identity_hwm_from_adds(
+    adds: list[dict[str, Any]], name: str, step: int
+) -> int | None:
+    """New high watermark for a generated identity column, read from the
+    add actions' ALREADY-COLLECTED file stats (max for positive step, min
+    for negative) — no extra job over the data."""
+    best: int | None = None
+    for add in adds:
+        stats = add.get("stats")
+        if not stats:
+            return None  # fall back to an agg job at the call site
+        parsed = json.loads(stats)
+        side = parsed.get("maxValues" if step > 0 else "minValues") or {}
+        if name not in side:
+            if parsed.get("numRecords") == 0:
+                continue
+            return None
+        v = int(side[name])
+        if best is None or (v > best if step > 0 else v < best):
+            best = v
+    return best
+
+
+def _set_identity_hwm(schema_str: str, hwms: dict[str, int]) -> str:
+    """schemaString with each identity field's high watermark replaced."""
+    parsed = json.loads(schema_str)
+    for f in parsed.get("fields", []):
+        if f["name"] in hwms:
+            md = dict(f.get("metadata") or {})
+            md[IDENTITY_HWM_KEY] = hwms[f["name"]]
+            f["metadata"] = md
+    return json.dumps(parsed, separators=(",", ":"))
+
+
 def _check_constraints(meta: dict[str, Any] | None) -> dict[str, str]:
     """name -> SQL expression for every CHECK constraint in the table's
     ``metaData.configuration`` (real Delta's storage location for them)."""
@@ -792,6 +1011,7 @@ def write_delta_fallback(
     checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
     partition_by: list[str] | None = None,
     generated_columns: dict[str, str] | None = None,
+    identity_columns: dict[str, dict[str, Any]] | None = None,
 ) -> None:
     """Append/overwrite ``df`` into a log-backed Delta table (no jar needed).
 
@@ -823,6 +1043,19 @@ def write_delta_fallback(
     raise on a conflicting explicit ``partition_by``.  Readers reconstruct
     the partition columns from the directory layout (basePath), typed by
     the logged schema.
+
+    IDENTITY COLUMNS (``identity_columns={"id": {"start": 1, "step": 1,
+    "allow_explicit_insert": False}}``, create-time only — protocol writer
+    v6): absent identity columns are generated map-side past the logged
+    high watermark (unique, start/step-congruent, gaps allowed per spec),
+    and the commit's metaData advances ``delta.identity.highWaterMark``
+    read from the staged files' OWN stats — no extra job.  Because the
+    watermark update is a metadata write, identity-generating appends do
+    NOT blind-rebase on a commit conflict (two winners would reuse the
+    same id range); they surface ``CommitConflictError`` for the caller
+    to re-run, the same metadata-conflict behavior the jar has.  DML
+    paths never allocate identity values: MERGE INSERT into a GENERATED
+    ALWAYS identity table is not supported here.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode {mode!r}")
@@ -833,11 +1066,18 @@ def write_delta_fallback(
     latest = log.latest_version()
     now_ms = int(time.time() * 1000)
 
+    id_specs: dict[str, dict[str, Any]] = {}
+    id_generated: list[str] = []
     if latest is not None:
         if generated_columns:
             raise ValueError(
                 "generated_columns is create-time only; the table's logged "
                 "schema already defines its generation expressions"
+            )
+        if identity_columns:
+            raise ValueError(
+                "identity_columns is create-time only; the table's logged "
+                "schema already defines its identity state"
             )
         stored_meta = log.table_metadata() or {}
         stored_parts = stored_meta.get("partitionColumns") or []
@@ -853,13 +1093,33 @@ def write_delta_fallback(
         gen_exprs = _generated_columns(stored_meta)
         if gen_exprs:
             df = _apply_generated_columns(df, gen_exprs)
+        id_specs = _identity_columns(stored_meta)
+        if id_specs:
+            df, id_generated = _apply_identity_columns(df, id_specs)
         constraints = _check_constraints(stored_meta)
         if constraints:
             # CHECK constraints gate BEFORE any file is staged, so a
             # rejected batch leaves no orphans and no log growth
             _enforce_constraints(df, constraints)
-    elif generated_columns:
-        df = _apply_generated_columns(df, generated_columns)
+    else:
+        if generated_columns:
+            df = _apply_generated_columns(df, generated_columns)
+        if identity_columns:
+            id_specs = {
+                name: {
+                    "start": int(spec.get("start", 1)),
+                    "step": int(spec.get("step", 1)),
+                    "hwm": None,
+                    "allow": bool(spec.get("allow_explicit_insert", False)),
+                }
+                for name, spec in identity_columns.items()
+            }
+            for name, spec in id_specs.items():
+                if spec["step"] == 0:
+                    raise ValueError(f"identity column {name!r}: step must be nonzero")
+            # a provided column is legal only for GENERATED BY DEFAULT —
+            # _apply_identity_columns enforces that and generates the rest
+            df, id_generated = _apply_identity_columns(df, id_specs)
     # Column-mapped tables: resolve the POST-merge mapping before staging,
     # so brand-new columns stage under their freshly-assigned physical
     # names and the same commit's metaData action declares them.
@@ -908,12 +1168,25 @@ def write_delta_fallback(
                     md[GENERATION_KEY] = generated_columns[f["name"]]
                     f["metadata"] = md
             schema_str = json.dumps(parsed, separators=(",", ":"))
+        if id_specs:
+            parsed = json.loads(schema_str)
+            for f in parsed["fields"]:
+                if f["name"] in id_specs:
+                    spec = id_specs[f["name"]]
+                    md = dict(f.get("metadata") or {})
+                    md[IDENTITY_START_KEY] = spec["start"]
+                    md[IDENTITY_STEP_KEY] = spec["step"]
+                    md[IDENTITY_ALLOW_KEY] = spec["allow"]
+                    f["metadata"] = md
+            schema_str = json.dumps(parsed, separators=(",", ":"))
         actions.append(
             {
                 "protocol": {
                     "minReaderVersion": 1,
-                    # generated columns are a writer-v4 protocol feature
-                    "minWriterVersion": 4 if generated_columns else 2,
+                    # identity columns: writer v6; generated columns: v4
+                    "minWriterVersion": 6
+                    if id_specs
+                    else (4 if generated_columns else 2),
                 }
             }
         )
@@ -955,6 +1228,57 @@ def write_delta_fallback(
                         }
                     }
                 )
+    # identity high-watermark advance: read from the staged files' own
+    # stats (an agg-job fallback exists for statless columns), then patch
+    # the commit's effective schemaString — whichever metaData action this
+    # commit already carries, or a fresh one from the stored metadata
+    hwm_updates: dict[str, int] = {}
+    for name, spec in id_specs.items():
+        if name not in df.columns:
+            continue
+        phys = (cm_mapping or {}).get(name, name)
+        v = _identity_hwm_from_adds(adds, phys, spec["step"])
+        if v is None:
+            if name in id_generated:
+                # statless fallback must NOT re-evaluate the frame — the
+                # generated expression is nondeterministic across jobs.
+                # Overestimate instead (spec allows gaps): ids are
+                # base + mid·step with mid < numPartitions·2³³
+                step = spec["step"]
+                base = (
+                    spec["start"] if spec["hwm"] is None else spec["hwm"] + step
+                )
+                v = base + step * (df.rdd.getNumPartitions() << 33)
+            else:
+                # explicitly-provided values: one agg job over the frame
+                agg_fn = F.max if spec["step"] > 0 else F.min
+                row = df.agg(agg_fn(F.col(name)).alias("__m")).collect()
+                v = None if row[0]["__m"] is None else int(row[0]["__m"])
+        old = spec["hwm"]
+        if v is not None and (
+            old is None or (v > old if spec["step"] > 0 else v < old)
+        ):
+            hwm_updates[name] = v
+    if hwm_updates:
+        patched = False
+        for a in actions:
+            if "metaData" in a:
+                a["metaData"]["schemaString"] = _set_identity_hwm(
+                    a["metaData"]["schemaString"], hwm_updates
+                )
+                patched = True
+        if not patched:
+            base_meta = log.table_metadata() or {}
+            actions.append(
+                {
+                    "metaData": {
+                        **base_meta,
+                        "schemaString": _set_identity_hwm(
+                            base_meta["schemaString"], hwm_updates
+                        ),
+                    }
+                }
+            )
     actions.extend({"add": add} for add in adds)
     if cdc_df is not None:
         actions.extend(
@@ -973,7 +1297,10 @@ def write_delta_fallback(
             # could have changed underneath us; overwrites conflict
             # semantically (their remove set is stale) and surface the
             # error for the caller to re-run.
-            if mode != "append" or latest is None:
+            if mode != "append" or latest is None or hwm_updates:
+                # identity watermark updates are metadata writes: two
+                # rebased winners would hand out the same id range, so a
+                # losing identity append surfaces the conflict instead
                 raise
             fresh = log.latest_version()
             fresh_meta = log.table_metadata() or {}
@@ -1904,6 +2231,20 @@ def merge_into(
                 f"cannot directly assign generated columns {sorted(direct)}; "
                 f"update their source columns and the values recompute"
             )
+    id_specs = _identity_columns(meta)
+    if when_not_matched_insert and id_specs:
+        missing_ids = [
+            c
+            for c, spec in id_specs.items()
+            if c not in source.columns or not spec["allow"]
+        ]
+        if missing_ids:
+            raise ValueError(
+                f"MERGE INSERT cannot allocate identity columns "
+                f"{sorted(missing_ids)} (watermark allocation is append-path "
+                f"only here); disable when_not_matched_insert, or declare the "
+                f"column allow_explicit_insert and supply values in the source"
+            )
     metrics = {"rows_updated": 0, "rows_deleted": 0, "rows_inserted": 0}
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = [
@@ -2424,10 +2765,20 @@ def checkpoint_log(table_path: str, *, version: int | None = None) -> str:
     tmp = out + f".tmp-{uuid.uuid4().hex}"
     pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
     os.replace(tmp, out)
-    atomic_write_json(
-        os.path.join(log_dir, "_last_checkpoint"),
-        {"version": version, "size": len(rows)},
-    )
+    lc: dict[str, Any] = {
+        "version": version,
+        "size": len(rows),
+        # commit time of the checkpointed version: streams resolving their
+        # start here survive the JSON commit's expiry
+        "timestampMs": log.commit_timestamp_ms(version),
+    }
+    # carry the in-commit-timestamp chain across log expiry: the NEXT
+    # writer's monotonicity read (_prev_in_commit_timestamp) falls back to
+    # this sidecar when version N's JSON is already expired
+    ict = _prev_in_commit_timestamp(log_dir, version + 1)
+    if ict is not None:
+        lc["inCommitTimestampMs"] = ict
+    atomic_write_json(os.path.join(log_dir, "_last_checkpoint"), lc)
     return out
 
 

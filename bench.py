@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "t16_bm25_topk",  # BM25 ranker: one token-agg shuffle + TakeOrdered
     "t17_term_pmi",  # vocab-bounded co-occurrence pair join
     "g4_communities",  # 3-round deterministic label propagation (LSH graph)
+    "g5_bfs_reach",  # frontier BFS hop distances from a seed set (LSH graph)
     "r34_attribution",  # last-touch attribution: keyed carry-forward window
     "t18_rake_keywords",  # RAKE phrases: keyed cumsum window + 2 hash aggs
     "r35_cube_revenue",  # CUBE: one EXPAND + hash agg, grouping_id

@@ -96,6 +96,67 @@ def pagerank(
     return ranks
 
 
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    max_hops: int = 3,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Multi-source BFS over a DIRECTED edge list — symmetrize before
+    calling for undirected graphs.  Returns (node, dist) for every node
+    within ``max_hops`` of ANY seed, dist = MIN hop count (seeds get 0).
+
+    FRONTIER-based: each round joins the edge list against only the nodes
+    discovered LAST round (not the whole reached set), so per-round join
+    cost tracks the frontier size — on a 100 TB graph the frontier is the
+    working set, the reached set only pays a node-keyed anti-join.  One
+    equi-join + distinct + anti-join per round, all keyed by node id; the
+    reached set checkpoints per round (pass ``checkpoint_dir`` on a real
+    cluster, same contract as pagerank).  Early-exits when a frontier
+    empties — the count action is against an already-materialized
+    (checkpointed) frame, so it costs no recompute.
+
+    Determinism: hop counts are exact integers and min() is
+    order-independent, so the iterative result is replayable as an
+    unrolled CTE chain (the g1/g4 hash-oracle contract): round i's reached
+    set equals ``min(d_{i-1} ∪ (edges ⋈ d_{i-1}) + 1)`` relaxation.
+    """
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1; got {max_hops}")
+    e = iter_checkpoint(
+        edges.select(
+            F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
+        ),
+        checkpoint_dir,
+    )
+    dist = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    dist = iter_checkpoint(dist, checkpoint_dir)
+    frontier = dist.select("node")
+    for hop in range(1, max_hops + 1):
+        reached = (
+            e.join(frontier, e["__src"] == frontier["node"])
+            .select(F.col("__dst").alias("node"))
+            .distinct()
+        )
+        new = reached.join(dist, "node", "left_anti").withColumn(
+            "dist", F.lit(hop).cast("long")
+        )
+        new = iter_checkpoint(new, checkpoint_dir)
+        if new.isEmpty():
+            break
+        dist = iter_checkpoint(dist.unionByName(new), checkpoint_dir)
+        frontier = new.select("node")
+    return dist
+
+
 def label_propagation(
     edges: DataFrame,
     *,

@@ -5669,6 +5669,91 @@ SELECT node AS doc_id, label AS community FROM l{iterations} ORDER BY doc_id
 G4_SQL = _g4_sql()
 
 
+def g5_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance over the near-dup similarity graph
+    (same LSH edges as g1/g2/g4): seeds are every 7th graph node — a
+    stand-in for a labeled/trusted set — and each reached document gets
+    its MIN hop count within 3 hops (contamination-radius /
+    influence-neighborhood analysis).  Frontier-based (per-round join cost
+    tracks the frontier, not the reached set); hop counts are exact
+    integers, so the iterative result is hash-verified against an unrolled
+    min-relaxation CTE chain (the g1 contract applied to BFS)."""
+    from .functions.graph import bfs_distances
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.12).select("id_a", "id_b")
+    edges = pairs.union(pairs.select(F.col("id_b"), F.col("id_a"))).toDF(
+        "src", "dst"
+    )
+    seeds = edges.select(F.col("src").alias("node")).filter(
+        F.col("node") % 7 == 0
+    )
+    return (
+        bfs_distances(edges, seeds, max_hops=3)
+        .select(F.col("node").alias("doc_id"), F.col("dist").alias("hops"))
+        .orderBy("doc_id")
+    )
+
+
+def _g5_sql(max_hops: int = 3) -> str:
+    prev = "d0"
+    ctes = []
+    for i in range(1, max_hops + 1):
+        ctes.append(
+            f"""d{i} AS (
+  SELECT node, MIN(hops)::BIGINT AS hops FROM (
+    SELECT node, hops FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, d.hops + 1 AS hops
+    FROM edges e JOIN {prev} d ON e.src = d.node
+  ) GROUP BY node
+)"""
+        )
+        prev = f"d{i}"
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {_SQL_SHINGLE_CTE},
+{_SQL_H32_CTE},
+sigs AS (SELECT doc_id, {_SQL_MINHASH_MINS} FROM sh32 GROUP BY doc_id),
+bands AS ({_SQL_BANDS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+p AS (SELECT doc_id, {_sql_md5_long("shingle")} AS h FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM p GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN p pa ON pa.doc_id = c.id_a
+  JOIN p pb ON pb.doc_id = c.id_b AND pb.h = pa.h
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b, round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+),
+pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.12),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+d0 AS (
+  SELECT DISTINCT src AS node, 0::BIGINT AS hops
+  FROM edges WHERE src % 7 = 0
+),
+{joined}
+SELECT node AS doc_id, hops FROM d{max_hops} ORDER BY doc_id
+"""
+
+
+G5_SQL = _g5_sql()
+
+
 # --------------------------------------------------------------------------
 # Funnel / gap-fill / count-min sketch (r36, r37, u18)
 # --------------------------------------------------------------------------
@@ -6523,6 +6608,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "t18_rake_keywords": (t18_rake_keywords, T18_SQL),
     "s12_pq_topk": (s12_pq_topk, S12_SQL),
     "g4_communities": (g4_communities, G4_SQL),
+    "g5_bfs_reach": (g5_bfs_reach, G5_SQL),
     "d16_duplicated_spans": (d16_duplicated_spans, D16_SQL),
     "u17_leakage_safe_split": (u17_leakage_safe_split, U17_SQL),
     "m5_image_transform": (m5_image_transform, M5_SQL),

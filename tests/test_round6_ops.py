@@ -263,6 +263,76 @@ def test_label_propagation_checkpoint_dir_identical(spark, tmp_path):
 
 
 # ----------------------------------------------------------------- bm25
+def _sym_edges(spark, pairs):
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    return e.union(e.select("dst", "src"))
+
+
+def _seeds(spark, nodes):
+    return spark.createDataFrame([(n,) for n in nodes], "node long")
+
+
+def test_bfs_path_graph_hop_distances(spark):
+    from polars_incremental_spark.functions.graph import bfs_distances
+
+    # 0-1-2-...-9 line: seed 0, cap 3 → exactly nodes 0..3 at dist 0..3
+    e = _sym_edges(spark, [(i, i + 1) for i in range(9)])
+    out = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(e, _seeds(spark, [0]), max_hops=3).collect()
+    }
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_multi_seed_takes_min_distance(spark):
+    from polars_incremental_spark.functions.graph import bfs_distances
+
+    # seeds 0 and 6 on the 0..9 line: every node keeps its NEAREST seed
+    e = _sym_edges(spark, [(i, i + 1) for i in range(9)])
+    out = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(e, _seeds(spark, [0, 6]), max_hops=3).collect()
+    }
+    assert out == {
+        0: 0, 1: 1, 2: 2, 3: 3,  # from seed 0
+        6: 0, 5: 1, 4: 2,        # node 4/5 nearer seed 6 than seed 0
+        7: 1, 8: 2, 9: 3,
+    }
+
+
+def test_bfs_early_exit_and_isolated_seed(spark):
+    from polars_incremental_spark.functions.graph import bfs_distances
+
+    # tiny components + a seed with NO edges: the frontier empties after
+    # round 1 and the loop exits early (max_hops=5 never runs 5 rounds);
+    # the edgeless seed still reports dist 0
+    e = _sym_edges(spark, [(1, 2), (3, 4)])
+    out = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(
+            e, _seeds(spark, [1, 3, 99]), max_hops=5
+        ).collect()
+    }
+    assert out == {1: 0, 3: 0, 99: 0, 2: 1, 4: 1}
+
+
+def test_bfs_checkpoint_dir_identical(spark, tmp_path):
+    from polars_incremental_spark.functions.graph import bfs_distances
+
+    e = _sym_edges(spark, [(i, i + 1) for i in range(9)] + [(2, 7)])
+    seeds = _seeds(spark, [0])
+    a = sorted(map(tuple, bfs_distances(e, seeds, max_hops=4).collect()))
+    b = sorted(
+        map(
+            tuple,
+            bfs_distances(
+                e, seeds, max_hops=4, checkpoint_dir=str(tmp_path / "ckpt")
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
 def test_bm25_rare_term_outranks_common(spark):
     """A doc matching the RARE query term outscores docs matching only
     the ubiquitous one (idf dominance), and scores are finite/ordered."""

@@ -380,6 +380,42 @@ class DeltaLog:
                     active.pop(action["remove"]["path"], None)
         return [active[p] for p in sorted(active)]
 
+    def domain_metadata(self, at_version: int | None = None) -> dict[str, str]:
+        """Live ``domainMetadata`` configurations at/below ``at_version``
+        (default: head): latest action per domain wins, ``removed: true``
+        tombstones the domain (PROTOCOL.md Domain Metadata).  Replay seeds
+        from the newest checkpoint at or below the target, same as
+        ``snapshot_files``."""
+        target = at_version
+        if target is None:
+            target = self.latest_version()
+            if target is None:
+                return {}
+        domains: dict[str, str] = {}
+
+        def apply(action: dict[str, Any]) -> None:
+            dm = action.get("domainMetadata")
+            if dm is None:
+                return
+            if dm.get("removed"):
+                domains.pop(dm["domain"], None)
+            else:
+                domains[dm["domain"]] = dm.get("configuration", "")
+
+        cv = self.seed_checkpoint(target)
+        if cv is not None:
+            for action in self.checkpoint_actions(cv):
+                apply(action)
+        start_after = -1 if cv is None else cv
+        for v in self.versions():
+            if v <= start_after:
+                continue
+            if v > target:
+                break
+            for action in self.actions(v):
+                apply(action)
+        return domains
+
     def abs_path(self, rel_path: str) -> str:
         return os.path.join(self.table_path, rel_path)
 

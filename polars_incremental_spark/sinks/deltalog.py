@@ -390,6 +390,13 @@ ICT_ENABLE_KEY = "delta.enableInCommitTimestamps"
 ICT_VERSION_KEY = "delta.inCommitTimestampEnablementVersion"
 ICT_TIMESTAMP_KEY = "delta.inCommitTimestampEnablementTimestamp"
 
+# PROTOCOL.md row tracking (writerFeatures "rowTracking" + "domainMetadata"):
+# every add action carries baseRowId/defaultRowCommitVersion; the fresh
+# row id of physical row i in a file is baseRowId + i, and the allocation
+# high watermark lives in the delta.rowTracking domain metadata
+ROW_TRACKING_ENABLE_KEY = "delta.enableRowTracking"
+ROW_TRACKING_DOMAIN = "delta.rowTracking"
+
 # PROTOCOL.md column mapping: logical names live only in the schemaString;
 # parquet files, stats keys, and partitionValues keys use per-field
 # physical names so renames/drops are metadata-only commits
@@ -541,6 +548,143 @@ def enable_in_commit_timestamps(table_path: str) -> int:
         },
         {"metaData": {**meta, "configuration": conf}},
     ]
+    _write_commit(os.path.join(table_path, LOG_DIR), version, actions)
+    return version
+
+
+def _row_tracking_enabled(meta: dict[str, Any] | None) -> bool:
+    return bool(
+        meta
+        and (meta.get("configuration") or {}).get(ROW_TRACKING_ENABLE_KEY)
+        == "true"
+    )
+
+
+def _row_id_hwm(log: DeltaLog) -> int:
+    """Current row-id high watermark from the ``delta.rowTracking`` domain
+    metadata; -1 on a table that never allocated (spec initial value)."""
+    raw = log.domain_metadata().get(ROW_TRACKING_DOMAIN)
+    if raw is None:
+        return -1
+    try:
+        return int(json.loads(raw)["rowIdHighWaterMark"])
+    except (ValueError, KeyError, TypeError):
+        return -1
+
+
+def _add_num_records(table_path: str, add: dict[str, Any]) -> int:
+    """Physical row count of an add's file — from its logged stats when
+    present, else one driver-side parquet FOOTER read (metadata only, no
+    data pages; the analyze_table pattern)."""
+    stats = add.get("stats")
+    if stats:
+        try:
+            return int(json.loads(stats)["numRecords"])
+        except (ValueError, KeyError, TypeError):
+            pass
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(table_path, add["path"])).metadata.num_rows
+
+
+def _stamp_row_ids(
+    table_path: str, adds: list[dict[str, Any]], hwm: int, version: int
+) -> int:
+    """Assign ``baseRowId``/``defaultRowCommitVersion`` to staged adds from
+    watermark ``hwm``; returns the new watermark.  Allocation is a driver-
+    side metadata walk over the BATCH's file list (no data IO — counts come
+    from the stats the stage step already collected)."""
+    for add in adds:
+        n = _add_num_records(table_path, add)
+        add["baseRowId"] = hwm + 1
+        add["defaultRowCommitVersion"] = version
+        hwm += n
+    return hwm
+
+
+def _row_tracking_domain_action(hwm: int) -> dict[str, Any]:
+    return {
+        "domainMetadata": {
+            "domain": ROW_TRACKING_DOMAIN,
+            "configuration": json.dumps({"rowIdHighWaterMark": hwm}),
+            "removed": False,
+        }
+    }
+
+
+def enable_row_tracking(table_path: str) -> int:
+    """Enable PROTOCOL.md row tracking: every data file gets a
+    ``baseRowId`` + ``defaultRowCommitVersion``, giving each physical row
+    the stable fresh row id ``baseRowId + row_index`` — the substrate for
+    CDC correlation and incremental materialized-view maintenance (a row
+    keeps its id for as long as its file lives; deletion-vector DELETEs
+    preserve ids because surviving rows keep their positions).
+
+    Writes ONE commit: protocol → ``minWriterVersion`` 7 with
+    ``writerFeatures ∪ {"rowTracking", "domainMetadata"}`` (row tracking
+    is writer-only; the spec makes it depend on domain metadata), table
+    configuration gains ``delta.enableRowTracking``, every EXISTING active
+    file is re-committed with a freshly-allocated ``baseRowId``
+    (``dataChange: false`` — the backfill real Delta's ALTER does), and a
+    ``delta.rowTracking`` domain-metadata action records the new high
+    watermark.  Returns the enablement version.
+
+    Later appends allocate past the watermark inside
+    ``write_delta_fallback``; copy-on-write DML and OPTIMIZE raise on
+    row-tracked tables (id preservation through rewrites needs
+    materialized row-id columns — not implemented), RESTORE is safe (it
+    re-commits prior add payloads verbatim, ids included).
+    """
+    log = DeltaLog(table_path)
+    latest = log.latest_version()
+    if latest is None:
+        raise FileNotFoundError(f"not a delta table: {table_path}")
+    meta = log.table_metadata() or {}
+    conf = dict(meta.get("configuration") or {})
+    if conf.get(ROW_TRACKING_ENABLE_KEY) == "true":
+        return latest
+    version = latest + 1
+    conf[ROW_TRACKING_ENABLE_KEY] = "true"
+    proto = log.protocol() or {}
+    actions: list[dict[str, Any]] = [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "SET TBLPROPERTIES",
+                "operationParameters": {
+                    "properties": json.dumps({ROW_TRACKING_ENABLE_KEY: "true"})
+                },
+            }
+        },
+        {
+            "protocol": {
+                "minReaderVersion": proto.get("minReaderVersion", 1),
+                "minWriterVersion": 7,
+                **(
+                    {"readerFeatures": proto["readerFeatures"]}
+                    if proto.get("readerFeatures") is not None
+                    else {}
+                ),
+                "writerFeatures": sorted(
+                    set(proto.get("writerFeatures") or [])
+                    | {"rowTracking", "domainMetadata"}
+                ),
+            }
+        },
+        {"metaData": {**meta, "configuration": conf}},
+    ]
+    hwm = _row_id_hwm(log)
+    backfill = [
+        dict(a)
+        for a in log.snapshot_files(latest)
+        if a.get("baseRowId") is None
+    ]
+    for add in backfill:
+        add.pop("commit_version", None)  # replay-injected, not an action field
+        add["dataChange"] = False
+    hwm = _stamp_row_ids(table_path, backfill, hwm, version)
+    actions.extend({"add": a} for a in backfill)
+    actions.append(_row_tracking_domain_action(hwm))
     _write_commit(os.path.join(table_path, LOG_DIR), version, actions)
     return version
 
@@ -1012,6 +1156,7 @@ def write_delta_fallback(
     partition_by: list[str] | None = None,
     generated_columns: dict[str, str] | None = None,
     identity_columns: dict[str, dict[str, Any]] | None = None,
+    row_tracking: bool = False,
 ) -> None:
     """Append/overwrite ``df`` into a log-backed Delta table (no jar needed).
 
@@ -1078,6 +1223,11 @@ def write_delta_fallback(
             raise ValueError(
                 "identity_columns is create-time only; the table's logged "
                 "schema already defines its identity state"
+            )
+        if row_tracking:
+            raise ValueError(
+                "row_tracking is create-time only; use enable_row_tracking() "
+                "to turn it on for an existing table (it backfills ids)"
             )
         stored_meta = log.table_metadata() or {}
         stored_parts = stored_meta.get("partitionColumns") or []
@@ -1179,17 +1329,37 @@ def write_delta_fallback(
                     md[IDENTITY_ALLOW_KEY] = spec["allow"]
                     f["metadata"] = md
             schema_str = json.dumps(parsed, separators=(",", ":"))
-        actions.append(
-            {
-                "protocol": {
-                    "minReaderVersion": 1,
-                    # identity columns: writer v6; generated columns: v4
-                    "minWriterVersion": 6
-                    if id_specs
-                    else (4 if generated_columns else 2),
+        if row_tracking:
+            # row tracking needs the feature-list protocol form (writer 7)
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 7,
+                        "writerFeatures": sorted(
+                            {"rowTracking", "domainMetadata"}
+                            | ({"identityColumns"} if id_specs else set())
+                            | (
+                                {"generatedColumns"}
+                                if generated_columns
+                                else set()
+                            )
+                        ),
+                    }
                 }
-            }
-        )
+            )
+        else:
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        # identity columns: writer v6; generated columns: v4
+                        "minWriterVersion": 6
+                        if id_specs
+                        else (4 if generated_columns else 2),
+                    }
+                }
+            )
         actions.append(
             {
                 "metaData": {
@@ -1197,7 +1367,9 @@ def write_delta_fallback(
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": schema_str,
                     "partitionColumns": list(partition_by or []),
-                    "configuration": {},
+                    "configuration": (
+                        {ROW_TRACKING_ENABLE_KEY: "true"} if row_tracking else {}
+                    ),
                     "createdTime": now_ms,
                 }
             }
@@ -1279,6 +1451,16 @@ def write_delta_fallback(
                     }
                 }
             )
+    # row tracking: allocate baseRowId past the logged watermark; the
+    # watermark advance commits atomically with the adds (domain metadata)
+    rt_on = row_tracking or (
+        latest is not None and _row_tracking_enabled(log.table_metadata())
+    )
+    if rt_on:
+        new_hwm = _stamp_row_ids(
+            table_path, adds, _row_id_hwm(log) if latest is not None else -1, version
+        )
+        actions.append(_row_tracking_domain_action(new_hwm))
     actions.extend({"add": add} for add in adds)
     if cdc_df is not None:
         actions.extend(
@@ -1297,10 +1479,11 @@ def write_delta_fallback(
             # could have changed underneath us; overwrites conflict
             # semantically (their remove set is stale) and surface the
             # error for the caller to re-run.
-            if mode != "append" or latest is None or hwm_updates:
-                # identity watermark updates are metadata writes: two
-                # rebased winners would hand out the same id range, so a
-                # losing identity append surfaces the conflict instead
+            if mode != "append" or latest is None or hwm_updates or rt_on:
+                # identity/row-id watermark updates are metadata writes:
+                # two rebased winners would hand out the same id range
+                # (and defaultRowCommitVersion is version-bound), so a
+                # losing allocating append surfaces the conflict instead
                 raise
             fresh = log.latest_version()
             fresh_meta = log.table_metadata() or {}
@@ -1509,6 +1692,7 @@ def read_delta_fallback(
     version: int | None = None,
     timestamp_ms: int | None = None,
     where: str | None = None,
+    row_ids: bool = False,
 ) -> DataFrame:
     """Snapshot read of a log-backed Delta table via the planned-mode tailer,
     with TIME TRAVEL: ``version`` pins the snapshot AS OF that commit;
@@ -1585,10 +1769,21 @@ def read_delta_fallback(
                 for a in adds
                 if _file_may_match(a, conjuncts, part_cols, field_types)
             ]
+    if row_ids and not _row_tracking_enabled(meta):
+        raise ValueError(
+            "row_ids=True requires row tracking; call enable_row_tracking() "
+            f"on {table_path} first"
+        )
     if not adds:
         df = spark.createDataFrame([], schema)
+        if row_ids:
+            df = df.withColumn("_row_id", F.lit(None).cast("long")).withColumn(
+                "_row_commit_version", F.lit(None).cast("long")
+            )
         return df.filter(where) if where else df
-    df, _schema, _parts = _load_snapshot_df(spark, log, meta, adds)
+    df, _schema, _parts = _load_snapshot_df(
+        spark, log, meta, adds, row_ids=row_ids
+    )
     # residual filter: pruning is a superset, the predicate stays exact
     return df.filter(where) if where else df
 
@@ -1670,19 +1865,48 @@ def _load_snapshot_df(
     adds: list[dict[str, Any]],
     *,
     keep_meta_cols: bool = False,
+    row_ids: bool = False,
 ):
     """Load add actions into a DataFrame with inline DELETION VECTORS
     applied: DV'd files read with the parquet ``row_index`` metadata and
     anti-join their deleted positions (broadcast — inline DVs are small
     by construction, the writer falls back to copy-on-write above the
     threshold).  ``keep_meta_cols`` retains ``__file``/``__ri`` for DML
-    hit detection.  Returns (df, schema, part_cols)."""
+    hit detection.  ``row_ids`` surfaces row tracking as ``_row_id`` /
+    ``_row_commit_version`` columns (``baseRowId + row_index`` per spec;
+    one broadcast join against the file-list lookup, so the cost is
+    O(files) metadata, not a shuffle).  Returns (df, schema, part_cols)."""
     reader, schema, part_cols = _snapshot_reader(spark, log, meta)
     df = reader.parquet(*[log.abs_path(a["path"]) for a in adds])
     dv_adds = [a for a in adds if a.get("deletionVector")]
-    if keep_meta_cols or dv_adds:
+    if keep_meta_cols or dv_adds or row_ids:
         df = df.withColumn("__file", F.col("_metadata.file_path")).withColumn(
             "__ri", F.col("_metadata.row_index")
+        )
+    if row_ids:
+        missing = [a["path"] for a in adds if a.get("baseRowId") is None]
+        if missing:
+            raise ValueError(
+                f"row tracking is on but {len(missing)} file(s) lack "
+                f"baseRowId (e.g. {missing[0]}); the table predates "
+                "enablement and was never backfilled"
+            )
+        rid_rows = [
+            (
+                _file_uri(log, a["path"]),
+                int(a["baseRowId"]),
+                int(a.get("defaultRowCommitVersion", -1)),
+            )
+            for a in adds
+        ]
+        rid_df = spark.createDataFrame(
+            rid_rows, "__rf string, __rb long, __rv long"
+        )
+        df = (
+            df.join(F.broadcast(rid_df), df["__file"] == rid_df["__rf"], "left")
+            .withColumn("_row_id", F.col("__rb") + F.col("__ri"))
+            .withColumn("_row_commit_version", F.col("__rv"))
+            .drop("__rf", "__rb", "__rv")
         )
     if dv_adds:
         from .dv import descriptor_positions
@@ -1699,7 +1923,7 @@ def _load_snapshot_df(
             (df["__file"] == pos_df["__dvf"]) & (df["__ri"] == pos_df["__dvp"]),
             "left_anti",
         )
-    if not keep_meta_cols and dv_adds:
+    if not keep_meta_cols and (dv_adds or row_ids):
         df = df.drop("__file", "__ri")
     mapping = _column_mapping(meta)
     if mapping:
@@ -1834,6 +2058,17 @@ def delete_where(
                 dv_uris.append(r["__file"])
                 budget -= r["__n"]
     rw_uris = [r["__file"] for r in hits if r["__file"] not in set(dv_uris)]
+    if rw_uris and _row_tracking_enabled(meta):
+        # a rewrite re-stages surviving rows into fresh files, which would
+        # silently REASSIGN their row ids; preservation through rewrites
+        # needs materialized row-id columns (not implemented) — fail closed
+        # before any commit.  DV deletes are safe: survivors keep their
+        # physical positions, hence their ids.
+        raise NotImplementedError(
+            "copy-on-write DELETE on a row-tracked table would reassign "
+            "surviving rows' ids; raise dv_max_rows_per_file (or enable "
+            "delta.enableDeletionVectors) so hit files take the DV route"
+        )
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = [
         {
@@ -1968,6 +2203,11 @@ def update_where(
         raise FileNotFoundError(f"not a delta table: {table_path}")
     log.check_reader_supported(allow_column_mapping=True)
     meta = log.table_metadata() or {}
+    if _row_tracking_enabled(meta):
+        raise NotImplementedError(
+            "UPDATE on a row-tracked table would reassign rewritten rows' "
+            "ids; preservation needs materialized row-id columns"
+        )
     known = {f["name"] for f in json.loads(meta["schemaString"])["fields"]}
     unknown = set(set_exprs) - known
     if unknown:
@@ -2162,6 +2402,11 @@ def clone_table(
         payload = {k: v for k, v in add.items() if k != "commit_version"}
         payload["path"] = os.path.abspath(src_log.abs_path(add["path"]))
         actions.append({"add": payload})
+    if _row_tracking_enabled(meta):
+        # carry the source's row-id watermark: the cloned adds keep their
+        # baseRowId ranges, so a clone that allocated from -1 would hand
+        # out ids the referenced files already occupy
+        actions.append(_row_tracking_domain_action(_row_id_hwm(src_log)))
     _write_commit(os.path.join(target_path, LOG_DIR), 0, actions)
     return {"files_referenced": len(adds), "source_version": at, "version": 0}
 
@@ -2214,6 +2459,11 @@ def merge_into(
         raise FileNotFoundError(f"not a delta table: {table_path}")
     log.check_reader_supported(allow_column_mapping=True)
     meta = log.table_metadata() or {}
+    if _row_tracking_enabled(meta):
+        raise NotImplementedError(
+            "MERGE on a row-tracked table would reassign rewritten rows' "
+            "ids; preservation needs materialized row-id columns"
+        )
     candidates = log.snapshot_files(latest)
     df, schema, part_cols = _load_snapshot_df(
         spark, log, meta, candidates, keep_meta_cols=True
@@ -2535,6 +2785,11 @@ def compact_fallback(
         raise FileNotFoundError(f"not a delta table: {table_path}")
     snapshot = log.snapshot_files(latest)
     meta = log.table_metadata() or {}
+    if _row_tracking_enabled(meta):
+        raise NotImplementedError(
+            "OPTIMIZE on a row-tracked table would reassign compacted rows' "
+            "ids; preservation needs materialized row-id columns"
+        )
     part_cols = meta.get("partitionColumns") or []
     if partition_filter:
         unknown = set(partition_filter) - set(part_cols)
@@ -2655,6 +2910,12 @@ def _checkpoint_arrow_schema():
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
                         ("stats", pa.string()),
+                        # row tracking: ids derive from baseRowId + row
+                        # position; dropping these at checkpoint time would
+                        # silently renumber every row once expire_log
+                        # removes the JSON commits that carried them
+                        ("baseRowId", pa.int64()),
+                        ("defaultRowCommitVersion", pa.int64()),
                         (
                             "deletionVector",
                             pa.struct(
@@ -2677,6 +2938,16 @@ def _checkpoint_arrow_schema():
                         ("path", pa.string()),
                         ("deletionTimestamp", pa.int64()),
                         ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+            (
+                "domainMetadata",
+                pa.struct(
+                    [
+                        ("domain", pa.string()),
+                        ("configuration", pa.string()),
+                        ("removed", pa.bool_()),
                     ]
                 ),
             ),
@@ -2713,6 +2984,9 @@ def checkpoint_log(table_path: str, *, version: int | None = None) -> str:
     meta: dict[str, Any] | None = None
     active: dict[str, dict[str, Any]] = {}
     tombstones: dict[str, dict[str, Any]] = {}
+    domains: dict[str, dict[str, Any]] = {}  # latest action per domain,
+    # removed tombstones INCLUDED (a re-created domain after expiry must
+    # not resurrect from a stale JSON commit)
     start_after = -1
     cv = log.checkpoint_version()
     if cv is not None and cv <= version:
@@ -2725,6 +2999,9 @@ def checkpoint_log(table_path: str, *, version: int | None = None) -> str:
                 meta = action["metaData"]
             elif "protocol" in action:
                 protocol = action["protocol"]
+            elif "domainMetadata" in action:
+                dm = action["domainMetadata"]
+                domains[dm["domain"]] = dm
         start_after = cv
     for v in log.versions():
         if v <= start_after:
@@ -2744,6 +3021,9 @@ def checkpoint_log(table_path: str, *, version: int | None = None) -> str:
                 meta = action["metaData"]
             elif "protocol" in action:
                 protocol = action["protocol"]
+            elif "domainMetadata" in action:
+                dm = action["domainMetadata"]
+                domains[dm["domain"]] = dm
 
     schema = _checkpoint_arrow_schema()
     by_name = {f.name: f.type for f in schema}
@@ -2758,6 +3038,14 @@ def checkpoint_log(table_path: str, *, version: int | None = None) -> str:
     rows.extend(
         {"remove": _project_to_fields(tombstones[p], by_name["remove"])}
         for p in sorted(tombstones)
+    )
+    rows.extend(
+        {
+            "domainMetadata": _project_to_fields(
+                domains[d], by_name["domainMetadata"]
+            )
+        }
+        for d in sorted(domains)
     )
 
     log_dir = os.path.join(table_path, LOG_DIR)

@@ -1,0 +1,188 @@
+"""Row tracking (PROTOCOL.md writerFeatures "rowTracking" +
+"domainMetadata") on the jar-less Delta path.
+
+Fresh row ids = baseRowId + physical row index; the allocation watermark
+lives in the ``delta.rowTracking`` domain metadata and commits atomically
+with the adds.  Ids are STABLE for the life of a file: appends never touch
+them, DV deletes preserve survivors' positions, and the copy-on-write
+paths (CoW DELETE / UPDATE / MERGE / OPTIMIZE) fail closed because a
+rewrite would silently renumber.  Checkpoint + log expiry must carry both
+the per-add baseRowId fields and the domain watermark.
+"""
+
+import json
+from unittest import mock
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_incremental_spark.checkpoints.delta import DeltaLog
+from polars_incremental_spark.sinks import deltalog
+from polars_incremental_spark.sinks.deltalog import (
+    CommitConflictError,
+    checkpoint_log,
+    clone_table,
+    compact_fallback,
+    delete_where,
+    enable_row_tracking,
+    expire_log,
+    merge_into,
+    read_delta_fallback,
+    set_table_properties,
+    update_where,
+    write_delta_fallback,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("name")
+    )
+
+
+def _ids(spark, path):
+    return {
+        r["k"]: (r["_row_id"], r["_row_commit_version"])
+        for r in read_delta_fallback(spark, path, row_ids=True).collect()
+    }
+
+
+def _hwm(path):
+    raw = DeltaLog(path).domain_metadata()["delta.rowTracking"]
+    return json.loads(raw)["rowIdHighWaterMark"]
+
+
+def test_create_with_row_tracking_assigns_fresh_ids(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta_fallback(_df(spark, 0, 10), path, row_tracking=True)
+    ids = _ids(spark, path)
+    assert len(ids) == 10
+    rid_values = sorted(r for r, _ in ids.values())
+    assert rid_values == list(range(10))  # contiguous from 0 (hwm starts -1)
+    assert all(v == 0 for _, v in ids.values())  # created at version 0
+    assert _hwm(path) == 9
+    proto = DeltaLog(path).protocol()
+    assert proto["minWriterVersion"] == 7
+    assert {"rowTracking", "domainMetadata"} <= set(proto["writerFeatures"])
+
+
+def test_append_preserves_existing_ids_and_extends(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta_fallback(_df(spark, 0, 10), path, row_tracking=True)
+    before = _ids(spark, path)
+    write_delta_fallback(_df(spark, 10, 15), path, mode="append")
+    after = _ids(spark, path)
+    for k, pair in before.items():
+        assert after[k] == pair  # old rows keep their ids verbatim
+    new = {k: after[k] for k in after if k not in before}
+    assert len(new) == 5
+    assert min(r for r, _ in new.values()) == 10  # past the old watermark
+    assert all(v == 1 for _, v in new.values())  # stamped with commit 1
+    assert len({r for r, _ in after.values()}) == 15  # globally unique
+    assert _hwm(path) == 14
+
+
+def test_enable_on_existing_table_backfills(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta_fallback(_df(spark, 0, 6), path)
+    write_delta_fallback(_df(spark, 6, 9), path, mode="append")
+    with pytest.raises(ValueError, match="row tracking"):
+        read_delta_fallback(spark, path, row_ids=True)
+    v = enable_row_tracking(path)
+    ids = _ids(spark, path)
+    assert len(ids) == 9
+    assert sorted(r for r, _ in ids.values()) == list(range(9))
+    assert all(cv == v for _, cv in ids.values())  # backfill commit version
+    assert _hwm(path) == 8
+    # enable is idempotent
+    assert enable_row_tracking(path) == DeltaLog(path).latest_version()
+    # later appends keep allocating
+    write_delta_fallback(_df(spark, 9, 12), path, mode="append")
+    assert len({r for r, _ in _ids(spark, path).values()}) == 12
+
+
+def test_row_tracking_is_create_time_only_kwarg(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta_fallback(_df(spark, 0, 3), path)
+    with pytest.raises(ValueError, match="enable_row_tracking"):
+        write_delta_fallback(_df(spark, 3, 6), path, mode="append", row_tracking=True)
+
+
+def test_dv_delete_preserves_surviving_ids(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta_fallback(_df(spark, 0, 20), path, row_tracking=True)
+    before = _ids(spark, path)
+    set_table_properties(path, {"delta.enableDeletionVectors": "true"})
+    res = delete_where(spark, path, "k in (3, 7, 11)")
+    assert res["files_dv"] > 0 and res["files_rewritten"] == 0
+    after = _ids(spark, path)
+    assert set(after) == set(before) - {3, 7, 11}
+    for k in after:
+        assert after[k] == before[k]  # survivors keep position-derived ids
+
+
+def test_cow_paths_fail_closed(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta_fallback(_df(spark, 0, 20), path, row_tracking=True)
+    # CoW DELETE (DVs off by default -> rewrite route)
+    with pytest.raises(NotImplementedError, match="DV route"):
+        delete_where(spark, path, "k < 5")
+    with pytest.raises(NotImplementedError, match="UPDATE"):
+        update_where(spark, path, "k = 1", {"name": "'x'"})
+    src = spark.createDataFrame([(1, "z")], "k long, name string")
+    with pytest.raises(NotImplementedError, match="MERGE"):
+        merge_into(spark, path, src, keys=["k"])
+    with pytest.raises(NotImplementedError, match="OPTIMIZE"):
+        compact_fallback(spark, path)
+    # nothing committed by any refused op
+    assert DeltaLog(path).latest_version() == 0
+
+
+def test_checkpoint_and_expiry_carry_row_tracking(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta_fallback(_df(spark, 0, 8), path, row_tracking=True)
+    write_delta_fallback(_df(spark, 8, 12), path, mode="append")
+    before = _ids(spark, path)
+    checkpoint_log(path)
+    expire_log(path)
+    log = DeltaLog(path)
+    assert log.versions() == []  # all JSON summarized away
+    assert _ids(spark, path) == before  # ids survive via checkpoint fields
+    assert _hwm(path) == 11  # domain metadata survives via checkpoint row
+    write_delta_fallback(_df(spark, 12, 14), path, mode="append")
+    ids = _ids(spark, path)
+    assert len({r for r, _ in ids.values()}) == 14  # allocation continues
+
+
+def test_allocating_append_never_rebases_on_conflict(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta_fallback(_df(spark, 0, 5), path, row_tracking=True)
+    with mock.patch.object(
+        deltalog,
+        "_write_commit",
+        side_effect=CommitConflictError("simulated race"),
+    ):
+        with pytest.raises(CommitConflictError):
+            write_delta_fallback(_df(spark, 5, 8), path, mode="append")
+
+
+def test_shallow_clone_carries_watermark(spark, tmp_path):
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    write_delta_fallback(_df(spark, 0, 10), src, row_tracking=True)
+    clone_table(src, tgt)
+    assert _hwm(tgt) == 9
+    write_delta_fallback(_df(spark, 10, 13), tgt, mode="append")
+    ids = _ids(spark, tgt)
+    assert len(ids) == 13
+    assert len({r for r, _ in ids.values()}) == 13  # no reuse of clone ids
+
+
+def test_row_ids_compose_with_where_pushdown(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta_fallback(_df(spark, 0, 10), path, row_tracking=True)
+    full = _ids(spark, path)
+    rows = read_delta_fallback(spark, path, where="k >= 7", row_ids=True).collect()
+    assert {r["k"] for r in rows} == {7, 8, 9}
+    for r in rows:
+        assert (r["_row_id"], r["_row_commit_version"]) == full[r["k"]]

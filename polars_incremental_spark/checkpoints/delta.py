@@ -420,6 +420,46 @@ class DeltaLog:
         return os.path.join(self.table_path, rel_path)
 
 
+def cdf_entries(log: "DeltaLog", version: int, actions: list[dict]) -> list[dict]:
+    """Change-data file entries for ONE commit: its cdc actions when
+    present; add-only commits fall back to the adds injected as inserts;
+    data removes without change-data files raise (the reader cannot know
+    WHICH rows disappeared).  Shared by the streaming tailer (C14) and the
+    batch ``read_change_feed`` reader."""
+    cdcs = [a["cdc"] for a in actions if "cdc" in a]
+    ts = log.commit_timestamp_ms(version)
+    if cdcs:
+        return [
+            {
+                "abs_path": log.abs_path(c["path"]),
+                "path": c["path"],
+                "change_type": None,  # _change_type column lives in the file
+                "commit_version": version,
+                "commit_timestamp_ms": ts,
+            }
+            for c in cdcs
+        ]
+    adds = [a["add"] for a in actions if "add" in a and a["add"].get("dataChange", True)]
+    removes = [
+        a["remove"] for a in actions if "remove" in a and a["remove"].get("dataChange", True)
+    ]
+    if removes:
+        raise ChangeDataFeedError(
+            f"delta version {version} removes data but carries no change-data "
+            "files; enable delta.enableChangeDataFeed on the writer"
+        )
+    return [
+        {
+            "abs_path": log.abs_path(a["path"]),
+            "path": a["path"],
+            "change_type": "insert",  # injected at read time
+            "commit_version": version,
+            "commit_timestamp_ms": ts,
+        }
+        for a in adds
+    ]
+
+
 class DeltaTableCheckpoint:
     """Offset/commit WAL for planned Delta micro-batches.
 
@@ -707,38 +747,7 @@ class DeltaTableCheckpoint:
     def _cdf_entries(self, version: int, actions: list[dict]) -> list[dict]:
         """C14: cdc actions; add-only commits fall back to inserts; deletes
         without CDF files raise."""
-        cdcs = [a["cdc"] for a in actions if "cdc" in a]
-        ts = self.log.commit_timestamp_ms(version)
-        if cdcs:
-            return [
-                {
-                    "abs_path": self.log.abs_path(c["path"]),
-                    "path": c["path"],
-                    "change_type": None,  # _change_type column lives in the file
-                    "commit_version": version,
-                    "commit_timestamp_ms": ts,
-                }
-                for c in cdcs
-            ]
-        adds = [a["add"] for a in actions if "add" in a and a["add"].get("dataChange", True)]
-        removes = [
-            a["remove"] for a in actions if "remove" in a and a["remove"].get("dataChange", True)
-        ]
-        if removes:
-            raise ChangeDataFeedError(
-                f"delta version {version} removes data but carries no change-data "
-                "files; enable delta.enableChangeDataFeed on the writer"
-            )
-        return [
-            {
-                "abs_path": self.log.abs_path(a["path"]),
-                "path": a["path"],
-                "change_type": "insert",  # injected at read time
-                "commit_version": version,
-                "commit_timestamp_ms": ts,
-            }
-            for a in adds
-        ]
+        return cdf_entries(self.log, version, actions)
 
     # ---------------------------------------------------------------- commit
     def commit_batch(self, batch: BatchInfo, metadata: dict[str, Any] | None = None) -> None:

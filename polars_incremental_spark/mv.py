@@ -1,0 +1,213 @@
+"""Incremental materialized-view maintenance over the jar-less Delta path.
+
+A grouped sum/count aggregate MV refreshes from the base table's CHANGE
+DATA FEED instead of recomputing: each change row carries a sign (+1 for
+insert/update_postimage, -1 for delete/update_preimage), the signed deltas
+group-reduce to one small frame, and a three-clause MERGE folds them into
+the MV — update existing groups, insert new ones, delete groups whose
+count reaches zero.  Sum and count are the classically self-maintainable
+aggregates (avg derives as sum/count); min/max are NOT maintainable under
+deletes without full per-group state and are deliberately unsupported.
+
+Crash safety: the base-table watermark travels in the MERGE commit's own
+``commitInfo.userMetadata`` — state and data advance in ONE atomic commit,
+so a crash anywhere leaves the MV at its previous consistent (version,
+watermark) pair and the next refresh re-derives the same deltas.
+
+Scale shape: refresh cost tracks the CHANGE volume, not the base size —
+one parquet scan over the changed files, one group-reduce shuffle sized by
+touched groups, and a file-selective MERGE that rewrites only the MV files
+containing touched groups.  At 100 TB base with a bounded change rate this
+is the difference between minutes and a full recompute.
+
+Reference parity: the reference has no MV layer; this composes the same
+public Delta CDF semantics delta-spark's ``table_changes`` exposes.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .checkpoints.delta import DeltaLog
+from .sinks.deltalog import (
+    merge_into,
+    read_change_feed,
+    read_delta_fallback,
+    write_delta_fallback,
+)
+
+_MV_KEY = "mv"
+
+
+def _sign():
+    # built lazily: Columns need an active SparkContext
+    return F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).when(F.col("_change_type").isin("delete", "update_preimage"), F.lit(-1))
+
+
+def _mv_state(mv_path: str) -> dict[str, Any]:
+    """Latest MV spec+watermark: walk the MV log head-down for the newest
+    commitInfo.userMetadata carrying the ``mv`` envelope."""
+    log = DeltaLog(mv_path)
+    latest = log.latest_version()
+    if latest is None:
+        raise FileNotFoundError(f"not a delta table: {mv_path}")
+    for v in reversed(log.versions()):
+        for action in log.actions(v):
+            info = action.get("commitInfo")
+            if info and info.get("userMetadata"):
+                try:
+                    parsed = json.loads(info["userMetadata"])
+                except ValueError:
+                    continue
+                if _MV_KEY in parsed:
+                    return parsed[_MV_KEY]
+    raise ValueError(
+        f"{mv_path} carries no mv state in its commit history; was it "
+        "created by create_agg_mv?"
+    )
+
+
+def _check_no_null_keys(df: DataFrame, group_cols: list[str], where: str) -> None:
+    cond = None
+    for c in group_cols:
+        n = F.col(c).isNull()
+        cond = n if cond is None else (cond | n)
+    if not df.filter(cond).isEmpty():
+        raise ValueError(
+            f"NULL group key in {where}: Delta MERGE keys are null-unsafe "
+            "(NULL never matches), so a null-keyed group would duplicate on "
+            "every refresh — filter or coalesce the key upstream"
+        )
+
+
+def _aggs(group_cols: list[str], sum_cols: list[str], count_col: str, signed: bool):
+    sign = _sign() if signed else F.lit(1)
+    out = [F.sum(sign).cast("long").alias(count_col)]
+    for c in sum_cols:
+        out.append(F.sum(sign * F.col(c)).alias(f"sum_{c}"))
+    return out
+
+
+def create_agg_mv(
+    spark: SparkSession,
+    base_path: str,
+    mv_path: str,
+    *,
+    group_cols: list[str],
+    sum_cols: list[str] | None = None,
+    count_col: str = "cnt",
+) -> dict[str, Any]:
+    """Materialize ``SELECT group_cols, count(*), sum(c)... GROUP BY`` from
+    the base table's CURRENT snapshot and record the snapshot version as
+    the refresh watermark.  Returns {base_version, rows}."""
+    sum_cols = list(sum_cols or [])
+    base_version = DeltaLog(base_path).latest_version()
+    if base_version is None:
+        raise FileNotFoundError(f"not a delta table: {base_path}")
+    # pin the scan to the recorded version: a concurrent append between
+    # "read the head" and "scan" would otherwise leak rows past the
+    # watermark and the next refresh would double-count them
+    base = read_delta_fallback(spark, base_path, version=base_version)
+    _check_no_null_keys(base.select(*group_cols), group_cols, "base table")
+    mv = base.groupBy(*group_cols).agg(
+        *_aggs(group_cols, sum_cols, count_col, signed=False)
+    )
+    state = {
+        "base_path": base_path,
+        "base_version": base_version,
+        "group_cols": group_cols,
+        "sum_cols": sum_cols,
+        "count_col": count_col,
+    }
+    write_delta_fallback(
+        mv,
+        mv_path,
+        mode="overwrite",
+        user_metadata=json.dumps({_MV_KEY: state}),
+    )
+    return {"base_version": base_version, "rows": mv.count()}
+
+
+def refresh_agg_mv(
+    spark: SparkSession, base_path: str, mv_path: str
+) -> dict[str, Any]:
+    """Fold the base table's change feed since the MV's watermark into the
+    MV with one atomic MERGE.  Returns {refreshed, from_version,
+    to_version, groups_touched}."""
+    state = _mv_state(mv_path)
+    group_cols = list(state["group_cols"])
+    sum_cols = list(state["sum_cols"])
+    count_col = state["count_col"]
+    last = int(state["base_version"])
+    head = DeltaLog(base_path).latest_version()
+    if head is None:
+        raise FileNotFoundError(f"not a delta table: {base_path}")
+    if head <= last:
+        return {
+            "refreshed": False,
+            "from_version": last,
+            "to_version": head,
+            "groups_touched": 0,
+        }
+    cdf = read_change_feed(
+        spark, base_path, starting_version=last + 1, ending_version=head
+    )
+    sum_aliases = [f"sum_{c}" for c in sum_cols]
+    delta = (
+        cdf.groupBy(*group_cols)
+        .agg(*_aggs(group_cols, sum_cols, count_col, signed=True))
+        # net-zero groups (equal insert/delete churn) would MERGE-rewrite
+        # their MV files for nothing — drop them before the join
+        .filter(
+            " or ".join(
+                [f"{count_col} != 0"]
+                + [f"coalesce(sum_{c}, 0) != 0" for c in sum_cols]
+            )
+        )
+    )
+    _check_no_null_keys(delta.select(*group_cols), group_cols, "change feed")
+    new_state = {**state, "base_version": head}
+    touched = delta.count()
+    if touched == 0:
+        # nothing to fold; advance the watermark with a zero-row append so
+        # the walked range never re-reads (still one atomic commit)
+        write_delta_fallback(
+            spark.createDataFrame(
+                [], read_delta_fallback(spark, mv_path).schema
+            ),
+            mv_path,
+            mode="append",
+            user_metadata=json.dumps({_MV_KEY: new_state}),
+        )
+        return {
+            "refreshed": True,
+            "from_version": last + 1,
+            "to_version": head,
+            "groups_touched": 0,
+        }
+    update_exprs = {count_col: f"{count_col} + src.{count_col}"}
+    for a in sum_aliases:
+        # sums are null until the first non-null value flows through
+        update_exprs[a] = f"coalesce({a}, 0) + coalesce(src.{a}, 0)"
+    merge_into(
+        spark,
+        mv_path,
+        delta,
+        keys=group_cols,
+        when_matched_delete=f"{count_col} + src.{count_col} = 0",
+        when_matched_update=update_exprs,
+        when_not_matched_insert=True,
+        user_metadata=json.dumps({_MV_KEY: new_state}),
+    )
+    return {
+        "refreshed": True,
+        "from_version": last + 1,
+        "to_version": head,
+        "groups_touched": touched,
+    }

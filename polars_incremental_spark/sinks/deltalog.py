@@ -1157,6 +1157,7 @@ def write_delta_fallback(
     generated_columns: dict[str, str] | None = None,
     identity_columns: dict[str, dict[str, Any]] | None = None,
     row_tracking: bool = False,
+    user_metadata: str | None = None,
 ) -> None:
     """Append/overwrite ``df`` into a log-backed Delta table (no jar needed).
 
@@ -1302,6 +1303,7 @@ def write_delta_fallback(
                 "operation": "WRITE",
                 "operationParameters": {"mode": mode.upper()},
                 "engineInfo": "polars-incremental-spark fallback writer",
+                **({"userMetadata": user_metadata} if user_metadata else {}),
             }
         }
     ]
@@ -1786,6 +1788,95 @@ def read_delta_fallback(
     )
     # residual filter: pruning is a superset, the predicate stays exact
     return df.filter(where) if where else df
+
+
+def read_change_feed(
+    spark: SparkSession,
+    table_path: str,
+    *,
+    starting_version: int,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """Batch CDF read (delta-spark's ``table_changes``): every change row
+    in commits ``[starting_version, ending_version]`` with the standard
+    metadata columns ``_change_type`` (insert / delete / update_preimage /
+    update_postimage), ``_commit_version``, ``_commit_timestamp``.
+
+    Commits with cdc actions serve those files; add-only commits serve
+    their adds as inserts (the spec's fallback); data removes WITHOUT
+    change-data files raise ``ChangeDataFeedError`` — the reader cannot
+    reconstruct which rows disappeared.  dataChange=false commits
+    (OPTIMIZE, backfills) contribute nothing, matching the jar.
+
+    Scale shape: one log walk on the driver (O(commits) metadata), then a
+    single parquet scan per (version, injected-type) group — no joins, no
+    shuffles; downstream aggregation is the consumer's plan.
+    """
+    log = DeltaLog(table_path)
+    latest = log.latest_version()
+    if latest is None:
+        raise FileNotFoundError(f"not a delta table: {table_path}")
+    end = latest if ending_version is None else ending_version
+    if starting_version < 0 or end > latest or starting_version > end:
+        raise ValueError(
+            f"version range [{starting_version}, {end}] out of bounds "
+            f"(table head {latest})"
+        )
+    from ..checkpoints.delta import cdf_entries
+    from ..errors import ChangeDataFeedError
+
+    have = set(log.versions())
+    missing = [v for v in range(starting_version, end + 1) if v not in have]
+    if missing:
+        # a log checkpoint summarizes STATE, not changes — expired commits'
+        # CDF is unrecoverable, so skipping them would silently lose deltas
+        raise ChangeDataFeedError(
+            f"commits {missing[:3]}{'...' if len(missing) > 3 else ''} have "
+            f"expired from the log; their change data cannot be reconstructed"
+        )
+    meta = log.table_metadata() or {}
+    mapping = _column_mapping(meta)
+    inverse = {p: l for l, p in (mapping or {}).items()}
+
+    def finish(df: DataFrame, version: int, ts: int, ctype: str | None):
+        if inverse:
+            df = df.select(
+                *[F.col(f"`{c}`").alias(inverse.get(c, c)) for c in df.columns]
+            )
+        if ctype is not None and "_change_type" not in df.columns:
+            df = df.withColumn("_change_type", F.lit(ctype))
+        return df.withColumn(
+            "_commit_version", F.lit(version).cast("long")
+        ).withColumn("_commit_timestamp", F.timestamp_millis(F.lit(ts)))
+
+    frames = []
+    for v in log.versions():
+        if v < starting_version or v > end:
+            continue
+        entries = cdf_entries(log, v, log.actions(v))
+        by_type: dict[str | None, list[dict]] = {}
+        for e in entries:
+            by_type.setdefault(e["change_type"], []).append(e)
+        for ctype, group in by_type.items():
+            df = spark.read.parquet(*[e["abs_path"] for e in group])
+            frames.append(
+                finish(df, v, group[0]["commit_timestamp_ms"], ctype)
+            )
+    if not frames:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        empty = spark.createDataFrame([], schema)
+        return finish(
+            empty.withColumn("_change_type", F.lit(None).cast("string")),
+            0,
+            0,
+            None,
+        ).limit(0)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
 
 
 def analyze_table(table_path: str) -> dict[str, Any]:
@@ -2421,6 +2512,7 @@ def merge_into(
     when_matched_delete: str | None = None,
     when_not_matched_insert: bool = True,
     write_cdf: bool = False,
+    user_metadata: str | None = None,
 ) -> dict[str, Any]:
     """``MERGE INTO <target> USING <source> ON <equi-keys>`` for the
     jar-less path — the general three-clause merge, file-selective like
@@ -2503,6 +2595,9 @@ def merge_into(
                 "timestamp": now_ms,
                 "operation": "MERGE",
                 "operationParameters": {"keys": json.dumps(keys)},
+                # spec commitInfo.userMetadata: caller-supplied provenance
+                # committed ATOMICALLY with the change (mv watermarks etc.)
+                **({"userMetadata": user_metadata} if user_metadata else {}),
             }
         }
     ]

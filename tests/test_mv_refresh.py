@@ -1,0 +1,201 @@
+"""Incremental aggregate MV maintenance: every refresh must land the MV
+exactly where a full recompute would — through appends, CDF deletes,
+group-migrating updates, group birth/death, and randomized DML storms.
+The watermark travels in the MERGE commit's userMetadata, so state and
+data advance atomically (verified by the interrupted-refresh test).
+"""
+
+import json
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_incremental_spark.checkpoints.delta import DeltaLog
+from polars_incremental_spark.mv import create_agg_mv, refresh_agg_mv
+from polars_incremental_spark.sinks.deltalog import (
+    delete_where,
+    read_change_feed,
+    read_delta_fallback,
+    update_where,
+    write_delta_fallback,
+)
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(data, "g string, x long")
+
+
+def _recompute(spark, base):
+    return {
+        (r["g"],): (r["cnt"], r["sum_x"])
+        for r in read_delta_fallback(spark, base)
+        .groupBy("g")
+        .agg(F.count("*").cast("long").alias("cnt"), F.sum("x").alias("sum_x"))
+        .collect()
+    }
+
+
+def _mv_rows(spark, mv):
+    return {
+        (r["g"],): (r["cnt"], r["sum_x"])
+        for r in read_delta_fallback(spark, mv).collect()
+    }
+
+
+def test_create_then_append_refresh_matches_recompute(spark, tmp_path):
+    base, mv = str(tmp_path / "b"), str(tmp_path / "m")
+    write_delta_fallback(_rows(spark, [("a", 1), ("a", 2), ("b", 5)]), base)
+    create_agg_mv(spark, base, mv, group_cols=["g"], sum_cols=["x"])
+    assert _mv_rows(spark, mv) == {("a",): (2, 3), ("b",): (1, 5)}
+    write_delta_fallback(
+        _rows(spark, [("a", 10), ("c", 7)]), base, mode="append"
+    )
+    res = refresh_agg_mv(spark, base, mv)
+    assert res["refreshed"] and res["groups_touched"] == 2
+    assert _mv_rows(spark, mv) == _recompute(spark, base)
+    assert _mv_rows(spark, mv)[("c",)] == (1, 7)  # group birth -> insert
+
+
+def test_noop_refresh_and_idempotence(spark, tmp_path):
+    base, mv = str(tmp_path / "b"), str(tmp_path / "m")
+    write_delta_fallback(_rows(spark, [("a", 1)]), base)
+    create_agg_mv(spark, base, mv, group_cols=["g"], sum_cols=["x"])
+    res = refresh_agg_mv(spark, base, mv)
+    assert res == {
+        "refreshed": False,
+        "from_version": 0,
+        "to_version": 0,
+        "groups_touched": 0,
+    }
+    # MV untouched by a no-op
+    assert DeltaLog(mv).latest_version() == 0
+
+
+def test_cdf_delete_kills_group(spark, tmp_path):
+    base, mv = str(tmp_path / "b"), str(tmp_path / "m")
+    write_delta_fallback(_rows(spark, [("a", 1), ("b", 2), ("b", 3)]), base)
+    create_agg_mv(spark, base, mv, group_cols=["g"], sum_cols=["x"])
+    delete_where(spark, base, "g = 'a'", write_cdf=True)
+    refresh_agg_mv(spark, base, mv)
+    got = _mv_rows(spark, mv)
+    assert ("a",) not in got  # count hit zero -> MERGE delete clause
+    assert got == _recompute(spark, base) == {("b",): (2, 5)}
+
+
+def test_update_migrates_between_groups(spark, tmp_path):
+    base, mv = str(tmp_path / "b"), str(tmp_path / "m")
+    write_delta_fallback(_rows(spark, [("a", 1), ("a", 4), ("b", 2)]), base)
+    create_agg_mv(spark, base, mv, group_cols=["g"], sum_cols=["x"])
+    # move one 'a' row into group 'b': preimage -1/-4 on a, postimage +1/+4 on b
+    update_where(spark, base, "g = 'a' and x = 4", {"g": "'b'"}, write_cdf=True)
+    refresh_agg_mv(spark, base, mv)
+    assert _mv_rows(spark, mv) == _recompute(spark, base) == {
+        ("a",): (1, 1),
+        ("b",): (2, 6),
+    }
+
+
+def test_in_group_update_changes_sum_only(spark, tmp_path):
+    base, mv = str(tmp_path / "b"), str(tmp_path / "m")
+    write_delta_fallback(_rows(spark, [("a", 1), ("a", 4)]), base)
+    create_agg_mv(spark, base, mv, group_cols=["g"], sum_cols=["x"])
+    update_where(spark, base, "x = 4", {"x": "40"}, write_cdf=True)
+    refresh_agg_mv(spark, base, mv)
+    assert _mv_rows(spark, mv) == {("a",): (2, 41)}  # cnt delta 0, sum +36
+
+
+def test_watermark_atomic_with_merge(spark, tmp_path):
+    base, mv = str(tmp_path / "b"), str(tmp_path / "m")
+    write_delta_fallback(_rows(spark, [("a", 1)]), base)
+    create_agg_mv(spark, base, mv, group_cols=["g"], sum_cols=["x"])
+    write_delta_fallback(_rows(spark, [("a", 2)]), base, mode="append")
+    refresh_agg_mv(spark, base, mv)
+    # the merge commit itself carries the new watermark
+    log = DeltaLog(mv)
+    head = log.latest_version()
+    info = next(
+        a["commitInfo"] for a in log.actions(head) if "commitInfo" in a
+    )
+    assert json.loads(info["userMetadata"])["mv"]["base_version"] == 1
+    # a re-run folds nothing (watermark advanced atomically)
+    res = refresh_agg_mv(spark, base, mv)
+    assert res["refreshed"] is False
+    assert _mv_rows(spark, mv) == {("a",): (2, 3)}
+
+
+def test_cdf_gap_without_change_files_fails_closed(spark, tmp_path):
+    base, mv = str(tmp_path / "b"), str(tmp_path / "m")
+    write_delta_fallback(_rows(spark, [("a", 1), ("b", 2)]), base)
+    create_agg_mv(spark, base, mv, group_cols=["g"], sum_cols=["x"])
+    delete_where(spark, base, "g = 'a'")  # NO write_cdf
+    from polars_incremental_spark.errors import ChangeDataFeedError
+
+    with pytest.raises(ChangeDataFeedError):
+        refresh_agg_mv(spark, base, mv)
+    # failed refresh left the MV untouched
+    assert _mv_rows(spark, mv) == {("a",): (1, 1), ("b",): (1, 2)}
+
+
+def test_null_group_key_rejected(spark, tmp_path):
+    base, mv = str(tmp_path / "b"), str(tmp_path / "m")
+    write_delta_fallback(
+        spark.createDataFrame([(None, 1), ("a", 2)], "g string, x long"), base
+    )
+    with pytest.raises(ValueError, match="NULL group key"):
+        create_agg_mv(spark, base, mv, group_cols=["g"], sum_cols=["x"])
+
+
+def test_randomized_dml_storm_always_matches_recompute(spark, tmp_path):
+    rng = random.Random(20260815)
+    base, mv = str(tmp_path / "b"), str(tmp_path / "m")
+    groups = ["g0", "g1", "g2", "g3"]
+    nxt = [0]
+
+    def batch(n):
+        rows = [(rng.choice(groups), nxt[0] + i) for i in range(n)]
+        nxt[0] += n
+        return _rows(spark, rows)
+
+    write_delta_fallback(batch(20), base)
+    create_agg_mv(spark, base, mv, group_cols=["g"], sum_cols=["x"])
+    for step in range(8):
+        op = rng.random()
+        if op < 0.5:
+            write_delta_fallback(batch(rng.randint(1, 6)), base, mode="append")
+        elif op < 0.8:
+            g = rng.choice(groups)
+            delete_where(spark, base, f"g = '{g}' and x % 3 = {step % 3}", write_cdf=True)
+        else:
+            g = rng.choice(groups)
+            update_where(
+                spark,
+                base,
+                f"g = '{g}' and x % 4 = 1",
+                {"x": "x + 100"},
+                write_cdf=True,
+            )
+        if rng.random() < 0.6:
+            refresh_agg_mv(spark, base, mv)
+            assert _mv_rows(spark, mv) == _recompute(spark, base), f"step {step}"
+    refresh_agg_mv(spark, base, mv)
+    assert _mv_rows(spark, mv) == _recompute(spark, base)
+
+
+def test_read_change_feed_direct(spark, tmp_path):
+    base = str(tmp_path / "b")
+    write_delta_fallback(_rows(spark, [("a", 1), ("b", 2)]), base)
+    write_delta_fallback(_rows(spark, [("c", 3)]), base, mode="append")
+    delete_where(spark, base, "g = 'a'", write_cdf=True)
+    cdf = read_change_feed(spark, base, starting_version=0).collect()
+    by_type = {}
+    for r in cdf:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    assert len(by_type["insert"]) == 3  # adds injected as inserts
+    assert [r["g"] for r in by_type["delete"]] == ["a"]
+    assert {r["_commit_version"] for r in cdf} == {0, 1, 2}
+    # bounded range
+    only_v1 = read_change_feed(
+        spark, base, starting_version=1, ending_version=1
+    ).collect()
+    assert [r["g"] for r in only_v1] == ["c"]

@@ -134,6 +134,128 @@ def create_agg_mv(
     return {"base_version": base_version, "rows": mv.count()}
 
 
+_JOIN_KEY = "join_mv"
+
+
+def _assert_inserts_only(cdf: DataFrame, which: str) -> None:
+    bad = cdf.filter(F.col("_change_type") != "insert").limit(1).collect()
+    if bad:
+        raise NotImplementedError(
+            f"join-MV maintenance is append-only; {which} change feed "
+            f"carries a {bad[0]['_change_type']!r} — deletes/updates need "
+            "multiplicity-counted IVM (not implemented)"
+        )
+
+
+def create_join_mv(
+    spark: SparkSession,
+    left_path: str,
+    right_path: str,
+    mv_path: str,
+    *,
+    on: list[str],
+) -> dict[str, Any]:
+    """Materialize the inner equi-join of two Delta tables and record BOTH
+    snapshot versions as the refresh watermark.  Non-key column names must
+    be disjoint (the MV is one flat schema).  Returns {left_version,
+    right_version, rows}."""
+    lv = DeltaLog(left_path).latest_version()
+    rv = DeltaLog(right_path).latest_version()
+    if lv is None or rv is None:
+        raise FileNotFoundError("both join-MV bases must be delta tables")
+    left = read_delta_fallback(spark, left_path, version=lv)
+    right = read_delta_fallback(spark, right_path, version=rv)
+    clash = (set(left.columns) & set(right.columns)) - set(on)
+    if clash:
+        raise ValueError(
+            f"non-key columns {sorted(clash)} exist on both sides; rename "
+            "upstream — the MV schema is flat"
+        )
+    mv = left.join(right, on)
+    state = {
+        "left_path": left_path,
+        "right_path": right_path,
+        "left_version": lv,
+        "right_version": rv,
+        "on": on,
+    }
+    write_delta_fallback(
+        mv, mv_path, mode="overwrite", user_metadata=json.dumps({_JOIN_KEY: state})
+    )
+    return {"left_version": lv, "right_version": rv, "rows": mv.count()}
+
+
+def refresh_join_mv(spark: SparkSession, mv_path: str) -> dict[str, Any]:
+    """Fold both bases' appends into the join MV with the classic
+    delta-join decomposition — (L₁+ΔL)⋈(R₁+ΔR) = L₁⋈R₁ ∪ ΔL⋈R₂ ∪ L₁⋈ΔR,
+    where ΔL joins the NEW right snapshot (covering ΔL⋈ΔR once) and ΔR
+    joins the OLD left snapshot.  Both delta terms are change-sized on one
+    side, so at 100 TB the refresh scans the deltas plus ONE stats-prunable
+    pass over each base — never base×base.  Appends land in ONE commit
+    carrying the advanced (left_version, right_version) watermark, so a
+    crash anywhere is a clean no-op.  Append-only bases; a delete/update
+    in either feed fails closed (multiplicity-counted IVM not implemented).
+    """
+    log = DeltaLog(mv_path)
+    latest = log.latest_version()
+    if latest is None:
+        raise FileNotFoundError(f"not a delta table: {mv_path}")
+    state = None
+    for v in reversed(log.versions()):
+        for action in log.actions(v):
+            info = action.get("commitInfo")
+            if info and info.get("userMetadata"):
+                try:
+                    parsed = json.loads(info["userMetadata"])
+                except ValueError:
+                    continue
+                if _JOIN_KEY in parsed:
+                    state = parsed[_JOIN_KEY]
+                    break
+        if state:
+            break
+    if state is None:
+        raise ValueError(
+            f"{mv_path} carries no join_mv state; was it created by "
+            "create_join_mv?"
+        )
+    on = list(state["on"])
+    lv, rv = int(state["left_version"]), int(state["right_version"])
+    lhead = DeltaLog(state["left_path"]).latest_version()
+    rhead = DeltaLog(state["right_path"]).latest_version()
+    if lhead <= lv and rhead <= rv:
+        return {"refreshed": False, "rows_added": 0}
+    parts = []
+    if lhead > lv:
+        dl = read_change_feed(
+            spark, state["left_path"], starting_version=lv + 1, ending_version=lhead
+        )
+        _assert_inserts_only(dl, "left")
+        dl = dl.drop("_change_type", "_commit_version", "_commit_timestamp")
+        r_new = read_delta_fallback(spark, state["right_path"], version=rhead)
+        parts.append(dl.join(r_new, on))
+    if rhead > rv:
+        dr = read_change_feed(
+            spark, state["right_path"], starting_version=rv + 1, ending_version=rhead
+        )
+        _assert_inserts_only(dr, "right")
+        dr = dr.drop("_change_type", "_commit_version", "_commit_timestamp")
+        l_old = read_delta_fallback(spark, state["left_path"], version=lv)
+        parts.append(l_old.join(dr, on))
+    delta = parts[0]
+    for p in parts[1:]:
+        delta = delta.unionByName(p)
+    new_state = {**state, "left_version": lhead, "right_version": rhead}
+    rows = delta.count()
+    write_delta_fallback(
+        delta,
+        mv_path,
+        mode="append",
+        user_metadata=json.dumps({_JOIN_KEY: new_state}),
+    )
+    return {"refreshed": True, "rows_added": rows}
+
+
 def refresh_agg_mv(
     spark: SparkSession, base_path: str, mv_path: str
 ) -> dict[str, Any]:

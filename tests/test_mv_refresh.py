@@ -182,6 +182,127 @@ def test_randomized_dml_storm_always_matches_recompute(spark, tmp_path):
     assert _mv_rows(spark, mv) == _recompute(spark, base)
 
 
+def _join_recompute(spark, lp, rp):
+    l = read_delta_fallback(spark, lp)
+    r = read_delta_fallback(spark, rp)
+    return sorted(map(tuple, l.join(r, "k").collect()))
+
+
+def _join_mv_rows(spark, mv):
+    return sorted(map(tuple, read_delta_fallback(spark, mv).collect()))
+
+
+def test_join_mv_appends_both_sides(spark, tmp_path):
+    from polars_incremental_spark.mv import create_join_mv, refresh_join_mv
+
+    lp, rp, mv = str(tmp_path / "l"), str(tmp_path / "r"), str(tmp_path / "j")
+    write_delta_fallback(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, lval string"), lp
+    )
+    write_delta_fallback(
+        spark.createDataFrame([(1, 10.0), (3, 30.0)], "k long, rval double"), rp
+    )
+    create_join_mv(spark, lp, rp, mv, on=["k"])
+    assert _join_mv_rows(spark, mv) == _join_recompute(spark, lp, rp)
+    # appends on BOTH sides, including a pair that matches ONLY delta-delta
+    write_delta_fallback(
+        spark.createDataFrame([(3, "c"), (4, "d")], "k long, lval string"),
+        lp,
+        mode="append",
+    )
+    write_delta_fallback(
+        spark.createDataFrame([(2, 20.0), (4, 40.0)], "k long, rval double"),
+        rp,
+        mode="append",
+    )
+    res = refresh_join_mv(spark, mv)
+    assert res["refreshed"]
+    assert _join_mv_rows(spark, mv) == _join_recompute(spark, lp, rp)
+    # ΔL⋈ΔR counted exactly once: key 4 exists only in the two deltas
+    assert sum(1 for t in _join_mv_rows(spark, mv) if t[0] == 4) == 1
+    # no-op re-run
+    assert refresh_join_mv(spark, mv) == {"refreshed": False, "rows_added": 0}
+
+
+def test_join_mv_one_sided_appends_and_storm(spark, tmp_path):
+    import random
+
+    from polars_incremental_spark.mv import create_join_mv, refresh_join_mv
+
+    rng = random.Random(7)
+    lp, rp, mv = str(tmp_path / "l"), str(tmp_path / "r"), str(tmp_path / "j")
+    write_delta_fallback(
+        spark.createDataFrame([(k, f"l{k}") for k in range(5)], "k long, lval string"),
+        lp,
+    )
+    write_delta_fallback(
+        spark.createDataFrame([(k, float(k)) for k in range(0, 10, 2)], "k long, rval double"),
+        rp,
+    )
+    create_join_mv(spark, lp, rp, mv, on=["k"])
+    nxt = [100]
+    for _ in range(5):
+        side = rng.random()
+        if side < 0.6:
+            ks = [rng.randint(0, 8) for _ in range(rng.randint(1, 3))]
+            write_delta_fallback(
+                spark.createDataFrame(
+                    [(k, f"l{nxt[0] + i}") for i, k in enumerate(ks)],
+                    "k long, lval string",
+                ),
+                lp,
+                mode="append",
+            )
+        else:
+            ks = [rng.randint(0, 8) for _ in range(rng.randint(1, 3))]
+            write_delta_fallback(
+                spark.createDataFrame(
+                    [(k, float(nxt[0] + i)) for i, k in enumerate(ks)],
+                    "k long, rval double",
+                ),
+                rp,
+                mode="append",
+            )
+        nxt[0] += 10
+        if rng.random() < 0.7:
+            refresh_join_mv(spark, mv)
+            assert _join_mv_rows(spark, mv) == _join_recompute(spark, lp, rp)
+    refresh_join_mv(spark, mv)
+    assert _join_mv_rows(spark, mv) == _join_recompute(spark, lp, rp)
+
+
+def test_join_mv_delete_fails_closed(spark, tmp_path):
+    from polars_incremental_spark.mv import create_join_mv, refresh_join_mv
+
+    lp, rp, mv = str(tmp_path / "l"), str(tmp_path / "r"), str(tmp_path / "j")
+    write_delta_fallback(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, lval string"), lp
+    )
+    write_delta_fallback(
+        spark.createDataFrame([(1, 10.0)], "k long, rval double"), rp
+    )
+    create_join_mv(spark, lp, rp, mv, on=["k"])
+    before = _join_mv_rows(spark, mv)
+    delete_where(spark, lp, "k = 2", write_cdf=True)
+    with pytest.raises(NotImplementedError, match="append-only"):
+        refresh_join_mv(spark, mv)
+    assert _join_mv_rows(spark, mv) == before  # MV untouched
+
+
+def test_join_mv_column_clash_rejected(spark, tmp_path):
+    from polars_incremental_spark.mv import create_join_mv
+
+    lp, rp, mv = str(tmp_path / "l"), str(tmp_path / "r"), str(tmp_path / "j")
+    write_delta_fallback(
+        spark.createDataFrame([(1, "a")], "k long, v string"), lp
+    )
+    write_delta_fallback(
+        spark.createDataFrame([(1, "b")], "k long, v string"), rp
+    )
+    with pytest.raises(ValueError, match="both sides"):
+        create_join_mv(spark, lp, rp, mv, on=["k"])
+
+
 def test_read_change_feed_direct(spark, tmp_path):
     base = str(tmp_path / "b")
     write_delta_fallback(_rows(spark, [("a", 1), ("b", 2)]), base)

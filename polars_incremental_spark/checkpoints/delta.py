@@ -120,23 +120,66 @@ class DeltaLog:
             return None
 
     def checkpoint_versions(self) -> list[int]:
-        """Every checkpoint parquet present in the log dir, sorted — not
-        just ``_last_checkpoint``: log cleanup keeps superseded checkpoints
+        """Every USABLE checkpoint in the log dir, sorted — not just
+        ``_last_checkpoint``: log cleanup keeps superseded checkpoints
         until the NEXT cleanup, and a read below the newest checkpoint can
         legitimately seed from an older one (real Delta readers do the
-        same listing)."""
-        out = []
+        same listing).  Single-file ``<v>.checkpoint.parquet`` counts
+        always; a multi-part ``<v>.checkpoint.<part>.<parts>.parquet`` set
+        counts only when COMPLETE (a crash can leave partial sets — they
+        must never seed a replay, which would silently shrink the table)."""
+        single: set[int] = set()
+        parts_seen: dict[tuple[int, int], set[int]] = {}
         try:
             names = os.listdir(self.log_dir)
         except OSError:
-            return out
+            return []
         for name in names:
-            if name.endswith(".checkpoint.parquet"):
-                try:
-                    out.append(int(name.split(".")[0]))
-                except ValueError:
-                    continue
-        return sorted(out)
+            fields = name.split(".")
+            try:
+                if name.endswith(".checkpoint.parquet") and len(fields) == 3:
+                    single.add(int(fields[0]))
+                elif (
+                    name.endswith(".parquet")
+                    and len(fields) == 5
+                    and fields[1] == "checkpoint"
+                ):
+                    v, p, n = int(fields[0]), int(fields[2]), int(fields[3])
+                    parts_seen.setdefault((v, n), set()).add(p)
+            except ValueError:
+                continue
+        complete = {
+            v
+            for (v, n), got in parts_seen.items()
+            if got == set(range(1, n + 1))
+        }
+        return sorted(single | complete)
+
+    def _multipart_files(self, version: int) -> list[str] | None:
+        """Paths of a COMPLETE multi-part checkpoint at ``version`` in part
+        order, or None."""
+        by_n: dict[int, dict[int, str]] = {}
+        try:
+            names = os.listdir(self.log_dir)
+        except OSError:
+            return None
+        prefix = f"{version:020d}.checkpoint."
+        for name in names:
+            if not (name.startswith(prefix) and name.endswith(".parquet")):
+                continue
+            fields = name.split(".")
+            if len(fields) != 5:
+                continue
+            try:
+                p, n = int(fields[2]), int(fields[3])
+            except ValueError:
+                continue
+            by_n.setdefault(n, {})[p] = os.path.join(self.log_dir, name)
+        for n in sorted(by_n, reverse=True):
+            got = by_n[n]
+            if set(got) == set(range(1, n + 1)):
+                return [got[p] for p in range(1, n + 1)]
+        return None
 
     def seed_checkpoint(self, version: int | None = None) -> int | None:
         """Newest checkpoint at or below ``version`` (default: any)."""
@@ -155,20 +198,30 @@ class DeltaLog:
         return needed.issubset(self.versions())
 
     def checkpoint_actions(self, version: int) -> list[dict[str, Any]]:
-        """Actions stored in the ``{version}.checkpoint.parquet`` file."""
+        """Actions stored in the checkpoint at ``version`` — the single
+        ``<v>.checkpoint.parquet`` file, or every part of a complete
+        multi-part ``<v>.checkpoint.<part>.<parts>.parquet`` set in part
+        order (PROTOCOL.md: parts jointly hold the action set)."""
         import pyarrow.parquet as pq
 
-        path = os.path.join(self.log_dir, f"{version:020d}.checkpoint.parquet")
-        if not os.path.exists(path):
-            raise PlanningError(
-                f"_last_checkpoint points at version {version} but "
-                f"{path} is missing"
-            )
+        single = os.path.join(
+            self.log_dir, f"{version:020d}.checkpoint.parquet"
+        )
+        if os.path.exists(single):
+            paths = [single]
+        else:
+            paths = self._multipart_files(version)
+            if paths is None:
+                raise PlanningError(
+                    f"checkpoint at version {version} is missing or has an "
+                    f"incomplete multi-part set under {self.log_dir}"
+                )
         actions = []
-        for row in pq.read_table(path).to_pylist():
-            for kind, payload in row.items():
-                if payload is not None:
-                    actions.append({kind: _strip_checkpoint_nulls(payload)})
+        for path in paths:
+            for row in pq.read_table(path).to_pylist():
+                for kind, payload in row.items():
+                    if payload is not None:
+                        actions.append({kind: _strip_checkpoint_nulls(payload)})
         return actions
 
     def actions(self, version: int) -> list[dict[str, Any]]:

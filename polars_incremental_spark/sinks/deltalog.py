@@ -3057,7 +3057,9 @@ def _project_to_fields(payload: dict[str, Any], struct_type) -> dict[str, Any]:
     return {k: v for k, v in payload.items() if k in names}
 
 
-def checkpoint_log(table_path: str, *, version: int | None = None) -> str:
+def checkpoint_log(
+    table_path: str, *, version: int | None = None, parts: int | None = None
+) -> str:
     """Write a parquet log checkpoint (Delta PROTOCOL.md layout: one action
     per row in protocol/metaData/add/remove columns) plus ``_last_checkpoint``.
 
@@ -3065,6 +3067,14 @@ def checkpoint_log(table_path: str, *, version: int | None = None) -> str:
     JSON tail instead of every commit since table creation, and
     ``expire_log`` can then delete the summarized JSON commits.  Remove
     tombstones are carried so VACUUM stays correct after expiry.
+
+    ``parts`` > 1 writes the spec's MULTI-PART form
+    (``<v>.checkpoint.<part>.<parts>.parquet``) with the action rows
+    sliced evenly across parts: a 10M-file table's single checkpoint file
+    is a driver-memory and single-stream-IO bottleneck; parts bound both
+    and parallelize the read.  Parts land BEFORE ``_last_checkpoint``, and
+    readers accept a multi-part set only when COMPLETE — a crash mid-write
+    leaves an ignorable partial set, never a shrunken table.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -3144,13 +3154,32 @@ def checkpoint_log(table_path: str, *, version: int | None = None) -> str:
     )
 
     log_dir = os.path.join(table_path, LOG_DIR)
-    out = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
-    tmp = out + f".tmp-{uuid.uuid4().hex}"
-    pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
-    os.replace(tmp, out)
+    if parts is not None and parts > 1:
+        n = min(parts, max(1, len(rows)))  # never emit empty parts
+        out = log_dir
+        for i in range(n):
+            part_path = os.path.join(
+                log_dir, f"{version:020d}.checkpoint.{i + 1:010d}.{n:010d}.parquet"
+            )
+            tmp = part_path + f".tmp-{uuid.uuid4().hex}"
+            # round-robin slice: action order within a checkpoint is
+            # immaterial (it is a SET of latest actions) and every part
+            # stays non-empty for n <= len(rows)
+            pq.write_table(pa.Table.from_pylist(rows[i::n], schema=schema), tmp)
+            os.replace(tmp, part_path)
+    else:
+        out = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+        tmp = out + f".tmp-{uuid.uuid4().hex}"
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
+        os.replace(tmp, out)
     lc: dict[str, Any] = {
         "version": version,
         "size": len(rows),
+        **(
+            {"parts": min(parts, max(1, len(rows)))}
+            if parts is not None and parts > 1
+            else {}
+        ),
         # commit time of the checkpointed version: streams resolving their
         # start here survive the JSON commit's expiry
         "timestampMs": log.commit_timestamp_ms(version),
@@ -3183,7 +3212,8 @@ def expire_log(table_path: str, *, dry_run: bool = False) -> list[str]:
         expired = False
         if ext == ".json" and stem.isdigit() and int(stem) <= cv:
             expired = True
-        if name.endswith(".checkpoint.parquet"):
+        if ".checkpoint." in name and name.endswith(".parquet"):
+            # single-file AND multi-part forms: both lead with the version
             head = name.split(".", 1)[0]
             if head.isdigit() and int(head) < cv:
                 expired = True

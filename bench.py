@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "t17_term_pmi",  # vocab-bounded co-occurrence pair join
     "g4_communities",  # 3-round deterministic label propagation (LSH graph)
     "g5_bfs_reach",  # frontier BFS hop distances from a seed set (LSH graph)
+    "r41_session_paths",  # top event paths per 17-min session (one window pass)
+    "s14_ann_recall",  # recall@5 of LSH ANN vs exact cosine top-k
     "r34_attribution",  # last-touch attribution: keyed carry-forward window
     "t18_rake_keywords",  # RAKE phrases: keyed cumsum window + 2 hash aggs
     "r35_cube_revenue",  # CUBE: one EXPAND + hash agg, grouping_id

@@ -6413,6 +6413,162 @@ ORDER BY contained_id, container_id
 """
 
 
+def r41_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 event PATHS per session (clickstream path analysis): sessions
+    are 17-minute-gap islands per user (the events_sessionize definition),
+    a session's path is its event types joined in (ts, event_id) order,
+    and the output is the most common paths with their session counts.
+
+    Plan: one user-keyed window pass marks session breaks (lag + cumsum —
+    the same shuffle serves both window steps), one groupBy(user, session)
+    builds each path via array_sort(collect_list(struct)) — per-session
+    arrays are inactivity-bounded, never corpus-sized — and the final
+    top-20 is a TakeOrdered over the path counts, no global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+    ).withColumn(
+        "brk",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) >= 17 * 60 * 1_000_000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sessions = marked.withColumn(
+        "sid", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    paths = sessions.groupBy("user_id", "sid").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("us", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
+
+
+R41_SQL = """
+WITH marked AS (
+  SELECT user_id, event_id, event_type, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 17 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, event_id, event_type, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+paths AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sessions GROUP BY user_id, sid
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""
+
+
+def s14_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH ANN index (s2) against the exact cosine top-k
+    (s1), per query — the evaluation harness every approximate index
+    needs before it replaces an exact scan in production.  Both sides are
+    deterministic, so the metric itself sits under the hash oracle.
+
+    Plan: the two top-k plans join on (query_id, vec_id) — tiny frames,
+    k rows per query — then one left join back to the query set so
+    zero-overlap queries still report 0.0."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    exact = similarity.cosine_topk(emb, queries, k=5).select(
+        "query_id", "vec_id"
+    )
+    ann = similarity.lsh_ann_topk(emb, queries, dim=64, k=5, n_planes=4).select(
+        "query_id", "vec_id"
+    )
+    hits = exact.join(ann, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_overlap")
+    )
+    return (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias(
+                "n_overlap"
+            ),
+            F.round(
+                F.coalesce(F.col("n_overlap"), F.lit(0)) / F.lit(5.0), 6
+            ).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
+
+
+S14_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 8),
+se AS (
+  SELECT query_id, vec_id, round({_SQL_COSINE}, 6) AS c
+  FROM q, v WHERE vec_id <> query_id
+),
+ex AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+    FROM se
+  ) WHERE rank <= 5
+),
+vb AS (SELECT vec_id, e, {_sql_sketch("e")} AS bucket FROM v),
+qb AS (SELECT vec_id AS query_id, e AS qe, bucket FROM vb WHERE vec_id < 8),
+sa AS (
+  SELECT query_id, vb.vec_id, round({_SQL_COSINE}, 6) AS c
+  FROM qb q JOIN vb ON q.bucket = vb.bucket AND vb.vec_id <> q.query_id
+),
+an AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+    FROM sa
+  ) WHERE rank <= 5
+),
+hits AS (
+  SELECT e.query_id, COUNT(*) AS n
+  FROM ex e JOIN an a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+  GROUP BY e.query_id
+)
+SELECT q.query_id,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_overlap,
+       round(coalesce(n, 0) / 5.0, 6) AS recall_at_5
+FROM q LEFT JOIN hits ON q.query_id = hits.query_id
+ORDER BY q.query_id
+"""
+
+
 def s13_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-item co-occurrence similarity (the collaborative-filtering
     primitive): event types scored by the cosine of their binary
@@ -6590,6 +6746,9 @@ ORDER BY type_a, type_b
 # every round.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- new in round 6: first driver rows ---
+    "r41_session_paths": (r41_session_paths, R41_SQL),
+    "s14_ann_recall": (s14_ann_recall, S14_SQL),
+    "g5_bfs_reach": (g5_bfs_reach, G5_SQL),
     "r39_session_incident_overlap": (r39_session_incident_overlap, R39_SQL),
     "r40_event_transitions": (r40_event_transitions, R40_SQL),
     "d18_containment_pairs": (d18_containment_pairs, D18_SQL),
@@ -6608,7 +6767,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "t18_rake_keywords": (t18_rake_keywords, T18_SQL),
     "s12_pq_topk": (s12_pq_topk, S12_SQL),
     "g4_communities": (g4_communities, G4_SQL),
-    "g5_bfs_reach": (g5_bfs_reach, G5_SQL),
     "d16_duplicated_spans": (d16_duplicated_spans, D16_SQL),
     "u17_leakage_safe_split": (u17_leakage_safe_split, U17_SQL),
     "m5_image_transform": (m5_image_transform, M5_SQL),

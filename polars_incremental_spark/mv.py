@@ -9,10 +9,14 @@ count reaches zero.  Sum and count are the classically self-maintainable
 aggregates (avg derives as sum/count); min/max are NOT maintainable under
 deletes without full per-group state and are deliberately unsupported.
 
-Crash safety: the base-table watermark travels in the MERGE commit's own
-``commitInfo.userMetadata`` — state and data advance in ONE atomic commit,
+Crash safety: the base-table watermark travels as DOMAIN METADATA inside
+the refresh commit itself — state and data advance in ONE atomic commit,
 so a crash anywhere leaves the MV at its previous consistent (version,
-watermark) pair and the next refresh re-derives the same deltas.
+watermark) pair and the next refresh re-derives the same deltas.  Domain
+metadata (unlike commitInfo) is carried by parquet log checkpoints, so the
+state survives ``checkpoint_log`` + ``expire_log`` on the MV's own log;
+each commit also mirrors the state into ``commitInfo.userMetadata`` for
+human-readable provenance in DESCRIBE HISTORY.
 
 Scale shape: refresh cost tracks the CHANGE volume, not the base size —
 one parquet scan over the changed files, one group-reduce shuffle sized by
@@ -40,7 +44,8 @@ from .sinks.deltalog import (
     write_delta_fallback,
 )
 
-_MV_KEY = "mv"
+_MV_DOMAIN = "pis.mv"
+_JOIN_DOMAIN = "pis.joinMv"
 
 
 def _sign():
@@ -50,27 +55,27 @@ def _sign():
     ).when(F.col("_change_type").isin("delete", "update_preimage"), F.lit(-1))
 
 
-def _mv_state(mv_path: str) -> dict[str, Any]:
-    """Latest MV spec+watermark: walk the MV log head-down for the newest
-    commitInfo.userMetadata carrying the ``mv`` envelope."""
+def _mv_state(mv_path: str, domain: str) -> dict[str, Any]:
+    """Latest MV spec+watermark from the MV log's ``domain`` metadata —
+    checkpoint-carried, so it survives log expiry (the checkpoint-seeded
+    replay lives in ``DeltaLog.domain_metadata``)."""
     log = DeltaLog(mv_path)
-    latest = log.latest_version()
-    if latest is None:
+    if log.latest_version() is None:
         raise FileNotFoundError(f"not a delta table: {mv_path}")
-    for v in reversed(log.versions()):
-        for action in log.actions(v):
-            info = action.get("commitInfo")
-            if info and info.get("userMetadata"):
-                try:
-                    parsed = json.loads(info["userMetadata"])
-                except ValueError:
-                    continue
-                if _MV_KEY in parsed:
-                    return parsed[_MV_KEY]
-    raise ValueError(
-        f"{mv_path} carries no mv state in its commit history; was it "
-        "created by create_agg_mv?"
-    )
+    raw = log.domain_metadata().get(domain)
+    if raw is None:
+        raise ValueError(
+            f"{mv_path} carries no {domain} domain metadata; was it created "
+            "by create_agg_mv / create_join_mv?"
+        )
+    return json.loads(raw)
+
+
+def _head_version(path: str) -> int:
+    head = DeltaLog(path).latest_version()
+    if head is None:
+        raise FileNotFoundError(f"not a delta table: {path}")
+    return head
 
 
 def _check_no_null_keys(df: DataFrame, group_cols: list[str], where: str) -> None:
@@ -117,7 +122,7 @@ def create_agg_mv(
     _check_no_null_keys(base.select(*group_cols), group_cols, "base table")
     mv = base.groupBy(*group_cols).agg(
         *_aggs(group_cols, sum_cols, count_col, signed=False)
-    )
+    ).persist()  # feeds both the write and the returned count
     state = {
         "base_path": base_path,
         "base_version": base_version,
@@ -125,16 +130,17 @@ def create_agg_mv(
         "sum_cols": sum_cols,
         "count_col": count_col,
     }
+    blob = json.dumps(state)
     write_delta_fallback(
         mv,
         mv_path,
         mode="overwrite",
-        user_metadata=json.dumps({_MV_KEY: state}),
+        user_metadata=blob,
+        domain_metadata={_MV_DOMAIN: blob},
     )
-    return {"base_version": base_version, "rows": mv.count()}
-
-
-_JOIN_KEY = "join_mv"
+    rows = mv.count()
+    mv.unpersist()
+    return {"base_version": base_version, "rows": rows}
 
 
 def _assert_inserts_only(cdf: DataFrame, which: str) -> None:
@@ -171,7 +177,7 @@ def create_join_mv(
             f"non-key columns {sorted(clash)} exist on both sides; rename "
             "upstream — the MV schema is flat"
         )
-    mv = left.join(right, on)
+    mv = left.join(right, on).persist()
     state = {
         "left_path": left_path,
         "right_path": right_path,
@@ -179,10 +185,17 @@ def create_join_mv(
         "right_version": rv,
         "on": on,
     }
+    blob = json.dumps(state)
     write_delta_fallback(
-        mv, mv_path, mode="overwrite", user_metadata=json.dumps({_JOIN_KEY: state})
+        mv,
+        mv_path,
+        mode="overwrite",
+        user_metadata=blob,
+        domain_metadata={_JOIN_DOMAIN: blob},
     )
-    return {"left_version": lv, "right_version": rv, "rows": mv.count()}
+    rows = mv.count()
+    mv.unpersist()
+    return {"left_version": lv, "right_version": rv, "rows": rows}
 
 
 def refresh_join_mv(spark: SparkSession, mv_path: str) -> dict[str, Any]:
@@ -196,33 +209,11 @@ def refresh_join_mv(spark: SparkSession, mv_path: str) -> dict[str, Any]:
     crash anywhere is a clean no-op.  Append-only bases; a delete/update
     in either feed fails closed (multiplicity-counted IVM not implemented).
     """
-    log = DeltaLog(mv_path)
-    latest = log.latest_version()
-    if latest is None:
-        raise FileNotFoundError(f"not a delta table: {mv_path}")
-    state = None
-    for v in reversed(log.versions()):
-        for action in log.actions(v):
-            info = action.get("commitInfo")
-            if info and info.get("userMetadata"):
-                try:
-                    parsed = json.loads(info["userMetadata"])
-                except ValueError:
-                    continue
-                if _JOIN_KEY in parsed:
-                    state = parsed[_JOIN_KEY]
-                    break
-        if state:
-            break
-    if state is None:
-        raise ValueError(
-            f"{mv_path} carries no join_mv state; was it created by "
-            "create_join_mv?"
-        )
+    state = _mv_state(mv_path, _JOIN_DOMAIN)
     on = list(state["on"])
     lv, rv = int(state["left_version"]), int(state["right_version"])
-    lhead = DeltaLog(state["left_path"]).latest_version()
-    rhead = DeltaLog(state["right_path"]).latest_version()
+    lhead = _head_version(state["left_path"])
+    rhead = _head_version(state["right_path"])
     if lhead <= lv and rhead <= rv:
         return {"refreshed": False, "rows_added": 0}
     parts = []
@@ -245,14 +236,18 @@ def refresh_join_mv(spark: SparkSession, mv_path: str) -> dict[str, Any]:
     delta = parts[0]
     for p in parts[1:]:
         delta = delta.unionByName(p)
+    delta = delta.persist()  # feeds the count and the staged write
     new_state = {**state, "left_version": lhead, "right_version": rhead}
+    blob = json.dumps(new_state)
     rows = delta.count()
     write_delta_fallback(
         delta,
         mv_path,
         mode="append",
-        user_metadata=json.dumps({_JOIN_KEY: new_state}),
+        user_metadata=blob,
+        domain_metadata={_JOIN_DOMAIN: blob},
     )
+    delta.unpersist()
     return {"refreshed": True, "rows_added": rows}
 
 
@@ -262,14 +257,12 @@ def refresh_agg_mv(
     """Fold the base table's change feed since the MV's watermark into the
     MV with one atomic MERGE.  Returns {refreshed, from_version,
     to_version, groups_touched}."""
-    state = _mv_state(mv_path)
+    state = _mv_state(mv_path, _MV_DOMAIN)
     group_cols = list(state["group_cols"])
     sum_cols = list(state["sum_cols"])
     count_col = state["count_col"]
     last = int(state["base_version"])
-    head = DeltaLog(base_path).latest_version()
-    if head is None:
-        raise FileNotFoundError(f"not a delta table: {base_path}")
+    head = _head_version(base_path)
     if head <= last:
         return {
             "refreshed": False,
@@ -293,19 +286,26 @@ def refresh_agg_mv(
             )
         )
     )
+    # persist: the small delta feeds the null-key probe, the count, and
+    # every pass merge_into makes (dup-check, hit files, join, insert) —
+    # uncached, each would re-run the full change-feed scan + shuffle
+    delta = delta.persist()
     _check_no_null_keys(delta.select(*group_cols), group_cols, "change feed")
     new_state = {**state, "base_version": head}
+    blob = json.dumps(new_state)
     touched = delta.count()
     if touched == 0:
         # nothing to fold; advance the watermark with a zero-row append so
         # the walked range never re-reads (still one atomic commit)
+        delta.unpersist()
         write_delta_fallback(
             spark.createDataFrame(
                 [], read_delta_fallback(spark, mv_path).schema
             ),
             mv_path,
             mode="append",
-            user_metadata=json.dumps({_MV_KEY: new_state}),
+            user_metadata=blob,
+            domain_metadata={_MV_DOMAIN: blob},
         )
         return {
             "refreshed": True,
@@ -325,8 +325,10 @@ def refresh_agg_mv(
         when_matched_delete=f"{count_col} + src.{count_col} = 0",
         when_matched_update=update_exprs,
         when_not_matched_insert=True,
-        user_metadata=json.dumps({_MV_KEY: new_state}),
+        user_metadata=blob,
+        domain_metadata={_MV_DOMAIN: blob},
     )
+    delta.unpersist()
     return {
         "refreshed": True,
         "from_version": last + 1,

@@ -562,14 +562,20 @@ def _row_tracking_enabled(meta: dict[str, Any] | None) -> bool:
 
 def _row_id_hwm(log: DeltaLog) -> int:
     """Current row-id high watermark from the ``delta.rowTracking`` domain
-    metadata; -1 on a table that never allocated (spec initial value)."""
+    metadata; -1 on a table that never allocated (spec initial value).
+    A PRESENT-but-unparseable domain raises: silently restarting from -1
+    would hand out row ids that live files already occupy — corrupting
+    exactly the stable-id contract the feature exists to provide."""
     raw = log.domain_metadata().get(ROW_TRACKING_DOMAIN)
     if raw is None:
         return -1
     try:
         return int(json.loads(raw)["rowIdHighWaterMark"])
-    except (ValueError, KeyError, TypeError):
-        return -1
+    except (ValueError, KeyError, TypeError) as exc:
+        raise ValueError(
+            f"corrupt {ROW_TRACKING_DOMAIN} domain metadata ({raw!r}); "
+            "refusing to reallocate row ids from -1"
+        ) from exc
 
 
 def _add_num_records(table_path: str, add: dict[str, Any]) -> int:
@@ -600,6 +606,39 @@ def _stamp_row_ids(
         add["defaultRowCommitVersion"] = version
         hwm += n
     return hwm
+
+
+def _ensure_domain_feature(
+    actions: list[dict[str, Any]], log: DeltaLog, latest: int | None
+) -> None:
+    """A commit carrying domainMetadata must write under a protocol that
+    declares the ``domainMetadata`` writer feature (PROTOCOL.md).  Upgrade
+    the commit's own protocol action when it has one, else append an
+    upgraded protocol unless the stored one already qualifies."""
+
+    def upgraded(p: dict[str, Any]) -> dict[str, Any]:
+        return {
+            "minReaderVersion": p.get("minReaderVersion", 1),
+            "minWriterVersion": 7,
+            **(
+                {"readerFeatures": p["readerFeatures"]}
+                if p.get("readerFeatures") is not None
+                else {}
+            ),
+            "writerFeatures": sorted(
+                set(p.get("writerFeatures") or []) | {"domainMetadata"}
+            ),
+        }
+
+    for a in actions:
+        if "protocol" in a:
+            if "domainMetadata" not in (a["protocol"].get("writerFeatures") or []):
+                a["protocol"] = upgraded(a["protocol"])
+            return
+    proto = (log.protocol() or {}) if latest is not None else {}
+    if "domainMetadata" in (proto.get("writerFeatures") or []):
+        return
+    actions.append({"protocol": upgraded(proto)})
 
 
 def _row_tracking_domain_action(hwm: int) -> dict[str, Any]:
@@ -1158,6 +1197,7 @@ def write_delta_fallback(
     identity_columns: dict[str, dict[str, Any]] | None = None,
     row_tracking: bool = False,
     user_metadata: str | None = None,
+    domain_metadata: dict[str, str] | None = None,
 ) -> None:
     """Append/overwrite ``df`` into a log-backed Delta table (no jar needed).
 
@@ -1463,6 +1503,22 @@ def write_delta_fallback(
             table_path, adds, _row_id_hwm(log) if latest is not None else -1, version
         )
         actions.append(_row_tracking_domain_action(new_hwm))
+    if domain_metadata:
+        # caller-owned domains (MV watermarks etc.): COMMITTED atomically
+        # with the data, and — unlike commitInfo — carried by log
+        # checkpoints, so the state survives expire_log
+        for domain, conf in domain_metadata.items():
+            actions.append(
+                {
+                    "domainMetadata": {
+                        "domain": domain,
+                        "configuration": conf,
+                        "removed": False,
+                    }
+                }
+            )
+    if rt_on or domain_metadata:
+        _ensure_domain_feature(actions, log, latest)
     actions.extend({"add": add} for add in adds)
     if cdc_df is not None:
         actions.extend(
@@ -1481,11 +1537,19 @@ def write_delta_fallback(
             # could have changed underneath us; overwrites conflict
             # semantically (their remove set is stale) and surface the
             # error for the caller to re-run.
-            if mode != "append" or latest is None or hwm_updates or rt_on:
+            if (
+                mode != "append"
+                or latest is None
+                or hwm_updates
+                or rt_on
+                or domain_metadata
+            ):
                 # identity/row-id watermark updates are metadata writes:
                 # two rebased winners would hand out the same id range
-                # (and defaultRowCommitVersion is version-bound), so a
-                # losing allocating append surfaces the conflict instead
+                # (and defaultRowCommitVersion is version-bound); caller
+                # domain state (MV watermarks) likewise must not blind-
+                # rebase — two winners would fold the same deltas twice.
+                # A losing allocating/stateful append surfaces the conflict.
                 raise
             fresh = log.latest_version()
             fresh_meta = log.table_metadata() or {}
@@ -1858,7 +1922,17 @@ def read_change_feed(
         for e in entries:
             by_type.setdefault(e["change_type"], []).append(e)
         for ctype, group in by_type.items():
-            df = spark.read.parquet(*[e["abs_path"] for e in group])
+            if ctype is not None:
+                # add-fallback inserts are DATA files: on partitioned
+                # tables the partition columns live only in the col=value/
+                # layout, so read schema-pinned with basePath (the snapshot
+                # reader's contract) — a bare read would drop them
+                add_reader, _s, _p = _snapshot_reader(spark, log, meta)
+                df = add_reader.parquet(*[e["abs_path"] for e in group])
+            else:
+                # cdc files materialize EVERY column (partitions included)
+                # and carry _change_type in-file
+                df = spark.read.parquet(*[e["abs_path"] for e in group])
             frames.append(
                 finish(df, v, group[0]["commit_timestamp_ms"], ctype)
             )
@@ -2513,6 +2587,7 @@ def merge_into(
     when_not_matched_insert: bool = True,
     write_cdf: bool = False,
     user_metadata: str | None = None,
+    domain_metadata: dict[str, str] | None = None,
 ) -> dict[str, Any]:
     """``MERGE INTO <target> USING <source> ON <equi-keys>`` for the
     jar-less path — the general three-clause merge, file-selective like
@@ -2775,6 +2850,18 @@ def merge_into(
                 )
     if len(actions) == 1:  # only commitInfo: nothing changed
         return {**metrics, "version": None}
+    if domain_metadata:
+        for domain, conf in domain_metadata.items():
+            actions.append(
+                {
+                    "domainMetadata": {
+                        "domain": domain,
+                        "configuration": conf,
+                        "removed": False,
+                    }
+                }
+            )
+        _ensure_domain_feature(actions, log, latest)
     if write_cdf and cdc_frames:
         cdc_df = cdc_frames[0]
         for frame in cdc_frames[1:]:
@@ -3156,7 +3243,9 @@ def checkpoint_log(
     log_dir = os.path.join(table_path, LOG_DIR)
     if parts is not None and parts > 1:
         n = min(parts, max(1, len(rows)))  # never emit empty parts
-        out = log_dir
+        out = os.path.join(
+            log_dir, f"{version:020d}.checkpoint.{1:010d}.{n:010d}.parquet"
+        )  # return contract: a checkpoint FILE path (part 1 of n)
         for i in range(n):
             part_path = os.path.join(
                 log_dir, f"{version:020d}.checkpoint.{i + 1:010d}.{n:010d}.parquet"

@@ -111,17 +111,59 @@ def test_watermark_atomic_with_merge(spark, tmp_path):
     create_agg_mv(spark, base, mv, group_cols=["g"], sum_cols=["x"])
     write_delta_fallback(_rows(spark, [("a", 2)]), base, mode="append")
     refresh_agg_mv(spark, base, mv)
-    # the merge commit itself carries the new watermark
+    # the merge commit itself carries the new watermark — as domain
+    # metadata (the durable source) AND mirrored into its userMetadata
     log = DeltaLog(mv)
     head = log.latest_version()
+    assert json.loads(log.domain_metadata()["pis.mv"])["base_version"] == 1
     info = next(
         a["commitInfo"] for a in log.actions(head) if "commitInfo" in a
     )
-    assert json.loads(info["userMetadata"])["mv"]["base_version"] == 1
+    assert json.loads(info["userMetadata"])["base_version"] == 1
     # a re-run folds nothing (watermark advanced atomically)
     res = refresh_agg_mv(spark, base, mv)
     assert res["refreshed"] is False
     assert _mv_rows(spark, mv) == {("a",): (2, 3)}
+
+
+def test_mv_state_survives_checkpoint_and_expiry(spark, tmp_path):
+    from polars_incremental_spark.sinks.deltalog import checkpoint_log, expire_log
+
+    base, mv = str(tmp_path / "b"), str(tmp_path / "m")
+    write_delta_fallback(_rows(spark, [("a", 1), ("b", 2)]), base)
+    create_agg_mv(spark, base, mv, group_cols=["g"], sum_cols=["x"])
+    write_delta_fallback(_rows(spark, [("a", 5)]), base, mode="append")
+    refresh_agg_mv(spark, base, mv)
+    # summarize the MV's OWN log away: commitInfo (and its userMetadata)
+    # die with the JSON commits, but the domain-metadata state survives
+    checkpoint_log(mv)
+    expire_log(mv)
+    assert DeltaLog(mv).versions() == []
+    write_delta_fallback(_rows(spark, [("c", 9)]), base, mode="append")
+    res = refresh_agg_mv(spark, base, mv)
+    assert res["refreshed"] and res["groups_touched"] == 1
+    assert _mv_rows(spark, mv) == _recompute(spark, base)
+
+
+def test_refresh_on_partitioned_base(spark, tmp_path):
+    base, mv = str(tmp_path / "b"), str(tmp_path / "m")
+    write_delta_fallback(
+        _rows(spark, [("a", 1), ("a", 2), ("b", 5)]),
+        base,
+        partition_by=["g"],
+    )
+    create_agg_mv(spark, base, mv, group_cols=["g"], sum_cols=["x"])
+    # add-fallback CDF entries are DATA files: the partition column exists
+    # only in the col=value/ layout, so the CDF read must be basePath-aware
+    write_delta_fallback(
+        _rows(spark, [("a", 10), ("c", 7)]), base, mode="append"
+    )
+    delete_where(spark, base, "g = 'b'", write_cdf=True)
+    refresh_agg_mv(spark, base, mv)
+    assert _mv_rows(spark, mv) == _recompute(spark, base) == {
+        ("a",): (3, 13),
+        ("c",): (1, 7),
+    }
 
 
 def test_cdf_gap_without_change_files_fails_closed(spark, tmp_path):

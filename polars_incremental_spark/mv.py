@@ -6,8 +6,10 @@ insert/update_postimage, -1 for delete/update_preimage), the signed deltas
 group-reduce to one small frame, and a three-clause MERGE folds them into
 the MV — update existing groups, insert new ones, delete groups whose
 count reaches zero.  Sum and count are the classically self-maintainable
-aggregates (avg derives as sum/count); min/max are NOT maintainable under
-deletes without full per-group state and are deliberately unsupported.
+aggregates (avg derives as sum/count); min/max are monotone under inserts
+only, so requesting them commits the MV to an append-only feed — a
+delete/update change row fails the refresh closed rather than silently
+keeping a retracted extremum.
 
 Crash safety: the base-table watermark travels as DOMAIN METADATA inside
 the refresh commit itself — state and data advance in ONE atomic commit,
@@ -91,11 +93,25 @@ def _check_no_null_keys(df: DataFrame, group_cols: list[str], where: str) -> Non
         )
 
 
-def _aggs(group_cols: list[str], sum_cols: list[str], count_col: str, signed: bool):
+def _aggs(
+    group_cols: list[str],
+    sum_cols: list[str],
+    count_col: str,
+    signed: bool,
+    min_cols: list[str] = (),
+    max_cols: list[str] = (),
+):
     sign = _sign() if signed else F.lit(1)
     out = [F.sum(sign).cast("long").alias(count_col)]
     for c in sum_cols:
         out.append(F.sum(sign * F.col(c)).alias(f"sum_{c}"))
+    # min/max are monotone under INSERTS (the refresh path enforces an
+    # insert-only feed when they're present), so plain min/max per group
+    # is the correct delta regardless of the sign machinery
+    for c in min_cols:
+        out.append(F.min(c).alias(f"min_{c}"))
+    for c in max_cols:
+        out.append(F.max(c).alias(f"max_{c}"))
     return out
 
 
@@ -107,11 +123,19 @@ def create_agg_mv(
     group_cols: list[str],
     sum_cols: list[str] | None = None,
     count_col: str = "cnt",
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
 ) -> dict[str, Any]:
-    """Materialize ``SELECT group_cols, count(*), sum(c)... GROUP BY`` from
-    the base table's CURRENT snapshot and record the snapshot version as
-    the refresh watermark.  Returns {base_version, rows}."""
+    """Materialize ``SELECT group_cols, count(*), sum(c)..., min(c)...,
+    max(c)... GROUP BY`` from the base table's CURRENT snapshot and record
+    the snapshot version as the refresh watermark.  ``min_cols``/
+    ``max_cols`` commit the MV to an INSERT-ONLY feed: min/max are
+    monotone under inserts but not reversible under deletes, so a later
+    refresh fails closed on any delete/update change row.  Returns
+    {base_version, rows}."""
     sum_cols = list(sum_cols or [])
+    min_cols = list(min_cols or [])
+    max_cols = list(max_cols or [])
     base_version = DeltaLog(base_path).latest_version()
     if base_version is None:
         raise FileNotFoundError(f"not a delta table: {base_path}")
@@ -121,7 +145,7 @@ def create_agg_mv(
     base = read_delta_fallback(spark, base_path, version=base_version)
     _check_no_null_keys(base.select(*group_cols), group_cols, "base table")
     mv = base.groupBy(*group_cols).agg(
-        *_aggs(group_cols, sum_cols, count_col, signed=False)
+        *_aggs(group_cols, sum_cols, count_col, False, min_cols, max_cols)
     ).persist()  # feeds both the write and the returned count
     state = {
         "base_path": base_path,
@@ -129,6 +153,8 @@ def create_agg_mv(
         "group_cols": group_cols,
         "sum_cols": sum_cols,
         "count_col": count_col,
+        "min_cols": min_cols,
+        "max_cols": max_cols,
     }
     blob = json.dumps(state)
     write_delta_fallback(
@@ -261,6 +287,8 @@ def refresh_agg_mv(
     group_cols = list(state["group_cols"])
     sum_cols = list(state["sum_cols"])
     count_col = state["count_col"]
+    min_cols = list(state.get("min_cols") or [])
+    max_cols = list(state.get("max_cols") or [])
     last = int(state["base_version"])
     head = _head_version(base_path)
     if head <= last:
@@ -273,12 +301,18 @@ def refresh_agg_mv(
     cdf = read_change_feed(
         spark, base_path, starting_version=last + 1, ending_version=head
     )
+    if min_cols or max_cols:
+        # min/max are monotone under inserts only — a delete could retract
+        # the current extremum and the MV has no second-best state
+        _assert_inserts_only(cdf, "base (min/max MV is append-only)")
     sum_aliases = [f"sum_{c}" for c in sum_cols]
     delta = (
         cdf.groupBy(*group_cols)
-        .agg(*_aggs(group_cols, sum_cols, count_col, signed=True))
+        .agg(*_aggs(group_cols, sum_cols, count_col, True, min_cols, max_cols))
         # net-zero groups (equal insert/delete churn) would MERGE-rewrite
-        # their MV files for nothing — drop them before the join
+        # their MV files for nothing — drop them before the join.  With
+        # min/max present the feed is insert-only, so every delta group
+        # has cnt > 0 and the filter passes it through untouched.
         .filter(
             " or ".join(
                 [f"{count_col} != 0"]
@@ -317,6 +351,12 @@ def refresh_agg_mv(
     for a in sum_aliases:
         # sums are null until the first non-null value flows through
         update_exprs[a] = f"coalesce({a}, 0) + coalesce(src.{a}, 0)"
+    for c in min_cols:
+        # Spark least/greatest skip nulls (null only when all args null),
+        # exactly the all-null-so-far MV semantics
+        update_exprs[f"min_{c}"] = f"least(min_{c}, src.min_{c})"
+    for c in max_cols:
+        update_exprs[f"max_{c}"] = f"greatest(max_{c}, src.max_{c})"
     merge_into(
         spark,
         mv_path,

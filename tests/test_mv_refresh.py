@@ -224,6 +224,48 @@ def test_randomized_dml_storm_always_matches_recompute(spark, tmp_path):
     assert _mv_rows(spark, mv) == _recompute(spark, base)
 
 
+def test_minmax_mv_insert_only(spark, tmp_path):
+    base, mv = str(tmp_path / "b"), str(tmp_path / "m")
+    write_delta_fallback(
+        spark.createDataFrame(
+            [("a", 5, 5), ("a", 2, None), ("b", 9, 1)],
+            "g string, x long, y long",
+        ),
+        base,
+    )
+    create_agg_mv(
+        spark, base, mv, group_cols=["g"], sum_cols=["x"],
+        min_cols=["x", "y"], max_cols=["x"],
+    )
+    write_delta_fallback(
+        spark.createDataFrame(
+            [("a", 1, 3), ("b", 20, None), ("c", 7, 7)],
+            "g string, x long, y long",
+        ),
+        base,
+        mode="append",
+    )
+    refresh_agg_mv(spark, base, mv)
+    got = {
+        r["g"]: (r["cnt"], r["sum_x"], r["min_x"], r["min_y"], r["max_x"])
+        for r in read_delta_fallback(spark, mv).collect()
+    }
+    # null y values skip (least/greatest semantics = agg min over non-null)
+    assert got == {
+        "a": (3, 8, 1, 3, 5),
+        "b": (2, 29, 9, 1, 20),
+        "c": (1, 7, 7, 7, 7),
+    }
+    # a delete in the feed fails the min/max MV closed, MV untouched
+    delete_where(spark, base, "g = 'b' and x = 20", write_cdf=True)
+    with pytest.raises(NotImplementedError, match="append-only"):
+        refresh_agg_mv(spark, base, mv)
+    still = {
+        r["g"]: r["max_x"] for r in read_delta_fallback(spark, mv).collect()
+    }
+    assert still["b"] == 20
+
+
 def _join_recompute(spark, lp, rp):
     l = read_delta_fallback(spark, lp)
     r = read_delta_fallback(spark, rp)

@@ -172,15 +172,19 @@ def optimize_delta_table(
     )
 
 
-def checkpoint_delta_log(path: str, *, expire: bool = False) -> str:
+def checkpoint_delta_log(
+    path: str, *, expire: bool = False, parts: int | None = None
+) -> str:
     """Write a parquet log checkpoint for a log-backed Delta table (and
     optionally expire the summarized JSON commits).  With delta-spark the
     engine checkpoints automatically; this fallback gives long-lived
     jar-less tables the same O(tail) snapshot replay.  The writer also
-    auto-checkpoints every ``deltalog.CHECKPOINT_INTERVAL`` commits."""
+    auto-checkpoints every ``deltalog.CHECKPOINT_INTERVAL`` commits.
+    ``parts`` > 1 writes the multi-part form (huge tables: bounds the
+    single-file size and parallelizes the seed read)."""
     from .sinks.deltalog import checkpoint_log, expire_log
 
-    out = checkpoint_log(path)
+    out = checkpoint_log(path, parts=parts)
     if expire:
         expire_log(path)
     return out

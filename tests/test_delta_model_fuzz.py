@@ -515,3 +515,107 @@ def test_random_column_mapping_lifecycle(spark, tmp_path, seed):
         assert got_old == prows, f"seed={seed} time travel v{probe} after {op}"
 
     assert renames > 0 or seed != 11  # the interleaving actually exercised renames
+
+
+@pytest.mark.parametrize("seed", [5, 19])
+def test_random_row_tracking_lifecycle(spark, tmp_path, seed):
+    """Row-id STABILITY under a random append / DV-delete / checkpoint+
+    expire / clone / refused-CoW interleaving: after every op the
+    (row_id -> row) mapping must equal the model, ids must never be
+    reused, and the domain watermark must stay >= the max live id.
+    Half the seeds create the table tracked; the other half enable
+    mid-stream and exercise the backfill path."""
+    from polars_incremental_spark.sinks.deltalog import (
+        clone_table,
+        delete_where,
+        enable_row_tracking,
+        expire_log,
+        read_delta_fallback,
+        set_table_properties,
+        update_where,
+    )
+
+    rng = random.Random(seed)
+    path = str(tmp_path / f"rt{seed}")
+    nxt_k = [0]
+
+    def batch(n):
+        rows = [(nxt_k[0] + i, rng.randint(0, 99)) for i in range(n)]
+        nxt_k[0] += n
+        return spark.createDataFrame(rows, "k long, v long").coalesce(
+            rng.randint(1, 3)
+        )
+
+    start_tracked = seed % 2 == 1
+    write_delta_fallback(batch(10), path, row_tracking=start_tracked)
+    if not start_tracked:
+        write_delta_fallback(batch(5), path, mode="append")
+        enable_row_tracking(path)
+    set_table_properties(path, {"delta.enableDeletionVectors": "true"})
+
+    def id_map():
+        return {
+            r["_row_id"]: (r["k"], r["v"])
+            for r in read_delta_fallback(spark, path, row_ids=True).collect()
+        }
+
+    def hwm():
+        import json as _json
+
+        raw = DeltaLog(path).domain_metadata()["delta.rowTracking"]
+        return _json.loads(raw)["rowIdHighWaterMark"]
+
+    model = id_map()  # trust the initial read once; everything after is modeled
+    assert len(model) == (10 if start_tracked else 15)
+    ever_allocated = set(model)
+
+    for step in range(12):
+        op = rng.choice(["append", "dv_delete", "cow", "checkpoint", "clone"])
+        if op == "append":
+            n = rng.randint(1, 6)
+            base = hwm()
+            write_delta_fallback(batch(n), path, mode="append")
+            got = id_map()
+            new_ids = set(got) - set(model)
+            assert new_ids == set(range(base + 1, base + 1 + n)), (
+                f"seed={seed} step={step}: fresh ids not the contiguous "
+                f"block past the watermark"
+            )
+            assert not (new_ids & ever_allocated), "row id REUSED"
+            ever_allocated |= new_ids
+            model = got  # old entries asserted below
+        elif op == "dv_delete":
+            ks = [k for k, _ in model.values()]
+            if not ks:
+                continue
+            victim = rng.choice(ks)
+            delete_where(spark, path, f"k = {victim}")
+            model = {
+                rid: kv for rid, kv in model.items() if kv[0] != victim
+            }
+        elif op == "cow":
+            with pytest.raises(NotImplementedError):
+                update_where(spark, path, "v >= 0", {"v": "v + 1"})
+        elif op == "checkpoint":
+            checkpoint_log(path, parts=rng.choice([None, 2, 3]))
+            if rng.random() < 0.5:
+                expire_log(path)
+        elif op == "clone":
+            tgt = str(tmp_path / f"clone{seed}_{step}")
+            clone_table(path, tgt)
+            n = rng.randint(1, 3)
+            src_hwm = hwm()
+            write_delta_fallback(batch(n), tgt, mode="append")
+            clone_ids = {
+                r["_row_id"]
+                for r in read_delta_fallback(spark, tgt, row_ids=True).collect()
+            }
+            # the clone's fresh ids start past the SOURCE watermark it
+            # inherited — no collision with the ids it references
+            assert clone_ids == set(model) | set(
+                range(src_hwm + 1, src_hwm + 1 + n)
+            ), f"seed={seed} step={step}: clone id collision"
+
+        got = id_map()
+        assert got == model, f"seed={seed} step={step} op={op}"
+        assert hwm() >= (max(ever_allocated) if ever_allocated else -1)

@@ -37,6 +37,7 @@ def main() -> int:
         ("part", M.test_random_dml_on_partitioned_table),
         ("cons", M.test_random_constraint_lifecycle_with_restore),
         ("cmap", M.test_random_column_mapping_lifecycle),
+        ("rtrk", M.test_random_row_tracking_lifecycle),
     ]
     # strip the pytest parametrize wrapper: call the raw function
     raw = []

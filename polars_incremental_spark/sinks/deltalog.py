@@ -3283,6 +3283,76 @@ def checkpoint_log(
     return out
 
 
+def compact_log_range(table_path: str, start: int, end: int) -> str:
+    """Write a LOG COMPACTION file ``<start>.<end>.compacted.json``
+    (PROTOCOL.md log compaction): the range's commits reconciled to their
+    net effect — latest protocol/metaData, net add/remove set, latest
+    domainMetadata per domain; commitInfo and cdc are omitted (CDF reads
+    keep using the original per-version commits, which compaction never
+    deletes — cleanup stays checkpoint-driven via ``expire_log``).
+
+    Why: between checkpoints a busy table accumulates hundreds of small
+    JSON commits; every snapshot replay lists and opens all of them.  A
+    compacted file collapses that tail to ONE open
+    (``DeltaLog.replay_actions`` substitutes it automatically).  JSON
+    commits remain the source of truth — a compacted file never extends
+    reconstructibility past log cleanup.
+    """
+    log = DeltaLog(table_path)
+    latest = log.latest_version()
+    if latest is None:
+        raise FileNotFoundError(f"not a delta table: {table_path}")
+    if not (0 <= start < end <= latest):
+        raise ValueError(
+            f"invalid compaction range [{start}, {end}] (table head {latest})"
+        )
+    have = set(log.versions())
+    missing = [v for v in range(start, end + 1) if v not in have]
+    if missing:
+        raise ValueError(
+            f"cannot compact [{start}, {end}]: commits {missing[:3]} missing"
+        )
+    proto: dict[str, Any] | None = None
+    meta: dict[str, Any] | None = None
+    active: dict[str, dict[str, Any]] = {}
+    tombstones: dict[str, dict[str, Any]] = {}
+    domains: dict[str, dict[str, Any]] = {}
+    for v in range(start, end + 1):
+        for action in log.actions(v):
+            if "add" in action:
+                add = action["add"]
+                active[add["path"]] = add
+                tombstones.pop(add["path"], None)
+            elif "remove" in action:
+                rem = action["remove"]
+                active.pop(rem["path"], None)
+                tombstones[rem["path"]] = rem
+            elif "metaData" in action:
+                meta = action["metaData"]
+            elif "protocol" in action:
+                proto = action["protocol"]
+            elif "domainMetadata" in action:
+                domains[action["domainMetadata"]["domain"]] = action[
+                    "domainMetadata"
+                ]
+    lines: list[dict[str, Any]] = []
+    if proto:
+        lines.append({"protocol": proto})
+    if meta:
+        lines.append({"metaData": meta})
+    lines.extend({"domainMetadata": domains[d]} for d in sorted(domains))
+    lines.extend({"remove": tombstones[p]} for p in sorted(tombstones))
+    lines.extend({"add": active[p]} for p in sorted(active))
+    log_dir = os.path.join(table_path, LOG_DIR)
+    out = os.path.join(log_dir, f"{start:020d}.{end:020d}.compacted.json")
+    tmp = out + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as handle:
+        for line in lines:
+            handle.write(json.dumps(line, separators=(",", ":")) + "\n")
+    os.replace(tmp, out)
+    return out
+
+
 def expire_log(table_path: str, *, dry_run: bool = False) -> list[str]:
     """Delete JSON commits already summarized by the current checkpoint
     (log cleanup).  Commits AFTER the checkpoint and the checkpoint itself
@@ -3305,6 +3375,11 @@ def expire_log(table_path: str, *, dry_run: bool = False) -> list[str]:
             # single-file AND multi-part forms: both lead with the version
             head = name.split(".", 1)[0]
             if head.isdigit() and int(head) < cv:
+                expired = True
+        if name.endswith(".compacted.json"):
+            fields = name.split(".")
+            # a compaction range fully summarized by the checkpoint is dead
+            if len(fields) == 4 and fields[1].isdigit() and int(fields[1]) <= cv:
                 expired = True
         if expired:
             removed.append(os.path.join(log_dir, name))

@@ -1858,8 +1858,10 @@ def read_change_feed(
     spark: SparkSession,
     table_path: str,
     *,
-    starting_version: int,
+    starting_version: int | None = None,
     ending_version: int | None = None,
+    starting_timestamp_ms: int | None = None,
+    ending_timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Batch CDF read (delta-spark's ``table_changes``): every change row
     in commits ``[starting_version, ending_version]`` with the standard
@@ -1872,6 +1874,12 @@ def read_change_feed(
     reconstruct which rows disappeared.  dataChange=false commits
     (OPTIMIZE, backfills) contribute nothing, matching the jar.
 
+    Timestamp bounds (delta-spark's startingTimestamp/endingTimestamp):
+    ``starting_timestamp_ms`` resolves to the FIRST commit at or after it,
+    ``ending_timestamp_ms`` to the LAST commit at or before it — both via
+    commit timestamps (ICT-aware on ICT tables).  Pass versions or
+    timestamps per bound, not both.
+
     Scale shape: one log walk on the driver (O(commits) metadata), then a
     single parquet scan per (version, injected-type) group — no joins, no
     shuffles; downstream aggregation is the consumer's plan.
@@ -1880,8 +1888,37 @@ def read_change_feed(
     latest = log.latest_version()
     if latest is None:
         raise FileNotFoundError(f"not a delta table: {table_path}")
+    if starting_version is not None and starting_timestamp_ms is not None:
+        raise ValueError("pass starting_version or starting_timestamp_ms, not both")
+    if ending_version is not None and ending_timestamp_ms is not None:
+        raise ValueError("pass ending_version or ending_timestamp_ms, not both")
+    if starting_timestamp_ms is not None:
+        starting_version = next(
+            (
+                v
+                for v in log.versions()
+                if log.commit_timestamp_ms(v) >= starting_timestamp_ms
+            ),
+            latest + 1,  # all commits precede the bound -> empty range below
+        )
+    if starting_version is None:
+        raise ValueError("a starting_version or starting_timestamp_ms is required")
+    if ending_timestamp_ms is not None:
+        ending_version = None
+        for v in log.versions():
+            if log.commit_timestamp_ms(v) <= ending_timestamp_ms:
+                ending_version = v
+            else:
+                break
+        if ending_version is None:
+            raise ValueError(
+                f"ending_timestamp_ms {ending_timestamp_ms} precedes every commit"
+            )
     end = latest if ending_version is None else ending_version
-    if starting_version < 0 or end > latest or starting_version > end:
+    if starting_version > end:
+        # legal empty window (e.g. starting timestamp after the head)
+        starting_version = end + 1
+    if starting_version < 0 or end > latest:
         raise ValueError(
             f"version range [{starting_version}, {end}] out of bounds "
             f"(table head {latest})"
@@ -3386,6 +3423,71 @@ def expire_log(table_path: str, *, dry_run: bool = False) -> list[str]:
             if not dry_run:
                 os.unlink(os.path.join(log_dir, name))
     return removed
+
+
+def table_detail(table_path: str) -> dict[str, Any]:
+    """``DESCRIBE DETAIL`` for the jar-less path: one log replay yields
+    the table's identity, layout, size, protocol, and properties — the
+    operational summary an operator checks before VACUUM/OPTIMIZE
+    decisions.  No data IO: numFiles/sizeInBytes come from the logged add
+    actions."""
+    log = DeltaLog(table_path)
+    latest = log.latest_version()
+    if latest is None:
+        raise FileNotFoundError(f"not a delta table: {table_path}")
+    meta = log.table_metadata() or {}
+    proto = log.protocol() or {}
+    adds = log.snapshot_files(latest)
+    return {
+        "format": (meta.get("format") or {}).get("provider", "parquet"),
+        "id": meta.get("id"),
+        "name": meta.get("name"),
+        "location": table_path,
+        "createdAt": meta.get("createdTime"),
+        "lastModified": log.commit_timestamp_ms(latest),
+        "partitionColumns": list(meta.get("partitionColumns") or []),
+        "numFiles": len(adds),
+        "sizeInBytes": sum(int(a.get("size") or 0) for a in adds),
+        "properties": dict(meta.get("configuration") or {}),
+        "minReaderVersion": proto.get("minReaderVersion", 1),
+        "minWriterVersion": proto.get("minWriterVersion", 2),
+        "readerFeatures": sorted(proto.get("readerFeatures") or []),
+        "writerFeatures": sorted(proto.get("writerFeatures") or []),
+        "version": latest,
+    }
+
+
+def remove_domain_metadata(table_path: str, domain: str) -> int:
+    """Tombstone a metadata domain (PROTOCOL.md: ``removed: true`` —
+    readers stop seeing the domain; checkpoints carry the tombstone so an
+    expired earlier value can never resurrect).  Returns the commit
+    version; raises KeyError when the domain is not live."""
+    log = DeltaLog(table_path)
+    latest = log.latest_version()
+    if latest is None:
+        raise FileNotFoundError(f"not a delta table: {table_path}")
+    if domain not in log.domain_metadata():
+        raise KeyError(f"domain {domain!r} is not set on {table_path}")
+    version = latest + 1
+    actions: list[dict[str, Any]] = [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "REMOVE DOMAIN METADATA",
+                "operationParameters": {"domain": domain},
+            }
+        },
+        {
+            "domainMetadata": {
+                "domain": domain,
+                "configuration": "{}",
+                "removed": True,
+            }
+        },
+    ]
+    _ensure_domain_feature(actions, log, latest)
+    _write_commit(os.path.join(table_path, LOG_DIR), version, actions)
+    return version
 
 
 def table_history(table_path: str) -> list[dict[str, Any]]:

@@ -67,7 +67,7 @@ def pagerank(
     # fold each round is exactly one edge⋈ranks join + one groupBy(dst).
     e_deg = iter_checkpoint(e.join(deg, "__src"), checkpoint_dir)
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
-    for _ in range(iterations):
+    for i in range(iterations):
         contribs = e_deg.join(
             ranks, e_deg["__src"] == ranks["node"]
         ).select(
@@ -92,7 +92,12 @@ def pagerank(
                 .alias("rank"),
             )
         )
-        ranks = iter_checkpoint(ranks, checkpoint_dir)
+        if (i + 1) % 2 == 0 or i + 1 == iterations:
+            # every 2nd round (and the last): the ranks frame is node-sized
+            # (tiny next to the edges), so per-round materialization jobs
+            # dominated the runtime — the same cadence lesson as
+            # label_propagation's every-4th-round checkpoint
+            ranks = iter_checkpoint(ranks, checkpoint_dir)
     return ranks
 
 

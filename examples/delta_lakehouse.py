@@ -121,6 +121,27 @@ def main() -> None:
     print("vacuum reclaimed", len(removed), "files")
     print("final:", read_table(spark, table).count(), "rows")
 
+    # 10. round-6 surface: detail, ICT, row tracking, compaction
+    from polars_incremental_spark.sinks.deltalog import (
+        compact_log_range,
+        enable_in_commit_timestamps,
+        enable_row_tracking,
+        read_delta_fallback,
+        table_detail,
+    )
+
+    enable_in_commit_timestamps(table)  # monotone commit stamps from here on
+    enable_row_tracking(table)  # backfills stable per-row ids
+    ids = read_delta_fallback(spark, table, row_ids=True)
+    print("row ids:", ids.select("_row_id").distinct().count(), "distinct")
+    head = DeltaLog(table).latest_version()
+    compact_log_range(table, 1, head)  # snapshot tail now ONE read
+    d = table_detail(table)
+    print(
+        f"detail: v{d['version']}, {d['numFiles']} files, "
+        f"{d['sizeInBytes']} bytes, features={d['writerFeatures']}"
+    )
+
     shutil.rmtree(work)
 
 

@@ -42,6 +42,7 @@ NLJ_ALLOWED = {
     "s6_quantized_topk",  # same documented baseline shape as s1, int8 memory
     "s12_pq_topk",  # ADC scan IS the design: O(n_sub) lookups/pair over 4-byte codes; scale path partitions by IVF cell (s5 composition)
     "u20_kmv_set_ops",  # all-pairs join of PER-GROUP SKETCHES: |groups|² rows of k-bounded arrays, broadcast-sized by construction
+    "s14_ann_recall",  # recall HARNESS: its exact side IS s1's documented all-pairs baseline (the ground truth the ANN is judged against); the ANN side is bucketed
 }
 
 # queries whose nested-loop join attaches a 1-ROW broadcast frame (a corpus

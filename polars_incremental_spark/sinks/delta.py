@@ -39,16 +39,49 @@ def write_table(
     merge_schema: bool = False,
     file_format: str | None = None,
     partition_by: list[str] | None = None,
+    generated_columns: dict[str, str] | None = None,
+    identity_columns: dict[str, dict] | None = None,
+    row_tracking: bool = False,
+    user_metadata: str | None = None,
+    domain_metadata: dict[str, str] | None = None,
 ) -> None:
     """Write a DataFrame as a Delta table — native delta-spark when the jar
     is present, else the spec-compliant fallback log writer.  Pass
-    ``file_format="parquet"`` for a plain (log-less) parquet directory."""
+    ``file_format="parquet"`` for a plain (log-less) parquet directory.
+
+    The table-feature kwargs (generated/identity columns, row tracking,
+    userMetadata, caller domain metadata) run on the jar-less path; with
+    the jar present they raise rather than silently dropping — the native
+    writer configures these via DDL/options instead."""
     fmt = file_format or "delta"
+    feature_kwargs = (
+        generated_columns
+        or identity_columns
+        or row_tracking
+        or user_metadata
+        or domain_metadata
+    )
     if fmt == "delta" and not delta_available():
         from .deltalog import write_delta_fallback
 
-        write_delta_fallback(df, path, mode=mode, partition_by=partition_by)
+        write_delta_fallback(
+            df,
+            path,
+            mode=mode,
+            partition_by=partition_by,
+            generated_columns=generated_columns,
+            identity_columns=identity_columns,
+            row_tracking=row_tracking,
+            user_metadata=user_metadata,
+            domain_metadata=domain_metadata,
+        )
         return
+    if feature_kwargs:
+        raise ValueError(
+            "generated_columns/identity_columns/row_tracking/user_metadata/"
+            "domain_metadata are fallback-writer options; with delta-spark "
+            "present configure them via Delta DDL/session options instead"
+        )
     writer = df.write.format(fmt).mode(mode)
     if merge_schema:
         writer = writer.option("mergeSchema", "true")
@@ -65,6 +98,7 @@ def read_table(
     version: int | None = None,
     timestamp_ms: int | None = None,
     where: str | None = None,
+    row_ids: bool = False,
 ) -> DataFrame:
     """Snapshot read with optional TIME TRAVEL: ``version`` pins the read
     AS OF that commit; ``timestamp_ms`` resolves to the last commit at or
@@ -88,7 +122,17 @@ def read_table(
         from .deltalog import read_delta_fallback
 
         return read_delta_fallback(
-            spark, path, version=version, timestamp_ms=timestamp_ms, where=where
+            spark,
+            path,
+            version=version,
+            timestamp_ms=timestamp_ms,
+            where=where,
+            row_ids=row_ids,
+        )
+    if row_ids:
+        raise ValueError(
+            "row_ids=True is a fallback-reader option; with delta-spark "
+            "present read _metadata.row_id via the native reader instead"
         )
     reader = spark.read.format(fmt)
     if version is not None:

@@ -6569,6 +6569,69 @@ ORDER BY q.query_id
 """
 
 
+_T19_VOCAB_SIZE = 500
+
+
+def t19_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage analysis: build the top-V token vocabulary by
+    corpus frequency (ties to the lexicographically smallest token —
+    deterministic) and report each document's out-of-vocabulary token
+    count and ratio — the coverage check every tokenizer/vocab pipeline
+    runs before committing to a vocab size.
+
+    Plan: one explode + hash agg builds the token counts, a TakeOrdered
+    picks the vocab (V rows — broadcast-sized by construction), and the
+    per-doc pass is explode → broadcast left-anti-ish marker join → one
+    keyed agg.  No sort-based windows, no driver collect; the vocab stays
+    on executors via the broadcast."""
+    doc = load_table(spark, sf_dir, "documents")
+    toks = doc.select(
+        "doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("__n"))
+        .orderBy(F.desc("__n"), F.asc("tok"))
+        .limit(_T19_VOCAB_SIZE)
+        .select("tok", F.lit(1).alias("__in_vocab"))
+    )
+    marked = toks.join(F.broadcast(vocab), "tok", "left")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_ratio", F.round(F.col("n_oov") / F.col("n_tokens"), 6)
+        )
+        .orderBy("doc_id")
+    )
+
+
+T19_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_sql_tokens("lower(text)")}) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+    ORDER BY n DESC, tok ASC LIMIT {_T19_VOCAB_SIZE}
+  )
+)
+SELECT t.doc_id,
+       COUNT(*)::BIGINT AS n_tokens,
+       SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+       round(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+             / COUNT(*), 6) AS oov_ratio
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
 def s13_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-item co-occurrence similarity (the collaborative-filtering
     primitive): event types scored by the cosine of their binary
@@ -6746,6 +6809,7 @@ ORDER BY type_a, type_b
 # every round.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- new in round 6: first driver rows ---
+    "t19_vocab_oov": (t19_vocab_oov, T19_SQL),
     "r41_session_paths": (r41_session_paths, R41_SQL),
     "s14_ann_recall": (s14_ann_recall, S14_SQL),
     "g5_bfs_reach": (g5_bfs_reach, G5_SQL),

@@ -169,13 +169,12 @@ def create_agg_mv(
     return {"base_version": base_version, "rows": rows}
 
 
-def _assert_inserts_only(cdf: DataFrame, which: str) -> None:
+def _assert_inserts_only(cdf: DataFrame, which: str, remedy: str) -> None:
     bad = cdf.filter(F.col("_change_type") != "insert").limit(1).collect()
     if bad:
         raise NotImplementedError(
-            f"join-MV maintenance is append-only; {which} change feed "
-            f"carries a {bad[0]['_change_type']!r} — deletes/updates need "
-            "multiplicity-counted IVM (not implemented)"
+            f"{which} maintenance is append-only; its change feed carries "
+            f"a {bad[0]['_change_type']!r} — {remedy}"
         )
 
 
@@ -247,7 +246,11 @@ def refresh_join_mv(spark: SparkSession, mv_path: str) -> dict[str, Any]:
         dl = read_change_feed(
             spark, state["left_path"], starting_version=lv + 1, ending_version=lhead
         )
-        _assert_inserts_only(dl, "left")
+        _assert_inserts_only(
+            dl,
+            "join-MV (left base)",
+            "deletes/updates need multiplicity-counted IVM (not implemented)",
+        )
         dl = dl.drop("_change_type", "_commit_version", "_commit_timestamp")
         r_new = read_delta_fallback(spark, state["right_path"], version=rhead)
         parts.append(dl.join(r_new, on))
@@ -255,7 +258,11 @@ def refresh_join_mv(spark: SparkSession, mv_path: str) -> dict[str, Any]:
         dr = read_change_feed(
             spark, state["right_path"], starting_version=rv + 1, ending_version=rhead
         )
-        _assert_inserts_only(dr, "right")
+        _assert_inserts_only(
+            dr,
+            "join-MV (right base)",
+            "deletes/updates need multiplicity-counted IVM (not implemented)",
+        )
         dr = dr.drop("_change_type", "_commit_version", "_commit_timestamp")
         l_old = read_delta_fallback(spark, state["left_path"], version=lv)
         parts.append(l_old.join(dr, on))
@@ -304,7 +311,12 @@ def refresh_agg_mv(
     if min_cols or max_cols:
         # min/max are monotone under inserts only — a delete could retract
         # the current extremum and the MV has no second-best state
-        _assert_inserts_only(cdf, "base (min/max MV is append-only)")
+        _assert_inserts_only(
+            cdf,
+            "min/max aggregate MV",
+            "retracting an extremum needs full per-group state; drop "
+            "min_cols/max_cols or recreate the MV",
+        )
     sum_aliases = [f"sum_{c}" for c in sum_cols]
     delta = (
         cdf.groupBy(*group_cols)

@@ -61,6 +61,12 @@ def write_table(
         or user_metadata
         or domain_metadata
     )
+    if fmt != "delta" and feature_kwargs:
+        raise ValueError(
+            "generated_columns/identity_columns/row_tracking/user_metadata/"
+            "domain_metadata require a Delta (log-backed) table; a plain "
+            f"{fmt} directory has no transaction log to carry them"
+        )
     if fmt == "delta" and not delta_available():
         from .deltalog import write_delta_fallback
 
@@ -118,6 +124,11 @@ def read_table(
     fmt = file_format or ("delta" if os.path.isdir(os.path.join(path, "_delta_log")) else "parquet")
     if fmt != "delta" and (version is not None or timestamp_ms is not None):
         raise UnsupportedFormatError("time travel requires a Delta table")
+    if fmt != "delta" and row_ids:
+        raise UnsupportedFormatError(
+            "row_ids=True requires a row-tracked Delta table; a plain "
+            f"{fmt} directory carries no baseRowId metadata"
+        )
     if fmt == "delta" and not delta_available():
         from .deltalog import read_delta_fallback
 

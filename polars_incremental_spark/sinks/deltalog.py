@@ -1892,20 +1892,31 @@ def read_change_feed(
         raise ValueError("pass starting_version or starting_timestamp_ms, not both")
     if ending_version is not None and ending_timestamp_ms is not None:
         raise ValueError("pass ending_version or ending_timestamp_ms, not both")
-    if starting_timestamp_ms is not None:
-        starting_version = next(
-            (
-                v
-                for v in log.versions()
-                if log.commit_timestamp_ms(v) >= starting_timestamp_ms
-            ),
-            latest + 1,  # all commits precede the bound -> empty range below
-        )
+    from ..errors import ChangeDataFeedError
+
+    surviving = log.versions()
+    start_from_timestamp = starting_timestamp_ms is not None
+    if start_from_timestamp:
+        earliest = surviving[0] if surviving else latest + 1
+        if earliest > 0 and starting_timestamp_ms <= log.commit_timestamp_ms(
+            earliest
+        ):
+            # commits 0..earliest-1 expired and their (unknowable) stamps
+            # may fall inside the window — resolving to the first SURVIVING
+            # commit would silently drop their changes
+            raise ChangeDataFeedError(
+                f"starting_timestamp_ms {starting_timestamp_ms} reaches into "
+                f"commits expired from the log (earliest surviving: "
+                f"{earliest}); their change data cannot be reconstructed"
+            )
+        resolved = log.version_at_or_after_timestamp(starting_timestamp_ms)
+        # all commits precede the bound -> legal empty window
+        starting_version = latest + 1 if resolved is None else resolved
     if starting_version is None:
         raise ValueError("a starting_version or starting_timestamp_ms is required")
     if ending_timestamp_ms is not None:
         ending_version = None
-        for v in log.versions():
+        for v in surviving:
             if log.commit_timestamp_ms(v) <= ending_timestamp_ms:
                 ending_version = v
             else:
@@ -1916,8 +1927,14 @@ def read_change_feed(
             )
     end = latest if ending_version is None else ending_version
     if starting_version > end:
-        # legal empty window (e.g. starting timestamp after the head)
-        starting_version = end + 1
+        if not start_from_timestamp:
+            # explicit inverted/past-head versions are caller bugs (a
+            # corrupt watermark) — silence here would skip real changes
+            raise ValueError(
+                f"version range [{starting_version}, {end}] out of bounds "
+                f"(table head {latest})"
+            )
+        starting_version = end + 1  # timestamp-derived empty window
     if starting_version < 0 or end > latest:
         raise ValueError(
             f"version range [{starting_version}, {end}] out of bounds "
@@ -3386,6 +3403,12 @@ def compact_log_range(table_path: str, start: int, end: int) -> str:
     with open(tmp, "w") as handle:
         for line in lines:
             handle.write(json.dumps(line, separators=(",", ":")) + "\n")
+        handle.flush()
+        # a rename can become durable before the data blocks do; a torn
+        # JSONL is still syntactically valid and would SILENTLY shrink
+        # every replay that substitutes it — same fsync contract as
+        # _write_commit
+        os.fsync(handle.fileno())
     os.replace(tmp, out)
     return out
 

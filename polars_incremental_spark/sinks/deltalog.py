@@ -396,6 +396,21 @@ ICT_TIMESTAMP_KEY = "delta.inCommitTimestampEnablementTimestamp"
 # high watermark lives in the delta.rowTracking domain metadata
 ROW_TRACKING_ENABLE_KEY = "delta.enableRowTracking"
 ROW_TRACKING_DOMAIN = "delta.rowTracking"
+# spec: rewrites (OPTIMIZE) preserve row ids by MATERIALIZING them into
+# hidden physical columns whose names the table configuration records;
+# readers take coalesce(materialized, baseRowId + row_index)
+ROW_ID_COL_KEY = "delta.rowTracking.materializedRowIdColumnName"
+ROW_CV_COL_KEY = "delta.rowTracking.materializedRowCommitVersionColumnName"
+ROW_ID_COL_DEFAULT = "_materialized_row_id"
+ROW_CV_COL_DEFAULT = "_materialized_row_commit_version"
+
+
+def _materialized_row_cols(meta: dict[str, Any] | None) -> tuple[str, str]:
+    conf = (meta or {}).get("configuration") or {}
+    return (
+        conf.get(ROW_ID_COL_KEY, ROW_ID_COL_DEFAULT),
+        conf.get(ROW_CV_COL_KEY, ROW_CV_COL_DEFAULT),
+    )
 
 # PROTOCOL.md column mapping: logical names live only in the schemaString;
 # parquet files, stats keys, and partitionValues keys use per-field
@@ -669,10 +684,11 @@ def enable_row_tracking(table_path: str) -> int:
     watermark.  Returns the enablement version.
 
     Later appends allocate past the watermark inside
-    ``write_delta_fallback``; copy-on-write DML and OPTIMIZE raise on
-    row-tracked tables (id preservation through rewrites needs
-    materialized row-id columns — not implemented), RESTORE is safe (it
-    re-commits prior add payloads verbatim, ids included).
+    ``write_delta_fallback``; OPTIMIZE preserves ids by MATERIALIZING them
+    into the hidden columns the configuration names (readers coalesce
+    those before ``baseRowId + row_index``); copy-on-write DML raises
+    (row-level rewrites with preservation are not implemented); RESTORE is
+    safe (it re-commits prior add payloads verbatim, ids included).
     """
     log = DeltaLog(table_path)
     latest = log.latest_version()
@@ -684,6 +700,8 @@ def enable_row_tracking(table_path: str) -> int:
         return latest
     version = latest + 1
     conf[ROW_TRACKING_ENABLE_KEY] = "true"
+    conf.setdefault(ROW_ID_COL_KEY, ROW_ID_COL_DEFAULT)
+    conf.setdefault(ROW_CV_COL_KEY, ROW_CV_COL_DEFAULT)
     proto = log.protocol() or {}
     actions: list[dict[str, Any]] = [
         {
@@ -1410,7 +1428,13 @@ def write_delta_fallback(
                     "schemaString": schema_str,
                     "partitionColumns": list(partition_by or []),
                     "configuration": (
-                        {ROW_TRACKING_ENABLE_KEY: "true"} if row_tracking else {}
+                        {
+                            ROW_TRACKING_ENABLE_KEY: "true",
+                            ROW_ID_COL_KEY: ROW_ID_COL_DEFAULT,
+                            ROW_CV_COL_KEY: ROW_CV_COL_DEFAULT,
+                        }
+                        if row_tracking
+                        else {}
                     ),
                     "createdTime": now_ms,
                 }
@@ -2049,13 +2073,22 @@ def analyze_table(table_path: str) -> dict[str, Any]:
     return {"files_analyzed": len(analyzed), "version": version}
 
 
-def _snapshot_reader(spark: SparkSession, log: DeltaLog, meta: dict[str, Any]):
+def _snapshot_reader(
+    spark: SparkSession,
+    log: DeltaLog,
+    meta: dict[str, Any],
+    *,
+    extra_long_cols: tuple[str, ...] = (),
+):
     """(reader, schema, part_cols) for the current snapshot — schema-pinned
     and basePath-aware so partition columns reconstruct.  On column-mapped
     tables the scan schema (and partition dirs) carry PHYSICAL names; the
     returned ``schema``/``part_cols`` stay LOGICAL — ``_load_snapshot_df``
-    renames after the scan, so every caller sees logical columns."""
-    from pyspark.sql.types import StructType
+    renames after the scan, so every caller sees logical columns.
+    ``extra_long_cols`` appends hidden nullable LONG fields to the SCAN
+    schema only (materialized row-id columns: absent from the logical
+    schema, null in files written before materialization)."""
+    from pyspark.sql.types import LongType, StructField, StructType
 
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = meta.get("partitionColumns") or []
@@ -2066,6 +2099,11 @@ def _snapshot_reader(spark: SparkSession, log: DeltaLog, meta: dict[str, Any]):
         for f in parsed.get("fields", []):
             f["name"] = mapping.get(f["name"], f["name"])
         scan_schema = StructType.fromJson(parsed)
+    if extra_long_cols:
+        scan_schema = StructType(
+            list(scan_schema.fields)
+            + [StructField(c, LongType(), True) for c in extra_long_cols]
+        )
     reader = spark.read.schema(scan_schema)
     if part_cols:
         reader = reader.option("basePath", log.table_path)
@@ -2092,10 +2130,15 @@ def _load_snapshot_df(
     by construction, the writer falls back to copy-on-write above the
     threshold).  ``keep_meta_cols`` retains ``__file``/``__ri`` for DML
     hit detection.  ``row_ids`` surfaces row tracking as ``_row_id`` /
-    ``_row_commit_version`` columns (``baseRowId + row_index`` per spec;
-    one broadcast join against the file-list lookup, so the cost is
-    O(files) metadata, not a shuffle).  Returns (df, schema, part_cols)."""
-    reader, schema, part_cols = _snapshot_reader(spark, log, meta)
+    ``_row_commit_version`` columns — per spec the MATERIALIZED hidden
+    columns win when present (OPTIMIZE writes them to preserve ids through
+    rewrites), else ``baseRowId + row_index``; one broadcast join against
+    the file-list lookup, so the cost is O(files) metadata, not a shuffle.
+    Returns (df, schema, part_cols)."""
+    rid_col, rcv_col = _materialized_row_cols(meta)
+    reader, schema, part_cols = _snapshot_reader(
+        spark, log, meta, extra_long_cols=(rid_col, rcv_col) if row_ids else ()
+    )
     df = reader.parquet(*[log.abs_path(a["path"]) for a in adds])
     dv_adds = [a for a in adds if a.get("deletionVector")]
     if keep_meta_cols or dv_adds or row_ids:
@@ -2123,9 +2166,17 @@ def _load_snapshot_df(
         )
         df = (
             df.join(F.broadcast(rid_df), df["__file"] == rid_df["__rf"], "left")
-            .withColumn("_row_id", F.col("__rb") + F.col("__ri"))
-            .withColumn("_row_commit_version", F.col("__rv"))
-            .drop("__rf", "__rb", "__rv")
+            .withColumn(
+                "_row_id",
+                F.coalesce(
+                    F.col(f"`{rid_col}`"), F.col("__rb") + F.col("__ri")
+                ),
+            )
+            .withColumn(
+                "_row_commit_version",
+                F.coalesce(F.col(f"`{rcv_col}`"), F.col("__rv")),
+            )
+            .drop("__rf", "__rb", "__rv", rid_col, rcv_col)
         )
     if dv_adds:
         from .dv import descriptor_positions
@@ -3021,11 +3072,7 @@ def compact_fallback(
         raise FileNotFoundError(f"not a delta table: {table_path}")
     snapshot = log.snapshot_files(latest)
     meta = log.table_metadata() or {}
-    if _row_tracking_enabled(meta):
-        raise NotImplementedError(
-            "OPTIMIZE on a row-tracked table would reassign compacted rows' "
-            "ids; preservation needs materialized row-id columns"
-        )
+    rt_on = _row_tracking_enabled(meta)
     part_cols = meta.get("partitionColumns") or []
     if partition_filter:
         unknown = set(partition_filter) - set(part_cols)
@@ -3049,7 +3096,17 @@ def compact_fallback(
         return
     # read through the DV-applying loader: OPTIMIZE materializes any
     # inline deletion vectors (rewritten files carry no DV)
-    df, _schema, _parts = _load_snapshot_df(spark, log, meta, snapshot)
+    df, _schema, _parts = _load_snapshot_df(
+        spark, log, meta, snapshot, row_ids=rt_on
+    )
+    if rt_on:
+        # spec row-id preservation through rewrites: each row's id travels
+        # INSIDE the rewritten file as the configured materialized hidden
+        # columns (readers coalesce them before baseRowId + row_index)
+        rid_col, rcv_col = _materialized_row_cols(meta)
+        df = df.withColumnRenamed("_row_id", rid_col).withColumnRenamed(
+            "_row_commit_version", rcv_col
+        )
     if z_order_by:
         from ..functions.layout import zorder_by as _zorder
 
@@ -3089,6 +3146,12 @@ def compact_fallback(
                 }
             }
         )
+    if rt_on:
+        # rewritten adds still carry a FRESH baseRowId (spec: every add on
+        # a row-tracked table has one); per-row the materialized columns
+        # override it, so ids are preserved while the watermark advances
+        new_hwm = _stamp_row_ids(table_path, adds, _row_id_hwm(log), latest + 1)
+        actions.append(_row_tracking_domain_action(new_hwm))
     for add in adds:
         actions.append({"add": {**add, "dataChange": False}})
     _write_commit(os.path.join(table_path, LOG_DIR), latest + 1, actions)

@@ -570,8 +570,14 @@ def test_random_row_tracking_lifecycle(spark, tmp_path, seed):
     ever_allocated = set(model)
 
     for step in range(12):
-        op = rng.choice(["append", "dv_delete", "cow", "checkpoint", "clone"])
-        if op == "append":
+        op = rng.choice(
+            ["append", "dv_delete", "cow", "checkpoint", "clone", "optimize"]
+        )
+        if op == "optimize":
+            from polars_incremental_spark.sinks.deltalog import compact_fallback
+
+            compact_fallback(spark, path)  # must preserve every id
+        elif op == "append":
             n = rng.randint(1, 6)
             base = hwm()
             write_delta_fallback(batch(n), path, mode="append")

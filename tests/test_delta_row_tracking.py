@@ -132,10 +132,31 @@ def test_cow_paths_fail_closed(spark, tmp_path):
     src = spark.createDataFrame([(1, "z")], "k long, name string")
     with pytest.raises(NotImplementedError, match="MERGE"):
         merge_into(spark, path, src, keys=["k"])
-    with pytest.raises(NotImplementedError, match="OPTIMIZE"):
-        compact_fallback(spark, path)
     # nothing committed by any refused op
     assert DeltaLog(path).latest_version() == 0
+
+
+def test_optimize_preserves_ids_via_materialization(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta_fallback(_df(spark, 0, 20).repartition(4), path, row_tracking=True)
+    set_table_properties(path, {"delta.enableDeletionVectors": "true"})
+    delete_where(spark, path, "k in (2, 9)")
+    before = _ids(spark, path)
+    compact_fallback(spark, path)  # materializes DVs AND row ids
+    after = _ids(spark, path)
+    assert after == before  # ids preserved through the rewrite
+    # hidden materialized columns never leak into normal reads
+    assert "_materialized_row_id" not in read_delta_fallback(spark, path).columns
+    # appends keep allocating past the (advanced) watermark, no reuse
+    write_delta_fallback(_df(spark, 20, 25), path, mode="append")
+    ids = _ids(spark, path)
+    assert len({r for r, _ in ids.values()}) == len(ids) == 23
+    assert min(r for k, (r, _) in ids.items() if k >= 20) > max(
+        r for r, _ in before.values()
+    )
+    # a SECOND optimize round-trips the already-materialized ids
+    compact_fallback(spark, path)
+    assert _ids(spark, path) == ids
 
 
 def test_checkpoint_and_expiry_carry_row_tracking(spark, tmp_path):

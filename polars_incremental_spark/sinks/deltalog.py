@@ -2305,9 +2305,13 @@ def delete_where(
     if not candidates:
         return empty
     by_uri = {_file_uri(log, a["path"]): a for a in candidates}
+    rt_on = _row_tracking_enabled(meta)
+    # row-tracked tables load WITH row ids so a copy-on-write rewrite can
+    # materialize survivors' ids into the new files (id preservation)
     df, schema, part_cols = _load_snapshot_df(
-        spark, log, meta, candidates, keep_meta_cols=True
+        spark, log, meta, candidates, keep_meta_cols=True, row_ids=rt_on
     )
+    row_cols = ["_row_id", "_row_commit_version"] if rt_on else []
     pred = F.expr(where)
     # ONE job finds both the hit files and the per-file delete counts
     hits = (
@@ -2328,17 +2332,6 @@ def delete_where(
                 dv_uris.append(r["__file"])
                 budget -= r["__n"]
     rw_uris = [r["__file"] for r in hits if r["__file"] not in set(dv_uris)]
-    if rw_uris and _row_tracking_enabled(meta):
-        # a rewrite re-stages surviving rows into fresh files, which would
-        # silently REASSIGN their row ids; preservation through rewrites
-        # needs materialized row-id columns (not implemented) — fail closed
-        # before any commit.  DV deletes are safe: survivors keep their
-        # physical positions, hence their ids.
-        raise NotImplementedError(
-            "copy-on-write DELETE on a row-tracked table would reassign "
-            "surviving rows' ids; raise dv_max_rows_per_file (or enable "
-            "delta.enableDeletionVectors) so hit files take the DV route"
-        )
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = [
         {
@@ -2405,10 +2398,20 @@ def delete_where(
             .filter(~F.coalesce(pred, F.lit(False)))
             .drop("__file", "__ri")
         )
+        if rt_on:
+            # id preservation through the rewrite: survivors' ids ride
+            # inside the new files as the configured materialized columns
+            rid_col, rcv_col = _materialized_row_cols(meta)
+            survivors = survivors.withColumnRenamed(
+                "_row_id", rid_col
+            ).withColumnRenamed("_row_commit_version", rcv_col)
         adds = _stage_data_files(
             survivors, table_path, part_cols or None,
             mapping=_column_mapping(meta),
         )
+        if rt_on:
+            hwm = _stamp_row_ids(table_path, adds, _row_id_hwm(log), latest + 1)
+            actions.append(_row_tracking_domain_action(hwm))
         rw_rel = set()
         for a in candidates:
             if _file_uri(log, a["path"]) in rw_uri_set:
@@ -2428,7 +2431,7 @@ def delete_where(
         deleted = (
             df.filter(F.col("__file").isin(hit_uris))
             .filter(pred)
-            .drop("__file", "__ri")
+            .drop("__file", "__ri", *row_cols)
             .withColumn("_change_type", F.lit("delete"))
         )
         actions.extend(

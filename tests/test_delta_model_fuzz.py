@@ -571,7 +571,15 @@ def test_random_row_tracking_lifecycle(spark, tmp_path, seed):
 
     for step in range(12):
         op = rng.choice(
-            ["append", "dv_delete", "cow", "checkpoint", "clone", "optimize"]
+            [
+                "append",
+                "dv_delete",
+                "cow_delete",
+                "cow",
+                "checkpoint",
+                "clone",
+                "optimize",
+            ]
         )
         if op == "optimize":
             from polars_incremental_spark.sinks.deltalog import compact_fallback
@@ -590,12 +598,19 @@ def test_random_row_tracking_lifecycle(spark, tmp_path, seed):
             assert not (new_ids & ever_allocated), "row id REUSED"
             ever_allocated |= new_ids
             model = got  # old entries asserted below
-        elif op == "dv_delete":
+        elif op in ("dv_delete", "cow_delete"):
             ks = [k for k, _ in model.values()]
             if not ks:
                 continue
             victim = rng.choice(ks)
-            delete_where(spark, path, f"k = {victim}")
+            # cow_delete forces the rewrite route: survivors' ids must
+            # materialize into the fresh files
+            delete_where(
+                spark,
+                path,
+                f"k = {victim}",
+                dv_max_rows_per_file=0 if op == "cow_delete" else None,
+            )
             model = {
                 rid: kv for rid, kv in model.items() if kv[0] != victim
             }

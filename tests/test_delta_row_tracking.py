@@ -121,12 +121,25 @@ def test_dv_delete_preserves_surviving_ids(spark, tmp_path):
         assert after[k] == before[k]  # survivors keep position-derived ids
 
 
+def test_cow_delete_preserves_ids(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta_fallback(_df(spark, 0, 20).repartition(3), path, row_tracking=True)
+    before = _ids(spark, path)
+    # DVs off -> the rewrite route; survivors' ids materialize into the
+    # new files
+    res = delete_where(spark, path, "k in (4, 11)")
+    assert res["files_rewritten"] > 0 and res["files_dv"] == 0
+    after = _ids(spark, path)
+    assert after == {k: v for k, v in before.items() if k not in (4, 11)}
+    # fresh appends never reuse deleted rows' ids
+    write_delta_fallback(_df(spark, 20, 24), path, mode="append")
+    ids = _ids(spark, path)
+    assert len({r for r, _ in ids.values()}) == len(ids) == 22
+
+
 def test_cow_paths_fail_closed(spark, tmp_path):
     path = str(tmp_path / "t")
     write_delta_fallback(_df(spark, 0, 20), path, row_tracking=True)
-    # CoW DELETE (DVs off by default -> rewrite route)
-    with pytest.raises(NotImplementedError, match="DV route"):
-        delete_where(spark, path, "k < 5")
     with pytest.raises(NotImplementedError, match="UPDATE"):
         update_where(spark, path, "k = 1", {"name": "'x'"})
     src = spark.createDataFrame([(1, "z")], "k long, name string")

@@ -2476,11 +2476,6 @@ def update_where(
         raise FileNotFoundError(f"not a delta table: {table_path}")
     log.check_reader_supported(allow_column_mapping=True)
     meta = log.table_metadata() or {}
-    if _row_tracking_enabled(meta):
-        raise NotImplementedError(
-            "UPDATE on a row-tracked table would reassign rewritten rows' "
-            "ids; preservation needs materialized row-id columns"
-        )
     known = {f["name"] for f in json.loads(meta["schemaString"])["fields"]}
     unknown = set(set_exprs) - known
     if unknown:
@@ -2500,8 +2495,9 @@ def update_where(
             "rows_updated": 0,
             "version": None,
         }
+    rt_on = _row_tracking_enabled(meta)
     df, schema, part_cols = _load_snapshot_df(
-        spark, log, meta, candidates, keep_meta_cols=True
+        spark, log, meta, candidates, keep_meta_cols=True, row_ids=rt_on
     )
     df = df.drop("__ri")
     pred = F.expr(where)
@@ -2535,7 +2531,21 @@ def update_where(
         else F.col(f.name)
         for f in schema.fields
     ]
-    rewritten = hit_df.select(*new_cols, matched.alias("__m"), "__file")
+    rt_sel: list = []
+    rt_names: list[str] = []
+    if rt_on:
+        # spec UPDATE semantics: a rewritten row KEEPS its row id; its
+        # materialized row COMMIT VERSION advances only when actually
+        # updated (survivors carried byte-equal keep the old one)
+        rid_col, rcv_col = _materialized_row_cols(meta)
+        rt_sel = [
+            F.col("_row_id").alias(rid_col),
+            F.when(matched, F.lit(latest + 1).cast("long"))
+            .otherwise(F.col("_row_commit_version"))
+            .alias(rcv_col),
+        ]
+        rt_names = [rid_col, rcv_col]
+    rewritten = hit_df.select(*new_cols, *rt_sel, matched.alias("__m"), "__file")
     if gen_exprs:
         # a changed generation SOURCE must flow through: recompute every
         # generated column on updated rows from the POST-update values (a
@@ -2549,6 +2559,7 @@ def update_where(
                 else F.col(f.name)
                 for f in schema.fields
             ],
+            *rt_names,
             "__m",
             "__file",
         )
@@ -2577,6 +2588,9 @@ def update_where(
             }
         }
     ]
+    if rt_on:
+        hwm = _stamp_row_ids(table_path, adds, _row_id_hwm(log), latest + 1)
+        actions.append(_row_tracking_domain_action(hwm))
     for a in candidates:
         if a["path"] in hit_rel:
             actions.append(
@@ -2592,12 +2606,12 @@ def update_where(
     if write_cdf:
         pre = (
             hit_df.filter(pred)
-            .drop("__file")
+            .drop("__file", "_row_id", "_row_commit_version")
             .withColumn("_change_type", F.lit("update_preimage"))
         )
         post = (
             rewritten.filter(F.col("__m"))
-            .drop("__m", "__file")
+            .drop("__m", "__file", *rt_names)
             .withColumn("_change_type", F.lit("update_postimage"))
         )
         cdc_df = pre.unionByName(post)

@@ -575,7 +575,8 @@ def test_random_row_tracking_lifecycle(spark, tmp_path, seed):
                 "append",
                 "dv_delete",
                 "cow_delete",
-                "cow",
+                "cow_update",
+                "refused_merge",
                 "checkpoint",
                 "clone",
                 "optimize",
@@ -614,9 +615,22 @@ def test_random_row_tracking_lifecycle(spark, tmp_path, seed):
             model = {
                 rid: kv for rid, kv in model.items() if kv[0] != victim
             }
-        elif op == "cow":
+        elif op == "cow_update":
+            ks = [k for k, _ in model.values()]
+            if not ks:
+                continue
+            victim = rng.choice(ks)
+            update_where(spark, path, f"k = {victim}", {"v": "v + 1000"})
+            model = {
+                rid: (k, v + 1000 if k == victim else v)
+                for rid, (k, v) in model.items()
+            }
+        elif op == "refused_merge":
+            from polars_incremental_spark.sinks.deltalog import merge_into
+
+            src = spark.createDataFrame([(0, 0)], "k long, v long")
             with pytest.raises(NotImplementedError):
-                update_where(spark, path, "v >= 0", {"v": "v + 1"})
+                merge_into(spark, path, src, keys=["k"])
         elif op == "checkpoint":
             checkpoint_log(path, parts=rng.choice([None, 2, 3]))
             if rng.random() < 0.5:

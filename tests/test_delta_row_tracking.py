@@ -137,15 +137,37 @@ def test_cow_delete_preserves_ids(spark, tmp_path):
     assert len({r for r, _ in ids.values()}) == len(ids) == 22
 
 
-def test_cow_paths_fail_closed(spark, tmp_path):
+def test_update_preserves_ids_and_advances_commit_version(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta_fallback(_df(spark, 0, 20).repartition(3), path, row_tracking=True)
+    before = _ids(spark, path)
+    res = update_where(spark, path, "k in (3, 8)", {"name": "'upd'"}, write_cdf=True)
+    assert res["rows_updated"] == 2
+    v = res["version"]
+    after = _ids(spark, path)
+    assert set(after) == set(before)  # same row-id universe
+    for k, (rid, rcv) in after.items():
+        assert rid == before[k][0], f"row id of k={k} changed"
+        # commit version advances ONLY for the updated rows
+        assert rcv == (v if k in (3, 8) else before[k][1])
+    # CDF carries no internal id columns
+    from polars_incremental_spark.sinks.deltalog import read_change_feed
+
+    cdf = read_change_feed(spark, path, starting_version=v, ending_version=v)
+    assert "_row_id" not in cdf.columns
+    assert sorted(r["_change_type"] for r in cdf.collect()) == [
+        "update_postimage", "update_postimage",
+        "update_preimage", "update_preimage",
+    ]
+
+
+def test_merge_fails_closed_on_row_tracked(spark, tmp_path):
     path = str(tmp_path / "t")
     write_delta_fallback(_df(spark, 0, 20), path, row_tracking=True)
-    with pytest.raises(NotImplementedError, match="UPDATE"):
-        update_where(spark, path, "k = 1", {"name": "'x'"})
     src = spark.createDataFrame([(1, "z")], "k long, name string")
     with pytest.raises(NotImplementedError, match="MERGE"):
         merge_into(spark, path, src, keys=["k"])
-    # nothing committed by any refused op
+    # nothing committed by the refused op
     assert DeltaLog(path).latest_version() == 0
 
 

@@ -686,9 +686,11 @@ def enable_row_tracking(table_path: str) -> int:
     Later appends allocate past the watermark inside
     ``write_delta_fallback``; OPTIMIZE preserves ids by MATERIALIZING them
     into the hidden columns the configuration names (readers coalesce
-    those before ``baseRowId + row_index``); copy-on-write DML raises
-    (row-level rewrites with preservation are not implemented); RESTORE is
-    safe (it re-commits prior add payloads verbatim, ids included).
+    those before ``baseRowId + row_index``), and copy-on-write DELETE and
+    UPDATE preserve the same way (UPDATE also advances the materialized
+    commit version on rows it touched); MERGE preserves rewritten rows'
+    ids and allocates fresh ones for inserted rows; RESTORE is safe (it
+    re-commits prior add payloads verbatim, ids included).
     """
     log = DeltaLog(table_path)
     latest = log.latest_version()
@@ -2748,14 +2750,10 @@ def merge_into(
         raise FileNotFoundError(f"not a delta table: {table_path}")
     log.check_reader_supported(allow_column_mapping=True)
     meta = log.table_metadata() or {}
-    if _row_tracking_enabled(meta):
-        raise NotImplementedError(
-            "MERGE on a row-tracked table would reassign rewritten rows' "
-            "ids; preservation needs materialized row-id columns"
-        )
+    rt_on = _row_tracking_enabled(meta)
     candidates = log.snapshot_files(latest)
     df, schema, part_cols = _load_snapshot_df(
-        spark, log, meta, candidates, keep_meta_cols=True
+        spark, log, meta, candidates, keep_meta_cols=True, row_ids=rt_on
     ) if candidates else (None, None, None)
     if df is None:
         from pyspark.sql.types import StructType
@@ -2801,6 +2799,7 @@ def merge_into(
     cdc_frames = []
     constraints = _check_constraints(meta)
     hit_uris: list = []
+    staged_payloads: list[dict[str, Any]] = []  # rt: stamped before commit
     if df is not None and (when_matched_update or when_matched_delete):
         import re as _re
 
@@ -2861,8 +2860,22 @@ def merge_into(
                         ),
                     ).otherwise(col)
                 new_cols.append(col.alias(f.name))
+            rt_sel: list = []
+            rt_names: list[str] = []
+            if rt_on:
+                # rewritten rows KEEP their ids (materialized); the commit
+                # version advances only on rows the update clause touched
+                rid_col, rcv_col = _materialized_row_cols(meta)
+                rt_sel = [
+                    F.col("_row_id").alias(rid_col),
+                    F.when(update_cond, F.lit(latest + 1).cast("long"))
+                    .otherwise(F.col("_row_commit_version"))
+                    .alias(rcv_col),
+                ]
+                rt_names = [rid_col, rcv_col]
             rewritten_all = j.select(
                 *new_cols,
+                *rt_sel,
                 delete_cond.alias("__del"),
                 update_cond.alias("__upd"),
                 "__file",
@@ -2883,6 +2896,7 @@ def merge_into(
                         else F.col(f.name)
                         for f in schema.fields
                     ],
+                    *rt_names,
                     "__del",
                     "__upd",
                     "__file",
@@ -2903,6 +2917,7 @@ def merge_into(
                 survivors, table_path, part_cols or None,
                 mapping=_column_mapping(meta),
             )
+            staged_payloads.extend(adds)
             hit_uri_set = set(hit_uris)
             for a in candidates:
                 if _file_uri(log, a["path"]) in hit_uri_set:
@@ -2930,7 +2945,7 @@ def merge_into(
                 )
                 cdc_frames.append(
                     rewritten_all.filter(F.col("__upd"))
-                    .drop("__del", "__upd", "__file", "__ri")
+                    .drop("__del", "__upd", "__file", "__ri", *rt_names)
                     .withColumn("_change_type", F.lit("update_postimage"))
                 )
     if when_not_matched_insert:
@@ -2959,19 +2974,26 @@ def merge_into(
         n_ins = aligned.count()
         metrics["rows_inserted"] = n_ins
         if n_ins:
-            actions.extend(
-                {"add": add}
-                for add in _stage_data_files(
-                    aligned, table_path, part_cols or None,
-                    mapping=_column_mapping(meta),
-                )
+            ins_adds = _stage_data_files(
+                aligned, table_path, part_cols or None,
+                mapping=_column_mapping(meta),
             )
+            staged_payloads.extend(ins_adds)
+            actions.extend({"add": add} for add in ins_adds)
             if write_cdf:
                 cdc_frames.append(
                     aligned.withColumn("_change_type", F.lit("insert"))
                 )
     if len(actions) == 1:  # only commitInfo: nothing changed
         return {**metrics, "version": None}
+    if rt_on and staged_payloads:
+        # rewritten rows carry materialized ids (which win on read);
+        # INSERTED rows' files have null materialized columns, so their
+        # ids derive from these fresh baseRowIds + row positions
+        hwm = _stamp_row_ids(
+            table_path, staged_payloads, _row_id_hwm(log), latest + 1
+        )
+        actions.append(_row_tracking_domain_action(hwm))
     if domain_metadata:
         for domain, conf in domain_metadata.items():
             actions.append(

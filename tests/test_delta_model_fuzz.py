@@ -576,7 +576,7 @@ def test_random_row_tracking_lifecycle(spark, tmp_path, seed):
                 "dv_delete",
                 "cow_delete",
                 "cow_update",
-                "refused_merge",
+                "merge_update",
                 "checkpoint",
                 "clone",
                 "optimize",
@@ -625,12 +625,26 @@ def test_random_row_tracking_lifecycle(spark, tmp_path, seed):
                 rid: (k, v + 1000 if k == victim else v)
                 for rid, (k, v) in model.items()
             }
-        elif op == "refused_merge":
+        elif op == "merge_update":
             from polars_incremental_spark.sinks.deltalog import merge_into
 
-            src = spark.createDataFrame([(0, 0)], "k long, v long")
-            with pytest.raises(NotImplementedError):
-                merge_into(spark, path, src, keys=["k"])
+            ks = [k for k, _ in model.values()]
+            if not ks:
+                continue
+            victim = rng.choice(ks)
+            src = spark.createDataFrame([(victim, 7777)], "k long, v long")
+            merge_into(
+                spark,
+                path,
+                src,
+                keys=["k"],
+                when_matched_update={"v": "src.v"},
+                when_not_matched_insert=False,
+            )
+            model = {
+                rid: (k, 7777 if k == victim else v)
+                for rid, (k, v) in model.items()
+            }
         elif op == "checkpoint":
             checkpoint_log(path, parts=rng.choice([None, 2, 3]))
             if rng.random() < 0.5:

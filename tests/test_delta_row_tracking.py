@@ -161,14 +161,36 @@ def test_update_preserves_ids_and_advances_commit_version(spark, tmp_path):
     ]
 
 
-def test_merge_fails_closed_on_row_tracked(spark, tmp_path):
+def test_merge_preserves_updated_ids_and_allocates_for_inserts(spark, tmp_path):
     path = str(tmp_path / "t")
-    write_delta_fallback(_df(spark, 0, 20), path, row_tracking=True)
-    src = spark.createDataFrame([(1, "z")], "k long, name string")
-    with pytest.raises(NotImplementedError, match="MERGE"):
-        merge_into(spark, path, src, keys=["k"])
-    # nothing committed by the refused op
-    assert DeltaLog(path).latest_version() == 0
+    write_delta_fallback(_df(spark, 0, 10).repartition(2), path, row_tracking=True)
+    before = _ids(spark, path)
+    hwm_before = max(r for r, _ in before.values())
+    src = spark.createDataFrame(
+        [(3, "upd"), (7, "DEL"), (50, "new")], "k long, name string"
+    )
+    res = merge_into(
+        spark,
+        path,
+        src,
+        keys=["k"],
+        when_matched_update={"name": "src.name"},
+        when_matched_delete="src.name = 'DEL'",
+        when_not_matched_insert=True,
+    )
+    assert (res["rows_updated"], res["rows_deleted"], res["rows_inserted"]) == (1, 1, 1)
+    v = res["version"]
+    after = _ids(spark, path)
+    assert 7 not in after  # matched delete dropped the row (and its id)
+    for k in after:
+        if k == 50:
+            assert after[k][0] > hwm_before  # fresh id past the watermark
+            assert after[k][1] == v
+        else:
+            assert after[k][0] == before[k][0]  # rewritten rows keep ids
+            # commit version advances only on the UPDATED row
+            assert after[k][1] == (v if k == 3 else before[k][1])
+    assert len({r for r, _ in after.values()}) == len(after)
 
 
 def test_optimize_preserves_ids_via_materialization(spark, tmp_path):

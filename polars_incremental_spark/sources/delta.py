@@ -101,6 +101,21 @@ class DeltaSourceImpl:
                         for c in df.columns
                     ]
                 )
+            # pin the scan to the LOGGED schema even unmapped: files
+            # rewritten on a row-tracked table carry hidden materialized
+            # row-id columns that footer inference would otherwise leak
+            # into the stream (and pinned types stay stable across files)
+            import json as _json
+
+            from pyspark.sql.types import StructType
+
+            from ..checkpoints.delta import DeltaLog
+
+            meta = DeltaLog(self.spec.path).table_metadata()
+            if meta and meta.get("schemaString"):
+                reader = reader.schema(
+                    StructType.fromJson(_json.loads(meta["schemaString"]))
+                )
             return reader.parquet(*batch.files)
         # CDF read: group per (commit_version, injected change_type) so each
         # group gets its commit metadata columns attached once

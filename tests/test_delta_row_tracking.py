@@ -264,3 +264,34 @@ def test_row_ids_compose_with_where_pushdown(spark, tmp_path):
     assert {r["k"] for r in rows} == {7, 8, 9}
     for r in rows:
         assert (r["_row_id"], r["_row_commit_version"]) == full[r["k"]]
+
+
+def test_stream_tail_never_leaks_materialized_columns(spark, tmp_path):
+    """A CoW rewrite on a row-tracked table stores hidden materialized
+    row-id columns INSIDE the rewritten files; a stream tailing the table
+    with ignore_changes must still surface only the logical schema."""
+    from polars_incremental_spark.sources.base import DeltaSource
+    from polars_incremental_spark.sources.delta import DeltaSourceImpl
+
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    write_delta_fallback(_df(spark, 0, 10), path, row_tracking=True)
+    src = DeltaSourceImpl(DeltaSource(path=path, ignore_changes=True), ckpt)
+    # drain the snapshot
+    while True:
+        b = src.plan_batch()
+        if b is None or not b.files:
+            break
+        df = src.read_batch(spark, b)
+        assert set(df.columns) == {"k", "name"}, df.columns
+        src.commit_batch(b)
+    # CoW update rewrites files WITH materialized id columns
+    update_where(spark, path, "k = 2", {"name": "'upd'"})
+    b = src.plan_batch()
+    assert b is not None and b.files
+    df = src.read_batch(spark, b)
+    assert set(df.columns) == {"k", "name"}, df.columns
+    # only the HIT file rewrote (file-selective UPDATE); its rows
+    # re-deliver with the post-update value and no internal columns
+    rows = {(r["k"], r["name"]) for r in df.collect()}
+    assert (2, "upd") in rows

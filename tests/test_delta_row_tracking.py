@@ -3,11 +3,12 @@
 
 Fresh row ids = baseRowId + physical row index; the allocation watermark
 lives in the ``delta.rowTracking`` domain metadata and commits atomically
-with the adds.  Ids are STABLE for the life of a file: appends never touch
-them, DV deletes preserve survivors' positions, and the copy-on-write
-paths (CoW DELETE / UPDATE / MERGE / OPTIMIZE) fail closed because a
-rewrite would silently renumber.  Checkpoint + log expiry must carry both
-the per-add baseRowId fields and the domain watermark.
+with the adds.  Ids are STABLE for the row's lifetime: appends never touch
+them, DV deletes preserve survivors' positions, and every rewrite path
+(CoW DELETE / UPDATE / MERGE / OPTIMIZE) preserves them by materializing
+ids into the spec's hidden columns, which readers coalesce before
+``baseRowId + row_index``.  Checkpoint + log expiry must carry both the
+per-add baseRowId fields and the domain watermark.
 """
 
 import json

@@ -412,6 +412,19 @@ def _materialized_row_cols(meta: dict[str, Any] | None) -> tuple[str, str]:
         conf.get(ROW_CV_COL_KEY, ROW_CV_COL_DEFAULT),
     )
 
+
+def _fresh_row_col_names(existing: set[str]) -> tuple[str, str]:
+    """Materialized column names that cannot collide with the table's own
+    schema (a user column literally named ``_materialized_row_id`` would
+    otherwise duplicate in the row-ids scan schema and brick every read
+    and DML on the table — real Delta uses uuid-suffixed names for the
+    same reason)."""
+    rid, rcv = ROW_ID_COL_DEFAULT, ROW_CV_COL_DEFAULT
+    if rid in existing or rcv in existing:
+        suffix = uuid.uuid4().hex[:8]
+        rid, rcv = f"{rid}_{suffix}", f"{rcv}_{suffix}"
+    return rid, rcv
+
 # PROTOCOL.md column mapping: logical names live only in the schemaString;
 # parquet files, stats keys, and partitionValues keys use per-field
 # physical names so renames/drops are metadata-only commits
@@ -486,6 +499,17 @@ def set_table_properties(table_path: str, props: dict[str, str]) -> None:
         raise ValueError(
             "set column mapping through enable_column_mapping(table_path) — "
             "it also assigns field ids/physical names and bumps the protocol"
+        )
+    if (set(props) & {ROW_ID_COL_KEY, ROW_CV_COL_KEY}) and _row_tracking_enabled(
+        meta
+    ):
+        # files already materialized ids under the CURRENT names; renaming
+        # the config key makes the reader's coalesce miss them and silently
+        # reassign every preserved row id
+        raise ValueError(
+            "the materialized row-id column names are fixed once row "
+            "tracking is enabled — files already carry ids under the "
+            "current names"
         )
     conf = dict(meta.get("configuration") or {})
     conf.update(props)
@@ -702,8 +726,11 @@ def enable_row_tracking(table_path: str) -> int:
         return latest
     version = latest + 1
     conf[ROW_TRACKING_ENABLE_KEY] = "true"
-    conf.setdefault(ROW_ID_COL_KEY, ROW_ID_COL_DEFAULT)
-    conf.setdefault(ROW_CV_COL_KEY, ROW_CV_COL_DEFAULT)
+    rid_name, rcv_name = _fresh_row_col_names(
+        {f["name"] for f in json.loads(meta["schemaString"])["fields"]}
+    )
+    conf.setdefault(ROW_ID_COL_KEY, rid_name)
+    conf.setdefault(ROW_CV_COL_KEY, rcv_name)
     proto = log.protocol() or {}
     actions: list[dict[str, Any]] = [
         {
@@ -1432,8 +1459,12 @@ def write_delta_fallback(
                     "configuration": (
                         {
                             ROW_TRACKING_ENABLE_KEY: "true",
-                            ROW_ID_COL_KEY: ROW_ID_COL_DEFAULT,
-                            ROW_CV_COL_KEY: ROW_CV_COL_DEFAULT,
+                            **dict(
+                                zip(
+                                    (ROW_ID_COL_KEY, ROW_CV_COL_KEY),
+                                    _fresh_row_col_names(set(df.columns)),
+                                )
+                            ),
                         }
                         if row_tracking
                         else {}

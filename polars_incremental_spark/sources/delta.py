@@ -71,29 +71,40 @@ class DeltaSourceImpl:
         if not batch.files:
             return _empty_snapshot_frame(spark, self.spec.path)
         entries = batch.metadata.get("entries")
-        if not self.spec.read_change_feed or not entries:
-            # basePath lets partitioned tables reconstruct partition columns
-            # from their col=value/ dirs (harmless for unpartitioned ones)
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        from ..checkpoints.delta import DeltaLog
+        from ..sinks.deltalog import _column_mapping
+
+        # ONE log replay per batch serves both the mapping and the scan
+        # schema (table_metadata is an O(commits) walk — a long-lived
+        # stream must not pay it twice per micro-batch)
+        meta = DeltaLog(self.spec.path).table_metadata() or {}
+        mapping = _column_mapping(meta)
+
+        def pinned_reader():
+            """Scan pinned to the logged schema (PHYSICAL names on mapped
+            tables) with basePath for partition reconstruction — footer
+            inference would leak hidden materialized row-id columns from
+            rewritten files and wobble types across files."""
             reader = spark.read.option("basePath", self.spec.path)
-            mapping = self._current_mapping()
+            if not meta.get("schemaString"):
+                return reader
+            parsed = _json.loads(meta["schemaString"])
             if mapping:
-                # column-mapped table: pin the scan to the PHYSICAL schema
-                # and rename to the CURRENT logical names (same contract as
-                # delta-spark streaming with schema tracking: a mid-stream
-                # rename surfaces the new name from the next batch on)
-                import json as _json
-
-                from pyspark.sql.types import StructType
-
-                from ..checkpoints.delta import DeltaLog
-
-                meta = DeltaLog(self.spec.path).table_metadata() or {}
-                parsed = _json.loads(meta["schemaString"])
                 for f in parsed.get("fields", []):
                     f["name"] = mapping.get(f["name"], f["name"])
-                df = reader.schema(StructType.fromJson(parsed)).parquet(
-                    *batch.files
-                )
+            return reader.schema(StructType.fromJson(parsed))
+
+        if not self.spec.read_change_feed or not entries:
+            df = pinned_reader().parquet(*batch.files)
+            if mapping:
+                # rename physical -> CURRENT logical names (same contract
+                # as delta-spark streaming with schema tracking: a
+                # mid-stream rename surfaces the new name from the next
+                # batch on)
                 inverse = {p: l for l, p in mapping.items()}
                 return df.select(
                     *[
@@ -101,36 +112,27 @@ class DeltaSourceImpl:
                         for c in df.columns
                     ]
                 )
-            # pin the scan to the LOGGED schema even unmapped: files
-            # rewritten on a row-tracked table carry hidden materialized
-            # row-id columns that footer inference would otherwise leak
-            # into the stream (and pinned types stay stable across files)
-            import json as _json
-
-            from pyspark.sql.types import StructType
-
-            from ..checkpoints.delta import DeltaLog
-
-            meta = DeltaLog(self.spec.path).table_metadata()
-            if meta and meta.get("schemaString"):
-                reader = reader.schema(
-                    StructType.fromJson(_json.loads(meta["schemaString"]))
-                )
-            return reader.parquet(*batch.files)
+            return df
         # CDF read: group per (commit_version, injected change_type) so each
         # group gets its commit metadata columns attached once
         groups: dict[tuple, list[dict]] = {}
         for entry in entries:
             key = (entry["commit_version"], entry["commit_timestamp_ms"], entry["change_type"])
             groups.setdefault(key, []).append(entry)
-        cdf_inverse = {
-            p: l for l, p in (self._current_mapping() or {}).items()
-        }
+        cdf_inverse = {p: l for l, p in (mapping or {}).items()}
         out = None
         for (version, ts_ms, change_type), group in sorted(groups.items(), key=lambda kv: kv[0][:2]):
-            df = spark.read.parquet(
-                *[e.get("abs_path") or self._abs(e["path"]) for e in group]
-            )
+            paths = [e.get("abs_path") or self._abs(e["path"]) for e in group]
+            if change_type is not None:
+                # add-fallback inserts are DATA files: pin + basePath, or
+                # partitioned tables lose their partition columns and
+                # rewritten files leak hidden columns (the batch
+                # read_change_feed twin's rule)
+                df = pinned_reader().parquet(*paths)
+            else:
+                # cdc files materialize EVERY column and carry
+                # _change_type in-file
+                df = spark.read.parquet(*paths)
             if cdf_inverse:
                 # mapped table: cdc/add parquet carries PHYSICAL data
                 # columns; the CDF metadata columns (_change_type, ...)

@@ -296,3 +296,30 @@ def test_stream_tail_never_leaks_materialized_columns(spark, tmp_path):
     # re-deliver with the post-update value and no internal columns
     rows = {(r["k"], r["name"]) for r in df.collect()}
     assert (2, "upd") in rows
+
+
+def test_materialized_names_avoid_schema_collision_and_are_frozen(spark, tmp_path):
+    path = str(tmp_path / "t")
+    # a user column literally named like the default materialized column
+    df = spark.range(5).selectExpr(
+        "id AS k", "CAST(id * 10 AS LONG) AS _materialized_row_id"
+    )
+    write_delta_fallback(df, path, row_tracking=True)
+    conf = (DeltaLog(path).table_metadata() or {}).get("configuration")
+    assert conf["delta.rowTracking.materializedRowIdColumnName"] != "_materialized_row_id"
+    # reads and rewrites work; the USER column passes through untouched
+    got = read_delta_fallback(spark, path, row_ids=True)
+    assert {r["_materialized_row_id"] for r in got.collect()} == {0, 10, 20, 30, 40}
+    before = {r["k"]: r["_row_id"] for r in got.collect()}
+    compact_fallback(spark, path)
+    after = {
+        r["k"]: r["_row_id"]
+        for r in read_delta_fallback(spark, path, row_ids=True).collect()
+    }
+    assert after == before
+    # the names are frozen once enabled: renaming would orphan every
+    # already-materialized id
+    with pytest.raises(ValueError, match="fixed once row tracking"):
+        set_table_properties(
+            path, {"delta.rowTracking.materializedRowIdColumnName": "_other"}
+        )

@@ -366,6 +366,143 @@ AUDIO_FEATURE_SCHEMA = (
     "decode_error string"
 )
 
+VIDEO_CONTAINER_SCHEMA = (
+    "media_id long, width int, height int, us_per_frame long, n_frames long, "
+    "total_frame_bytes long, max_frame_bytes long, duration_ms long, "
+    "decode_error string"
+)
+
+
+def parse_avi(content: bytes):
+    """REAL RIFF/AVI container walker (stdlib struct): top-level
+    ``RIFF <size> AVI ``, nested ``LIST`` chunks — ``hdrl`` carrying the
+    ``avih`` main header (frame timing + dimensions), ``movi`` carrying
+    the per-frame ``##dc``/``##db`` video chunks.  Returns
+    ``(width, height, us_per_frame, frames)`` with ``frames`` as
+    ``[(absolute_offset, size), ...]`` in stream order — the index a
+    frame-sampling pipeline seeks by WITHOUT decoding codec payloads
+    (codec decode is out of scope here, same stub policy as JPEG in
+    ``decode_image``: the container plumbing is real, the codec is not).
+    """
+    import struct
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+    avih = None
+    frames: list[tuple[int, int]] = []
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal avih
+        pos = lo
+        while pos + 8 <= hi:
+            cid = content[pos:pos + 4]
+            size = struct.unpack("<I", content[pos + 4:pos + 8])[0]
+            body_lo = pos + 8
+            body_hi = min(body_lo + size, hi)
+            if cid == b"LIST" and size >= 4:
+                ltype = content[body_lo:body_lo + 4]
+                if ltype in (b"hdrl", b"movi", b"strl"):
+                    walk(body_lo + 4, body_hi)
+            elif cid == b"avih":
+                avih = content[body_lo:body_hi]
+            elif (
+                len(cid) == 4
+                and cid[:2].isdigit()
+                and cid[2:] in (b"dc", b"db")
+            ):
+                frames.append((body_lo, body_hi - body_lo))
+            pos = body_lo + size + (size & 1)  # RIFF pads to even offsets
+
+    walk(12, len(content))
+    if avih is None or len(avih) < 40:
+        raise ValueError("missing/short avih main header")
+    us_per_frame = struct.unpack("<I", avih[0:4])[0]
+    width = struct.unpack("<I", avih[32:36])[0]
+    height = struct.unpack("<I", avih[36:40])[0]
+    return width, height, us_per_frame, frames
+
+
+def avi_container(
+    frames: list[bytes],
+    *,
+    width: int = 4,
+    height: int = 2,
+    us_per_frame: int = 40_000,
+) -> bytes:
+    """Minimal spec-shaped AVI builder (the ``wav_header`` sibling): RIFF
+    AVI with an hdrl LIST (avih) and a movi LIST of ``00dc`` frame chunks
+    — enough container for ``parse_avi``/pipeline tests without codec
+    libs."""
+    import struct
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    avih = struct.pack(
+        "<10I",
+        us_per_frame, 0, 0, 0, len(frames), 0, 1, 0, width, height,
+    ) + b"\x00" * 16
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def video_container_stats(df: DataFrame) -> DataFrame:
+    """Per-item AVI container stats via Arrow-batched mapInPandas — the
+    video sibling of ``decode_audio_features`` (same per-item error
+    isolation).  All stats are INTEGER-exact container metadata (frame
+    count/bytes/timing), no codec decode — exactly what a 100 TB video
+    corpus pays for an indexing pass: one sequential read per file, no
+    decompression."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    rows.append(
+                        (media_id, None, None, None, None, None, None, None,
+                         "null content")
+                    )
+                    continue
+                try:
+                    w, h, uspf, frames = parse_avi(bytes(content))
+                    sizes = [s for _, s in frames]
+                    n = len(frames)
+                    rows.append(
+                        (
+                            media_id,
+                            int(w),
+                            int(h),
+                            int(uspf),
+                            n,
+                            int(sum(sizes)),
+                            int(max(sizes)) if sizes else 0,
+                            n * int(uspf) // 1000,
+                            None,
+                        )
+                    )
+                except Exception as exc:  # noqa: BLE001 — per-item isolation
+                    rows.append(
+                        (media_id, None, None, None, None, None, None, None,
+                         str(exc)[:200])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "us_per_frame", "n_frames",
+                    "total_frame_bytes", "max_frame_bytes", "duration_ms",
+                    "decode_error",
+                ],
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        _batches, VIDEO_CONTAINER_SCHEMA
+    )
+
 
 def decode_audio(content: bytes):
     """REAL RIFF/WAVE parser (stdlib struct + numpy): walks the chunk list

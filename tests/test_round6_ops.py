@@ -878,3 +878,44 @@ def test_activity_streaks_islands_semantics(spark, monkeypatch):
     assert out[2] == {
         "user_id": 2, "n_active_days": 1, "n_streaks": 1, "longest_streak": 1
     }
+
+
+def test_avi_walker_roundtrip_and_stats(spark):
+    from polars_incremental_spark.functions.multimodal import (
+        avi_container,
+        parse_avi,
+        video_container_stats,
+    )
+
+    f1, f2, f3 = b"\x01" * 10, b"\x02" * 7, b"\x03" * 20  # odd size pads
+    avi = avi_container([f1, f2, f3], width=8, height=6, us_per_frame=33_333)
+    w, h, uspf, frames = parse_avi(avi)
+    assert (w, h, uspf) == (8, 6, 33_333)
+    # the index points at the REAL payload bytes (seekable without decode)
+    assert [avi[o : o + s] for o, s in frames] == [f1, f2, f3]
+
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(b"RIFFxxxxJUNK")), (3, None)],
+        "media_id long, content binary",
+    )
+    got = {r["media_id"]: r.asDict() for r in video_container_stats(df).collect()}
+    ok = got[1]
+    assert (ok["width"], ok["height"], ok["n_frames"]) == (8, 6, 3)
+    assert ok["total_frame_bytes"] == 37 and ok["max_frame_bytes"] == 20
+    assert ok["duration_ms"] == 3 * 33_333 // 1000
+    assert ok["decode_error"] is None
+    # per-item isolation: junk and null rows report errors, never a dead stage
+    assert got[2]["decode_error"] and got[2]["n_frames"] is None
+    assert got[3]["decode_error"] == "null content"
+
+
+def test_avi_walker_rejects_truncated_header(spark):
+    from polars_incremental_spark.functions.multimodal import avi_container, parse_avi
+
+    import pytest as _pytest
+
+    avi = avi_container([b"x" * 4])
+    with _pytest.raises(ValueError, match="avih"):
+        parse_avi(avi[:20] + b"\x00" * 4)  # header chunk destroyed
+    with _pytest.raises(ValueError, match="RIFF/AVI"):
+        parse_avi(b"RIFF\x04\x00\x00\x00WAVE")

@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "r41_session_paths",  # top event paths per 17-min session (one window pass)
     "s14_ann_recall",  # recall@5 of LSH ANN vs exact cosine top-k
     "t19_vocab_oov",  # top-V vocab + per-doc OOV ratio (broadcast vocab)
+    "m8_video_index",  # RIFF/AVI walk: frame index + integer container stats
     "r34_attribution",  # last-touch attribution: keyed carry-forward window
     "t18_rake_keywords",  # RAKE phrases: keyed cumsum window + 2 hash aggs
     "r35_cube_revenue",  # CUBE: one EXPAND + hash agg, grouping_id

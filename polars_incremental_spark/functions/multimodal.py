@@ -368,8 +368,8 @@ AUDIO_FEATURE_SCHEMA = (
 
 VIDEO_CONTAINER_SCHEMA = (
     "media_id long, width int, height int, us_per_frame long, n_frames long, "
-    "total_frame_bytes long, max_frame_bytes long, duration_ms long, "
-    "decode_error string"
+    "total_frame_bytes long, max_frame_bytes long, payload_byte_sum long, "
+    "duration_ms long, decode_error string"
 )
 
 
@@ -465,13 +465,21 @@ def video_container_stats(df: DataFrame) -> DataFrame:
                 if content is None:
                     rows.append(
                         (media_id, None, None, None, None, None, None, None,
-                         "null content")
+                         None, "null content")
                     )
                     continue
                 try:
-                    w, h, uspf, frames = parse_avi(bytes(content))
+                    blob = bytes(content)
+                    w, h, uspf, frames = parse_avi(blob)
                     sizes = [s for _, s in frames]
                     n = len(frames)
+                    # integer checksum over the PAYLOAD bytes the index
+                    # points at — a corruption canary, and the piece that
+                    # makes the whole walk hash-replayable from the source
+                    # bytes (the m4 oracle pattern)
+                    byte_sum = sum(
+                        sum(blob[o : o + sz]) for o, sz in frames
+                    )
                     rows.append(
                         (
                             media_id,
@@ -481,6 +489,7 @@ def video_container_stats(df: DataFrame) -> DataFrame:
                             n,
                             int(sum(sizes)),
                             int(max(sizes)) if sizes else 0,
+                            int(byte_sum),
                             n * int(uspf) // 1000,
                             None,
                         )
@@ -488,14 +497,14 @@ def video_container_stats(df: DataFrame) -> DataFrame:
                 except Exception as exc:  # noqa: BLE001 — per-item isolation
                     rows.append(
                         (media_id, None, None, None, None, None, None, None,
-                         str(exc)[:200])
+                         None, str(exc)[:200])
                     )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "media_id", "width", "height", "us_per_frame", "n_frames",
-                    "total_frame_bytes", "max_frame_bytes", "duration_ms",
-                    "decode_error",
+                    "total_frame_bytes", "max_frame_bytes", "payload_byte_sum",
+                    "duration_ms", "decode_error",
                 ],
             )
 

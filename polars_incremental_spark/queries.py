@@ -3510,6 +3510,67 @@ ORDER BY media_id
 """
 
 
+_M8_FRAME_SIZES = (10, 7, 15)  # 32 payload bytes total, odd size pads
+
+
+def m8_video_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL AVI container walker under the hash gate: each document's
+    first 32 printable chars become the payloads of three fixed-size
+    ``00dc`` frames inside a canonical AVI built in-plan (with fixed frame
+    sizes the container bytes around the payloads are one constant
+    template, sliced once at import), ``video_container_stats`` walks the
+    nested RIFF LISTs in mapInPandas, and the oracle replays the integer
+    container stats — frame count/bytes/timing from the template,
+    payload_byte_sum directly from the text bytes (the m4 contract:
+    hash-verified without the oracle parsing an AVI)."""
+    from .functions.multimodal import avi_container, parse_avi
+
+    template = avi_container(
+        [b"\x00" * n for n in _M8_FRAME_SIZES], width=4, height=2,
+        us_per_frame=40_000,
+    )
+    _w, _h, _uspf, frame_index = parse_avi(template)
+    pieces = []
+    cursor, text_pos = 0, 1
+    for off, size in frame_index:
+        pieces.append(F.lit(template[cursor:off]))
+        pieces.append(F.encode(F.substring("text", text_pos, size), "utf-8"))
+        cursor, text_pos = off + size, text_pos + size
+    pieces.append(F.lit(template[cursor:]))
+    doc = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").rlike("^[ -~]{32}")
+    )
+    media = doc.select(
+        F.col("doc_id").alias("media_id"), F.concat(*pieces).alias("content")
+    )
+    return (
+        multimodal.video_container_stats(media)
+        .select(
+            "media_id", "width", "height", "n_frames", "total_frame_bytes",
+            "max_frame_bytes", "payload_byte_sum", "duration_ms",
+        )
+        .orderBy("media_id")
+    )
+
+
+M8_SQL = """
+WITH d AS (
+  SELECT doc_id, substr(text, 1, 32) AS s FROM documents
+  WHERE regexp_matches(substr(text, 1, 32), '^[ -~]{32}$')
+),
+bs AS (
+  SELECT doc_id, SUM(ord(substr(s, g.i, 1)))::BIGINT AS payload_byte_sum
+  FROM d, generate_series(1, 32) g(i) GROUP BY doc_id
+)
+SELECT d.doc_id AS media_id,
+       4 AS width, 2 AS height, 3::BIGINT AS n_frames,
+       32::BIGINT AS total_frame_bytes, 15::BIGINT AS max_frame_bytes,
+       bs.payload_byte_sum, 120::BIGINT AS duration_ms
+FROM d JOIN bs ON bs.doc_id = d.doc_id
+ORDER BY media_id
+"""
+
+
 M4_SQL = """
 WITH d AS (
   SELECT doc_id, substr(text, 1, 32) AS s FROM documents
@@ -6810,6 +6871,7 @@ ORDER BY type_a, type_b
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- new in round 6: first driver rows ---
     "t19_vocab_oov": (t19_vocab_oov, T19_SQL),
+    "m8_video_index": (m8_video_index, M8_SQL),
     "r41_session_paths": (r41_session_paths, R41_SQL),
     "s14_ann_recall": (s14_ann_recall, S14_SQL),
     "g5_bfs_reach": (g5_bfs_reach, G5_SQL),

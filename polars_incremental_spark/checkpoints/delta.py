@@ -390,9 +390,24 @@ class DeltaLog:
                 return int(info["timestamp"])
         return int(os.stat(json_path).st_mtime * 1000)
 
-    def version_at_or_after_timestamp(self, ts_ms: int) -> int | None:
+    def monotonic_commit_timestamps(self) -> dict[int, int]:
+        """{version: adjusted_ts_ms} over surviving versions, where each
+        timestamp is lifted to the running max of its predecessors — the
+        monotonic-adjustment rule real Delta applies when resolving
+        timestamp bounds.  Without it, non-ICT commitInfo stamps from
+        concurrent writers can be locally non-monotone and a later commit
+        with an earlier stamp would silently fall outside a window."""
+        out: dict[int, int] = {}
+        running = None
         for version in self.versions():
-            if self.commit_timestamp_ms(version) >= ts_ms:
+            ts = self.commit_timestamp_ms(version)
+            running = ts if running is None else max(running, ts)
+            out[version] = running
+        return out
+
+    def version_at_or_after_timestamp(self, ts_ms: int) -> int | None:
+        for version, ts in self.monotonic_commit_timestamps().items():
+            if ts >= ts_ms:
                 return version
         return None
 

@@ -38,6 +38,10 @@ from pyspark.sql import functions as F
 
 from .errors import WriterError
 
+# once-per-process flag: the degraded Observation path re-scans every batch
+# and should announce itself exactly once, not spam per batch
+_WARNED_OBS_FALLBACK = False
+
 _ACTIONS = ("warn", "drop", "fail", "quarantine")
 
 
@@ -150,11 +154,29 @@ class BatchExpectations:
         """
         obs = self._observation
         try:
+            # _jo is a private JVM handle: absent under Spark Connect (and
+            # possibly future PySpark), so gate on it explicitly rather
+            # than letting the broad except silently eat an AttributeError
+            # — the degraded path re-scans the batch EVERY time, which
+            # should be observable, not invisible
+            if not hasattr(obs, "_jo"):
+                raise LookupError("Observation._jo unavailable (Spark Connect?)")
             row_opt = obs._jo.getRowOrEmpty()  # noqa: SLF001
             if row_opt.isEmpty():
                 raise LookupError("no action observed")
             return obs.get  # resolved: returns immediately
-        except Exception:
+        except Exception as exc:
+            global _WARNED_OBS_FALLBACK
+            if not _WARNED_OBS_FALLBACK:
+                _WARNED_OBS_FALLBACK = True
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "Observation non-blocking probe unavailable (%s); "
+                    "expectation metrics fall back to a direct "
+                    "re-aggregation — one extra scan per batch",
+                    exc,
+                )
             agg_row = self._observed_df.agg(
                 F.count(F.lit(1)).alias("__rows"),
                 *[
@@ -177,6 +199,28 @@ class BatchExpectations:
         for e in self.expectations:
             out["expectations"][e.name] = {
                 "violations": int(got[f"__viol_{e.name}"] or 0),
+                "action": e.action,
+            }
+        return out
+
+    def precheck_fail_rules(self) -> dict[str, Any]:
+        """Violation counts for the ``fail``-action rules only, via one
+        direct aggregation over the pre-gate frame — the eager pre-write
+        gate for non-idempotent writers (``Pipeline.eager_fail_expectations``).
+        Returns a metrics dict in ``enforce``'s shape."""
+        fail_exps = [e for e in self.expectations if e.action == "fail"]
+        out: dict[str, Any] = {"rows_observed": None, "expectations": {}}
+        if not fail_exps or self._observed_df is None:
+            return out
+        row = self._observed_df.agg(
+            *[
+                F.sum((~_ok(e)).cast("long")).alias(f"__viol_{e.name}")
+                for e in fail_exps
+            ]
+        ).collect()[0]
+        for e in fail_exps:
+            out["expectations"][e.name] = {
+                "violations": int(row[f"__viol_{e.name}"] or 0),
                 "action": e.action,
             }
         return out

@@ -821,6 +821,11 @@ def connected_components(
             )
             new = iter_checkpoint(new, checkpoint_dir)
             try:
+                # gate on the private JVM handle (absent under Spark
+                # Connect) so the fallback path is explicit, not an
+                # accidentally-swallowed AttributeError
+                if not hasattr(obs, "_jo"):
+                    raise LookupError("Observation._jo unavailable")
                 if obs._jo.getRowOrEmpty().isEmpty():  # noqa: SLF001
                     raise LookupError("checkpoint did not resolve observation")
                 changed = int(obs.get["n_chg"] or 0)

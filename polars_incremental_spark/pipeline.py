@@ -290,8 +290,16 @@ class Pipeline:
     # DataFrame.observe (no extra scan), metrics land in the commit
     # metadata under "expectations", and a violated fail-rule aborts the
     # batch BEFORE commit so it replays
+    # NOTE on 'fail' expectations: by default violations are detected from
+    # metrics observed during the WRITER'S action, so the violating batch
+    # has already reached the sink when the failure raises — safe only for
+    # the documented batch-id-keyed idempotent-writer contract (the replay
+    # overwrites the same batch).  A plain-append writer would duplicate
+    # the bad batch on every retry; set eager_fail_expectations=True to pay
+    # one extra scan per batch and raise BEFORE the writer runs.
     expectations: list[Any] | None = None
     quarantine_writer: Callable[..., Any] | None = None
+    eager_fail_expectations: bool = False
 
     # ----------------------------------------------------------------- run
     def run(
@@ -386,6 +394,13 @@ class Pipeline:
             with StageTimer(observer, "expectations", batch.batch_id):
                 batch_exps = BatchExpectations(list(self.expectations))
                 df = batch_exps.apply(df)
+                if self.eager_fail_expectations and any(
+                    e.action == "fail" for e in batch_exps.expectations
+                ):
+                    # one extra scan, but a violated fail-rule raises
+                    # BEFORE the writer publishes anything — required for
+                    # non-idempotent (plain-append) writers
+                    batch_exps.enforce(batch_exps.precheck_fail_rules())
 
         with StageTimer(observer, "write", batch.batch_id):
             try:

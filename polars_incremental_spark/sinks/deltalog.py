@@ -1610,6 +1610,14 @@ def write_delta_fallback(
                 raise
             fresh = log.latest_version()
             fresh_meta = log.table_metadata() or {}
+            if _row_tracking_enabled(fresh_meta):
+                # a concurrent enable_row_tracking() won the race: our
+                # staged adds carry no baseRowId while the spec now
+                # requires one on every add (and we'd skip the
+                # rowIdHighWaterMark advance) — rebasing blindly would
+                # leave the table spec-invalid, so surface the conflict
+                # and let the caller restage with stamping
+                raise
             fresh_parts = fresh_meta.get("partitionColumns") or []
             if list(partition_by or []) != list(fresh_parts):
                 raise
@@ -1972,12 +1980,13 @@ def read_change_feed(
     if starting_version is None:
         raise ValueError("a starting_version or starting_timestamp_ms is required")
     if ending_timestamp_ms is not None:
-        ending_version = None
-        for v in surviving:
-            if log.commit_timestamp_ms(v) <= ending_timestamp_ms:
-                ending_version = v
-            else:
-                break
+        # resolve against MONOTONIC-adjusted stamps (running max): raw
+        # commitInfo timestamps from concurrent non-ICT writers can dip,
+        # and a first-exceeds break would silently drop a later commit
+        # whose true position is inside the window
+        adjusted = log.monotonic_commit_timestamps()
+        inside = [v for v in surviving if adjusted[v] <= ending_timestamp_ms]
+        ending_version = max(inside) if inside else None
         if ending_version is None:
             raise ValueError(
                 f"ending_timestamp_ms {ending_timestamp_ms} precedes every commit"

@@ -155,13 +155,6 @@ class DeltaSourceImpl:
     def commit_batch(self, batch, metadata=None) -> None:
         self.checkpoint.commit_batch(batch, metadata)
 
-    def _current_mapping(self) -> dict | None:
-        """Logical -> physical names when the table runs column mapping."""
-        from ..checkpoints.delta import DeltaLog
-        from ..sinks.deltalog import _column_mapping
-
-        return _column_mapping(DeltaLog(self.spec.path).table_metadata())
-
     def _abs(self, rel_path: str) -> str:
         import os
 

@@ -21,6 +21,7 @@ from polars_incremental_spark import get_spark
 from polars_incremental_spark.mv import (
     create_agg_mv,
     create_join_mv,
+    read_join_mv,
     refresh_agg_mv,
     refresh_join_mv,
 )
@@ -58,7 +59,7 @@ def main() -> None:
     print("refresh:", refresh_agg_mv(spark, sales, mv))
     read_delta_fallback(spark, mv).orderBy("region").show()  # us gone, apac folded into eu
 
-    # ---- join MV: append-only delta-join maintenance ----
+    # ---- join MV: multiplicity-counted delta-join maintenance ----
     orders = os.path.join(work, "orders")
     customers = os.path.join(work, "customers")
     jmv = os.path.join(work, "orders_enriched")
@@ -77,8 +78,10 @@ def main() -> None:
     write_delta_fallback(
         spark.createDataFrame([(2, 25)], "cust long, total long"), orders, mode="append"
     )
+    # deletes/updates fold through the SIGNED delta-join (counting IVM)
+    delete_where(spark, orders, "total = 10", write_cdf=True)
     print("join refresh:", refresh_join_mv(spark, jmv))
-    read_delta_fallback(spark, jmv).orderBy("cust", "total").show()
+    read_join_mv(spark, jmv).orderBy("cust", "total").show()
 
     spark.stop()
     shutil.rmtree(work, ignore_errors=True)

@@ -6,10 +6,19 @@ insert/update_postimage, -1 for delete/update_preimage), the signed deltas
 group-reduce to one small frame, and a three-clause MERGE folds them into
 the MV — update existing groups, insert new ones, delete groups whose
 count reaches zero.  Sum and count are the classically self-maintainable
-aggregates (avg derives as sum/count); min/max are monotone under inserts
-only, so requesting them commits the MV to an append-only feed — a
-delete/update change row fails the refresh closed rather than silently
-keeping a retracted extremum.
+aggregates (avg derives as sum/count).  Min/max are monotone under inserts
+but NOT reversible under deletes (the MV holds no second-best state), so a
+retraction touching a group triggers a BOUNDED re-aggregation: only the
+retracted groups re-read from the base (a group-key semi-join the scan
+prunes on), every insert-only group still folds incrementally.
+
+Join MVs maintain BAG semantics with the textbook counting algorithm:
+the stored view keeps one row per DISTINCT joined tuple plus a hidden
+multiplicity column, refresh computes a SIGNED delta-join (insert +1,
+delete -1, update = retract preimage + assert postimage), group-reduces
+to net multiplicities, and one MERGE folds them — increment matched
+tuples, insert new ones, delete tuples whose multiplicity reaches zero.
+``read_join_mv`` re-expands multiplicities for consumers.
 
 Crash safety: the base-table watermark travels as DOMAIN METADATA inside
 the refresh commit itself — state and data advance in ONE atomic commit,
@@ -49,12 +58,27 @@ from .sinks.deltalog import (
 _MV_DOMAIN = "pis.mv"
 _JOIN_DOMAIN = "pis.joinMv"
 
+# hidden join-MV columns: one row per DISTINCT joined tuple, with its bag
+# multiplicity and a 128-bit tuple digest serving as the (null-proof,
+# single-column, stats-prunable) MERGE key
+MULT_COL = "_mv_mult"
+ROWKEY_COL = "_mv_rowkey"
+
 
 def _sign():
     # built lazily: Columns need an active SparkContext
     return F.when(
         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
     ).when(F.col("_change_type").isin("delete", "update_preimage"), F.lit(-1))
+
+
+def _row_digest(cols: list[str]):
+    """Deterministic 128-bit digest of the full tuple — the join-MV MERGE
+    key.  ``to_json`` over a NAME-SORTED struct is null-proof (a null field
+    is omitted, but field names disambiguate which was null) and
+    type-stable; MERGE key equality is null-unsafe, so keying on raw
+    payload columns would silently never match null-bearing tuples."""
+    return F.md5(F.to_json(F.struct(*[F.col(c) for c in sorted(cols)])))
 
 
 def _mv_state(mv_path: str, domain: str) -> dict[str, Any]:
@@ -100,18 +124,23 @@ def _aggs(
     signed: bool,
     min_cols: list[str] = (),
     max_cols: list[str] = (),
+    retract_flag: bool = False,
 ):
     sign = _sign() if signed else F.lit(1)
     out = [F.sum(sign).cast("long").alias(count_col)]
     for c in sum_cols:
         out.append(F.sum(sign * F.col(c)).alias(f"sum_{c}"))
-    # min/max are monotone under INSERTS (the refresh path enforces an
-    # insert-only feed when they're present), so plain min/max per group
-    # is the correct delta regardless of the sign machinery
+    # min/max deltas only make sense over the INSERT side of the feed: a
+    # delete preimage's value must never enter the fold (retracted groups
+    # are re-aggregated from the base instead — see refresh_agg_mv)
+    ins = sign > 0
     for c in min_cols:
-        out.append(F.min(c).alias(f"min_{c}"))
+        out.append(F.min(F.when(ins, F.col(c))).alias(f"min_{c}"))
     for c in max_cols:
-        out.append(F.max(c).alias(f"max_{c}"))
+        out.append(F.max(F.when(ins, F.col(c))).alias(f"max_{c}"))
+    if retract_flag:
+        # marks groups touched by ANY retraction — these re-aggregate
+        out.append(F.max((sign < 0).cast("int")).alias("_mv_retract"))
     return out
 
 
@@ -129,10 +158,10 @@ def create_agg_mv(
     """Materialize ``SELECT group_cols, count(*), sum(c)..., min(c)...,
     max(c)... GROUP BY`` from the base table's CURRENT snapshot and record
     the snapshot version as the refresh watermark.  ``min_cols``/
-    ``max_cols`` commit the MV to an INSERT-ONLY feed: min/max are
-    monotone under inserts but not reversible under deletes, so a later
-    refresh fails closed on any delete/update change row.  Returns
-    {base_version, rows}."""
+    ``max_cols`` stay correct under deletes/updates too: a retraction is
+    not reversible from the extremum alone, so refresh re-aggregates ONLY
+    the retracted groups from the base (bounded re-read); insert-only
+    groups fold incrementally.  Returns {base_version, rows}."""
     sum_cols = list(sum_cols or [])
     min_cols = list(min_cols or [])
     max_cols = list(max_cols or [])
@@ -169,15 +198,6 @@ def create_agg_mv(
     return {"base_version": base_version, "rows": rows}
 
 
-def _assert_inserts_only(cdf: DataFrame, which: str, remedy: str) -> None:
-    bad = cdf.filter(F.col("_change_type") != "insert").limit(1).collect()
-    if bad:
-        raise NotImplementedError(
-            f"{which} maintenance is append-only; its change feed carries "
-            f"a {bad[0]['_change_type']!r} — {remedy}"
-        )
-
-
 def create_join_mv(
     spark: SparkSession,
     left_path: str,
@@ -186,10 +206,13 @@ def create_join_mv(
     *,
     on: list[str],
 ) -> dict[str, Any]:
-    """Materialize the inner equi-join of two Delta tables and record BOTH
-    snapshot versions as the refresh watermark.  Non-key column names must
-    be disjoint (the MV is one flat schema).  Returns {left_version,
-    right_version, rows}."""
+    """Materialize the inner equi-join of two Delta tables in COUNTED form
+    — one row per distinct joined tuple plus hidden ``_mv_mult`` (bag
+    multiplicity) and ``_mv_rowkey`` (tuple digest, the MERGE key) — and
+    record BOTH snapshot versions as the refresh watermark.  Non-key
+    column names must be disjoint (the MV is one flat schema).  Read the
+    expanded bag back with ``read_join_mv``.  Returns {left_version,
+    right_version, rows} where rows counts the EXPANDED bag."""
     lv = DeltaLog(left_path).latest_version()
     rv = DeltaLog(right_path).latest_version()
     if lv is None or rv is None:
@@ -202,7 +225,14 @@ def create_join_mv(
             f"non-key columns {sorted(clash)} exist on both sides; rename "
             "upstream — the MV schema is flat"
         )
-    mv = left.join(right, on).persist()
+    joined = left.join(right, on)
+    payload = joined.columns
+    mv = (
+        joined.groupBy(*payload)
+        .agg(F.count(F.lit(1)).cast("long").alias(MULT_COL))
+        .withColumn(ROWKEY_COL, _row_digest(payload))
+        .persist()  # feeds both the write and the returned count
+    )
     state = {
         "left_path": left_path,
         "right_path": right_path,
@@ -218,70 +248,126 @@ def create_join_mv(
         user_metadata=blob,
         domain_metadata={_JOIN_DOMAIN: blob},
     )
-    rows = mv.count()
+    rows = mv.agg(F.sum(MULT_COL)).collect()[0][0] or 0
     mv.unpersist()
-    return {"left_version": lv, "right_version": rv, "rows": rows}
+    return {"left_version": lv, "right_version": rv, "rows": int(rows)}
+
+
+def read_join_mv(spark: SparkSession, mv_path: str) -> DataFrame:
+    """The join MV as the bag the defining query produces: multiplicities
+    re-expand (per-row cost is the tuple's duplicate count — bounded by
+    the bases' key skew, the same bound the join itself has)."""
+    df = read_delta_fallback(spark, mv_path)
+    payload = [c for c in df.columns if c not in (MULT_COL, ROWKEY_COL)]
+    return df.select(
+        *payload,
+        F.explode(F.expr(f"array_repeat(1, int({MULT_COL}))")).alias("__x"),
+    ).drop("__x")
 
 
 def refresh_join_mv(spark: SparkSession, mv_path: str) -> dict[str, Any]:
-    """Fold both bases' appends into the join MV with the classic
-    delta-join decomposition — (L₁+ΔL)⋈(R₁+ΔR) = L₁⋈R₁ ∪ ΔL⋈R₂ ∪ L₁⋈ΔR,
-    where ΔL joins the NEW right snapshot (covering ΔL⋈ΔR once) and ΔR
-    joins the OLD left snapshot.  Both delta terms are change-sized on one
-    side, so at 100 TB the refresh scans the deltas plus ONE stats-prunable
-    pass over each base — never base×base.  Appends land in ONE commit
-    carrying the advanced (left_version, right_version) watermark, so a
-    crash anywhere is a clean no-op.  Append-only bases; a delete/update
-    in either feed fails closed (multiplicity-counted IVM not implemented).
-    """
+    """Fold both bases' changes — inserts, deletes, AND updates — into the
+    counted join MV with the classic delta-join decomposition under
+    multiplicity counting: L₂⋈R₂ − L₁⋈R₁ = ΔL⋈R₂ + L₁⋈ΔR, where ΔL/ΔR are
+    SIGNED multisets (+1 insert/postimage, −1 delete/preimage), ΔL joins
+    the NEW right snapshot (covering ΔL⋈ΔR once — join is bilinear over
+    signed multiplicities) and ΔR joins the OLD left snapshot.  The signed
+    products group-reduce to one net multiplicity per distinct tuple and a
+    three-clause MERGE folds them: increment matched tuples, insert new
+    ones, delete tuples whose multiplicity reaches zero.
+
+    Both delta terms are change-sized on one side, so at 100 TB the
+    refresh scans the deltas plus ONE stats-prunable pass over each base —
+    never base×base.  The MERGE commit carries the advanced
+    (left_version, right_version) watermark atomically, so a crash
+    anywhere is a clean no-op.  Returns {refreshed, tuples_touched}."""
     state = _mv_state(mv_path, _JOIN_DOMAIN)
     on = list(state["on"])
     lv, rv = int(state["left_version"]), int(state["right_version"])
     lhead = _head_version(state["left_path"])
     rhead = _head_version(state["right_path"])
     if lhead <= lv and rhead <= rv:
-        return {"refreshed": False, "rows_added": 0}
+        return {"refreshed": False, "tuples_touched": 0}
+
+    def _signed(cdf: DataFrame) -> DataFrame:
+        return cdf.withColumn("_mv_sign", _sign()).drop(
+            "_change_type", "_commit_version", "_commit_timestamp"
+        )
+
     parts = []
     if lhead > lv:
-        dl = read_change_feed(
+        dl = _signed(read_change_feed(
             spark, state["left_path"], starting_version=lv + 1, ending_version=lhead
-        )
-        _assert_inserts_only(
-            dl,
-            "join-MV (left base)",
-            "deletes/updates need multiplicity-counted IVM (not implemented)",
-        )
-        dl = dl.drop("_change_type", "_commit_version", "_commit_timestamp")
+        ))
         r_new = read_delta_fallback(spark, state["right_path"], version=rhead)
         parts.append(dl.join(r_new, on))
     if rhead > rv:
-        dr = read_change_feed(
+        dr = _signed(read_change_feed(
             spark, state["right_path"], starting_version=rv + 1, ending_version=rhead
-        )
-        _assert_inserts_only(
-            dr,
-            "join-MV (right base)",
-            "deletes/updates need multiplicity-counted IVM (not implemented)",
-        )
-        dr = dr.drop("_change_type", "_commit_version", "_commit_timestamp")
+        ))
         l_old = read_delta_fallback(spark, state["left_path"], version=lv)
         parts.append(l_old.join(dr, on))
     delta = parts[0]
     for p in parts[1:]:
         delta = delta.unionByName(p)
-    delta = delta.persist()  # feeds the count and the staged write
+    payload = [c for c in delta.columns if c != "_mv_sign"]
+    net = (
+        delta.groupBy(*payload)  # groupBy is null-SAFE: null payloads group
+        .agg(F.sum("_mv_sign").cast("long").alias(MULT_COL))
+        .filter(F.col(MULT_COL) != 0)  # churn that cancels never touches MV
+        .withColumn(ROWKEY_COL, _row_digest(payload))
+        # persist: feeds the retraction probe, the count, and every pass
+        # merge_into makes over the (change-sized) source
+        .persist()
+    )
     new_state = {**state, "left_version": lhead, "right_version": rhead}
     blob = json.dumps(new_state)
-    rows = delta.count()
-    write_delta_fallback(
-        delta,
+    touched = net.count()
+    if touched == 0:
+        # versions advanced but the join delta is empty: advance the
+        # watermark with a zero-row append (still one atomic commit)
+        net.unpersist()
+        write_delta_fallback(
+            spark.createDataFrame([], read_delta_fallback(spark, mv_path).schema),
+            mv_path,
+            mode="append",
+            user_metadata=blob,
+            domain_metadata={_JOIN_DOMAIN: blob},
+        )
+        return {"refreshed": True, "tuples_touched": 0}
+    if not net.filter(F.col(MULT_COL) < 0).isEmpty():
+        # consistency probe, only when the window retracts: every net
+        # retraction must hit an existing MV tuple — an orphan means the
+        # feed and the MV diverged (e.g. the MV was edited out-of-band)
+        orphans = (
+            net.filter(F.col(MULT_COL) < 0)
+            .select(ROWKEY_COL)
+            .join(
+                read_delta_fallback(spark, mv_path).select(ROWKEY_COL),
+                ROWKEY_COL,
+                "left_anti",
+            )
+        )
+        if not orphans.isEmpty():
+            net.unpersist()
+            raise ValueError(
+                f"join-MV {mv_path} is inconsistent with its bases: the "
+                "change feed retracts tuples the MV does not hold — "
+                "recreate the MV with create_join_mv"
+            )
+    merge_into(
+        spark,
         mv_path,
-        mode="append",
+        net,
+        keys=[ROWKEY_COL],
+        when_matched_delete=f"{MULT_COL} + src.{MULT_COL} <= 0",
+        when_matched_update={MULT_COL: f"{MULT_COL} + src.{MULT_COL}"},
+        when_not_matched_insert=True,
         user_metadata=blob,
         domain_metadata={_JOIN_DOMAIN: blob},
     )
-    delta.unpersist()
-    return {"refreshed": True, "rows_added": rows}
+    net.unpersist()
+    return {"refreshed": True, "tuples_touched": touched}
 
 
 def refresh_agg_mv(
@@ -308,27 +394,23 @@ def refresh_agg_mv(
     cdf = read_change_feed(
         spark, base_path, starting_version=last + 1, ending_version=head
     )
-    if min_cols or max_cols:
-        # min/max are monotone under inserts only — a delete could retract
-        # the current extremum and the MV has no second-best state
-        _assert_inserts_only(
-            cdf,
-            "min/max aggregate MV",
-            "retracting an extremum needs full per-group state; drop "
-            "min_cols/max_cols or recreate the MV",
-        )
+    track_retract = bool(min_cols or max_cols)
     sum_aliases = [f"sum_{c}" for c in sum_cols]
     delta = (
         cdf.groupBy(*group_cols)
-        .agg(*_aggs(group_cols, sum_cols, count_col, True, min_cols, max_cols))
+        .agg(*_aggs(
+            group_cols, sum_cols, count_col, True, min_cols, max_cols,
+            retract_flag=track_retract,
+        ))
         # net-zero groups (equal insert/delete churn) would MERGE-rewrite
-        # their MV files for nothing — drop them before the join.  With
-        # min/max present the feed is insert-only, so every delta group
-        # has cnt > 0 and the filter passes it through untouched.
+        # their MV files for nothing — drop them before the join; groups
+        # touched by a retraction always pass (their min/max must
+        # re-derive even when count and sums net to zero)
         .filter(
             " or ".join(
                 [f"{count_col} != 0"]
                 + [f"coalesce(sum_{c}, 0) != 0" for c in sum_cols]
+                + (["_mv_retract = 1"] if track_retract else [])
             )
         )
     )
@@ -337,6 +419,45 @@ def refresh_agg_mv(
     # uncached, each would re-run the full change-feed scan + shuffle
     delta = delta.persist()
     _check_no_null_keys(delta.select(*group_cols), group_cols, "change feed")
+    if track_retract:
+        # min/max are NOT reversible under deletes (no second-best state in
+        # the MV), so groups touched by any retraction re-aggregate from
+        # the base — a BOUNDED re-read: the scan semi-joins on the (small,
+        # broadcast) retracted key set, so cost tracks the retraction
+        # footprint, never the base size.  Insert-only groups keep the
+        # pure incremental fold.
+        retract_keys = delta.filter("_mv_retract = 1").select(*group_cols)
+        fold = delta.filter(
+            "_mv_retract = 0 or _mv_retract is null"
+        ).drop("_mv_retract").withColumn("_mv_abs", F.lit(False))
+        base_head = read_delta_fallback(spark, base_path, version=head)
+        recomputed = (
+            base_head.join(F.broadcast(retract_keys), group_cols, "left_semi")
+            .groupBy(*group_cols)
+            .agg(*_aggs(group_cols, sum_cols, count_col, False, min_cols, max_cols))
+        )
+        # groups the retraction KILLED are absent from the recompute; the
+        # left join surfaces them as absolute count-0 rows (stat columns
+        # null with their recomputed TYPES) so the MERGE delete clause
+        # fires — but only for groups the MV actually holds (a group born
+        # and fully deleted inside the window never existed in the MV and
+        # must not be inserted as a zero row)
+        mv_mark = (
+            read_delta_fallback(spark, mv_path)
+            .select(*group_cols)
+            .withColumn("_in_mv", F.lit(True))
+        )
+        abs_rows = (
+            retract_keys.join(recomputed, group_cols, "left")
+            .withColumn(count_col, F.coalesce(count_col, F.lit(0).cast("long")))
+            .join(mv_mark, group_cols, "left")
+            .filter((F.col(count_col) > 0) | F.col("_in_mv").isNotNull())
+            .drop("_in_mv")
+            .withColumn("_mv_abs", F.lit(True))
+        )
+        delta_src = abs_rows.unionByName(fold).persist()
+        delta.unpersist()
+        delta = delta_src
     new_state = {**state, "base_version": head}
     blob = json.dumps(new_state)
     touched = delta.count()
@@ -359,22 +480,44 @@ def refresh_agg_mv(
             "to_version": head,
             "groups_touched": 0,
         }
-    update_exprs = {count_col: f"{count_col} + src.{count_col}"}
-    for a in sum_aliases:
-        # sums are null until the first non-null value flows through
-        update_exprs[a] = f"coalesce({a}, 0) + coalesce(src.{a}, 0)"
-    for c in min_cols:
-        # Spark least/greatest skip nulls (null only when all args null),
-        # exactly the all-null-so-far MV semantics
-        update_exprs[f"min_{c}"] = f"least(min_{c}, src.min_{c})"
-    for c in max_cols:
-        update_exprs[f"max_{c}"] = f"greatest(max_{c}, src.max_{c})"
+    if track_retract:
+        # re-aggregated (absolute) groups REPLACE; insert-only groups fold
+        def _fold_or_abs(alias: str, fold_expr: str) -> str:
+            return (
+                f"CASE WHEN src._mv_abs THEN src.{alias} ELSE {fold_expr} END"
+            )
+
+        update_exprs = {
+            count_col: _fold_or_abs(count_col, f"{count_col} + src.{count_col}")
+        }
+        for a in sum_aliases:
+            update_exprs[a] = _fold_or_abs(
+                a, f"coalesce({a}, 0) + coalesce(src.{a}, 0)"
+            )
+        for c in min_cols:
+            update_exprs[f"min_{c}"] = _fold_or_abs(
+                f"min_{c}", f"least(min_{c}, src.min_{c})"
+            )
+        for c in max_cols:
+            update_exprs[f"max_{c}"] = _fold_or_abs(
+                f"max_{c}", f"greatest(max_{c}, src.max_{c})"
+            )
+        delete_cond = (
+            f"(src._mv_abs AND src.{count_col} = 0) OR "
+            f"(NOT src._mv_abs AND {count_col} + src.{count_col} = 0)"
+        )
+    else:
+        update_exprs = {count_col: f"{count_col} + src.{count_col}"}
+        for a in sum_aliases:
+            # sums are null until the first non-null value flows through
+            update_exprs[a] = f"coalesce({a}, 0) + coalesce(src.{a}, 0)"
+        delete_cond = f"{count_col} + src.{count_col} = 0"
     merge_into(
         spark,
         mv_path,
         delta,
         keys=group_cols,
-        when_matched_delete=f"{count_col} + src.{count_col} = 0",
+        when_matched_delete=delete_cond,
         when_matched_update=update_exprs,
         when_not_matched_insert=True,
         user_metadata=blob,

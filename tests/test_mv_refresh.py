@@ -224,7 +224,7 @@ def test_randomized_dml_storm_always_matches_recompute(spark, tmp_path):
     assert _mv_rows(spark, mv) == _recompute(spark, base)
 
 
-def test_minmax_mv_insert_only(spark, tmp_path):
+def test_minmax_mv_folds_inserts_and_retracts_deletes(spark, tmp_path):
     base, mv = str(tmp_path / "b"), str(tmp_path / "m")
     write_delta_fallback(
         spark.createDataFrame(
@@ -256,24 +256,126 @@ def test_minmax_mv_insert_only(spark, tmp_path):
         "b": (2, 29, 9, 1, 20),
         "c": (1, 7, 7, 7, 7),
     }
-    # a delete in the feed fails the min/max MV closed, MV untouched
+    # deleting the current max retracts it via the bounded per-group
+    # re-aggregation: group b re-derives max 9 from the base, the
+    # untouched groups keep their incremental fold
     delete_where(spark, base, "g = 'b' and x = 20", write_cdf=True)
-    with pytest.raises(NotImplementedError, match="append-only"):
-        refresh_agg_mv(spark, base, mv)
-    still = {
-        r["g"]: r["max_x"] for r in read_delta_fallback(spark, mv).collect()
+    refresh_agg_mv(spark, base, mv)
+    after = {
+        r["g"]: (r["cnt"], r["sum_x"], r["min_x"], r["max_x"])
+        for r in read_delta_fallback(spark, mv).collect()
     }
-    assert still["b"] == 20
+    assert after["b"] == (1, 9, 9, 9)
+    assert after["a"] == (3, 8, 1, 5)
+    # killing a whole group deletes its MV row
+    delete_where(spark, base, "g = 'c'", write_cdf=True)
+    refresh_agg_mv(spark, base, mv)
+    assert "c" not in {
+        r["g"] for r in read_delta_fallback(spark, mv).collect()
+    }
+
+
+def test_minmax_mv_update_retracts_extremum(spark, tmp_path):
+    """An update that moves the extremum re-derives min/max for the
+    touched group only; a mixed batch folds insert-only groups."""
+    base, mv = str(tmp_path / "b"), str(tmp_path / "m")
+    write_delta_fallback(_rows(spark, [("a", 1), ("a", 9), ("b", 5)]), base)
+    create_agg_mv(
+        spark, base, mv, group_cols=["g"], sum_cols=["x"],
+        min_cols=["x"], max_cols=["x"],
+    )
+    # one commit window holding an update (retraction in 'a') AND an
+    # append (pure insert into 'b' and new group 'c')
+    update_where(spark, base, "g = 'a' and x = 9", {"x": "2"}, write_cdf=True)
+    write_delta_fallback(_rows(spark, [("b", 7), ("c", 4)]), base, mode="append")
+    refresh_agg_mv(spark, base, mv)
+    got = {
+        r["g"]: (r["cnt"], r["sum_x"], r["min_x"], r["max_x"])
+        for r in read_delta_fallback(spark, mv).collect()
+    }
+    assert got == {
+        "a": (2, 3, 1, 2),   # max 9 retracted, re-derived as 2
+        "b": (2, 12, 5, 7),  # insert-only fold
+        "c": (1, 4, 4, 4),   # group birth
+    }
+
+
+def test_minmax_mv_randomized_dml_storm(spark, tmp_path):
+    """min/max MVs under a full insert/delete/update storm always match
+    a recompute — the retracted-group re-aggregation is exact."""
+    rng = random.Random(20260816)
+    base, mv = str(tmp_path / "b"), str(tmp_path / "m")
+    groups = ["g0", "g1", "g2"]
+    nxt = [0]
+
+    def batch(n):
+        rows = [(rng.choice(groups), (nxt[0] + i * 37) % 101) for i in range(n)]
+        nxt[0] += n
+        return _rows(spark, rows)
+
+    def recompute():
+        return {
+            r["g"]: (r["cnt"], r["sum_x"], r["min_x"], r["max_x"])
+            for r in read_delta_fallback(spark, base)
+            .groupBy("g")
+            .agg(
+                F.count("*").cast("long").alias("cnt"),
+                F.sum("x").alias("sum_x"),
+                F.min("x").alias("min_x"),
+                F.max("x").alias("max_x"),
+            )
+            .collect()
+        }
+
+    def mv_rows():
+        return {
+            r["g"]: (r["cnt"], r["sum_x"], r["min_x"], r["max_x"])
+            for r in read_delta_fallback(spark, mv).collect()
+        }
+
+    write_delta_fallback(batch(15), base)
+    create_agg_mv(
+        spark, base, mv, group_cols=["g"], sum_cols=["x"],
+        min_cols=["x"], max_cols=["x"],
+    )
+    for step in range(8):
+        op = rng.random()
+        if op < 0.4:
+            write_delta_fallback(batch(rng.randint(1, 5)), base, mode="append")
+        elif op < 0.75:
+            g = rng.choice(groups)
+            delete_where(
+                spark, base, f"g = '{g}' and x % 3 = {step % 3}", write_cdf=True
+            )
+        else:
+            g = rng.choice(groups)
+            update_where(
+                spark, base, f"g = '{g}' and x % 5 = 2",
+                {"x": "x + 50"}, write_cdf=True,
+            )
+        if rng.random() < 0.6:
+            refresh_agg_mv(spark, base, mv)
+            assert mv_rows() == recompute(), f"step {step}"
+    refresh_agg_mv(spark, base, mv)
+    assert mv_rows() == recompute()
+
+
+def _none_safe(rows):
+    return sorted(
+        map(tuple, rows), key=lambda t: tuple((v is None, v) for v in t)
+    )
 
 
 def _join_recompute(spark, lp, rp):
     l = read_delta_fallback(spark, lp)
     r = read_delta_fallback(spark, rp)
-    return sorted(map(tuple, l.join(r, "k").collect()))
+    return _none_safe(l.join(r, "k").collect())
 
 
 def _join_mv_rows(spark, mv):
-    return sorted(map(tuple, read_delta_fallback(spark, mv).collect()))
+    from polars_incremental_spark.mv import read_join_mv
+
+    return _none_safe(read_join_mv(spark, mv).collect())
 
 
 def test_join_mv_appends_both_sides(spark, tmp_path):
@@ -305,7 +407,10 @@ def test_join_mv_appends_both_sides(spark, tmp_path):
     # ΔL⋈ΔR counted exactly once: key 4 exists only in the two deltas
     assert sum(1 for t in _join_mv_rows(spark, mv) if t[0] == 4) == 1
     # no-op re-run
-    assert refresh_join_mv(spark, mv) == {"refreshed": False, "rows_added": 0}
+    assert refresh_join_mv(spark, mv) == {
+        "refreshed": False,
+        "tuples_touched": 0,
+    }
 
 
 def test_join_mv_one_sided_appends_and_storm(spark, tmp_path):
@@ -355,22 +460,149 @@ def test_join_mv_one_sided_appends_and_storm(spark, tmp_path):
     assert _join_mv_rows(spark, mv) == _join_recompute(spark, lp, rp)
 
 
-def test_join_mv_delete_fails_closed(spark, tmp_path):
+def test_join_mv_delete_and_update_fold_through(spark, tmp_path):
+    """Counting IVM: deletes retract exactly the affected joined tuples
+    (multiplicities decrement; zero kills the row) and updates fold as
+    retract-preimage + assert-postimage."""
     from polars_incremental_spark.mv import create_join_mv, refresh_join_mv
 
     lp, rp, mv = str(tmp_path / "l"), str(tmp_path / "r"), str(tmp_path / "j")
     write_delta_fallback(
-        spark.createDataFrame([(1, "a"), (2, "b")], "k long, lval string"), lp
+        spark.createDataFrame(
+            [(1, "a"), (1, "a"), (1, "b"), (2, "c")], "k long, lval string"
+        ),
+        lp,
+    )
+    write_delta_fallback(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, rval double"), rp
+    )
+    create_join_mv(spark, lp, rp, mv, on=["k"])
+    assert _join_mv_rows(spark, mv) == _join_recompute(spark, lp, rp)
+    delete_where(spark, lp, "k = 2", write_cdf=True)
+    update_where(spark, rp, "k = 1", {"rval": "11.0"}, write_cdf=True)
+    res = refresh_join_mv(spark, mv)
+    assert res["refreshed"]
+    assert _join_mv_rows(spark, mv) == _join_recompute(spark, lp, rp)
+    # key 2 vanished (left delete), key 1 rval rewrote (right update)
+    got = _join_mv_rows(spark, mv)
+    assert all(t[0] == 1 for t in got)
+    assert {t[2] for t in got} == {11.0}
+    # idempotent no-op re-run
+    assert refresh_join_mv(spark, mv) == {
+        "refreshed": False,
+        "tuples_touched": 0,
+    }
+
+
+def test_join_mv_duplicate_multiplicities_decrement(spark, tmp_path):
+    """A tuple with multiplicity n survives n-1 retractions, then dies."""
+    from polars_incremental_spark.mv import create_join_mv, refresh_join_mv
+
+    lp, rp, mv = str(tmp_path / "l"), str(tmp_path / "r"), str(tmp_path / "j")
+    write_delta_fallback(
+        spark.createDataFrame([(1, "a")] * 3, "k long, lval string"), lp
     )
     write_delta_fallback(
         spark.createDataFrame([(1, 10.0)], "k long, rval double"), rp
     )
     create_join_mv(spark, lp, rp, mv, on=["k"])
-    before = _join_mv_rows(spark, mv)
-    delete_where(spark, lp, "k = 2", write_cdf=True)
-    with pytest.raises(NotImplementedError, match="append-only"):
-        refresh_join_mv(spark, mv)
-    assert _join_mv_rows(spark, mv) == before  # MV untouched
+    assert len(_join_mv_rows(spark, mv)) == 3
+    # the jar-less delete_where removes ALL matching rows; retract one at
+    # a time by rewriting through the base: delete all three then re-add two
+    delete_where(spark, lp, "k = 1", write_cdf=True)
+    write_delta_fallback(
+        spark.createDataFrame([(1, "a")] * 2, "k long, lval string"),
+        lp,
+        mode="append",
+    )
+    refresh_join_mv(spark, mv)
+    assert _join_mv_rows(spark, mv) == _join_recompute(spark, lp, rp)
+    assert len(_join_mv_rows(spark, mv)) == 2  # net -1 on multiplicity 3
+
+
+def test_join_mv_null_payload_tuples_merge_safely(spark, tmp_path):
+    """MERGE keys are null-unsafe; the tuple-digest rowkey keeps
+    null-bearing payloads maintainable."""
+    from polars_incremental_spark.mv import create_join_mv, refresh_join_mv
+
+    lp, rp, mv = str(tmp_path / "l"), str(tmp_path / "r"), str(tmp_path / "j")
+    write_delta_fallback(
+        spark.createDataFrame([(1, None), (1, "x")], "k long, lval string"), lp
+    )
+    write_delta_fallback(
+        spark.createDataFrame([(1, 10.0), (1, None)], "k long, rval double"), rp
+    )
+    create_join_mv(spark, lp, rp, mv, on=["k"])
+    assert _join_mv_rows(spark, mv) == _join_recompute(spark, lp, rp)
+    # retract the null-payload left row: both its joined tuples decrement
+    delete_where(spark, lp, "lval is null", write_cdf=True)
+    refresh_join_mv(spark, mv)
+    assert _join_mv_rows(spark, mv) == _join_recompute(spark, lp, rp)
+
+
+def test_join_mv_randomized_dml_storm(spark, tmp_path):
+    """Counting IVM under a full two-sided insert/delete/update storm
+    always matches the recomputed join (bag semantics)."""
+    import random
+
+    from polars_incremental_spark.mv import create_join_mv, refresh_join_mv
+
+    rng = random.Random(20260817)
+    lp, rp, mv = str(tmp_path / "l"), str(tmp_path / "r"), str(tmp_path / "j")
+    write_delta_fallback(
+        spark.createDataFrame(
+            [(k % 4, f"l{k % 3}") for k in range(8)], "k long, lval string"
+        ),
+        lp,
+    )
+    write_delta_fallback(
+        spark.createDataFrame(
+            [(k % 4, float(k % 2)) for k in range(6)], "k long, rval double"
+        ),
+        rp,
+    )
+    create_join_mv(spark, lp, rp, mv, on=["k"])
+    nxt = [100]
+    for step in range(8):
+        path = lp if rng.random() < 0.5 else rp
+        op = rng.random()
+        if op < 0.45:
+            if path is lp:
+                rows = spark.createDataFrame(
+                    [(rng.randint(0, 4), f"l{rng.randint(0, 3)}")
+                     for _ in range(rng.randint(1, 3))],
+                    "k long, lval string",
+                )
+            else:
+                rows = spark.createDataFrame(
+                    [(rng.randint(0, 4), float(rng.randint(0, 2)))
+                     for _ in range(rng.randint(1, 3))],
+                    "k long, rval double",
+                )
+            write_delta_fallback(rows, path, mode="append")
+        elif op < 0.75:
+            delete_where(
+                spark, path, f"k = {rng.randint(0, 4)}", write_cdf=True
+            )
+        else:
+            if path is lp:
+                update_where(
+                    spark, path, f"k = {rng.randint(0, 3)}",
+                    {"lval": f"'u{nxt[0]}'"}, write_cdf=True,
+                )
+            else:
+                update_where(
+                    spark, path, f"k = {rng.randint(0, 3)}",
+                    {"rval": f"{float(nxt[0])}"}, write_cdf=True,
+                )
+        nxt[0] += 1
+        if rng.random() < 0.6:
+            refresh_join_mv(spark, mv)
+            assert _join_mv_rows(spark, mv) == _join_recompute(
+                spark, lp, rp
+            ), f"step {step}"
+    refresh_join_mv(spark, mv)
+    assert _join_mv_rows(spark, mv) == _join_recompute(spark, lp, rp)
 
 
 def test_join_mv_column_clash_rejected(spark, tmp_path):

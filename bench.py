@@ -154,9 +154,21 @@ def main() -> None:
     # one-time whole-stage-codegen JIT compile, pass 2 measures the
     # steady-state cost a long-running cluster job actually sees
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    # optional subset (comma-separated names) / shard ("i/n") for long
+    # scaling runs that need chunking; default runs the full suite
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    queries = (
+        [q for q in BENCH_QUERIES if q in set(only.split(","))]
+        if only
+        else list(BENCH_QUERIES)
+    )
+    shard = os.environ.get("SPARK_GRAFT_BENCH_SHARD")
+    if shard:
+        i, k = (int(x) for x in shard.split("/"))
+        queries = queries[i::k]
     timings: dict[str, float] = {}
     for _ in range(max(repeats, 1)):
-        for name in BENCH_QUERIES:
+        for name in queries:
             fn, _sql = REGISTRY[name]
             t0 = time.monotonic()
             df = fn(spark, sf_dir)

@@ -72,13 +72,36 @@ def _sign():
     ).when(F.col("_change_type").isin("delete", "update_preimage"), F.lit(-1))
 
 
-def _row_digest(cols: list[str]):
+# column names the MV machinery owns; payloads must not collide with them
+_RESERVED = {MULT_COL, ROWKEY_COL, "_mv_sign", "_mv_retract", "_mv_abs"}
+
+
+def _check_reserved(cols, where: str) -> None:
+    clash = set(cols) & _RESERVED
+    if clash:
+        raise ValueError(
+            f"{where} uses reserved MV column name(s) {sorted(clash)}; "
+            "rename upstream"
+        )
+
+
+def _row_digest(df: DataFrame, cols: list[str]):
     """Deterministic 128-bit digest of the full tuple — the join-MV MERGE
     key.  ``to_json`` over a NAME-SORTED struct is null-proof (a null field
     is omitted, but field names disambiguate which was null) and
     type-stable; MERGE key equality is null-unsafe, so keying on raw
-    payload columns would silently never match null-bearing tuples."""
-    return F.md5(F.to_json(F.struct(*[F.col(c) for c in sorted(cols)])))
+    payload columns would silently never match null-bearing tuples.
+    Timestamps digest as epoch MICROS: ``to_json`` renders them in the
+    SESSION timezone, which would make the same tuple digest differently
+    across sessions."""
+    dtypes = dict(df.dtypes)
+    fields = []
+    for c in sorted(cols):
+        col = F.col(c)
+        if dtypes[c].startswith("timestamp"):
+            col = F.unix_micros(col.cast("timestamp"))
+        fields.append(col.alias(c))
+    return F.md5(F.to_json(F.struct(*fields)))
 
 
 def _mv_state(mv_path: str, domain: str) -> dict[str, Any]:
@@ -172,6 +195,13 @@ def create_agg_mv(
     # "read the head" and "scan" would otherwise leak rows past the
     # watermark and the next refresh would double-count them
     base = read_delta_fallback(spark, base_path, version=base_version)
+    _check_reserved(
+        [count_col, *group_cols]
+        + [f"sum_{c}" for c in sum_cols]
+        + [f"min_{c}" for c in min_cols]
+        + [f"max_{c}" for c in max_cols],
+        "agg-MV column",
+    )
     _check_no_null_keys(base.select(*group_cols), group_cols, "base table")
     mv = base.groupBy(*group_cols).agg(
         *_aggs(group_cols, sum_cols, count_col, False, min_cols, max_cols)
@@ -225,12 +255,13 @@ def create_join_mv(
             f"non-key columns {sorted(clash)} exist on both sides; rename "
             "upstream — the MV schema is flat"
         )
+    _check_reserved(set(left.columns) | set(right.columns), "join-MV base")
     joined = left.join(right, on)
     payload = joined.columns
     mv = (
         joined.groupBy(*payload)
         .agg(F.count(F.lit(1)).cast("long").alias(MULT_COL))
-        .withColumn(ROWKEY_COL, _row_digest(payload))
+        .withColumn(ROWKEY_COL, _row_digest(joined, payload))
         .persist()  # feeds both the write and the returned count
     )
     state = {
@@ -253,11 +284,25 @@ def create_join_mv(
     return {"left_version": lv, "right_version": rv, "rows": int(rows)}
 
 
+def _check_counted_format(spark: SparkSession, mv_path: str) -> DataFrame:
+    """Join MVs created before the counting-IVM format carry the domain
+    metadata but store plain rows; fail those with a recreate message
+    instead of an opaque unresolved-column error mid-merge."""
+    df = read_delta_fallback(spark, mv_path)
+    if MULT_COL not in df.columns or ROWKEY_COL not in df.columns:
+        raise ValueError(
+            f"{mv_path} stores the pre-counting join-MV format (no "
+            f"{MULT_COL}/{ROWKEY_COL} columns); recreate it with "
+            "create_join_mv"
+        )
+    return df
+
+
 def read_join_mv(spark: SparkSession, mv_path: str) -> DataFrame:
     """The join MV as the bag the defining query produces: multiplicities
     re-expand (per-row cost is the tuple's duplicate count — bounded by
     the bases' key skew, the same bound the join itself has)."""
-    df = read_delta_fallback(spark, mv_path)
+    df = _check_counted_format(spark, mv_path)
     payload = [c for c in df.columns if c not in (MULT_COL, ROWKEY_COL)]
     return df.select(
         *payload,
@@ -282,6 +327,7 @@ def refresh_join_mv(spark: SparkSession, mv_path: str) -> dict[str, Any]:
     (left_version, right_version) watermark atomically, so a crash
     anywhere is a clean no-op.  Returns {refreshed, tuples_touched}."""
     state = _mv_state(mv_path, _JOIN_DOMAIN)
+    _check_counted_format(spark, mv_path)
     on = list(state["on"])
     lv, rv = int(state["left_version"]), int(state["right_version"])
     lhead = _head_version(state["left_path"])
@@ -315,7 +361,7 @@ def refresh_join_mv(spark: SparkSession, mv_path: str) -> dict[str, Any]:
         delta.groupBy(*payload)  # groupBy is null-SAFE: null payloads group
         .agg(F.sum("_mv_sign").cast("long").alias(MULT_COL))
         .filter(F.col(MULT_COL) != 0)  # churn that cancels never touches MV
-        .withColumn(ROWKEY_COL, _row_digest(payload))
+        .withColumn(ROWKEY_COL, _row_digest(delta, payload))
         # persist: feeds the retraction probe, the count, and every pass
         # merge_into makes over the (change-sized) source
         .persist()
@@ -337,30 +383,36 @@ def refresh_join_mv(spark: SparkSession, mv_path: str) -> dict[str, Any]:
         return {"refreshed": True, "tuples_touched": 0}
     if not net.filter(F.col(MULT_COL) < 0).isEmpty():
         # consistency probe, only when the window retracts: every net
-        # retraction must hit an existing MV tuple — an orphan means the
-        # feed and the MV diverged (e.g. the MV was edited out-of-band)
-        orphans = (
+        # retraction must hit an existing MV tuple WITH enough
+        # multiplicity to absorb it — an orphan or an over-retraction
+        # means the feed and the MV diverged (e.g. edited out-of-band);
+        # the merge's exact-zero delete clause would otherwise clamp the
+        # partial-divergence case silently
+        held = read_delta_fallback(spark, mv_path).select(
+            ROWKEY_COL, F.col(MULT_COL).alias("__held")
+        )
+        bad = (
             net.filter(F.col(MULT_COL) < 0)
-            .select(ROWKEY_COL)
-            .join(
-                read_delta_fallback(spark, mv_path).select(ROWKEY_COL),
-                ROWKEY_COL,
-                "left_anti",
+            .join(held, ROWKEY_COL, "left")
+            .filter(
+                F.col("__held").isNull()
+                | (F.col("__held") + F.col(MULT_COL) < 0)
             )
         )
-        if not orphans.isEmpty():
+        if not bad.isEmpty():
             net.unpersist()
             raise ValueError(
                 f"join-MV {mv_path} is inconsistent with its bases: the "
-                "change feed retracts tuples the MV does not hold — "
-                "recreate the MV with create_join_mv"
+                "change feed retracts tuples the MV does not hold (or "
+                "holds with too small a multiplicity) — recreate the MV "
+                "with create_join_mv"
             )
     merge_into(
         spark,
         mv_path,
         net,
         keys=[ROWKEY_COL],
-        when_matched_delete=f"{MULT_COL} + src.{MULT_COL} <= 0",
+        when_matched_delete=f"{MULT_COL} + src.{MULT_COL} = 0",
         when_matched_update={MULT_COL: f"{MULT_COL} + src.{MULT_COL}"},
         when_not_matched_insert=True,
         user_metadata=blob,
@@ -432,7 +484,10 @@ def refresh_agg_mv(
         ).drop("_mv_retract").withColumn("_mv_abs", F.lit(False))
         base_head = read_delta_fallback(spark, base_path, version=head)
         recomputed = (
-            base_head.join(F.broadcast(retract_keys), group_cols, "left_semi")
+            # no broadcast HINT: the retracted key set is usually tiny
+            # (AQE broadcasts it), but a mass purge can retract millions
+            # of groups — forcing broadcast would break exactly then
+            base_head.join(retract_keys, group_cols, "left_semi")
             .groupBy(*group_cols)
             .agg(*_aggs(group_cols, sum_cols, count_col, False, min_cols, max_cols))
         )
@@ -456,11 +511,17 @@ def refresh_agg_mv(
             .withColumn("_mv_abs", F.lit(True))
         )
         delta_src = abs_rows.unionByName(fold).persist()
-        delta.unpersist()
+        raw_delta = delta  # keep cached: retract_keys/fold re-read it
         delta = delta_src
+    else:
+        raw_delta = None
     new_state = {**state, "base_version": head}
     blob = json.dumps(new_state)
     touched = delta.count()
+    if raw_delta is not None:
+        # safe to drop only now: the union above is materialized, so the
+        # CDF scan + shuffle behind retract_keys/fold never re-runs
+        raw_delta.unpersist()
     if touched == 0:
         # nothing to fold; advance the watermark with a zero-row append so
         # the walked range never re-reads (still one atomic commit)

@@ -7061,10 +7061,9 @@ _GRADE_FIRST = [
     "s1_cosine_topk", "s2_lsh_ann_topk", "s3_cosine_near_dup",
     "s6_quantized_topk",
 ]
-REGISTRY = {
-    **{k: REGISTRY[k] for k in _GRADE_FIRST},
-    **{k: v for k, v in REGISTRY.items() if k not in set(_GRADE_FIRST)},
-}
+# dict merge keeps the FIRST insertion position for duplicate keys, so
+# this is exactly "graded-first entries, then everything else in place"
+REGISTRY = {**{k: REGISTRY[k] for k in _GRADE_FIRST}, **REGISTRY}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -201,3 +201,52 @@ def test_ivfpq_append_exactly_once(spark, emb, tmp_path):
     )
     got = ai.ivfpq_index_search(spark, idx, queries, k=400, n_probe=4)
     assert got.filter(F.col("vec_id") >= 400).count() > 0
+
+
+def test_pipeline_maintains_index_across_crash_replay(spark, emb, tmp_path):
+    """The Pipeline-driven shape (examples/incremental_ann.py): the writer
+    folds each planned batch into the index; a crash AFTER the index
+    append but BEFORE the checkpoint commit replays the same batch id on
+    the next run, and the frozen-model append refuses the duplicate —
+    every vector indexed exactly once."""
+
+    from polars_incremental_spark import FilesSource, Pipeline
+
+    landing = str(tmp_path / "landing")
+    idx = str(tmp_path / "ivf")
+    base = emb.filter(F.col("vec_id") % 3 == 0)
+    ai.build_ivf_index(spark, base, idx, n_cells=4, refine_iters=1)
+    emb.filter(F.col("vec_id") % 3 == 1).write.parquet(f"{landing}/b1")
+
+    crash = {"armed": False}
+
+    def writer(df, batch_id):
+        folded = ai.append_to_ivf_index(spark, df, idx, batch_id=batch_id)
+        if crash["armed"]:
+            crash["armed"] = False
+            raise RuntimeError("simulated crash post-append")
+        return {"folded": bool(folded)}
+
+    pipe = Pipeline(
+        source=FilesSource(path=landing),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        writer=writer,
+    )
+    assert pipe.run(spark).batches == 1
+
+    emb.filter(F.col("vec_id") % 3 == 2).write.parquet(f"{landing}/b2")
+    crash["armed"] = True
+    from polars_incremental_spark.errors import WriterError
+
+    with pytest.raises(WriterError, match="simulated crash"):
+        pipe.run(spark)
+    res = pipe.run(spark)  # replays the SAME batch; append no-ops
+    assert res.batches == 1
+    n_idx = spark.read.parquet(os.path.join(idx, "assignments")).count()
+    assert n_idx == emb.count(), "crash replay duplicated or lost a batch"
+    # the replayed batch's vectors are served
+    q = emb.filter(F.col("vec_id") % 3 == 2).limit(1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ai.ivf_index_search(spark, idx, q, k=5, n_probe=4)
+    assert got.count() > 0

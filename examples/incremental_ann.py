@@ -41,7 +41,11 @@ def main() -> None:
     try:
         # ---- nightly build seeds the index from the historical corpus
         base = emb.filter(F.col("vec_id") % 3 == 0)
-        meta = ai.build_ivf_index(spark, base, idx, n_cells=8, refine_iters=1)
+        # batch_id=-1: the seed build occupies its OWN id so the
+        # pipeline's batch 0 is not mistaken for an already-folded replay
+        meta = ai.build_ivf_index(
+            spark, base, idx, n_cells=8, refine_iters=1, batch_id=-1
+        )
         print(f"built index: {meta['n_cells']} cells over base corpus")
 
         # ---- new embedding batches land as files

@@ -215,7 +215,8 @@ def test_pipeline_maintains_index_across_crash_replay(spark, emb, tmp_path):
     landing = str(tmp_path / "landing")
     idx = str(tmp_path / "ivf")
     base = emb.filter(F.col("vec_id") % 3 == 0)
-    ai.build_ivf_index(spark, base, idx, n_cells=4, refine_iters=1)
+    # seed build takes its own id; pipeline batches start at 0
+    ai.build_ivf_index(spark, base, idx, n_cells=4, refine_iters=1, batch_id=-1)
     emb.filter(F.col("vec_id") % 3 == 1).write.parquet(f"{landing}/b1")
 
     crash = {"armed": False}

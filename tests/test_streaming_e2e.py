@@ -347,3 +347,80 @@ def test_streaming_curation_stage_equals_batch(spark, tmp_path):
     got = sorted((r.asDict() for r in streamed.collect()), key=key)
     want = sorted((r.asDict() for r in expected.collect()), key=key)
     assert got == want and len(got) > 0
+
+
+def test_streaming_foreachbatch_maintains_agg_mv(spark, tmp_path):
+    """The examples/streaming_mv.py shape as a deterministic availableNow
+    run: each micro-batch appends to the Delta base AND refreshes the
+    aggregate MV from its change feed inside foreachBatch — the MV ends
+    exactly where a batch recompute would, and a second availableNow run
+    (stream checkpoint replay surface) folds nothing twice."""
+    from pyspark.sql import functions as F
+
+    from polars_incremental_spark.mv import create_agg_mv, refresh_agg_mv
+    from polars_incremental_spark.sinks.deltalog import (
+        read_delta_fallback,
+        write_delta_fallback,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    base, mv = str(tmp_path / "base"), str(tmp_path / "mv")
+    write_delta_fallback(
+        spark.createDataFrame(
+            [("eu", 100), ("us", 200)], "region string, amount long"
+        ),
+        base,
+    )
+    create_agg_mv(spark, base, mv, group_cols=["region"], sum_cols=["amount"])
+
+    # two parquet FILES at the landing top level (file streams don't
+    # recurse into subdirectories)
+    for i, rows in enumerate(
+        [[("eu", 25), ("apac", 70)], [("us", 5), ("apac", 30)]]
+    ):
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(
+            rows, "region string, amount long"
+        ).coalesce(1).write.parquet(str(stage))
+        part = next(p for p in stage.iterdir() if p.name.endswith(".parquet"))
+        part.rename(landing / f"batch{i}.parquet")
+
+    def fold(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        write_delta_fallback(batch_df, base, mode="append")
+        refresh_agg_mv(spark, base, mv)
+
+    def run_once():
+        q = (
+            spark.readStream.schema("region string, amount long")
+            .option("maxFilesPerTrigger", 1)  # force >=2 micro-batches
+            .parquet(str(landing))
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    expected = {
+        r["region"]: r["sum_amount"]
+        for r in read_delta_fallback(spark, base)
+        .groupBy("region")
+        .agg(F.sum("amount").alias("sum_amount"))
+        .collect()
+    }
+    got = {
+        r["region"]: r["sum_amount"]
+        for r in read_delta_fallback(spark, mv).collect()
+    }
+    assert got == expected == {"eu": 125, "us": 205, "apac": 100}
+    # second run: stream checkpoint says nothing new — MV untouched
+    run_once()
+    got2 = {
+        r["region"]: r["sum_amount"]
+        for r in read_delta_fallback(spark, mv).collect()
+    }
+    assert got2 == expected

@@ -157,11 +157,19 @@ def main() -> None:
     # optional subset (comma-separated names) / shard ("i/n") for long
     # scaling runs that need chunking; default runs the full suite
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
-    queries = (
-        [q for q in BENCH_QUERIES if q in set(only.split(","))]
-        if only
-        else list(BENCH_QUERIES)
-    )
+    if only:
+        wanted = set(only.split(","))
+        unknown = wanted - set(BENCH_QUERIES)
+        if unknown:
+            # a typo'd subset would otherwise run ZERO queries and emit a
+            # clean-looking empty result
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_ONLY names not in the bench set: "
+                f"{sorted(unknown)}"
+            )
+        queries = [q for q in BENCH_QUERIES if q in wanted]
+    else:
+        queries = list(BENCH_QUERIES)
     shard = os.environ.get("SPARK_GRAFT_BENCH_SHARD")
     if shard:
         i, k = (int(x) for x in shard.split("/"))

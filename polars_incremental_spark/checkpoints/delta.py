@@ -406,8 +406,14 @@ class DeltaLog:
         return out
 
     def version_at_or_after_timestamp(self, ts_ms: int) -> int | None:
-        for version, ts in self.monotonic_commit_timestamps().items():
-            if ts >= ts_ms:
+        # running-max (monotonic-adjusted) scan with an EARLY RETURN: the
+        # adjustment only needs predecessors up to the match, so resolving
+        # a start near the head of a long log stays O(match), not O(log)
+        running = None
+        for version in self.versions():
+            ts = self.commit_timestamp_ms(version)
+            running = ts if running is None else max(running, ts)
+            if running >= ts_ms:
                 return version
         return None
 

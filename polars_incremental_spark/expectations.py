@@ -86,6 +86,15 @@ def expect_or_quarantine(name: str, constraint: str) -> Expectation:
     return Expectation(name, constraint, "quarantine")
 
 
+def _violation_aggs(exps):
+    # the ONE definition of "violation count" — used by the observe
+    # metrics, the no-action fallback, and the eager pre-write gate, so
+    # the three paths can never diverge
+    return [
+        F.sum((~_ok(e)).cast("long")).alias(f"__viol_{e.name}") for e in exps
+    ]
+
+
 def _ok(e: Expectation):
     # NULL-safe pass flag: NULL constraint result counts as PASS
     return F.coalesce(F.expr(e.constraint), F.lit(True))
@@ -123,11 +132,7 @@ class BatchExpectations:
                 c = ~_ok(e)
                 viol = c if viol is None else (viol | c)
             self._quarantined = df.filter(viol)
-        metrics = [F.count(F.lit(1)).alias("__rows")]
-        for e in exps:
-            metrics.append(
-                F.sum((~_ok(e)).cast("long")).alias(f"__viol_{e.name}")
-            )
+        metrics = [F.count(F.lit(1)).alias("__rows"), *_violation_aggs(exps)]
         self._observation = Observation()
         observed = df.observe(self._observation, *metrics)
         # retained for the no-action fallback in metrics(); holds the PRE-gate
@@ -179,10 +184,7 @@ class BatchExpectations:
                 )
             agg_row = self._observed_df.agg(
                 F.count(F.lit(1)).alias("__rows"),
-                *[
-                    F.sum((~_ok(e)).cast("long")).alias(f"__viol_{e.name}")
-                    for e in self.expectations
-                ],
+                *_violation_aggs(self.expectations),
             ).collect()[0]
             return agg_row.asDict()
 
@@ -212,12 +214,7 @@ class BatchExpectations:
         out: dict[str, Any] = {"rows_observed": None, "expectations": {}}
         if not fail_exps or self._observed_df is None:
             return out
-        row = self._observed_df.agg(
-            *[
-                F.sum((~_ok(e)).cast("long")).alias(f"__viol_{e.name}")
-                for e in fail_exps
-            ]
-        ).collect()[0]
+        row = self._observed_df.agg(*_violation_aggs(fail_exps)).collect()[0]
         for e in fail_exps:
             out["expectations"][e.name] = {
                 "violations": int(row[f"__viol_{e.name}"] or 0),

@@ -98,8 +98,13 @@ def _row_digest(df: DataFrame, cols: list[str]):
     fields = []
     for c in sorted(cols):
         col = F.col(c)
-        if dtypes[c].startswith("timestamp"):
-            col = F.unix_micros(col.cast("timestamp"))
+        if dtypes[c].startswith("timestamp") and not dtypes[c].startswith(
+            "timestamp_ntz"
+        ):
+            # tz-aware only: NTZ wall-clock strings are already session-
+            # stable, and cast-to-timestamp would REINTRODUCE the session
+            # timezone into them
+            col = F.unix_micros(col)
         fields.append(col.alias(c))
     return F.md5(F.to_json(F.struct(*fields)))
 

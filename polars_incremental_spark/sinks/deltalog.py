@@ -1983,9 +1983,15 @@ def read_change_feed(
         # resolve against MONOTONIC-adjusted stamps (running max): raw
         # commitInfo timestamps from concurrent non-ICT writers can dip,
         # and a first-exceeds break would silently drop a later commit
-        # whose true position is inside the window
-        adjusted = log.monotonic_commit_timestamps()
-        inside = [v for v in surviving if adjusted[v] <= ending_timestamp_ms]
+        # whose true position is inside the window.  Adjusted over the
+        # SAME `surviving` snapshot (not a re-listing) so a commit
+        # expiring mid-call cannot desynchronize the two.
+        inside, running = [], None
+        for v in surviving:
+            ts = log.commit_timestamp_ms(v)
+            running = ts if running is None else max(running, ts)
+            if running <= ending_timestamp_ms:
+                inside.append(v)
         ending_version = max(inside) if inside else None
         if ending_version is None:
             raise ValueError(

@@ -203,7 +203,7 @@ def gen(sf: float, out_dir: str, seed: int = 4242) -> None:
         ref = pq.read_schema(os.path.join(REF, f"{name}.parquet"))
         got = pq.read_schema(os.path.join(out_dir, f"{name}.parquet"))
         for f in ref:
-            g = got.field(f.name)
+            g = got.field(f.name) if f.name in got.names else None
             assert g is not None and g.type == f.type, (
                 f"{name}.{f.name}: {g.type if g else None} != {f.type}"
             )

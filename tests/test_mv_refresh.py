@@ -636,3 +636,40 @@ def test_read_change_feed_direct(spark, tmp_path):
         spark, base, starting_version=1, ending_version=1
     ).collect()
     assert [r["g"] for r in only_v1] == ["c"]
+
+
+def test_join_mv_timestamp_payload_survives_session_tz_change(spark, tmp_path):
+    """Tuple digests must not depend on spark.sql.session.timeZone:
+    to_json renders tz-aware timestamps in the session zone, so without
+    epoch-micros canonicalization a refresh under a different zone would
+    mismatch every stored rowkey (duplicate inserts, spurious
+    inconsistency errors).  NTZ columns stay as wall-clock strings —
+    session-stable by definition."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from polars_incremental_spark.mv import create_join_mv, refresh_join_mv
+
+    lp, rp, mv = str(tmp_path / "l"), str(tmp_path / "r"), str(tmp_path / "j")
+    write_delta_fallback(
+        spark.sql(
+            "SELECT * FROM VALUES "
+            "(1, timestamp'2024-03-01 10:00:00', timestamp_ntz'2024-03-01 10:00:00'),"
+            "(2, timestamp'2024-06-01 12:30:00', timestamp_ntz'2024-06-01 12:30:00')"
+            " AS t(k, ts, ts_ntz)"
+        ),
+        lp,
+    )
+    write_delta_fallback(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, tag string"), rp
+    )
+    create_join_mv(spark, lp, rp, mv, on=["k"])
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        # retraction under the NEW zone must hit the stored rowkeys
+        delete_where(spark, lp, "k = 2", write_cdf=True)
+        refresh_join_mv(spark, mv)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    assert _join_mv_rows(spark, mv) == _join_recompute(spark, lp, rp)
+    assert [t[0] for t in _join_mv_rows(spark, mv)] == [1]

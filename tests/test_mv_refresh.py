@@ -673,3 +673,59 @@ def test_join_mv_timestamp_payload_survives_session_tz_change(spark, tmp_path):
         spark.conf.set("spark.sql.session.timeZone", old_tz)
     assert _join_mv_rows(spark, mv) == _join_recompute(spark, lp, rp)
     assert [t[0] for t in _join_mv_rows(spark, mv)] == [1]
+
+
+def test_minmax_mv_group_born_and_died_within_window(spark, tmp_path):
+    """A group inserted AND fully deleted inside one refresh window is a
+    retracted group absent from both the MV and the base recompute — it
+    must neither insert a zero row nor disturb the others."""
+    base, mv = str(tmp_path / "b"), str(tmp_path / "m")
+    write_delta_fallback(_rows(spark, [("a", 1)]), base)
+    create_agg_mv(
+        spark, base, mv, group_cols=["g"], sum_cols=["x"],
+        min_cols=["x"], max_cols=["x"],
+    )
+    write_delta_fallback(_rows(spark, [("ghost", 9), ("a", 3)]), base, mode="append")
+    delete_where(spark, base, "g = 'ghost'", write_cdf=True)
+    refresh_agg_mv(spark, base, mv)
+    got = {
+        r["g"]: (r["cnt"], r["sum_x"], r["min_x"], r["max_x"])
+        for r in read_delta_fallback(spark, mv).collect()
+    }
+    assert got == {"a": (2, 4, 1, 3)}  # no ghost row, fold intact
+
+
+def test_join_mv_pre_counting_format_fails_with_recreate_message(
+    spark, tmp_path
+):
+    """An MV written in the old plain-row format (valid domain metadata,
+    no _mv_mult/_mv_rowkey) must fail with the recreate message, not an
+    opaque unresolved-column error mid-merge."""
+    import json as _json
+
+    from polars_incremental_spark.mv import read_join_mv, refresh_join_mv
+
+    lp, rp, mv = str(tmp_path / "l"), str(tmp_path / "r"), str(tmp_path / "j")
+    write_delta_fallback(
+        spark.createDataFrame([(1, "a")], "k long, lval string"), lp
+    )
+    write_delta_fallback(
+        spark.createDataFrame([(1, 1.0)], "k long, rval double"), rp
+    )
+    state = _json.dumps(
+        {"left_path": lp, "right_path": rp, "left_version": 0,
+         "right_version": 0, "on": ["k"]}
+    )
+    # simulate the pre-counting layout: plain joined rows + the domain
+    write_delta_fallback(
+        spark.createDataFrame([(1, "a", 1.0)], "k long, lval string, rval double"),
+        mv,
+        domain_metadata={"pis.joinMv": state},
+    )
+    write_delta_fallback(
+        spark.createDataFrame([(2, "b")], "k long, lval string"), lp, mode="append"
+    )
+    with pytest.raises(ValueError, match="pre-counting"):
+        refresh_join_mv(spark, mv)
+    with pytest.raises(ValueError, match="pre-counting"):
+        read_join_mv(spark, mv)

@@ -390,23 +390,28 @@ class DeltaLog:
                 return int(info["timestamp"])
         return int(os.stat(json_path).st_mtime * 1000)
 
-    def monotonic_commit_timestamps(self) -> dict[int, int]:
+    def monotonic_commit_timestamps(
+        self, versions: list[int] | None = None
+    ) -> dict[int, int]:
         """{version: adjusted_ts_ms} over surviving versions, where each
         timestamp is lifted to the running max of its predecessors — the
         monotonic-adjustment rule real Delta applies when resolving
         timestamp bounds.  Without it, non-ICT commitInfo stamps from
         concurrent writers can be locally non-monotone and a later commit
-        with an earlier stamp would silently fall outside a window."""
+        with an earlier stamp would silently fall outside a window.
+        ``versions`` lets a caller holding a snapshot of the log listing
+        adjust over THAT snapshot (not a re-listing), so a commit expiring
+        mid-call cannot desynchronize the two scans."""
         out: dict[int, int] = {}
         running = None
-        for version in self.versions():
+        for version in self.versions() if versions is None else versions:
             ts = self.commit_timestamp_ms(version)
             running = ts if running is None else max(running, ts)
             out[version] = running
         return out
 
     def version_at_or_after_timestamp(self, ts_ms: int) -> int | None:
-        # running-max (monotonic-adjusted) scan with an EARLY RETURN: the
+        # the early-return variant of monotonic_commit_timestamps: the
         # adjustment only needs predecessors up to the match, so resolving
         # a start near the head of a long log stays O(match), not O(log)
         running = None

@@ -54,3 +54,10 @@ class PipelineLockError(SparkIncrementalError):
 
 class ConstraintViolationError(WriterError):
     """Raised when a write would violate a table CHECK constraint."""
+
+
+class CandidateVolumeError(TransformError):
+    """Raised when an exact pair-enumeration operator's pre-flight
+    candidate estimate exceeds its budget — the corpus needs the banded
+    (LSH) path or a tighter ``max_doc_freq`` cap, not a silent
+    hours-long join."""

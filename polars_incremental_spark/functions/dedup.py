@@ -139,6 +139,51 @@ def shingle_posting_list(
     return exploded.select(*cols)
 
 
+def _guard_candidate_volume(
+    postings: DataFrame,
+    max_candidates: int | None,
+    *,
+    caller: str,
+    pairs_per_collision: int = 1,
+) -> None:
+    """Fail fast when Σ df·(df-1)/2 over ``postings`` — the EXACT number
+    of candidate pairs the posting self-join will generate before dedup —
+    exceeds ``max_candidates``.
+
+    SCALING.md measured the cliff this exists for: on a low-entropy corpus
+    d17's candidate volume grew 58× for 10× data (Σdf² is the DATA's
+    property, not the plan's), turning a 6-minute run into hours at the
+    next scale step.  The estimate costs one small agg over the postings
+    (already persisted by the caller); hitting the budget raises with the
+    documented scale path instead of hanging.  ``pairs_per_collision=2``
+    for directional operators that keep both orientations."""
+    if max_candidates is None:
+        return
+    row = (
+        postings.groupBy("shingle_hash")
+        .agg(F.count("*").alias("__df"))
+        .agg(
+            F.sum(
+                F.col("__df").cast("double") * (F.col("__df") - 1) / 2
+            ).alias("c")
+        )
+        .collect()[0]
+    )
+    est = int(row["c"] or 0) * pairs_per_collision
+    if est > max_candidates:
+        from ..errors import CandidateVolumeError
+
+        raise CandidateVolumeError(
+            f"{caller}: estimated candidate volume {est:,} pairs exceeds "
+            f"max_candidates={max_candidates:,}. Exact pair enumeration is "
+            "quadratic in per-shingle document frequency; on this corpus "
+            "it would run for hours, not minutes. Use the banded LSH path "
+            "(minhash_lsh_pairs, d6 — measured 4.3x at 10x data) for "
+            "approximate pairs, tighten max_doc_freq to cap hot shingles, "
+            "or pass max_candidates=None to accept the cost explicitly."
+        )
+
+
 def _filter_hot_shingles(postings: DataFrame, max_doc_freq: int | None) -> DataFrame:
     """Drop shingles appearing in more than ``max_doc_freq`` docs.
 
@@ -1497,6 +1542,7 @@ def prefix_filter_pairs(
     id_col: str = "doc_id",
     ngram: int = 3,
     cache_intermediate: bool = True,
+    max_candidates: int | None = 1_000_000_000,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (the
     Chaudhuri/Bayardo "all-pairs" lineage behind PPJoin): (id_a, id_b,
@@ -1521,6 +1567,13 @@ def prefix_filter_pairs(
     d4-style candidate-only verification (_jaccard_for_pairs).  At
     threshold 0.5 the prefix is half the posting volume; pruning improves
     as the threshold rises, exactly when exactness matters most.
+
+    ``max_candidates`` is the pre-flight volume budget: Σ df·(df-1)/2 over
+    the PREFIX postings (the exact pre-dedup collision count) is computed
+    before the join and a CandidateVolumeError points to d6's LSH path
+    when the corpus blows it — SCALING.md measured 58× candidate growth at
+    10× data on low-entropy text, a property of the DATA this exactness
+    contract cannot engineer away.  ``None`` disables the guard.
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1]; got {threshold}")
@@ -1544,6 +1597,9 @@ def prefix_filter_pairs(
             <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
         )
         .select(id_col, "shingle_hash", "__r", "__sz")
+    )
+    _guard_candidate_volume(
+        prefix, max_candidates, caller="prefix_filter_pairs (d17)"
     )
     # PPJoin's two exactness-preserving candidate filters, applied INSIDE
     # the collision join (3.3x fewer candidates reach verification at
@@ -1596,6 +1652,7 @@ def containment_pairs(
     threshold: float = 0.6,
     max_doc_freq: int | None = None,
     cache_intermediate: bool = True,
+    max_candidates: int | None = 1_000_000_000,
 ) -> DataFrame:
     """DIRECTIONAL near-dup containment: (contained_id, container_id,
     containment) pairs where containment = |A∩B| / |A| >= threshold over
@@ -1613,12 +1670,23 @@ def containment_pairs(
     BOTH orientations of each colliding pair (a<>b, not a<b) because the
     score is directional — cost is 2× d4's candidate count, not a new
     asymptotic term.
+
+    ``max_candidates`` is the d17-style pre-flight budget (see
+    prefix_filter_pairs): Σ df·(df-1) over the capped postings — both
+    orientations — raises CandidateVolumeError with the d6/max_doc_freq
+    escape hatches instead of silently running a quadratic join.
     """
     postings = _filter_hot_shingles(
         shingle_posting_list(df, text_col, id_col, n), max_doc_freq
     )
     if cache_intermediate:
         postings = postings.persist()
+    _guard_candidate_volume(
+        postings,
+        max_candidates,
+        caller="containment_pairs (d18)",
+        pairs_per_collision=2,
+    )
     sizes = postings.groupBy(id_col).agg(F.count("*").alias("set_size"))
     a = postings.alias("a")
     b = postings.alias("b")

@@ -85,26 +85,75 @@ def _check_reserved(cols, where: str) -> None:
         )
 
 
+def _has_tz_timestamp(dtype) -> bool:
+    """True when ``dtype`` contains a tz-AWARE timestamp anywhere in its
+    tree (top-level, struct field, array element, map key/value)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.TimestampType):
+        return True  # TimestampNTZType is a distinct class — excluded
+    if isinstance(dtype, T.StructType):
+        return any(_has_tz_timestamp(f.dataType) for f in dtype.fields)
+    if isinstance(dtype, T.ArrayType):
+        return _has_tz_timestamp(dtype.elementType)
+    if isinstance(dtype, T.MapType):
+        return _has_tz_timestamp(dtype.keyType) or _has_tz_timestamp(
+            dtype.valueType
+        )
+    return False
+
+
+def _canon_tz(col, dtype):
+    """Rewrite every tz-aware timestamp inside ``col`` to epoch micros,
+    recursing through structs/arrays/maps so nested payloads digest
+    session-timezone-independently too.  Nullness is preserved at each
+    level: a null struct must stay null (``to_json`` omits it) rather than
+    becoming a struct of nulls (rendered ``{"f":null}``)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.TimestampType):
+        return F.unix_micros(col)
+    if isinstance(dtype, T.StructType):
+        rebuilt = F.struct(
+            *[
+                _canon_tz(col.getField(f.name), f.dataType).alias(f.name)
+                for f in dtype.fields
+            ]
+        )
+        return F.when(col.isNull(), None).otherwise(rebuilt)
+    if isinstance(dtype, T.ArrayType):
+        return F.transform(col, lambda x: _canon_tz(x, dtype.elementType))
+    if isinstance(dtype, T.MapType):
+        out = col
+        if _has_tz_timestamp(dtype.keyType):
+            out = F.transform_keys(
+                out, lambda k, _v: _canon_tz(k, dtype.keyType)
+            )
+        if _has_tz_timestamp(dtype.valueType):
+            out = F.transform_values(
+                out, lambda _k, v: _canon_tz(v, dtype.valueType)
+            )
+        return out
+    return col
+
+
 def _row_digest(df: DataFrame, cols: list[str]):
     """Deterministic 128-bit digest of the full tuple — the join-MV MERGE
     key.  ``to_json`` over a NAME-SORTED struct is null-proof (a null field
     is omitted, but field names disambiguate which was null) and
     type-stable; MERGE key equality is null-unsafe, so keying on raw
     payload columns would silently never match null-bearing tuples.
-    Timestamps digest as epoch MICROS: ``to_json`` renders them in the
+    Tz-aware timestamps digest as epoch MICROS — recursively, including
+    inside struct/array/map payloads: ``to_json`` renders them in the
     SESSION timezone, which would make the same tuple digest differently
-    across sessions."""
-    dtypes = dict(df.dtypes)
+    across sessions.  NTZ wall-clock strings are session-stable and stay
+    as-is (casting them would REINTRODUCE the session timezone)."""
+    schema = {f.name: f.dataType for f in df.schema.fields}
     fields = []
     for c in sorted(cols):
         col = F.col(c)
-        if dtypes[c].startswith("timestamp") and not dtypes[c].startswith(
-            "timestamp_ntz"
-        ):
-            # tz-aware only: NTZ wall-clock strings are already session-
-            # stable, and cast-to-timestamp would REINTRODUCE the session
-            # timezone into them
-            col = F.unix_micros(col)
+        if _has_tz_timestamp(schema[c]):
+            col = _canon_tz(col, schema[c])
         fields.append(col.alias(c))
     return F.md5(F.to_json(F.struct(*fields)))
 
@@ -130,6 +179,22 @@ def _head_version(path: str) -> int:
     if head is None:
         raise FileNotFoundError(f"not a delta table: {path}")
     return head
+
+
+def _check_columns_exist(
+    have: list[str], need: list[str], where: str, hint: str
+) -> None:
+    """Fail closed with a clear message when the MV references columns the
+    source frame lacks — at CREATE time that's a typo or a column that
+    hasn't appeared yet; at REFRESH time the base schema evolved out from
+    under the MV (column dropped/renamed).  Either way the alternative is
+    an unresolved-column AnalysisException mid-plan or, worse, mid-MERGE."""
+    missing = [c for c in need if c not in have]
+    if missing:
+        raise ValueError(
+            f"{where} is missing MV column(s) {missing}; present: "
+            f"{sorted(have)}. {hint}"
+        )
 
 
 def _check_no_null_keys(df: DataFrame, group_cols: list[str], where: str) -> None:
@@ -200,6 +265,14 @@ def create_agg_mv(
     # "read the head" and "scan" would otherwise leak rows past the
     # watermark and the next refresh would double-count them
     base = read_delta_fallback(spark, base_path, version=base_version)
+    _check_columns_exist(
+        base.columns,
+        [*group_cols, *sum_cols, *min_cols, *max_cols],
+        f"base table {base_path}",
+        "If the column is added later (mergeSchema append), create the MV "
+        "after it exists — an MV cannot reference a column that appears "
+        "later.",
+    )
     _check_reserved(
         [count_col, *group_cols]
         + [f"sum_{c}" for c in sum_cols]
@@ -254,6 +327,14 @@ def create_join_mv(
         raise FileNotFoundError("both join-MV bases must be delta tables")
     left = read_delta_fallback(spark, left_path, version=lv)
     right = read_delta_fallback(spark, right_path, version=rv)
+    _check_columns_exist(
+        left.columns, on, f"left base {left_path}",
+        "Join keys must exist on both sides at creation time.",
+    )
+    _check_columns_exist(
+        right.columns, on, f"right base {right_path}",
+        "Join keys must exist on both sides at creation time.",
+    )
     clash = (set(left.columns) & set(right.columns)) - set(on)
     if clash:
         raise ValueError(
@@ -332,7 +413,7 @@ def refresh_join_mv(spark: SparkSession, mv_path: str) -> dict[str, Any]:
     (left_version, right_version) watermark atomically, so a crash
     anywhere is a clean no-op.  Returns {refreshed, tuples_touched}."""
     state = _mv_state(mv_path, _JOIN_DOMAIN)
-    _check_counted_format(spark, mv_path)
+    mv_stored = _check_counted_format(spark, mv_path)
     on = list(state["on"])
     lv, rv = int(state["left_version"]), int(state["right_version"])
     lhead = _head_version(state["left_path"])
@@ -362,6 +443,21 @@ def refresh_join_mv(spark: SparkSession, mv_path: str) -> dict[str, Any]:
     for p in parts[1:]:
         delta = delta.unionByName(p)
     payload = [c for c in delta.columns if c != "_mv_sign"]
+    # schema-evolution guard: the stored MV's payload is the join schema
+    # AT CREATION; a base gaining (mergeSchema append) or losing a column
+    # since then changes the joined tuple shape, so every digest would
+    # mismatch the stored rowkeys — fail closed with the cause instead of
+    # surfacing as an "inconsistent MV" error or a MERGE schema clash
+    stored_payload = {
+        c for c in mv_stored.columns if c not in (MULT_COL, ROWKEY_COL)
+    }
+    if set(payload) != stored_payload:
+        raise ValueError(
+            f"join-MV {mv_path} payload columns {sorted(stored_payload)} no "
+            f"longer match the bases' join schema {sorted(payload)} — a "
+            "base's schema evolved since the MV was created; recreate it "
+            "with create_join_mv"
+        )
     net = (
         delta.groupBy(*payload)  # groupBy is null-SAFE: null payloads group
         .agg(F.sum("_mv_sign").cast("long").alias(MULT_COL))
@@ -450,6 +546,17 @@ def refresh_agg_mv(
         }
     cdf = read_change_feed(
         spark, base_path, starting_version=last + 1, ending_version=head
+    )
+    # schema-evolution guard: a mergeSchema append ADDING a column is fine
+    # (change rows the MV ignores gain a null field), but a column the MV
+    # references vanishing (dropped/renamed via overwrite) must fail
+    # closed here, not as an unresolved-column crash inside the MERGE
+    _check_columns_exist(
+        cdf.columns,
+        [*group_cols, *sum_cols, *min_cols, *max_cols],
+        f"change feed of {base_path}",
+        "The base schema evolved out from under the MV — recreate it with "
+        "create_agg_mv.",
     )
     track_retract = bool(min_cols or max_cols)
     sum_aliases = [f"sum_{c}" for c in sum_cols]

@@ -7039,27 +7039,27 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 
 # Driver grading-window rotation: the driver hash-grades the FIRST 50
 # registry entries each round, so the dict is reordered stalest-graded
-# first — round 7 re-enters the entries whose latest green verdict dates
-# from round-2/3/4 code (computed from CORRECTNESS_r01..r06), keeping the
-# whole 161-entry ledger re-verified on current code across rounds.
+# first — round 8 re-enters the entries whose latest green verdict dates
+# from round-4/5 code (computed from CORRECTNESS_r01..r07: 19 entries last
+# graded r4, then the oldest 31 of the r5 block), keeping the whole
+# 161-entry ledger re-verified on current code across rounds.
 _GRADE_FIRST = [
-    "d4_ngram_jaccard", "d5_minhash_signatures", "d7_simhash",
-    "s4_cosine_near_dup_exact", "q10_returned_items", "q13_order_histogram",
-    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_count",
-    "q19_bracket_revenue", "q20_heavy_shippers", "q4_priority_check",
-    "q7_nation_volume", "q8_market_share", "q9_product_profit",
-    "r03_projection", "r04_filter_isin", "r05_expression", "r06_cast",
-    "r07_null_literal", "r08_case_when", "r09_struct_json",
-    "asof_error_after_click", "cdc_merge_latest", "d11_decontaminate",
-    "d1_exact_duplicates", "d2_dedup_exact", "d3_fingerprint_duplicates",
-    "d4b_ngram_jaccard_capped", "d6_minhash_lsh", "d8_simhash_near_dup",
-    "events_sessionize", "events_window_1m", "except_intersect_users",
-    "m1b_multimodal_meta", "r02_json_roundtrip", "r13_latest_per_key",
-    "r15_union_by_name", "r16_remap", "r17_limit0", "r18_scalar_agg",
-    "r19_sql_report", "r20_drop_cols", "r22_pivot_event_counts",
-    "r23_user_running_totals", "range_clicks_before_error",
-    "s1_cosine_topk", "s2_lsh_ann_topk", "s3_cosine_near_dup",
-    "s6_quantized_topk",
+    "schema_evolve_add", "schema_type_widen", "schema_rescue",
+    "w1_drop_late", "t1_text_stats", "t2_lang_id", "t3_fingerprint",
+    "t4_token_counts", "t5_top_ngrams", "t6_repetition", "t7_pii_redaction",
+    "t8_tfidf_top_terms", "u1_hash_sample", "u2_stratified_sample",
+    "u3_hash_split", "u4_kmv_distinct", "u5_mixture_sample",
+    "u6_pack_sequences", "u7_hot_keys", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_region_revenue", "q6_forecast_revenue",
+    "q2_min_cost_supplier", "q11_important_parts", "q12_late_priority_lines",
+    "d12_bloom_decontaminate", "d14_edit_distance_pairs", "t9_curate_topk",
+    "t10_quality_deciles", "t11_char_lm_score", "u8_group_sample",
+    "u9_weighted_sample", "r24_trailing_hour", "r26_ranking_functions",
+    "m2_frame_sample", "m3_image_decode", "asof_fwd_click_after_error",
+    "u10_token_mixture", "u11_token_shards", "t12_ngram_novelty",
+    "t13_gopher_quality", "u12_sliding_chunks", "s8_label_centroids",
+    "s9_centroid_similarity", "r27_json_props", "r28_funnel",
+    "r29_full_outer", "r30_lead_lag", "r31_cohort_retention",
 ]
 # dict merge keeps the FIRST insertion position for duplicate keys, so
 # this is exactly "graded-first entries, then everything else in place"

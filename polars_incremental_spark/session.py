@@ -21,7 +21,11 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
-    master = master or f"local[{cpus}]"
+    # SPARK_GRAFT_MASTER lets the whole suite run under a different master
+    # without touching call sites — e.g. "local-cluster[4,8,4096]" spawns
+    # REAL executor JVMs with network shuffle and full serialization, the
+    # one execution dimension plain local[] mode cannot exercise
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
     builder = (
         SparkSession.builder.master(master)
@@ -49,6 +53,18 @@ def get_spark(
     # (sinks/delta.py).  Real deployments set SPARK_GRAFT_DELTA_PACKAGE
     # (e.g. "io.delta:delta-spark_2.13:4.0.0") to get native MERGE / CDF /
     # VACUUM / OPTIMIZE through the same APIs.
+    if master.startswith("local-cluster"):
+        # executor JVMs are separate processes: their python workers do not
+        # inherit the driver's sys.path, so the package root must travel in
+        # the executor environment; executor memory must fit inside the
+        # per-worker allocation in the master string
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        existing = os.environ.get("PYTHONPATH", "")
+        pypath = f"{repo_root}:{existing}" if existing else repo_root
+        builder = builder.config("spark.executorEnv.PYTHONPATH", pypath).config(
+            "spark.executor.memory",
+            os.environ.get("SPARK_GRAFT_EXECUTOR_MEMORY", "3g"),
+        )
     delta_pkg = os.environ.get("SPARK_GRAFT_DELTA_PACKAGE")
     if delta_pkg:
         builder = (

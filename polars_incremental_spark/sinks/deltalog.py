@@ -1986,12 +1986,8 @@ def read_change_feed(
         # whose true position is inside the window.  Adjusted over the
         # SAME `surviving` snapshot (not a re-listing) so a commit
         # expiring mid-call cannot desynchronize the two.
-        inside, running = [], None
-        for v in surviving:
-            ts = log.commit_timestamp_ms(v)
-            running = ts if running is None else max(running, ts)
-            if running <= ending_timestamp_ms:
-                inside.append(v)
+        adjusted = log.monotonic_commit_timestamps(versions=surviving)
+        inside = [v for v, ts in adjusted.items() if ts <= ending_timestamp_ms]
         ending_version = max(inside) if inside else None
         if ending_version is None:
             raise ValueError(

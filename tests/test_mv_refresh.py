@@ -202,6 +202,18 @@ def test_randomized_dml_storm_always_matches_recompute(spark, tmp_path):
     write_delta_fallback(batch(20), base)
     create_agg_mv(spark, base, mv, group_cols=["g"], sum_cols=["x"])
     for step in range(8):
+        if step == 4:
+            # schema-add mid-storm (round-8 ask): a mergeSchema append
+            # adding a column the MV ignores must not disturb refreshes —
+            # older change rows surface it as null, newer ones carry it
+            write_delta_fallback(
+                spark.createDataFrame(
+                    [("g0", nxt[0], "tag")], "g string, x long, note string"
+                ),
+                base,
+                mode="append",
+            )
+            nxt[0] += 1
         op = rng.random()
         if op < 0.5:
             write_delta_fallback(batch(rng.randint(1, 6)), base, mode="append")
@@ -667,6 +679,130 @@ def test_join_mv_timestamp_payload_survives_session_tz_change(spark, tmp_path):
     try:
         spark.conf.set("spark.sql.session.timeZone", "America/New_York")
         # retraction under the NEW zone must hit the stored rowkeys
+        delete_where(spark, lp, "k = 2", write_cdf=True)
+        refresh_join_mv(spark, mv)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    assert _join_mv_rows(spark, mv) == _join_recompute(spark, lp, rp)
+    assert [t[0] for t in _join_mv_rows(spark, mv)] == [1]
+
+
+def test_agg_mv_survives_base_column_add(spark, tmp_path):
+    """mergeSchema append adding a column the MV does not reference: the
+    CDF rows gain a null field and the refresh keeps folding."""
+    base, mv = str(tmp_path / "b"), str(tmp_path / "m")
+    write_delta_fallback(_rows(spark, [("a", 1), ("b", 5)]), base)
+    create_agg_mv(spark, base, mv, group_cols=["g"], sum_cols=["x"])
+    write_delta_fallback(
+        spark.createDataFrame(
+            [("a", 10, "hello"), ("c", 7, None)],
+            "g string, x long, note string",
+        ),
+        base,
+        mode="append",
+    )
+    res = refresh_agg_mv(spark, base, mv)
+    assert res["refreshed"]
+    assert _mv_rows(spark, mv) == _recompute(spark, base)
+    assert _mv_rows(spark, mv)[("c",)] == (1, 7)
+
+
+def test_create_agg_mv_missing_column_fails_closed(spark, tmp_path):
+    """An MV referencing a column that does not exist yet fails at CREATE
+    with a clear message, not an unresolved-column AnalysisException."""
+    base, mv = str(tmp_path / "b"), str(tmp_path / "m")
+    write_delta_fallback(_rows(spark, [("a", 1)]), base)
+    with pytest.raises(ValueError, match="missing MV column.*appears"):
+        create_agg_mv(spark, base, mv, group_cols=["g"], sum_cols=["y"])
+
+
+def test_refresh_agg_mv_missing_column_fails_closed(spark, tmp_path):
+    """A refresh whose change feed lacks a referenced column (wrong base
+    table / out-of-band schema change) fails closed with a recreate
+    pointer instead of crashing mid-MERGE."""
+    base, base2, mv = (
+        str(tmp_path / "b"),
+        str(tmp_path / "b2"),
+        str(tmp_path / "m"),
+    )
+    write_delta_fallback(_rows(spark, [("a", 1)]), base)
+    create_agg_mv(spark, base, mv, group_cols=["g"], sum_cols=["x"])
+    write_delta_fallback(
+        spark.createDataFrame([("a",), ("b",)], "g string"), base2
+    )
+    write_delta_fallback(
+        spark.createDataFrame([("c",)], "g string"), base2, mode="append"
+    )
+    with pytest.raises(ValueError, match="create_agg_mv"):
+        refresh_agg_mv(spark, base2, mv)
+
+
+def test_join_mv_base_schema_add_fails_closed(spark, tmp_path):
+    """A base gaining a column after join-MV creation changes the joined
+    tuple shape — every stored rowkey would mismatch.  The refresh must
+    fail closed naming the cause, not raise the generic inconsistency
+    error or a MERGE schema clash."""
+    from polars_incremental_spark.mv import create_join_mv, refresh_join_mv
+
+    lp, rp, mv = str(tmp_path / "l"), str(tmp_path / "r"), str(tmp_path / "j")
+    write_delta_fallback(
+        spark.createDataFrame([(1, "a")], "k long, v string"), lp
+    )
+    write_delta_fallback(
+        spark.createDataFrame([(1, "x")], "k long, tag string"), rp
+    )
+    create_join_mv(spark, lp, rp, mv, on=["k"])
+    write_delta_fallback(
+        spark.createDataFrame(
+            [(2, "b", "new")], "k long, v string, extra string"
+        ),
+        lp,
+        mode="append",
+    )
+    with pytest.raises(ValueError, match="schema evolved.*create_join_mv"):
+        refresh_join_mv(spark, mv)
+
+
+def test_create_join_mv_missing_key_fails_closed(spark, tmp_path):
+    from polars_incremental_spark.mv import create_join_mv
+
+    lp, rp, mv = str(tmp_path / "l"), str(tmp_path / "r"), str(tmp_path / "j")
+    write_delta_fallback(
+        spark.createDataFrame([(1, "a")], "k long, v string"), lp
+    )
+    write_delta_fallback(
+        spark.createDataFrame([(1, "x")], "kk long, tag string"), rp
+    )
+    with pytest.raises(ValueError, match="missing MV column"):
+        create_join_mv(spark, lp, rp, mv, on=["k"])
+
+
+def test_join_mv_nested_timestamp_payload_survives_tz_change(spark, tmp_path):
+    """Round-7 ADVICE: a tz-aware timestamp NESTED inside a struct/array
+    payload column must also digest session-timezone-independently —
+    _row_digest recurses with _canon_tz, so a retraction issued under a
+    different spark.sql.session.timeZone still matches the stored rowkeys
+    instead of duplicating rows or failing closed."""
+    from polars_incremental_spark.mv import create_join_mv, refresh_join_mv
+
+    lp, rp, mv = str(tmp_path / "l"), str(tmp_path / "r"), str(tmp_path / "j")
+    write_delta_fallback(
+        spark.sql(
+            "SELECT k, named_struct('at', ts, 'tag', tag) AS meta, "
+            "array(ts, ts + interval 1 hour) AS times FROM VALUES "
+            "(1, timestamp'2024-03-01 10:00:00', 'a'),"
+            "(2, timestamp'2024-06-01 12:30:00', 'b')"
+            " AS t(k, ts, tag)"
+        ),
+        lp,
+    )
+    write_delta_fallback(
+        spark.createDataFrame([(1, "x"), (2, "y")], "k long, side string"), rp
+    )
+    create_join_mv(spark, lp, rp, mv, on=["k"])
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
         delete_where(spark, lp, "k = 2", write_cdf=True)
         refresh_join_mv(spark, mv)
     finally:

@@ -1569,11 +1569,12 @@ def prefix_filter_pairs(
     as the threshold rises, exactly when exactness matters most.
 
     ``max_candidates`` is the pre-flight volume budget: Σ df·(df-1)/2 over
-    the PREFIX postings (the exact pre-dedup collision count) is computed
-    before the join and a CandidateVolumeError points to d6's LSH path
-    when the corpus blows it — SCALING.md measured 58× candidate growth at
-    10× data on low-entropy text, a property of the DATA this exactness
-    contract cannot engineer away.  ``None`` disables the guard.
+    the full postings (an upper bound on prefix-prefix collisions, ~4× over
+    at threshold 0.5) is computed before the join and a
+    CandidateVolumeError points to d6's LSH path when the corpus blows it
+    — SCALING.md measured 58× candidate growth at 10× data on low-entropy
+    text, a property of the DATA this exactness contract cannot engineer
+    away.  ``None`` disables the guard.
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1]; got {threshold}")
@@ -1598,8 +1599,13 @@ def prefix_filter_pairs(
         )
         .select(id_col, "shingle_hash", "__r", "__sz")
     )
+    # guard on the FULL postings (one cheap agg over the persisted frame),
+    # not the prefix: the prefix is a join+window away and measuring it
+    # would cost more than the guard saves (measured +1.1s at sf0.1).
+    # Postings bound the prefix collisions from above (prefix ⊆ postings,
+    # ~4x over at threshold 0.5) — fine for an order-of-magnitude budget.
     _guard_candidate_volume(
-        prefix, max_candidates, caller="prefix_filter_pairs (d17)"
+        postings, max_candidates, caller="prefix_filter_pairs (d17)"
     )
     # PPJoin's two exactness-preserving candidate filters, applied INSIDE
     # the collision join (3.3x fewer candidates reach verification at

@@ -9,8 +9,20 @@ side is replicated once per salt value, and the join key becomes
 
 Plain ``groupBy`` aggregation does NOT need salting in Spark: partial
 (map-side) aggregation already combines per-partition before the shuffle.
-Salting aggregation is only worth it for high-cardinality-state aggs like
-``collect_list`` — use ``two_phase_agg`` for those.
+``two_phase_agg`` pays exactly where no map-side combine exists — custom
+Python aggregations (``groupBy().applyInPandas``), which otherwise ship
+every hot-key row into ONE Arrow batch in one worker.  It does NOT pay
+for conserved state like ``collect_list``: the lists survive every merge
+intact, so the hot key's full volume funnels into one phase-2 task
+regardless and the salt layer only adds a shuffle.
+
+Measured (tools/skew_bench.py, 100M rows, one key = 10% of rows, 256
+reduce tasks): salted_join cuts the join straggler 5539 -> 1569 ms
+(max/median 13.4x -> 2.9x) for +27% shuffle; a pandas UDAF goes 28.8x ->
+2.4x straggler and 2.1x wall via two-phase; collect_list via two-phase is
+5x SLOWER — see PLANS.md round-8 for the full table.  Default AQE did not
+split the hot partition (160 MB < its 256 MB threshold): AQE skew-split
+is a threshold-gated rescue, salting is deterministic.
 """
 
 from __future__ import annotations

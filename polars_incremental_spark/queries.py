@@ -4285,6 +4285,92 @@ LIMIT 5
 """
 
 
+def u7b_salted_join_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """salted_join equivalence gate on a DELIBERATELY skewed key: ~40% of
+    event rows collapse onto key 0 (the hot-key shape that serializes one
+    sort-merge task at scale), the join runs SALTED on (k, salt) with the
+    dim replicated 8x, and the grouped result must hash-match the plain
+    SQL join — salting must never change semantics, only task balance."""
+    from .functions import skew
+
+    ev = load_table(spark, sf_dir, "events")
+    large = ev.select(
+        F.when(F.pmod(F.col("user_id"), F.lit(5)) < 2, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("k"),
+        "value",
+    )
+    dim = (
+        large.select("k")
+        .distinct()
+        .withColumn("bucket", F.pmod(F.col("k"), F.lit(7)).cast("int"))
+    )
+    return (
+        skew.salted_join(large, dim, ["k"], n_salts=8)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+U7B_SQL = """
+WITH large AS (
+  SELECT (CASE WHEN user_id % 5 < 2 THEN 0 ELSE user_id END)::BIGINT AS k,
+         value
+  FROM events
+),
+dim AS (SELECT DISTINCT k, (k % 7)::INT AS bucket FROM large)
+SELECT bucket, COUNT(*)::BIGINT AS n, round(SUM(value), 2) AS sum_value
+FROM large JOIN dim USING (k)
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+def u7c_two_phase_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """two_phase_agg equivalence gate for a high-cardinality-state agg:
+    phase 1 collect_lists per (event_type, salt), phase 2 flattens the
+    partials — row count from the CARRIED LISTS (proving no partial was
+    lost) and the value sum must match the plain one-shot aggregation."""
+    from .functions import skew
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return (
+        skew.two_phase_agg(
+            ev,
+            ["event_type"],
+            [F.collect_list("value").alias("pv")],
+            [
+                F.size(F.flatten(F.collect_list("pv")))
+                .cast("long")
+                .alias("n"),
+                F.round(
+                    F.aggregate(
+                        F.flatten(F.collect_list("pv")),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    2,
+                ).alias("sum_value"),
+            ],
+            n_salts=8,
+        )
+        .orderBy("event_type")
+    )
+
+
+U7C_SQL = """
+SELECT event_type, COUNT(*)::BIGINT AS n, round(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def t13_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style hard quality gates: word-count band, mean-word-length
     band, symbol-ratio cap, stopword floor, duplicate-bigram cap, and the
@@ -7034,6 +7120,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "u5_mixture_sample": (u5_mixture_sample, U5_SQL),
     "u6_pack_sequences": (u6_pack_sequences, U6_SQL),
     "u7_hot_keys": (u7_hot_keys, U7_SQL),
+    "u7b_salted_join_groups": (u7b_salted_join_groups, U7B_SQL),
+    "u7c_two_phase_collect": (u7c_two_phase_collect, U7C_SQL),
     "m1b_multimodal_meta": (m1b_multimodal_meta, M1B_SQL),
 }
 

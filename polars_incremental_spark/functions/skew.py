@@ -107,6 +107,48 @@ def two_phase_agg(
     return partial.groupBy(*keys).agg(*second_phase)
 
 
+def two_phase_apply_in_pandas(
+    df: DataFrame,
+    keys: Sequence[str],
+    partial_fn,
+    partial_schema: str,
+    merge_exprs: list[Column],
+    *,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Salted two-phase CUSTOM Python aggregation — the case the measured
+    table in the module docstring shows two-phase actually wins (28.8x ->
+    2.4x straggler, 2.1x wall on the skew fixture): ``applyInPandas`` has
+    NO map-side combine, so a plain ``groupBy(keys).applyInPandas`` ships
+    every hot-key row into ONE Arrow batch in one python worker.
+
+    Phase 1 runs ``partial_fn`` (a pandas groupBy-apply function) over
+    (keys + ``__salt``) groups — the hot key's rows spread over
+    ``n_salts`` parallel workers; the frame ``partial_fn`` receives
+    includes the ``__salt`` column and its output must match
+    ``partial_schema`` (which must carry the key columns).  Phase 2
+    merges the tiny partials JVM-side with ``merge_exprs``::
+
+        def moments(pdf):
+            return pd.DataFrame({"k": [pdf.k.iloc[0]], "n": [len(pdf)],
+                                 "s": [pdf.v.sum()]})
+        two_phase_apply_in_pandas(
+            df, ["k"], moments, "k long, n long, s double",
+            [F.sum("n").alias("n"), F.sum("s").alias("s")])
+
+    Only valid for DECOMPOSABLE aggregations (the merge of partials must
+    equal the one-shot result) — medians, mode, order-dependent logic
+    need a mergeable-sketch formulation first.
+    """
+    salt = "__salt"
+    partial = (
+        with_salt(df, n_salts, salt)
+        .groupBy(*keys, salt)
+        .applyInPandas(partial_fn, partial_schema)
+    )
+    return partial.groupBy(*keys).agg(*merge_exprs)
+
+
 def detect_hot_keys(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -54,3 +54,42 @@ def test_two_phase_collect_list(spark):
         ).collect()
     }
     assert out["a"] == list(range(50)) and out["b"] == [1]
+
+
+def test_two_phase_apply_in_pandas_matches_plain(spark):
+    """Salted two-phase custom Python aggregation equals the one-shot
+    groupBy().applyInPandas on a hot-keyed frame (round-8 helper)."""
+    import pandas as pd
+
+    rows = [("hot", float(i)) for i in range(500)] + [
+        ("c" + str(i), float(i)) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["k", "v"])
+
+    def moments(pdf):
+        return pd.DataFrame(
+            {
+                "k": [pdf["k"].iloc[0]],
+                "n": [len(pdf)],
+                "s": [float(pdf["v"].sum())],
+            }
+        )
+
+    got = {
+        r["k"]: (r["n"], round(r["s"], 6))
+        for r in skew.two_phase_apply_in_pandas(
+            df,
+            ["k"],
+            moments,
+            "k string, n long, s double",
+            [F.sum("n").alias("n"), F.sum("s").alias("s")],
+            n_salts=8,
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n"], round(r["s"], 6))
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want and got["hot"][0] == 500

@@ -161,12 +161,6 @@ def _pd_stats(pdf):
     )
 
 
-def _pd_stats_salted(pdf):
-    out = _pd_stats(pdf)
-    out["__salt"] = pdf["__salt"].iloc[0]
-    return out
-
-
 def _run(spark, name: str, df_fn) -> dict:
     spark.sparkContext.setJobGroup(name, name)
     t0 = time.monotonic()
@@ -278,15 +272,17 @@ def main() -> None:
         return hot_slice.groupBy("k").applyInPandas(_pd_stats, stats_schema)
 
     def pandas_two_phase():
-        partial = (
-            skew.with_salt(hot_slice, N_SALTS)
-            .groupBy("k", "__salt")
-            .applyInPandas(_pd_stats_salted, stats_schema + ", __salt int")
-        )
-        return partial.groupBy("k").agg(
-            F.sum("n").alias("n"),
-            F.sum("s").alias("s"),
-            F.sum("ss").alias("ss"),
+        return skew.two_phase_apply_in_pandas(
+            hot_slice,
+            ["k"],
+            _pd_stats,
+            stats_schema,
+            [
+                F.sum("n").alias("n"),
+                F.sum("s").alias("s"),
+                F.sum("ss").alias("ss"),
+            ],
+            n_salts=N_SALTS,
         )
 
     results["pandas_plain"] = with_conf(

@@ -7129,9 +7129,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 # registry entries each round, so the dict is reordered stalest-graded
 # first — round 8 re-enters the entries whose latest green verdict dates
 # from round-4/5 code (computed from CORRECTNESS_r01..r07: 19 entries last
-# graded r4, then the oldest 31 of the r5 block), keeping the whole
-# 161-entry ledger re-verified on current code across rounds.
+# graded r4, then the oldest of the r5 block), keeping the whole ledger
+# re-verified on current code across rounds.  The two NEW round-8 entries
+# (u7b/u7c — never graded) lead the window.
 _GRADE_FIRST = [
+    "u7b_salted_join_groups", "u7c_two_phase_collect",
     "schema_evolve_add", "schema_type_widen", "schema_rescue",
     "w1_drop_late", "t1_text_stats", "t2_lang_id", "t3_fingerprint",
     "t4_token_counts", "t5_top_ngrams", "t6_repetition", "t7_pii_redaction",
@@ -7147,7 +7149,7 @@ _GRADE_FIRST = [
     "u10_token_mixture", "u11_token_shards", "t12_ngram_novelty",
     "t13_gopher_quality", "u12_sliding_chunks", "s8_label_centroids",
     "s9_centroid_similarity", "r27_json_props", "r28_funnel",
-    "r29_full_outer", "r30_lead_lag", "r31_cohort_retention",
+    "r29_full_outer",
 ]
 # dict merge keeps the FIRST insertion position for duplicate keys, so
 # this is exactly "graded-first entries, then everything else in place"

@@ -23,6 +23,24 @@ def load(path: str) -> dict:
         data = json.load(fh)
     if "parsed" in data and isinstance(data["parsed"], dict):
         data = data["parsed"]
+    if "queries" not in data and isinstance(data.get("tail"), str):
+        # driver wrapper with parsed:null (rounds 6-7): scrape what the
+        # truncated tail preserved — partial but better than nothing
+        import re
+
+        scraped = {
+            m.group(1): float(m.group(2))
+            for m in re.finditer(r'"([a-z][a-z0-9_]+)":\s*([0-9.]+)', data["tail"])
+        }
+        scraped.pop("sf", None)
+        scraped.pop("value", None)
+        if scraped:
+            print(
+                f"note: {path} had parsed:null; scraped "
+                f"{len(scraped)} query timings from its tail",
+                file=sys.stderr,
+            )
+            data = {"queries": scraped}
     if "queries" not in data:
         raise SystemExit(f"{path}: no 'queries' field (not a bench result)")
     return data

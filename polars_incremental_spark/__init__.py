@@ -35,7 +35,7 @@ from .patterns import (
 from .pipeline import Pipeline, RunResult, call_with_context
 from .schema import SchemaEvolution, apply_schema, widen_types
 from .session import get_spark
-from .errors import ConstraintViolationError
+from .errors import CandidateVolumeError, ConstraintViolationError
 from .sinks.delta import (
     apply_cdc_table,
     delete_rows,
@@ -73,6 +73,7 @@ __all__ = [
     "BaseObserver",
     "ChangeDataFeedError",
     "CommitError",
+    "CandidateVolumeError",
     "ConstraintViolationError",
     "DatasetSpec",
     "DeltaSource",

@@ -109,6 +109,7 @@ def cosine_near_dup_pairs(
     n_planes: int = 16,
     band_size: int = 4,
     exact: bool = False,
+    max_candidates: int | None = 1_000_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine_sim).
 
@@ -122,6 +123,15 @@ def cosine_near_dup_pairs(
 
     ``exact=True`` runs the O(N²) self-join baseline instead (correctness
     reference; unusable at corpus scale).
+
+    ``max_candidates`` (banded path only): with B = 2^band_size buckets
+    per band, candidate volume grows as N²·bands/B — at fixed defaults a
+    10× corpus is ~100× candidates (SCALING.md measured s3 at 31×).  A
+    pre-flight Σ bucket² estimate raises CandidateVolumeError over the
+    budget with the fix (raise ``band_size``/``n_planes``: every +1 bit of
+    band halves candidates at ~unchanged recall when threshold is high).
+    ``None`` disables the guard; the exact path is already an allowlisted
+    baseline and is not guarded.
     """
     if n_planes % band_size != 0:
         raise ValueError("n_planes must be a multiple of band_size")
@@ -152,6 +162,29 @@ def cosine_near_dup_pairs(
                 )
             ).alias("bb"),
         ).select(F.col(id_col), F.col(vec_col), F.col("bb.band"), F.col("bb.bucket"))
+        if max_candidates is not None:
+            row = (
+                banded.groupBy("band", "bucket")
+                .agg(F.count("*").alias("__n"))
+                .agg(
+                    F.sum(
+                        F.col("__n").cast("double") * (F.col("__n") - 1) / 2
+                    ).alias("c")
+                )
+                .collect()[0]
+            )
+            est = int(row["c"] or 0)
+            if est > max_candidates:
+                from ..errors import CandidateVolumeError
+
+                raise CandidateVolumeError(
+                    f"cosine_near_dup_pairs: estimated candidate volume "
+                    f"{est:,} pairs exceeds max_candidates="
+                    f"{max_candidates:,}. Candidates grow as "
+                    f"N^2*bands/2^band_size — raise band_size (every +1 "
+                    f"bit halves candidates) and/or n_planes, or pass "
+                    f"max_candidates=None to accept the cost explicitly."
+                )
         a = banded.alias("a")
         b = banded.alias("b")
         pairs = (

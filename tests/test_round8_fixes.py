@@ -75,3 +75,28 @@ def test_bench_shard_validation():
     )
     assert proc.returncode != 0
     assert "0 <= i < n" in proc.stderr
+
+
+def test_cosine_banded_candidate_guard_trips(spark):
+    """A tiny budget trips the banded ANN candidate guard on a corpus
+    where every vector lands in the same band buckets; the message names
+    the band_size fix."""
+    from polars_incremental_spark.functions import similarity
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(CandidateVolumeError, match="band_size"):
+        similarity.cosine_near_dup_pairs(
+            df, dim=4, threshold=0.9, max_candidates=10
+        )
+
+
+def test_cosine_banded_guard_none_disables(spark):
+    from polars_incremental_spark.functions import similarity
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.cosine_near_dup_pairs(
+        df, dim=4, threshold=0.9, max_candidates=None
+    ).collect()
+    assert len(out) == 10  # all identical vectors pair up

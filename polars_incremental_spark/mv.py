@@ -582,7 +582,33 @@ def refresh_agg_mv(
     # every pass merge_into makes (dup-check, hit files, join, insert) —
     # uncached, each would re-run the full change-feed scan + shuffle
     delta = delta.persist()
-    _check_no_null_keys(delta.select(*group_cols), group_cols, "change feed")
+    touched: int | None = None
+    if not track_retract:
+        # one action instead of two: the null-key probe and the
+        # groups_touched count fold into a single aggregate over the
+        # (persisted) delta — the refresh's fixed job floor is the cost
+        # that dominates small-change refreshes (measured in PLANS.md
+        # round-8), so every saved pass counts
+        null_cond = None
+        for c in group_cols:
+            n = F.col(c).isNull()
+            null_cond = n if null_cond is None else (null_cond | n)
+        stats = delta.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count(F.when(null_cond, 1)).alias("__bad"),
+        ).collect()[0]
+        if stats["__bad"]:
+            raise ValueError(
+                "NULL group key in change feed: Delta MERGE keys are "
+                "null-unsafe (NULL never matches), so a null-keyed group "
+                "would duplicate on every refresh — filter or coalesce the "
+                "key upstream"
+            )
+        touched = int(stats["__n"])
+    else:
+        _check_no_null_keys(
+            delta.select(*group_cols), group_cols, "change feed"
+        )
     if track_retract:
         # min/max are NOT reversible under deletes (no second-best state in
         # the MV), so groups touched by any retraction re-aggregate from
@@ -629,7 +655,8 @@ def refresh_agg_mv(
         raw_delta = None
     new_state = {**state, "base_version": head}
     blob = json.dumps(new_state)
-    touched = delta.count()
+    if touched is None:  # retract path: delta was replaced by the union
+        touched = delta.count()
     if raw_delta is not None:
         # safe to drop only now: the union above is materialized, so the
         # CDF scan + shuffle behind retract_keys/fold never re-runs
@@ -695,6 +722,10 @@ def refresh_agg_mv(
         when_not_matched_insert=True,
         user_metadata=blob,
         domain_metadata={_MV_DOMAIN: blob},
+        # the source is groupBy(group_cols) output (and in the retract
+        # path a union of two key-disjoint such frames): unique on the
+        # merge keys BY CONSTRUCTION — skip the cardinality-guard pass
+        assume_unique_source=True,
     )
     delta.unpersist()
     return {

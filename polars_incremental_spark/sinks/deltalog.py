@@ -2754,6 +2754,7 @@ def merge_into(
     write_cdf: bool = False,
     user_metadata: str | None = None,
     domain_metadata: dict[str, str] | None = None,
+    assume_unique_source: bool = False,
 ) -> dict[str, Any]:
     """``MERGE INTO <target> USING <source> ON <equi-keys>`` for the
     jar-less path — the general three-clause merge, file-selective like
@@ -2865,19 +2866,24 @@ def merge_into(
             term = df[k] == F.col(f"__src_{k}")
             cond = term if cond is None else (cond & term)
         joined = df.join(src_sel, cond, "inner")
-        # Delta's multiple-match guard: >1 source row per target row aborts
-        dup = (
-            joined.groupBy("__file", "__ri")
-            .agg(F.count("*").alias("__m"))
-            .filter(F.col("__m") > 1)
-            .take(1)
-        )
-        if dup:
-            raise ValueError(
-                "MERGE aborted: multiple source rows match the same target "
-                "row (Delta's cardinality rule); dedupe the source on the "
-                "merge keys first"
+        # Delta's multiple-match guard: >1 source row per target row aborts.
+        # assume_unique_source skips this full extra pass over the join —
+        # ONLY for callers whose source is unique on the merge keys BY
+        # CONSTRUCTION (e.g. the MV refresh's groupBy(keys) delta, where a
+        # duplicate key is structurally impossible, not merely unexpected)
+        if not assume_unique_source:
+            dup = (
+                joined.groupBy("__file", "__ri")
+                .agg(F.count("*").alias("__m"))
+                .filter(F.col("__m") > 1)
+                .take(1)
             )
+            if dup:
+                raise ValueError(
+                    "MERGE aborted: multiple source rows match the same "
+                    "target row (Delta's cardinality rule); dedupe the "
+                    "source on the merge keys first"
+                )
         per_file = joined.groupBy("__file").agg(F.count("*").alias("__n")).collect()
         hit_uris = [r["__file"] for r in per_file]
         if hit_uris:

@@ -469,7 +469,14 @@ def refresh_join_mv(spark: SparkSession, mv_path: str) -> dict[str, Any]:
     )
     new_state = {**state, "left_version": lhead, "right_version": rhead}
     blob = json.dumps(new_state)
-    touched = net.count()
+    # one action for tuples_touched AND the does-the-window-retract probe
+    # (the refresh's fixed job floor dominates small-change refreshes —
+    # same cut as refresh_agg_mv, measured in PLANS.md round-8)
+    stats = net.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count(F.when(F.col(MULT_COL) < 0, 1)).alias("__neg"),
+    ).collect()[0]
+    touched = int(stats["__n"])
     if touched == 0:
         # versions advanced but the join delta is empty: advance the
         # watermark with a zero-row append (still one atomic commit)
@@ -482,7 +489,7 @@ def refresh_join_mv(spark: SparkSession, mv_path: str) -> dict[str, Any]:
             domain_metadata={_JOIN_DOMAIN: blob},
         )
         return {"refreshed": True, "tuples_touched": 0}
-    if not net.filter(F.col(MULT_COL) < 0).isEmpty():
+    if stats["__neg"]:
         # consistency probe, only when the window retracts: every net
         # retraction must hit an existing MV tuple WITH enough
         # multiplicity to absorb it — an orphan or an over-retraction

@@ -138,25 +138,6 @@ def main() -> None:
     from polars_incremental_spark.queries import REGISTRY
     from polars_incremental_spark.session import get_spark
 
-    spark = get_spark("bench")
-    # warm the JVM (whole-stage codegen, shuffle machinery, parquet reader)
-    # with one small scan+agg+shuffle so per-query numbers measure the
-    # plans, not first-job JIT compilation
-    from pyspark.sql import functions as F
-
-    (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .limit(10000)
-        .groupBy("l_returnflag")
-        .agg(F.sum("l_quantity"))
-        .write.format("noop")
-        .mode("overwrite")
-        .save()
-    )
-
-    # two passes, report the per-query minimum: pass 1 pays each plan's
-    # one-time whole-stage-codegen JIT compile, pass 2 measures the
-    # steady-state cost a long-running cluster job actually sees
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     # optional subset (comma-separated names) / shard ("i/n") for long
     # scaling runs that need chunking; default runs the full suite
@@ -190,6 +171,26 @@ def main() -> None:
             raise SystemExit(
                 f"SPARK_GRAFT_BENCH_SHARD={shard!r} selects zero queries"
             )
+
+    spark = get_spark("bench")
+    # warm the JVM (whole-stage codegen, shuffle machinery, parquet reader)
+    # with one small scan+agg+shuffle so per-query numbers measure the
+    # plans, not first-job JIT compilation
+    from pyspark.sql import functions as F
+
+    (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .limit(10000)
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
+    # two passes, report the per-query minimum: pass 1 pays each plan's
+    # one-time whole-stage-codegen JIT compile, pass 2 measures the
+    # steady-state cost a long-running cluster job actually sees
     timings: dict[str, float] = {}
     for _ in range(max(repeats, 1)):
         for name in queries:

@@ -34,19 +34,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 FLAG_DIR = tempfile.mkdtemp(prefix="fault_flags_")
 
 
-def _once(name: str) -> bool:
-    """True exactly once per fault name across all processes (atomic
-    create on a shared local filesystem — all workers are on this box)."""
-    try:
-        fd = os.open(
-            os.path.join(FLAG_DIR, name), os.O_CREAT | os.O_EXCL | os.O_WRONLY
-        )
-        os.close(fd)
-        return True
-    except FileExistsError:
-        return False
-
-
 def _make_faulty(fault: str, hot_partition: int):
     # self-contained closure: runs inside executor python workers
     flag_dir = FLAG_DIR

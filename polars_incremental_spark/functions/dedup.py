@@ -140,48 +140,103 @@ def shingle_posting_list(
 
 
 def _guard_candidate_volume(
-    postings: DataFrame,
+    dfreq: DataFrame,
     max_candidates: int | None,
     *,
     caller: str,
     pairs_per_collision: int = 1,
-) -> None:
-    """Fail fast when Σ df·(df-1)/2 over ``postings`` — the EXACT number
-    of candidate pairs the posting self-join will generate before dedup —
-    exceeds ``max_candidates``.
+    remedy: str = "",
+) -> tuple[int, int]:
+    """Fail fast when Σ df·(df-1)/2 over the per-shingle document
+    frequencies in ``dfreq`` (column ``__df``) — the EXACT number of
+    candidate pairs the posting self-join will generate before dedup —
+    exceeds ``max_candidates``.  Returns ``(total_pairs, max_df)`` so the
+    caller can reuse the SAME action to decide hot-key salting (the join's
+    worst reducer does max_df·(max_df-1)/2 of the work; no second pass
+    needed to see it coming).
 
     SCALING.md measured the cliff this exists for: on a low-entropy corpus
     d17's candidate volume grew 58× for 10× data (Σdf² is the DATA's
     property, not the plan's), turning a 6-minute run into hours at the
-    next scale step.  The estimate costs one small agg over the postings
-    (already persisted by the caller); hitting the budget raises with the
-    documented scale path instead of hanging.  ``pairs_per_collision=2``
-    for directional operators that keep both orientations."""
-    if max_candidates is None:
-        return
-    row = (
-        postings.groupBy("shingle_hash")
-        .agg(F.count("*").alias("__df"))
-        .agg(
-            F.sum(
-                F.col("__df").cast("double") * (F.col("__df") - 1) / 2
-            ).alias("c")
-        )
-        .collect()[0]
-    )
+    next scale step.  The estimate costs one small agg over frequencies
+    the caller already computes; hitting the budget raises with a
+    per-caller ``remedy`` (only operators that EXPOSE max_doc_freq should
+    name it — d17's exactness contract forbids capping doc frequency).
+    ``pairs_per_collision=2`` for directional operators that keep both
+    orientations."""
+    row = dfreq.agg(
+        F.sum(
+            F.col("__df").cast("double") * (F.col("__df") - 1) / 2
+        ).alias("c"),
+        F.max("__df").alias("m"),
+    ).collect()[0]
     est = int(row["c"] or 0) * pairs_per_collision
-    if est > max_candidates:
+    max_df = int(row["m"] or 0)
+    if max_candidates is not None and est > max_candidates:
         from ..errors import CandidateVolumeError
 
         raise CandidateVolumeError(
             f"{caller}: estimated candidate volume {est:,} pairs exceeds "
             f"max_candidates={max_candidates:,}. Exact pair enumeration is "
             "quadratic in per-shingle document frequency; on this corpus "
-            "it would run for hours, not minutes. Use the banded LSH path "
-            "(minhash_lsh_pairs, d6 — measured 4.3x at 10x data) for "
-            "approximate pairs, tighten max_doc_freq to cap hot shingles, "
-            "or pass max_candidates=None to accept the cost explicitly."
+            "it would run for hours, not minutes. " + remedy
         )
+    return est, max_df
+
+
+def _salt_collision_join_sides(
+    a: DataFrame,
+    b: DataFrame,
+    dfreq: DataFrame,
+    *,
+    id_col: str,
+    hot_df: int,
+    num_salts: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Split the hottest shingle keys of a posting/prefix self-join across
+    ``num_salts`` reducers: the probe (``a``) side gets a deterministic
+    salt from its doc id, the build (``b``) side replicates hot rows to
+    every salt, and the caller joins on ``(shingle_hash, __salt)``.
+
+    Why AQE's skew-join does NOT cover this: OptimizeSkewedJoin splits by
+    shuffle-input BYTES, but a hot shingle's input partition is modest —
+    it is the df·(df-1)/2 JOIN OUTPUT that is quadratic, invisible to the
+    byte heuristic.  Hot keys are detected from the already-computed
+    df agg (``__df > hot_df``), so only Σ_hot df b-side rows replicate —
+    cold keys pay one broadcast left-anti-shaped null check and a constant
+    salt.  Every qualifying (a, b) pair still meets exactly once, at
+    salt = xxhash64(a.id) mod num_salts, so output is hash-identical to
+    the unsalted join (gated by the d17/d18 driver oracles)."""
+    hot = F.broadcast(
+        dfreq.filter(F.col("__df") > hot_df)
+        .select("shingle_hash")
+        .withColumn("__hot", F.lit(True))
+    )
+    a_salted = a.join(hot, "shingle_hash", "left").withColumn(
+        "__salt",
+        F.when(
+            F.col("__hot"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_salts)),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    ).drop("__hot")
+    # generators must sit at the top level of a projection — no .cast()
+    # chained onto the explode (sequence/array of int lits is already int)
+    b_salted = (
+        b.join(hot, "shingle_hash", "left")
+        .withColumn(
+            "__salt",
+            F.explode(
+                F.when(
+                    F.col("__hot"),
+                    F.sequence(F.lit(0), F.lit(num_salts - 1)),
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .drop("__hot")
+    )
+    return a_salted, b_salted
 
 
 def _filter_hot_shingles(postings: DataFrame, max_doc_freq: int | None) -> DataFrame:
@@ -1543,6 +1598,8 @@ def prefix_filter_pairs(
     ngram: int = 3,
     cache_intermediate: bool = True,
     max_candidates: int | None = 1_000_000_000,
+    salt_hot: bool = True,
+    num_salts: int = 16,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (the
     Chaudhuri/Bayardo "all-pairs" lineage behind PPJoin): (id_a, id_b,
@@ -1575,6 +1632,12 @@ def prefix_filter_pairs(
     — SCALING.md measured 58× candidate growth at 10× data on low-entropy
     text, a property of the DATA this exactness contract cannot engineer
     away.  ``None`` disables the guard.
+
+    ``salt_hot``: when the guard's df stats show one shingle key would do
+    >4× the average reducer's pair work, the collision join is salted on
+    just those keys (``_salt_collision_join_sides``) — same output set,
+    the quadratic key split ``num_salts`` ways.  The decision reuses the
+    guard's single collect; no extra action.
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1]; got {threshold}")
@@ -1588,6 +1651,11 @@ def prefix_filter_pairs(
         postings = postings.persist()
     sizes = postings.groupBy(id_col).agg(F.count("*").alias("__sz"))
     dfreq = postings.groupBy("shingle_hash").agg(F.count("*").alias("__df"))
+    if cache_intermediate:
+        # the guard collect below materializes dfreq anyway; persisting it
+        # lets the prefix-rank join read the computed agg instead of
+        # re-shuffling the postings a second time
+        dfreq = dfreq.persist()
     w = Window.partitionBy(id_col).orderBy("__df", "shingle_hash")
     prefix = (
         postings.join(dfreq, "shingle_hash")
@@ -1599,14 +1667,34 @@ def prefix_filter_pairs(
         )
         .select(id_col, "shingle_hash", "__r", "__sz")
     )
-    # guard on the FULL postings (one cheap agg over the persisted frame),
-    # not the prefix: the prefix is a join+window away and measuring it
-    # would cost more than the guard saves (measured +1.1s at sf0.1).
-    # Postings bound the prefix collisions from above (prefix ⊆ postings,
-    # ~4x over at threshold 0.5) — fine for an order-of-magnitude budget.
-    _guard_candidate_volume(
-        postings, max_candidates, caller="prefix_filter_pairs (d17)"
-    )
+    # guard on the FULL postings' df (one cheap agg over the persisted
+    # dfreq), not the prefix: the prefix is a join+window away and
+    # measuring it would cost more than the guard saves (measured +1.1s at
+    # sf0.1).  Postings bound the prefix collisions from above (prefix ⊆
+    # postings, ~4x over at threshold 0.5) — fine for an
+    # order-of-magnitude budget.
+    if max_candidates is not None or salt_hot:
+        try:
+            est, max_df = _guard_candidate_volume(
+                dfreq,
+                max_candidates,
+                caller="prefix_filter_pairs (d17)",
+                remedy=(
+                    "Use the banded LSH path (minhash_lsh_pairs, d6 — "
+                    "measured 4.3x at 10x data) for approximate pairs, or "
+                    "pass max_candidates=None to accept the cost "
+                    "explicitly. (This operator deliberately has no "
+                    "doc-frequency cap: dropping hot shingles would break "
+                    "its no-false-negatives contract.)"
+                ),
+            )
+        except Exception:
+            if cache_intermediate:  # don't leak caches on the error path
+                postings.unpersist()
+                dfreq.unpersist()
+            raise
+    else:
+        est, max_df = 0, 0
     # PPJoin's two exactness-preserving candidate filters, applied INSIDE
     # the collision join (3.3x fewer candidates reach verification at
     # threshold 0.5 on the sf0.1 corpus):
@@ -1616,11 +1704,36 @@ def prefix_filter_pairs(
     #   shingles can still be shared; the pair's FIRST common shingle has
     #   no shared predecessors, so its bound is tight — a qualifying pair
     #   always survives via that collision (OR over collisions = exact)
+    pa, pb = prefix.alias("a"), prefix.alias("b")
+    join_keys = (F.col("a.shingle_hash") == F.col("b.shingle_hash"))
+    if salt_hot and max_df > 1:
+        # one reducer's fair share is est/P candidate pairs; a key whose
+        # own df·(df-1)/2 exceeds 4x that will straggle the stage (the
+        # shape skew_bench measured at 13.4x on joins) — split it
+        shuffle_p = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        worst_key_pairs = max_df * (max_df - 1) / 2
+        if worst_key_pairs > 4 * max(est, 1) / max(shuffle_p, 1):
+            # hot = keys doing >4x the average reducer's work
+            hot_df_cut = max(
+                2, int((8 * max(est, 1) / max(shuffle_p, 1)) ** 0.5)
+            )
+            sa, sb = _salt_collision_join_sides(
+                prefix,
+                prefix,
+                dfreq,
+                id_col=id_col,
+                hot_df=hot_df_cut,
+                num_salts=num_salts,
+            )
+            pa, pb = sa.alias("a"), sb.alias("b")
+            join_keys = join_keys & (F.col("a.__salt") == F.col("b.__salt"))
     cand = (
-        prefix.alias("a")
+        pa
         .join(
-            prefix.alias("b"),
-            (F.col("a.shingle_hash") == F.col("b.shingle_hash"))
+            pb,
+            join_keys
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .filter(
@@ -1659,6 +1772,8 @@ def containment_pairs(
     max_doc_freq: int | None = None,
     cache_intermediate: bool = True,
     max_candidates: int | None = 1_000_000_000,
+    salt_hot: bool = True,
+    num_salts: int = 16,
 ) -> DataFrame:
     """DIRECTIONAL near-dup containment: (contained_id, container_id,
     containment) pairs where containment = |A∩B| / |A| >= threshold over
@@ -1680,24 +1795,91 @@ def containment_pairs(
     ``max_candidates`` is the d17-style pre-flight budget (see
     prefix_filter_pairs): Σ df·(df-1) over the capped postings — both
     orientations — raises CandidateVolumeError with the d6/max_doc_freq
-    escape hatches instead of silently running a quadratic join.
+    escape hatches instead of silently running a quadratic join.  The
+    guard, the ``max_doc_freq`` hot-shingle cut, and the hot-key salting
+    decision all share ONE df aggregation (persisted), not three — the
+    guard's marginal cost is the collect of an agg the operator computes
+    anyway.
+
+    ``salt_hot``: as in prefix_filter_pairs — when the df stats show one
+    shingle key would do >4x the average reducer's pair work, the posting
+    self-join is salted on just those keys, hash-identical output.
     """
-    postings = _filter_hot_shingles(
-        shingle_posting_list(df, text_col, id_col, n), max_doc_freq
-    )
+    raw = shingle_posting_list(df, text_col, id_col, n)
     if cache_intermediate:
-        postings = postings.persist()
-    _guard_candidate_volume(
-        postings,
-        max_candidates,
-        caller="containment_pairs (d18)",
-        pairs_per_collision=2,
+        raw = raw.persist()
+    dfreq = raw.groupBy("shingle_hash").agg(F.count("*").alias("__df"))
+    need_stats = max_candidates is not None or salt_hot
+    if cache_intermediate and (need_stats or max_doc_freq is not None):
+        dfreq = dfreq.persist()
+    # the guard estimates on the CAPPED frequencies — the shingles
+    # max_doc_freq removes generate no candidates, so counting them would
+    # overstate the volume and mis-fire the budget
+    kept = (
+        dfreq
+        if max_doc_freq is None
+        else dfreq.filter(F.col("__df") <= max_doc_freq)
     )
+    if need_stats:
+        try:
+            est, max_df = _guard_candidate_volume(
+                kept,
+                max_candidates,
+                caller="containment_pairs (d18)",
+                pairs_per_collision=2,
+                remedy=(
+                    "Use the banded LSH path (minhash_lsh_pairs, d6 — "
+                    "measured 4.3x at 10x data) for approximate pairs, "
+                    "tighten max_doc_freq to cap hot shingles, or pass "
+                    "max_candidates=None to accept the cost explicitly."
+                ),
+            )
+        except Exception:
+            if cache_intermediate:  # don't leak caches on the error path
+                raw.unpersist()
+                dfreq.unpersist()
+            raise
+    else:
+        est, max_df = 0, 0
+    if max_doc_freq is None:
+        postings = raw
+    else:
+        hot_cut = (
+            dfreq.filter(F.col("__df") > max_doc_freq).select("shingle_hash")
+        )
+        postings = raw.join(
+            F.broadcast(hot_cut), on="shingle_hash", how="left_anti"
+        )
     sizes = postings.groupBy(id_col).agg(F.count("*").alias("set_size"))
     a = postings.alias("a")
     b = postings.alias("b")
+    join_on: list | F.Column = ["shingle_hash"]
+    if salt_hot and max_df > 1:
+        shuffle_p = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        # directional: each collision yields 2 ordered pairs, est already
+        # counts both, and a key's own work is df·(df-1)
+        worst_key_pairs = max_df * (max_df - 1)
+        if worst_key_pairs > 4 * max(est, 1) / max(shuffle_p, 1):
+            hot_df_cut = max(
+                2, int((4 * max(est, 1) / max(shuffle_p, 1)) ** 0.5)
+            )
+            sa, sb = _salt_collision_join_sides(
+                postings,
+                postings,
+                kept,
+                id_col=id_col,
+                hot_df=hot_df_cut,
+                num_salts=num_salts,
+            )
+            a, b = sa.alias("a"), sb.alias("b")
+            join_on = (
+                (F.col("a.shingle_hash") == F.col("b.shingle_hash"))
+                & (F.col("a.__salt") == F.col("b.__salt"))
+            )
     common = (
-        a.join(b, on="shingle_hash")
+        a.join(b, on=join_on)
         .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
         .groupBy(
             F.col(f"a.{id_col}").alias("contained_id"),

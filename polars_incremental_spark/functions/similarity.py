@@ -163,6 +163,11 @@ def cosine_near_dup_pairs(
             ).alias("bb"),
         ).select(F.col(id_col), F.col(vec_col), F.col("bb.band"), F.col("bb.bucket"))
         if max_candidates is not None:
+            # the guard's collect is a second action over `banded`; persist
+            # first so the sign-sketch projection (md5-derived hyperplane
+            # dot products per vector) is computed once, not once for the
+            # guard and again for the candidate join (ADVICE r8)
+            banded = banded.persist()
             row = (
                 banded.groupBy("band", "bucket")
                 .agg(F.count("*").alias("__n"))
@@ -177,6 +182,7 @@ def cosine_near_dup_pairs(
             if est > max_candidates:
                 from ..errors import CandidateVolumeError
 
+                banded.unpersist()  # don't leak the cache on the error path
                 raise CandidateVolumeError(
                     f"cosine_near_dup_pairs: estimated candidate volume "
                     f"{est:,} pairs exceeds max_candidates="

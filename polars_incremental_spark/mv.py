@@ -356,6 +356,13 @@ def create_join_mv(
         "left_version": lv,
         "right_version": rv,
         "on": on,
+        # per-base names AND types: a base overwrite that widens a column
+        # (int -> long) keeps the payload names identical but changes
+        # every to_json rowkey digest — the refresh guard must see it.
+        # Recorded per base (not from the joined frame) so the comparison
+        # is never clouded by join key-type coercion.
+        "left_schema": [list(p) for p in left.dtypes],
+        "right_schema": [list(p) for p in right.dtypes],
     }
     blob = json.dumps(state)
     write_delta_fallback(
@@ -426,28 +433,17 @@ def refresh_join_mv(spark: SparkSession, mv_path: str) -> dict[str, Any]:
             "_change_type", "_commit_version", "_commit_timestamp"
         )
 
-    parts = []
-    if lhead > lv:
-        dl = _signed(read_change_feed(
-            spark, state["left_path"], starting_version=lv + 1, ending_version=lhead
-        ))
-        r_new = read_delta_fallback(spark, state["right_path"], version=rhead)
-        parts.append(dl.join(r_new, on))
-    if rhead > rv:
-        dr = _signed(read_change_feed(
-            spark, state["right_path"], starting_version=rv + 1, ending_version=rhead
-        ))
-        l_old = read_delta_fallback(spark, state["left_path"], version=lv)
-        parts.append(l_old.join(dr, on))
-    delta = parts[0]
-    for p in parts[1:]:
-        delta = delta.unionByName(p)
-    payload = [c for c in delta.columns if c != "_mv_sign"]
-    # schema-evolution guard: the stored MV's payload is the join schema
-    # AT CREATION; a base gaining (mergeSchema append) or losing a column
-    # since then changes the joined tuple shape, so every digest would
-    # mismatch the stored rowkeys — fail closed with the cause instead of
-    # surfacing as an "inconsistent MV" error or a MERGE schema clash
+    # schema-evolution guard FIRST, from the bases' HEAD snapshot schemas
+    # (driver-side log metadata, no scan), before any change-feed
+    # machinery: the stored MV's payload is the join schema AT CREATION; a
+    # base gaining (mergeSchema append) or losing a column since then
+    # changes the joined tuple shape, so every digest would mismatch the
+    # stored rowkeys — fail closed with the cause instead of surfacing as
+    # an "inconsistent MV" error, a MERGE schema clash, or (for a
+    # CDF-less overwrite) a ChangeDataFeedError that hides the real one
+    l_head_df = read_delta_fallback(spark, state["left_path"], version=lhead)
+    r_head_df = read_delta_fallback(spark, state["right_path"], version=rhead)
+    payload = list(dict.fromkeys(l_head_df.columns + r_head_df.columns))
     stored_payload = {
         c for c in mv_stored.columns if c not in (MULT_COL, ROWKEY_COL)
     }
@@ -458,6 +454,49 @@ def refresh_join_mv(spark: SparkSession, mv_path: str) -> dict[str, Any]:
             "base's schema evolved since the MV was created; recreate it "
             "with create_join_mv"
         )
+    # ...and TYPES, not just names (ADVICE r8): a base overwrite that
+    # widens a column (e.g. int -> long) passes the name check yet changes
+    # every to_json digest — insert-only windows would then silently store
+    # payload-duplicate rows under new rowkeys, diverging until the first
+    # retracting window trips the inconsistent-MV error.  The created-at
+    # schema is persisted in the domain metadata; MVs created before the
+    # schema was recorded keep the name-only check (they cannot be
+    # retro-checked without guessing).
+    drift = []
+    for side, head_df in (("left", l_head_df), ("right", r_head_df)):
+        stored_types = state.get(f"{side}_schema")
+        if stored_types is None:
+            continue
+        now_types = dict(head_df.dtypes)
+        drift += [
+            f"{side}.{c}: {t} -> {now_types[c]}"
+            for c, t in stored_types
+            if c in now_types and now_types[c] != t
+        ]
+    if drift:
+        raise ValueError(
+            f"join-MV {mv_path} payload column TYPE(s) changed since "
+            f"creation ({', '.join(drift)}) — the rowkey digests no "
+            "longer line up with the stored MV; recreate it with "
+            "create_join_mv"
+        )
+
+    parts = []
+    if lhead > lv:
+        dl = _signed(read_change_feed(
+            spark, state["left_path"], starting_version=lv + 1, ending_version=lhead
+        ))
+        parts.append(dl.join(r_head_df, on))
+    if rhead > rv:
+        dr = _signed(read_change_feed(
+            spark, state["right_path"], starting_version=rv + 1, ending_version=rhead
+        ))
+        l_old = read_delta_fallback(spark, state["left_path"], version=lv)
+        parts.append(l_old.join(dr, on))
+    delta = parts[0]
+    for p in parts[1:]:
+        delta = delta.unionByName(p)
+    payload = [c for c in delta.columns if c != "_mv_sign"]
     net = (
         delta.groupBy(*payload)  # groupBy is null-SAFE: null payloads group
         .agg(F.sum("_mv_sign").cast("long").alias(MULT_COL))
@@ -605,6 +644,7 @@ def refresh_agg_mv(
             F.count(F.when(null_cond, 1)).alias("__bad"),
         ).collect()[0]
         if stats["__bad"]:
+            delta.unpersist()  # don't leak the cache on the error path
             raise ValueError(
                 "NULL group key in change feed: Delta MERGE keys are "
                 "null-unsafe (NULL never matches), so a null-keyed group "
@@ -613,9 +653,13 @@ def refresh_agg_mv(
             )
         touched = int(stats["__n"])
     else:
-        _check_no_null_keys(
-            delta.select(*group_cols), group_cols, "change feed"
-        )
+        try:
+            _check_no_null_keys(
+                delta.select(*group_cols), group_cols, "change feed"
+            )
+        except Exception:
+            delta.unpersist()  # same cache hygiene as the fused probe
+            raise
     if track_retract:
         # min/max are NOT reversible under deletes (no second-best state in
         # the MV), so groups touched by any retraction re-aggregate from

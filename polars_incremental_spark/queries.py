@@ -7127,29 +7127,31 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 
 # Driver grading-window rotation: the driver hash-grades the FIRST 50
 # registry entries each round, so the dict is reordered stalest-graded
-# first — round 8 re-enters the entries whose latest green verdict dates
-# from round-4/5 code (computed from CORRECTNESS_r01..r07: 19 entries last
-# graded r4, then the oldest of the r5 block), keeping the whole ledger
-# re-verified on current code across rounds.  The two NEW round-8 entries
-# (u7b/u7c — never graded) lead the window.
+# first — round 9 re-enters the entries whose latest green verdict dates
+# from round-5/6 code (computed from CORRECTNESS_r01..r08: 13 entries last
+# graded r5, then the 37 oldest of the r6 block), keeping the whole
+# ledger re-verified on current code across rounds.  This window also
+# deliberately covers the operators round 9 touches (d17/d18 guard+salt,
+# g1/g4/g5/d9/d13 iterative-barrier cuts), so the changed code is
+# driver-graded the same round it ships.
 _GRADE_FIRST = [
-    "u7b_salted_join_groups", "u7c_two_phase_collect",
-    "schema_evolve_add", "schema_type_widen", "schema_rescue",
-    "w1_drop_late", "t1_text_stats", "t2_lang_id", "t3_fingerprint",
-    "t4_token_counts", "t5_top_ngrams", "t6_repetition", "t7_pii_redaction",
-    "t8_tfidf_top_terms", "u1_hash_sample", "u2_stratified_sample",
-    "u3_hash_split", "u4_kmv_distinct", "u5_mixture_sample",
-    "u6_pack_sequences", "u7_hot_keys", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_region_revenue", "q6_forecast_revenue",
-    "q2_min_cost_supplier", "q11_important_parts", "q12_late_priority_lines",
-    "d12_bloom_decontaminate", "d14_edit_distance_pairs", "t9_curate_topk",
-    "t10_quality_deciles", "t11_char_lm_score", "u8_group_sample",
-    "u9_weighted_sample", "r24_trailing_hour", "r26_ranking_functions",
-    "m2_frame_sample", "m3_image_decode", "asof_fwd_click_after_error",
-    "u10_token_mixture", "u11_token_shards", "t12_ngram_novelty",
-    "t13_gopher_quality", "u12_sliding_chunks", "s8_label_centroids",
-    "s9_centroid_similarity", "r27_json_props", "r28_funnel",
-    "r29_full_outer",
+    "r30_lead_lag", "r31_cohort_retention", "u13_histogram_quantiles",
+    "s10_hard_negatives", "r32_map_props", "r33_unpivot",
+    "t14_linear_classifier", "u14_temperature_sample", "m4_audio_decode",
+    "s11_diverse_topk", "t15_readability", "g2_triangles",
+    "u15_data_profile", "t19_vocab_oov", "m8_video_index",
+    "r41_session_paths", "s14_ann_recall", "g5_bfs_reach",
+    "r39_session_incident_overlap", "r40_event_transitions",
+    "d18_containment_pairs", "s13_event_cooccurrence", "u20_kmv_set_ops",
+    "r36_funnel", "r37_gap_fill", "u18_cms_heavy_hitters",
+    "u19_quantile_sketch", "d17_prefix_filter_join", "r38_activity_streaks",
+    "r34_attribution", "r35_cube_revenue", "t16_bm25_topk",
+    "t17_term_pmi", "t18_rake_keywords", "s12_pq_topk", "g4_communities",
+    "d16_duplicated_spans", "u17_leakage_safe_split", "m5_image_transform",
+    "m6_audio_frames", "m7_scene_changes", "r25_sliding_window",
+    "m1_multimodal_features", "s5b_ivf_refined_topk", "d10_chunk_dedup",
+    "d15_boilerplate_strip", "s5_ivf_topk", "g1_pagerank",
+    "d9_dup_clusters", "d13_dedup_canonical",
 ]
 # dict merge keeps the FIRST insertion position for duplicate keys, so
 # this is exactly "graded-first entries, then everything else in place"

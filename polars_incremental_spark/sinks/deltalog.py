@@ -2782,6 +2782,15 @@ def merge_into(
     constraints re-validate the written rows; generated columns
     recompute on inserts.  ``write_cdf`` emits the full change set
     (delete / update_preimage / update_postimage / insert).
+
+    ``assume_unique_source`` — CORRUPTION IF VIOLATED.  It skips the
+    multiple-match cardinality pass (real Delta's abort when two source
+    rows match one target row); pass True ONLY when the source is unique
+    on ``keys`` BY CONSTRUCTION (e.g. groupBy output keyed on the group
+    columns — the internal MV-refresh call sites).  With a dup-keyed
+    source it silently applies ``when_matched_update`` once per duplicate
+    instead of aborting, writing whichever duplicate wins the join order —
+    the exact nondeterminism the Delta protocol's rule exists to prevent.
     """
     if not keys:
         raise ValueError("keys must be non-empty")

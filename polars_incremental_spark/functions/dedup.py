@@ -264,14 +264,31 @@ def _jaccard_for_pairs(
     """Exact Jaccard for an explicit (id_a, id_b) candidate set.
 
     Cost is O(candidate pairs × shingles-per-doc), never the full posting
-    self-join: candidates join doc-a postings, then probe doc-b postings on
-    (id, shingle) to count the intersection.
+    self-join: the postings are first semi-joined down to the docs that
+    appear in ANY candidate pair — ONE pass over the corpus-sized posting
+    table — and every later join (sizes, doc-a side, (id, shingle)
+    intersection probe) runs on that candidate-doc subset.  Before this
+    cut the verify step streamed the full postings three times (sizes agg,
+    doc-a join, doc-b probe), which measured as the whole local-cluster
+    premium of the LSH-edged graph queries (2.0s -> 4.1s at sf1).  No
+    broadcast hint on the semi-join: AQE broadcasts the candidate-id set
+    while it is small and falls back to a shuffle semi-join when a
+    degenerate corpus makes it huge.
     """
-    sizes = postings.groupBy(id_col).agg(F.count("*").alias("set_size"))
-    pa = postings.select(
+    # the candidate plan is consumed twice below (id set + pair join) and
+    # is often the expensive part (band/prefix self-join) — materialize once
+    pairs = pairs.persist()
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    p_small = postings.join(cand_ids, id_col, "left_semi").persist()
+    sizes = p_small.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    pa = p_small.select(
         F.col(id_col).alias("id_a"), F.col("shingle_hash").alias("__sh")
     )
-    pb = postings.select(
+    pb = p_small.select(
         F.col(id_col).alias("id_b"), F.col("shingle_hash").alias("__sh")
     )
     common = (

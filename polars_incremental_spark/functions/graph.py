@@ -58,13 +58,21 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
     )
-    e = iter_checkpoint(e, checkpoint_dir)
+    # lazy: cuts the caller's (often LSH-pipeline) lineage NOW, but lets
+    # the materialization ride the e_deg checkpoint's job below instead of
+    # paying a separate edge-sized job first
+    e = iter_checkpoint(e, checkpoint_dir, eager=False)
     deg = e.groupBy("__src").agg(F.count("*").cast("long").alias("__deg"))
     nodes = deg.select(F.col("__src").alias("node"))
     # fold the out-degree into the edge list ONCE: the loop previously
     # re-joined `deg` every round — one extra shuffle of the EDGE-sized
     # relation per iteration, the largest relation in the job.  After the
     # fold each round is exactly one edge⋈ranks join + one groupBy(dst).
+    # (Measured negative, round 9: pre-partitioning/sorting this by __src
+    # to pin a reusable layout made every scale WORSE — the explicit
+    # repartition defeats AQE partition coalescing, and the ranks side is
+    # node-sized so AQE broadcasts it anyway, leaving no per-round edge
+    # exchange to save.  Revisit only if ranks ever outgrow broadcast.)
     e_deg = iter_checkpoint(e.join(deg, "__src"), checkpoint_dir)
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
     for i in range(iterations):
@@ -96,8 +104,11 @@ def pagerank(
             # every 2nd round (and the last): the ranks frame is node-sized
             # (tiny next to the edges), so per-round materialization jobs
             # dominated the runtime — the same cadence lesson as
-            # label_propagation's every-4th-round checkpoint
-            ranks = iter_checkpoint(ranks, checkpoint_dir)
+            # label_propagation's every-4th-round checkpoint.  eager=False:
+            # the lineage cut is what stops plan doubling; with no
+            # convergence probe to resolve, materialization can ride the
+            # caller's one final action instead of one job per cut.
+            ranks = iter_checkpoint(ranks, checkpoint_dir, eager=False)
     return ranks
 
 
@@ -132,6 +143,8 @@ def bfs_distances(
     """
     if max_hops < 1:
         raise ValueError(f"max_hops must be >= 1; got {max_hops}")
+    from pyspark.sql import Observation
+
     e = iter_checkpoint(
         edges.select(
             F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
@@ -143,7 +156,7 @@ def bfs_distances(
         .distinct()
         .withColumn("dist", F.lit(0).cast("long"))
     )
-    dist = iter_checkpoint(dist, checkpoint_dir)
+    dist = iter_checkpoint(dist, checkpoint_dir, eager=False)
     frontier = dist.select("node")
     for hop in range(1, max_hops + 1):
         reached = (
@@ -151,13 +164,29 @@ def bfs_distances(
             .select(F.col("__dst").alias("node"))
             .distinct()
         )
-        new = reached.join(dist, "node", "left_anti").withColumn(
-            "dist", F.lit(hop).cast("long")
+        # the frontier-empty probe rides the checkpoint's own
+        # materialization job via an Observation (the connected_components
+        # trick) — previously a separate isEmpty() job per hop
+        obs = Observation()
+        new = (
+            reached.join(dist, "node", "left_anti")
+            .withColumn("dist", F.lit(hop).cast("long"))
+            .observe(obs, F.count(F.lit(1)).alias("n_new"))
         )
         new = iter_checkpoint(new, checkpoint_dir)
-        if new.isEmpty():
+        try:
+            if not hasattr(obs, "_jo"):
+                raise LookupError("Observation._jo unavailable")
+            if obs._jo.getRowOrEmpty().isEmpty():  # noqa: SLF001
+                raise LookupError("checkpoint did not resolve observation")
+            n_new = int(obs.get["n_new"] or 0)
+        except Exception:
+            n_new = 0 if new.isEmpty() else 1
+        if n_new == 0:
             break
-        dist = iter_checkpoint(dist.unionByName(new), checkpoint_dir)
+        dist = iter_checkpoint(
+            dist.unionByName(new), checkpoint_dir, eager=False
+        )
         frontier = new.select("node")
     return dist
 
@@ -224,5 +253,7 @@ def label_propagation(
             "node", F.coalesce(F.col("__new"), F.col("label")).alias("label")
         )
         if (i + 1) % 4 == 0 and i + 1 < iterations:
-            labels = iter_checkpoint(labels, checkpoint_dir)
+            # lazy: the lineage cut is the point; materialization rides the
+            # caller's one final action (no convergence probe here)
+            labels = iter_checkpoint(labels, checkpoint_dir, eager=False)
     return labels

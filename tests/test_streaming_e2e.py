@@ -424,3 +424,87 @@ def test_streaming_foreachbatch_maintains_agg_mv(spark, tmp_path):
         for r in read_delta_fallback(spark, mv).collect()
     }
     assert got2 == expected
+
+
+def test_streaming_foreachbatch_maintains_join_mv(spark, tmp_path):
+    """The examples/streaming_join_mv.py shape as a deterministic
+    availableNow run: TWO streams (orders + customer updates) each append
+    to their own Delta base and refresh the counted JOIN MV inside
+    foreachBatch — exercising BOTH delta-join terms (ΔL⋈R₂ from the left
+    stream, L₁⋈ΔR from a customer arriving after its orders) end-to-end
+    under a streaming trigger.  A replayed availableNow run folds nothing
+    twice."""
+    from polars_incremental_spark.mv import (
+        create_join_mv,
+        read_join_mv,
+        refresh_join_mv,
+    )
+    from polars_incremental_spark.sinks.deltalog import write_delta_fallback
+
+    o_landing, c_landing = tmp_path / "ol", tmp_path / "cl"
+    o_landing.mkdir()
+    c_landing.mkdir()
+    orders, cust = str(tmp_path / "orders"), str(tmp_path / "cust")
+    mv = str(tmp_path / "jmv")
+    write_delta_fallback(
+        spark.createDataFrame([(1, 100)], "cust_id long, amount long"), orders
+    )
+    write_delta_fallback(
+        spark.createDataFrame(
+            [(1, "gold"), (2, "silver")], "cust_id long, segment string"
+        ),
+        cust,
+    )
+    create_join_mv(spark, orders, cust, mv, on=["cust_id"])
+
+    def land(rows, schema, landing, name):
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(stage))
+        part = next(p for p in stage.iterdir() if p.name.endswith(".parquet"))
+        part.rename(landing / f"{name}.parquet")
+
+    def fold(base_path):
+        def inner(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            write_delta_fallback(batch_df, base_path, mode="append")
+            refresh_join_mv(spark, mv)
+
+        return inner
+
+    def drain(landing, schema, base_path, ckpt):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(landing))
+            .writeStream.foreachBatch(fold(base_path))
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # ΔL⋈R₂: new orders join the current dim; order for cust 3 dangles
+    land(
+        [(2, 40), (3, 70)], "cust_id long, amount long", o_landing, "orders0"
+    )
+    drain(o_landing, "cust_id long, amount long", orders, "ockpt")
+    # L₁⋈ΔR: customer 3 arriving surfaces the pre-existing order
+    land([(3, "bronze")], "cust_id long, segment string", c_landing, "cust0")
+    drain(c_landing, "cust_id long, segment string", cust, "cckpt")
+
+    expected = sorted(
+        [(1, 100, "gold"), (2, 40, "silver"), (3, 70, "bronze")]
+    )
+
+    def mv_rows():
+        return sorted(
+            (r["cust_id"], r["amount"], r["segment"])
+            for r in read_join_mv(spark, mv).collect()
+        )
+
+    assert mv_rows() == expected
+    # replayed runs: stream checkpoints say nothing new — MV untouched
+    drain(o_landing, "cust_id long, amount long", orders, "ockpt")
+    drain(c_landing, "cust_id long, segment string", cust, "cckpt")
+    assert mv_rows() == expected

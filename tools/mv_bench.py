@@ -14,6 +14,10 @@ append size while recompute wall grows with the BASE size, so the
 advantage is largest exactly where production sits (small change rate on
 a huge base).
 
+The same protocol then runs against a JOIN MV (counted delta-join IVM):
+a fact table of ``base_rows`` joined to a 10k-row dim, appends to the
+fact side (ΔL⋈R₂ term), plus one dim-side delete window (L₁⋈ΔR term).
+
 Usage: python tools/mv_bench.py [base_rows]   (default 5_000_000)
 Prints one JSON line; findings go to PLANS.md.
 """
@@ -92,6 +96,68 @@ def main() -> None:
     refresh_agg_mv(spark, base, mv)
     results["delete_refresh_sec"] = round(time.monotonic() - t0, 2)
     print(f"  delete window: {results['delete_refresh_sec']}s", file=sys.stderr)
+
+    # ---- join-MV twin (round-9: the flat-in-base-size claim was measured
+    # for agg MVs only; same architecture, now same evidence) ----
+    from polars_incremental_spark.mv import create_join_mv, refresh_join_mv
+    from polars_incremental_spark.sinks.deltalog import read_delta_fallback
+
+    lp, rp, jmv = f"{root}/jleft", f"{root}/jright", f"{root}/jmv"
+    n_dim = 10_000
+
+    def fact_batch(n, start):
+        return spark.range(start, start + n).select(
+            (F.col("id") % n_dim).cast("long").alias("k"),
+            (F.col("id") * 7 % 1000).cast("long").alias("x"),
+        )
+
+    write_delta_fallback(fact_batch(base_rows, 0), lp)
+    write_delta_fallback(
+        spark.range(n_dim).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 50).cast("long").alias("tag"),
+        ),
+        rp,
+    )
+    t0 = time.monotonic()
+    create_join_mv(spark, lp, rp, jmv, on=["k"])
+    results["join_create_sec"] = round(time.monotonic() - t0, 2)
+    results["join_steps"] = []
+    nxt = base_rows
+    for change in (1_000, 10_000, 100_000, 1_000_000):
+        write_delta_fallback(fact_batch(change, nxt), lp, mode="append")
+        nxt += change
+        t0 = time.monotonic()
+        refresh_join_mv(spark, jmv)
+        refresh_wall = round(time.monotonic() - t0, 2)
+        t0 = time.monotonic()
+        recomputed = (
+            read_delta_fallback(spark, lp)
+            .join(read_delta_fallback(spark, rp), "k")
+            .groupBy("k", "x", "tag")
+            .agg(F.count("*").alias("mult"))
+        )
+        recomputed.write.format("noop").mode("overwrite").save()
+        recompute_wall = round(time.monotonic() - t0, 2)
+        step = {
+            "change_rows": change,
+            "refresh_sec": refresh_wall,
+            "full_recompute_sec": recompute_wall,
+            "speedup": round(recompute_wall / refresh_wall, 2)
+            if refresh_wall
+            else None,
+        }
+        results["join_steps"].append(step)
+        print(f"  join {step}", file=sys.stderr)
+    # right-side (dim) change: exercises the L₁⋈ΔR delta term
+    delete_where(spark, rp, "k < 10", write_cdf=True)
+    t0 = time.monotonic()
+    refresh_join_mv(spark, jmv)
+    results["join_dim_delete_refresh_sec"] = round(time.monotonic() - t0, 2)
+    print(
+        f"  join dim-delete window: {results['join_dim_delete_refresh_sec']}s",
+        file=sys.stderr,
+    )
 
     shutil.rmtree(root, ignore_errors=True)
     print(json.dumps(results))

@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "d18_containment_pairs",  # directional containment over posting lists
     "s13_event_cooccurrence",  # user-incidence cosine co-occurrence
     "u20_kmv_set_ops",  # KMV sketch union/intersection estimates
+    # round-9 addition
+    "u21_hll_distinct",  # deterministic HLL through the register merge
 ]
 
 

@@ -259,7 +259,12 @@ def _filter_hot_shingles(postings: DataFrame, max_doc_freq: int | None) -> DataF
 
 
 def _jaccard_for_pairs(
-    pairs: DataFrame, postings: DataFrame, id_col: str, threshold: float
+    pairs: DataFrame,
+    postings: DataFrame,
+    id_col: str,
+    threshold: float,
+    *,
+    narrow_postings: bool = True,
 ) -> DataFrame:
     """Exact Jaccard for an explicit (id_a, id_b) candidate set.
 
@@ -274,7 +279,30 @@ def _jaccard_for_pairs(
     broadcast hint on the semi-join: AQE broadcasts the candidate-id set
     while it is small and falls back to a shuffle semi-join when a
     degenerate corpus makes it huge.
+
+    ``narrow_postings=False`` skips the cut: callers whose candidate set
+    is corpus-DENSE (d17's exact prefix join touches most docs, so
+    p_small ≈ postings) pay the pairs-persist + distinct + semi-join for
+    no narrowing — measured +24% on d17's sf1 wall (438s vs 352s on the
+    round-8 shape).  Sparse-candidate callers (LSH banding, d6/d9/d13/
+    g1-g5 edges) keep the default; the round-9 sf1 re-measure put the
+    cut's win there at 2-4x on the verify step.
     """
+    if not narrow_postings:
+        sizes = postings.groupBy(id_col).agg(F.count("*").alias("set_size"))
+        pa = postings.select(
+            F.col(id_col).alias("id_a"), F.col("shingle_hash").alias("__sh")
+        )
+        pb = postings.select(
+            F.col(id_col).alias("id_b"), F.col("shingle_hash").alias("__sh")
+        )
+        common = (
+            pairs.join(pa, "id_a")
+            .join(pb, ["id_b", "__sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+        return _score_jaccard_pairs(common, sizes, id_col, threshold)
     # the candidate plan is consumed twice below (id set + pair join) and
     # is often the expensive part (band/prefix self-join) — materialize once
     pairs = pairs.persist()
@@ -297,6 +325,14 @@ def _jaccard_for_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )
+    return _score_jaccard_pairs(common, sizes, id_col, threshold)
+
+
+def _score_jaccard_pairs(
+    common: DataFrame, sizes: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """(id_a, id_b, jaccard >= threshold) from intersection counts + set
+    sizes — shared by both verify shapes so scoring can never diverge."""
     return (
         common.join(
             sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("set_size", "size_a"),
@@ -1774,9 +1810,13 @@ def prefix_filter_pairs(
         )
         .distinct()
     )
-    return _jaccard_for_pairs(cand, postings, id_col, threshold).orderBy(
-        "id_a", "id_b"
-    )
+    # narrow_postings=False: an exact threshold join's candidates touch
+    # most docs (prefix ⊆ postings but covers the corpus), so narrowing
+    # buys nothing and the pairs-persist costs — measured 438s vs 352s at
+    # sf1 (SCALING_DATA_r09.json d17 adjudication)
+    return _jaccard_for_pairs(
+        cand, postings, id_col, threshold, narrow_postings=False
+    ).orderBy("id_a", "id_b")
 
 
 def containment_pairs(

@@ -144,6 +144,15 @@ def cosine_near_dup_pairs(
     else:
         n_bands = n_planes // band_size
         bits = vectors.withColumn("__sk", sign_sketch(vec_col, dim, n_planes))
+        # one row per vector (NOT per band): the persisted frame feeds the
+        # guard, the candidate join, and the post-dedup vector re-attach,
+        # so the md5-hyperplane sketch is computed exactly once — and the
+        # cache is n_bands× smaller than persisting the exploded frame
+        # (which round 9's sf1 re-measure caught costing 2.5× on s3: the
+        # cached exploded frame's in-memory stats pushed the self-join
+        # from broadcast-hash to sort-merge over only bands·2^band_size
+        # distinct keys)
+        bits = bits.persist()
         band_mask = (1 << band_size) - 1
         banded = bits.select(
             F.col(id_col),
@@ -161,13 +170,16 @@ def cosine_near_dup_pairs(
                     ]
                 )
             ).alias("bb"),
-        ).select(F.col(id_col), F.col(vec_col), F.col("bb.band"), F.col("bb.bucket"))
+        ).select(F.col(id_col), F.col("bb.band"), F.col("bb.bucket"))
+        # `banded` deliberately does NOT carry the vector: the candidate
+        # self-join and the dedup shuffle move 16-byte (id, band, bucket)
+        # rows, not ~1 KB vector pairs, and vectors re-attach AFTER the
+        # pair set is deduplicated — at a dense-corpus scale where
+        # candidates are ~100× the corpus (SCALING.md s3 row), payload
+        # width on the candidate path dominates the query
         if max_candidates is not None:
-            # the guard's collect is a second action over `banded`; persist
-            # first so the sign-sketch projection (md5-derived hyperplane
-            # dot products per vector) is computed once, not once for the
-            # guard and again for the candidate join (ADVICE r8)
-            banded = banded.persist()
+            # one cheap agg over the banded projection of the persisted
+            # sketch frame — the hyperplane dot products are not recomputed
             row = (
                 banded.groupBy("band", "bucket")
                 .agg(F.count("*").alias("__n"))
@@ -182,7 +194,7 @@ def cosine_near_dup_pairs(
             if est > max_candidates:
                 from ..errors import CandidateVolumeError
 
-                banded.unpersist()  # don't leak the cache on the error path
+                bits.unpersist()  # don't leak the cache on the error path
                 raise CandidateVolumeError(
                     f"cosine_near_dup_pairs: estimated candidate volume "
                     f"{est:,} pairs exceeds max_candidates="
@@ -193,18 +205,17 @@ def cosine_near_dup_pairs(
                 )
         a = banded.alias("a")
         b = banded.alias("b")
-        pairs = (
+        cand = (
             a.join(b, on=["band", "bucket"])
             .filter(a_ids < b_ids)
-            .select(
-                a_ids.alias(id_col),
-                F.col(f"a.{vec_col}").alias("__va"),
-                b_ids.alias("__idb"),
-                F.col(f"b.{vec_col}").alias("__vb"),
-            )
+            .select(a_ids.alias(id_col), b_ids.alias("__idb"))
             .dropDuplicates([id_col, "__idb"])
         )
-        scored = pairs.select(
+        va = bits.select(F.col(id_col), F.col(vec_col).alias("__va"))
+        vb = bits.select(
+            F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb")
+        )
+        scored = cand.join(va, id_col).join(vb, "__idb").select(
             F.col(id_col).alias("id_a"),
             F.col("__idb").alias("id_b"),
             F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine_sim"),

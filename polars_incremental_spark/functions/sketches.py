@@ -19,6 +19,7 @@ Greenfield Spark work (no reference counterpart).
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -112,6 +113,189 @@ def kmv_merge(
         *[F.col(c) for c in group_cols], F.explode(F.col(hashes_col)).alias("__h")
     )
     return _bottom_k(exploded, group_cols, k, hashes_col)
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog — deterministic, cross-engine-reproducible variant
+# --------------------------------------------------------------------------
+#
+# The industry-standard distinct sketch (Flajolet et al. 2007), built so
+# any engine with md5 reproduces the ESTIMATE bit-for-bit — the same
+# portability contract as KMV above, closing the one gap KMV leaves:
+# KMV's sketch is O(k) values per group, HLL is a FIXED 2^b registers of
+# 6 bits each regardless of cardinality, and merge is a cell-wise max
+# (commutative, idempotent), so per-batch / per-partition sketches roll up
+# with no resort step.  Spark's own approx_count_distinct is HLL++ with an
+# implementation-defined estimate; this variant trades its bias
+# corrections for determinism (error ~ 1.04/sqrt(m), ~13% at m=64).
+#
+# Determinism notes (why every step is engine-portable):
+# - register index = low b bits of the 60-bit md5 hash; rank = leading-
+#   zero count of the remaining P=60-b bits, computed as P+1-length(bin(w))
+#   — string length of the minimal binary form, no float log2.
+# - the harmonic sum Z = sum(2^-M_j) is kept EXACT: scaled by 2^(P+1) it
+#   is an integer sum of shiftleft(1L, P+1-M_j) terms (max m*2^(P+1) =
+#   2^61 at any b — always fits a BIGINT), so no float-summation-order
+#   nondeterminism can enter.
+# - the only float ops are one division (alpha*m^2*2^(P+1), a Python-baked
+#   literal, over the exact integer sum) and the small-range linear-
+#   counting branch, which takes one of m precomputed m*ln(m/V) literals
+#   (V in 1..m) baked identically into the Spark plan and the SQL oracle.
+#
+# Greenfield Spark work (no reference counterpart).
+
+HLL_HASH_BITS = 60  # md5_long(n_hex=15)
+
+
+def _hll_params(b: int) -> tuple[int, int, float]:
+    """(m, scale, alpha_m) for 2^b registers over a 60-bit hash."""
+    if not 4 <= b <= 16:
+        raise ValueError(f"b must be in [4, 16]; got {b}")
+    m = 1 << b
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    return m, HLL_HASH_BITS - b + 1, alpha
+
+
+def hll_sketch(
+    df: DataFrame,
+    *,
+    group_cols: Sequence[str],
+    value_col: str,
+    b: int = 6,
+    out_col: str = "hll_regs",
+) -> DataFrame:
+    """(group..., out_col array<struct<j:int, r:int>>) — per-group HLL
+    registers, sparse (only registers that saw a value), sorted by j.
+
+    Plan shape at 100 TB: hash projected in-scan, one shuffle on
+    (group, register) with map-side partial max (2^b rows per group per
+    partition AT MOST — the sketch property), then a bounded collect_list
+    per group.  No corpus-sized state crosses the exchange twice."""
+    m, scale, _ = _hll_params(b)
+    p = HLL_HASH_BITS - b
+    h = md5_long(F.col(value_col).cast("string"))
+    w = F.shiftright(h, b)
+    rank = F.when(w == 0, F.lit(p + 1)).otherwise(
+        F.lit(p + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(
+            *[F.col(c) for c in group_cols],
+            (h.bitwiseAND(m - 1)).cast("int").alias("__j"),
+            rank.cast("int").alias("__r"),
+        )
+        .groupBy(*group_cols, "__j")
+        .agg(F.max("__r").alias("__mr"))
+        .groupBy(*group_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__j").alias("j"), F.col("__mr").alias("r")))
+            ).alias(out_col)
+        )
+    )
+
+
+def hll_merge(
+    sketches: DataFrame,
+    *,
+    group_cols: Sequence[str],
+    regs_col: str = "hll_regs",
+) -> DataFrame:
+    """Merge per-batch/per-partition sketches: cell-wise register max —
+    commutative and idempotent, so sketches roll up across incremental
+    batches (or a partial re-send) without re-scanning history."""
+    exploded = sketches.select(
+        *[F.col(c) for c in group_cols], F.explode(F.col(regs_col)).alias("__x")
+    )
+    return (
+        exploded.groupBy(*group_cols, F.col("__x.j").alias("__j"))
+        .agg(F.max("__x.r").alias("__mr"))
+        .groupBy(*group_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__j").alias("j"), F.col("__mr").alias("r")))
+            ).alias(regs_col)
+        )
+    )
+
+
+def hll_estimate_expr(regs_col: str, b: int = 6):
+    """Distinct-count estimate from a register array — the deterministic
+    HLL estimator: exact-integer harmonic sum, baked-literal alpha and
+    linear-counting table (see module notes)."""
+    m, scale, alpha = _hll_params(b)
+    numer = alpha * m * m * float(1 << scale)  # Python-baked double literal
+    s = F.expr(
+        f"aggregate({regs_col}, "
+        f"cast(({m} - size({regs_col})) as bigint) * shiftleft(cast(1 as bigint), {scale}), "
+        f"(acc, x) -> acc + shiftleft(cast(1 as bigint), {scale} - x.r))"
+    )
+    v = F.lit(m) - F.size(F.col(regs_col))  # empty registers
+    raw = F.lit(numer) / s.cast("double")
+    lc_table = F.array(*[F.lit(m * math.log(m / i)) for i in range(1, m + 1)])
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0), F.element_at(lc_table, v)
+    ).otherwise(raw)
+    return F.round(est).cast("long")
+
+
+def hll_distinct(
+    df: DataFrame,
+    *,
+    group_cols: Sequence[str],
+    value_col: str,
+    b: int = 6,
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """(group..., approx_distinct long) — sketch + estimate in one call."""
+    sk = hll_sketch(df, group_cols=group_cols, value_col=value_col, b=b)
+    return sk.select(
+        *[F.col(c) for c in group_cols],
+        hll_estimate_expr("hll_regs", b).alias(out_col),
+    )
+
+
+def sql_hll_estimate(
+    table_expr: str,
+    *,
+    group_col: str,
+    value_expr: str,
+    b: int = 6,
+    out_col: str = "approx_distinct",
+) -> str:
+    """DuckDB twin of hll_distinct — generated from the SAME constants
+    (alpha literal, ln table) so the two engines can never drift."""
+    m, scale, alpha = _hll_params(b)
+    p = HLL_HASH_BITS - b
+    numer = repr(alpha * m * m * float(1 << scale))
+    lc_cases = " ".join(
+        f"WHEN {i} THEN {m * math.log(m / i)!r}" for i in range(1, m + 1)
+    )
+    # md5 hash twin lives in queries._sql_md5_long; callers interpolate it
+    return f"""
+WITH __hll_h AS (
+  SELECT DISTINCT {group_col} AS g, {value_expr} AS h FROM {table_expr}
+),
+__hll_reg AS (
+  SELECT g, (h & {m - 1}) AS j,
+         CASE WHEN (h >> {b}) = 0 THEN {p + 1}
+              ELSE {p + 1} - length(bin(h >> {b})) END AS r
+  FROM __hll_h
+),
+__hll_m AS (SELECT g, j, MAX(r) AS mr FROM __hll_reg GROUP BY g, j),
+__hll_s AS (
+  SELECT g,
+         SUM(1::BIGINT << ({scale} - mr))
+           + ({m} - COUNT(*)) * (1::BIGINT << {scale}) AS s,
+         {m} - COUNT(*) AS v
+  FROM __hll_m GROUP BY g
+)
+SELECT g AS {group_col},
+       CAST(round(CASE WHEN {numer} / s <= {2.5 * m!r} AND v > 0
+                       THEN CASE v {lc_cases} END
+                       ELSE {numer} / s END) AS BIGINT) AS {out_col}
+FROM __hll_s
+"""
 
 
 # --------------------------------------------------------------------------
@@ -396,6 +580,140 @@ def compact_cms_index(spark, index_path: str) -> int:
     old = list(manifest["active"])
     merged = cms_merge(
         spark.read.parquet(*[os.path.join(index_path, d) for d in old])
+    )
+    sub = f"sketch_compact_{uuid.uuid4().hex[:8]}"
+    merged.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_path, sub)
+    )
+    manifest["active"] = [sub]
+    _cms_write_manifest(index_path, manifest)
+    for d in old:
+        shutil.rmtree(os.path.join(index_path, d), ignore_errors=True)
+    return len(old)
+
+
+# --------------------------------------------------------------------------
+# Persisted HLL index — incremental distinct-count over batches
+# --------------------------------------------------------------------------
+#
+# The HLL sibling of the CMS index store above (same manifest layout,
+# same crash windows), with one property the CMS store can NOT have:
+# register merge is max(), which is IDEMPOTENT — re-folding the same
+# batch cannot corrupt the estimate, only waste a subdir.  The folded-id
+# accounting is therefore storage hygiene here, not a correctness
+# requirement (for CMS it is load-bearing: cell sums double-count).
+# The test suite still asserts replay returns False, keeping the two
+# stores behaviorally interchangeable inside Pipeline writers.
+
+
+def update_hll_index(
+    df: DataFrame,
+    index_path: str,
+    *,
+    group_cols: Sequence[str],
+    value_col: str,
+    b: int = 6,
+    batch_id: int | None = None,
+) -> bool:
+    """Fold one batch into the persisted per-group register store.
+    Returns True if folded, False on an already-accounted batch id
+    (content-addressed when ``batch_id`` is None, as for CMS)."""
+    import os
+    import uuid
+
+    meta = {"b": b, "group_cols": list(group_cols), "value_col": value_col}
+    os.makedirs(index_path, exist_ok=True)
+    manifest = _cms_read_manifest(index_path)
+    if manifest is None:
+        manifest = {"meta": meta, "active": [], "folded": []}
+    elif manifest["meta"] != meta:
+        raise ValueError(
+            f"hll index at {index_path} was built with {manifest['meta']}; "
+            f"refusing update with {meta}"
+        )
+
+    sketch = hll_sketch(df, group_cols=group_cols, value_col=value_col, b=b)
+    if batch_id is not None:
+        bid = f"batch_{batch_id}"
+    else:
+        sketch = sketch.persist()
+        gref = ", ".join(f"`{c}`" for c in group_cols)
+        row = (
+            sketch.select(*group_cols, F.explode("hll_regs").alias("__e"))
+            .agg(
+                F.count("*").cast("long").alias("__n"),
+                F.coalesce(
+                    F.expr(f"bit_xor(hash({gref}, __e.j, __e.r))"), F.lit(0)
+                )
+                .cast("long")
+                .alias("__x"),
+            )
+            .collect()[0]
+        )
+        bid = f"adhoc_{row['__x'] & 0xFFFFFFFFFFFFFFFF:016x}_{row['__n']}"
+    if bid in manifest["folded"]:
+        if batch_id is None:
+            sketch.unpersist()
+        return False
+
+    sub = f"sketch_{bid}_{uuid.uuid4().hex[:8]}"
+    try:
+        sketch.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(index_path, sub)
+        )
+    finally:
+        if batch_id is None:
+            sketch.unpersist()
+    manifest["active"].append(sub)
+    manifest["folded"].append(bid)
+    _cms_write_manifest(index_path, manifest)
+    return True
+
+
+def read_hll_index(spark, index_path: str) -> tuple[DataFrame, dict]:
+    """(merged per-group registers, meta) — bounded by 2^b rows of state
+    per group regardless of folded history."""
+    import os
+
+    manifest = _cms_read_manifest(index_path)
+    if manifest is None or not manifest["active"]:
+        raise ValueError(f"hll index at {index_path} has no folded batches")
+    meta = manifest["meta"]
+    dirs = [os.path.join(index_path, d) for d in manifest["active"]]
+    merged = hll_merge(
+        spark.read.parquet(*dirs), group_cols=meta["group_cols"]
+    )
+    return merged, meta
+
+
+def hll_index_distinct(
+    spark, index_path: str, *, out_col: str = "approx_distinct"
+) -> DataFrame:
+    """(group..., approx_distinct) from the persisted index — parameters
+    come from the manifest so probes can never use a mismatched layout."""
+    merged, meta = read_hll_index(spark, index_path)
+    return merged.select(
+        *[F.col(c) for c in meta["group_cols"]],
+        hll_estimate_expr("hll_regs", b=meta["b"]).alias(out_col),
+    )
+
+
+def compact_hll_index(spark, index_path: str) -> int:
+    """Merge active subdirs into one — same crash contract as the CMS
+    compactor (atomic manifest swap first, source deletes after), and
+    doubly safe here because a re-read of a half-deleted overlap can only
+    re-merge registers idempotently."""
+    import os
+    import shutil
+    import uuid
+
+    manifest = _cms_read_manifest(index_path)
+    if manifest is None or len(manifest["active"]) <= 1:
+        return 0
+    old = list(manifest["active"])
+    merged = hll_merge(
+        spark.read.parquet(*[os.path.join(index_path, d) for d in old]),
+        group_cols=manifest["meta"]["group_cols"],
     )
     sub = f"sketch_compact_{uuid.uuid4().hex[:8]}"
     merged.coalesce(1).write.mode("overwrite").parquet(

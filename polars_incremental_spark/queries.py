@@ -35,6 +35,7 @@ from pyspark.sql import types as T
 
 from . import cdc, patterns
 from .functions import curation, dedup, layout, multimodal, sampling, similarity
+from .functions import sketches as _sketches_mod
 from .functions import text as tx
 from .functions.similarity import _hyperplane
 from .schema import apply_schema
@@ -6932,6 +6933,44 @@ ORDER BY type_a, type_b
 """
 
 
+def u21_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-count (functions/sketches.py):
+    fixed 2^6 registers per group vs KMV's k values — the standard
+    industry sketch, made engine-reproducible (string-length ranks, exact
+    integer harmonic sum, baked float literals; see the module notes).
+
+    The Spark path deliberately goes through the MERGE: per-batch sketches
+    (batch = event_id % 7, standing in for per-partition/per-day partial
+    sketches at 100 TB) are register-max-merged, then estimated.  The
+    oracle computes the estimate DIRECTLY from the full table — a hash
+    match proves merge is lossless, the roll-up-without-history property
+    the incremental engine relies on."""
+    from .functions import sketches as sk
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "__batch", F.pmod(F.col("event_id"), F.lit(7))
+    )
+    batched = sk.hll_sketch(
+        events, group_cols=["event_type", "__batch"], value_col="user_id", b=6
+    )
+    merged = sk.hll_merge(batched, group_cols=["event_type"])
+    return merged.select(
+        "event_type",
+        sk.hll_estimate_expr("hll_regs", b=6).alias("approx_distinct"),
+    ).orderBy("event_type")
+
+
+U21_SQL = (
+    _sketches_mod.sql_hll_estimate(
+        "events",
+        group_col="event_type",
+        value_expr=_sql_md5_long("user_id::VARCHAR"),
+        b=6,
+    )
+    + " ORDER BY event_type"
+)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7122,6 +7161,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "u7_hot_keys": (u7_hot_keys, U7_SQL),
     "u7b_salted_join_groups": (u7b_salted_join_groups, U7B_SQL),
     "u7c_two_phase_collect": (u7c_two_phase_collect, U7C_SQL),
+    "u21_hll_distinct": (u21_hll_distinct, U21_SQL),
     "m1b_multimodal_meta": (m1b_multimodal_meta, M1B_SQL),
 }
 
@@ -7135,6 +7175,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 # g1/g4/g5/d9/d13 iterative-barrier cuts), so the changed code is
 # driver-graded the same round it ships.
 _GRADE_FIRST = [
+    "u21_hll_distinct",  # new in round 9, never driver-graded
     "r30_lead_lag", "r31_cohort_retention", "u13_histogram_quantiles",
     "s10_hard_negatives", "r32_map_props", "r33_unpivot",
     "t14_linear_classifier", "u14_temperature_sample", "m4_audio_decode",

@@ -76,3 +76,60 @@ def test_cms_index_exactly_once_through_pipeline_crash(spark, sf_dir, tmp_path):
     assert crashed == control
     # sanity: the index actually holds counts
     assert sum(c for _, _, c in control) > 0
+
+
+def _run_hll(spark, sf_dir, root, crash_batch_2):
+    """Same crash protocol as the CMS run above, on the HLL index store —
+    maintains approx-distinct shingles per lang through a writer crash."""
+    landing = os.path.join(root, "landing")
+    ckpt = os.path.join(root, "ckpt")
+    idx = os.path.join(root, "hll")
+    out_dir = os.path.join(root, "out")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") < 100).write.parquet(
+        os.path.join(landing, "crawl_1.parquet")
+    )
+    crash_armed = {"armed": False}
+
+    def writer(df, batch_id):
+        stream = df.select(
+            "lang", F.explode(tx.word_shingles(F.col("text"), 3)).alias("shingle")
+        )
+        sk.update_hll_index(
+            stream, idx, group_cols=["lang"], value_col="shingle", batch_id=batch_id
+        )
+        if crash_armed["armed"]:
+            crash_armed["armed"] = False
+            raise RuntimeError("simulated crash after index fold")
+        df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_{batch_id}")
+        )
+
+    def pipe():
+        return Pipeline(
+            source=FilesSource(path=landing, file_format="parquet"),
+            checkpoint_dir=ckpt,
+            writer=writer,
+        )
+
+    assert pipe().run(spark).batches == 1
+    docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 180)).write.parquet(
+        os.path.join(landing, "crawl_2.parquet")
+    )
+    if crash_batch_2:
+        crash_armed["armed"] = True
+        with pytest.raises(WriterError):
+            pipe().run(spark)
+        assert pipe().run(spark).batches == 1
+    else:
+        assert pipe().run(spark).batches == 1
+    return sorted(
+        map(tuple, sk.hll_index_distinct(spark, idx).collect())
+    )
+
+
+def test_hll_index_exactly_once_through_pipeline_crash(spark, sf_dir, tmp_path):
+    control = _run_hll(spark, sf_dir, str(tmp_path / "hc"), crash_batch_2=False)
+    crashed = _run_hll(spark, sf_dir, str(tmp_path / "hx"), crash_batch_2=True)
+    assert crashed == control
+    assert all(n > 0 for _, n in control)

@@ -193,10 +193,20 @@ def main() -> None:
     # two passes, report the per-query minimum: pass 1 pays each plan's
     # one-time whole-stage-codegen JIT compile, pass 2 measures the
     # steady-state cost a long-running cluster job actually sees
+    # SPARK_GRAFT_BENCH_CLEARCACHE=1 drops all persisted frames between
+    # queries.  Default OFF: the standard suite measures warm steady-state
+    # (pass 2 reuses each query's own caches), comparable round-over-round.
+    # Turn ON for memory-tight configs (e.g. small local-cluster executors)
+    # where fifteen sf1 queries' accumulated caches LRU-thrash and in-suite
+    # numbers stop reflecting the operators (SCALING.md round-9: d6 16.1s
+    # in-suite vs 1.86s isolated under local-cluster[4,8,4096]).
+    clear_cache = os.environ.get("SPARK_GRAFT_BENCH_CLEARCACHE") == "1"
     timings: dict[str, float] = {}
     for _ in range(max(repeats, 1)):
         for name in queries:
             fn, _sql = REGISTRY[name]
+            if clear_cache:
+                spark.catalog.clearCache()
             t0 = time.monotonic()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

@@ -125,8 +125,9 @@ BENCH_QUERIES = [
     "d18_containment_pairs",  # directional containment over posting lists
     "s13_event_cooccurrence",  # user-incidence cosine co-occurrence
     "u20_kmv_set_ops",  # KMV sketch union/intersection estimates
-    # round-9 addition
+    # round-9 additions
     "u21_hll_distinct",  # deterministic HLL through the register merge
+    "u22_distinct_growth",  # cumulative-HLL corpus novelty curve
 ]
 
 

@@ -219,6 +219,42 @@ def hll_merge(
     )
 
 
+def hll_cumulative(
+    sketches: DataFrame,
+    *,
+    order_col: str,
+    regs_col: str = "hll_regs",
+) -> DataFrame:
+    """(order_col, regs_col) — register state of the UNION of all batches
+    up to and including each ``order_col`` value: sketch algebra for
+    corpus-novelty curves (cumulative distinct per crawl batch, and the
+    newly-seen delta between consecutive batches).
+
+    Shape: explode the per-batch registers once, join the (tiny, distinct)
+    batch list on batch <= k — the only fan-out is per-register rows ×
+    number of batches, i.e. ≤ 2^b · n_batches² rows TOTAL regardless of
+    corpus size, because the inputs are already sketches.  No window over
+    raw data, no rescan of history — the property that lets the curve
+    extend incrementally as new batches land."""
+    ks = sketches.select(F.col(order_col).alias("__k")).distinct()
+    exploded = sketches.select(
+        F.col(order_col), F.explode(F.col(regs_col)).alias("__x")
+    )
+    return (
+        exploded.join(F.broadcast(ks), F.col(order_col) <= F.col("__k"))
+        .groupBy(F.col("__k").alias(order_col), F.col("__x.j").alias("__j"))
+        .agg(F.max("__x.r").alias("__mr"))
+        .groupBy(order_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("__j").alias("j"), F.col("__mr").alias("r"))
+                )
+            ).alias(regs_col)
+        )
+    )
+
+
 def hll_estimate_expr(regs_col: str, b: int = 6):
     """Distinct-count estimate from a register array — the deterministic
     HLL estimator: exact-integer harmonic sum, baked-literal alpha and
@@ -255,6 +291,46 @@ def hll_distinct(
     )
 
 
+def sql_hll_reg_exprs(b: int = 6) -> tuple[str, str]:
+    """(register-index SQL, rank SQL) over a hash column ``h`` — the
+    shared primitive for any DuckDB twin that groups registers itself."""
+    m, _, _ = _hll_params(b)
+    p = HLL_HASH_BITS - b
+    return (
+        f"(h & {m - 1})",
+        f"CASE WHEN (h >> {b}) = 0 THEN {p + 1} "
+        f"ELSE {p + 1} - length(bin(h >> {b})) END",
+    )
+
+
+def sql_hll_estimate_over(
+    regs_rel: str, *, group_col: str = "g", b: int = 6, out_col: str = "approx_distinct"
+) -> str:
+    """SELECT over a (``group_col``, j, mr) register relation producing
+    (``group_col``, ``out_col``) — the DuckDB twin of hll_estimate_expr,
+    generated from the SAME Python constants (alpha literal, ln table) so
+    the engines can never drift.  Composable: cumulative/merged register
+    relations estimate through the identical expression."""
+    m, scale, alpha = _hll_params(b)
+    numer = repr(alpha * m * m * float(1 << scale))
+    lc_cases = " ".join(
+        f"WHEN {i} THEN {m * math.log(m / i)!r}" for i in range(1, m + 1)
+    )
+    return f"""
+SELECT {group_col},
+       CAST(round(CASE WHEN {numer} / s <= {2.5 * m!r} AND v > 0
+                       THEN CASE v {lc_cases} END
+                       ELSE {numer} / s END) AS BIGINT) AS {out_col}
+FROM (
+  SELECT {group_col},
+         SUM(1::BIGINT << ({scale} - mr))
+           + ({m} - COUNT(*)) * (1::BIGINT << {scale}) AS s,
+         {m} - COUNT(*) AS v
+  FROM {regs_rel} GROUP BY {group_col}
+)
+"""
+
+
 def sql_hll_estimate(
     table_expr: str,
     *,
@@ -263,38 +339,21 @@ def sql_hll_estimate(
     b: int = 6,
     out_col: str = "approx_distinct",
 ) -> str:
-    """DuckDB twin of hll_distinct — generated from the SAME constants
-    (alpha literal, ln table) so the two engines can never drift."""
-    m, scale, alpha = _hll_params(b)
-    p = HLL_HASH_BITS - b
-    numer = repr(alpha * m * m * float(1 << scale))
-    lc_cases = " ".join(
-        f"WHEN {i} THEN {m * math.log(m / i)!r}" for i in range(1, m + 1)
-    )
+    """DuckDB twin of hll_distinct — hash/register/estimate CTEs built
+    from the shared primitives above."""
+    jx, rx = sql_hll_reg_exprs(b)
+    est = sql_hll_estimate_over("__hll_m", group_col="g", b=b, out_col=out_col)
     # md5 hash twin lives in queries._sql_md5_long; callers interpolate it
     return f"""
 WITH __hll_h AS (
   SELECT DISTINCT {group_col} AS g, {value_expr} AS h FROM {table_expr}
 ),
 __hll_reg AS (
-  SELECT g, (h & {m - 1}) AS j,
-         CASE WHEN (h >> {b}) = 0 THEN {p + 1}
-              ELSE {p + 1} - length(bin(h >> {b})) END AS r
+  SELECT g, {jx} AS j, {rx} AS r
   FROM __hll_h
 ),
-__hll_m AS (SELECT g, j, MAX(r) AS mr FROM __hll_reg GROUP BY g, j),
-__hll_s AS (
-  SELECT g,
-         SUM(1::BIGINT << ({scale} - mr))
-           + ({m} - COUNT(*)) * (1::BIGINT << {scale}) AS s,
-         {m} - COUNT(*) AS v
-  FROM __hll_m GROUP BY g
-)
-SELECT g AS {group_col},
-       CAST(round(CASE WHEN {numer} / s <= {2.5 * m!r} AND v > 0
-                       THEN CASE v {lc_cases} END
-                       ELSE {numer} / s END) AS BIGINT) AS {out_col}
-FROM __hll_s
+__hll_m AS (SELECT g, j, MAX(r) AS mr FROM __hll_reg GROUP BY g, j)
+SELECT g AS {group_col}, {out_col} FROM ({est})
 """
 
 

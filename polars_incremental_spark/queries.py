@@ -6971,6 +6971,64 @@ U21_SQL = (
 )
 
 
+def u22_distinct_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-NOVELTY curve from sketch algebra: per ingest batch, the
+    cumulative approx-distinct user count and the newly-seen delta vs the
+    previous batch — the 'how much NEW data did this crawl add' metric a
+    training-data pipeline tracks, computed without ever rescanning
+    history: per-batch HLL registers merge cumulatively
+    (sketches.hll_cumulative), so batch k's row costs one register-max
+    over ≤ 2^b·k rows of SKETCH state, not a pass over batches 0..k.
+    Batch = user_id % 7 (cohort-partitioned ingest, so each batch DOES
+    add unseen users and the curve/deltas exercise register growth —
+    event_id-based batching would see every user in batch 0)."""
+    from .functions import sketches as sk
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "batch", F.pmod(F.col("user_id"), F.lit(7)).cast("int")
+    )
+    per_batch = sk.hll_sketch(
+        events, group_cols=["batch"], value_col="user_id", b=6
+    )
+    cum = sk.hll_cumulative(per_batch, order_col="batch")
+    est = cum.select(
+        "batch", sk.hll_estimate_expr("hll_regs", b=6).alias("cum_distinct")
+    )
+    w = Window.orderBy("batch")
+    return est.select(
+        "batch",
+        "cum_distinct",
+        (F.col("cum_distinct") - F.lag("cum_distinct").over(w)).alias(
+            "new_distinct"
+        ),
+    ).orderBy("batch")
+
+
+_U22_JX, _U22_RX = _sketches_mod.sql_hll_reg_exprs(b=6)
+_U22_EST = _sketches_mod.sql_hll_estimate_over(
+    "cum", group_col="batch", b=6, out_col="cum_distinct"
+)
+U22_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT CAST(user_id % 7 AS INTEGER) AS batch,
+         {_sql_md5_long("user_id::VARCHAR")} AS h
+  FROM events
+),
+reg AS (SELECT batch, {_U22_JX} AS j, {_U22_RX} AS r FROM h),
+m AS (SELECT batch, j, MAX(r) AS mr FROM reg GROUP BY batch, j),
+ks AS (SELECT DISTINCT batch AS k FROM m),
+cum AS (
+  SELECT ks.k AS batch, m.j, MAX(m.mr) AS mr
+  FROM ks JOIN m ON m.batch <= ks.k
+  GROUP BY ks.k, m.j
+),
+est AS ({_U22_EST})
+SELECT batch, cum_distinct,
+       cum_distinct - lag(cum_distinct) OVER (ORDER BY batch) AS new_distinct
+FROM est ORDER BY batch
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7162,6 +7220,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "u7b_salted_join_groups": (u7b_salted_join_groups, U7B_SQL),
     "u7c_two_phase_collect": (u7c_two_phase_collect, U7C_SQL),
     "u21_hll_distinct": (u21_hll_distinct, U21_SQL),
+    "u22_distinct_growth": (u22_distinct_growth, U22_SQL),
     "m1b_multimodal_meta": (m1b_multimodal_meta, M1B_SQL),
 }
 
@@ -7175,7 +7234,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 # g1/g4/g5/d9/d13 iterative-barrier cuts), so the changed code is
 # driver-graded the same round it ships.
 _GRADE_FIRST = [
-    "u21_hll_distinct",  # new in round 9, never driver-graded
+    # new in round 9, never driver-graded
+    "u21_hll_distinct", "u22_distinct_growth",
     "r30_lead_lag", "r31_cohort_retention", "u13_histogram_quantiles",
     "s10_hard_negatives", "r32_map_props", "r33_unpivot",
     "t14_linear_classifier", "u14_temperature_sample", "m4_audio_decode",

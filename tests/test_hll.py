@@ -101,6 +101,25 @@ def test_bad_b_rejected(spark):
         sk.hll_sketch(df, group_cols=["g"], value_col="v", b=2)
 
 
+def test_cumulative_equals_prefix_union(spark):
+    """hll_cumulative(k) must equal a direct sketch of batches 0..k."""
+    df = _toy(spark, 9_000, 1_500).withColumn(
+        "b", F.pmod(F.xxhash64("v"), F.lit(4)).cast("int")
+    )
+    per_batch = sk.hll_sketch(df, group_cols=["b"], value_col="v")
+    cum = {
+        r["b"]: r["hll_regs"]
+        for r in sk.hll_cumulative(per_batch, order_col="b").collect()
+    }
+    for k in range(4):
+        direct = sk.hll_sketch(
+            df.filter(F.col("b") <= k).select(F.lit("all").alias("g"), "v"),
+            group_cols=["g"],
+            value_col="v",
+        ).collect()[0]["hll_regs"]
+        assert cum[k] == direct, k
+
+
 # --- persisted index store ------------------------------------------------
 
 

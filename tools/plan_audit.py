@@ -43,6 +43,7 @@ NLJ_ALLOWED = {
     "s12_pq_topk",  # ADC scan IS the design: O(n_sub) lookups/pair over 4-byte codes; scale path partitions by IVF cell (s5 composition)
     "u20_kmv_set_ops",  # all-pairs join of PER-GROUP SKETCHES: |groups|² rows of k-bounded arrays, broadcast-sized by construction
     "s14_ann_recall",  # recall HARNESS: its exact side IS s1's documented all-pairs baseline (the ground truth the ANN is judged against); the ANN side is bucketed
+    "u22_distinct_growth",  # cumulative-merge range join (batch <= k) over PER-BATCH SKETCHES: ≤ 2^b·n_batches² register rows by construction, broadcast-sized regardless of corpus size
 }
 
 # queries whose nested-loop join attaches a 1-ROW broadcast frame (a corpus

@@ -194,14 +194,50 @@ def main() -> None:
     # two passes, report the per-query minimum: pass 1 pays each plan's
     # one-time whole-stage-codegen JIT compile, pass 2 measures the
     # steady-state cost a long-running cluster job actually sees
-    # SPARK_GRAFT_BENCH_CLEARCACHE=1 drops all persisted frames between
-    # queries.  Default OFF: the standard suite measures warm steady-state
-    # (pass 2 reuses each query's own caches), comparable round-over-round.
-    # Turn ON for memory-tight configs (e.g. small local-cluster executors)
-    # where fifteen sf1 queries' accumulated caches LRU-thrash and in-suite
-    # numbers stop reflecting the operators (SCALING.md round-9: d6 16.1s
-    # in-suite vs 1.86s isolated under local-cluster[4,8,4096]).
+    # SPARK_GRAFT_BENCH_CLEARCACHE=1 additionally drops ALL persisted
+    # frames (spark.catalog.clearCache) between queries — a blunt
+    # escape hatch kept for debugging; the per-query scoped release below
+    # already removes cross-query cache interference for the operator
+    # library's own intermediates.
     clear_cache = os.environ.get("SPARK_GRAFT_BENCH_CLEARCACHE") == "1"
+    # Operator-persisted intermediates (LSH postings, verify candidates,
+    # ANN sketches — cache.py) are released after EVERY query, inside the
+    # timed window: that is the production lifecycle (the Pipeline loop
+    # releases per micro-batch), it makes in-suite ≈ isolated (round 9's
+    # d6 16.1s-in-suite vs 1.86s-isolated eviction artifact is gone by
+    # construction), and it keeps per-query numbers independent of suite
+    # order.  Costs the LSH-family queries their pass-2 cache reuse
+    # (~+0.5-1.5s each at sf0.1) — priced and accepted in round 10.
+    from polars_incremental_spark.cache import release_operator_caches
+
+    # ---- box-noise canary: min-of-3 wall over 5 queries that have been
+    # frozen since round 3 (never touched by operator work), measured
+    # before the suite.  Round-over-round the driver's box drifts 30-50%
+    # (round 9: same code scored 98.6s and 131.9s on different days), so
+    # the headline alone is un-gateable; BENCH_rN.canary_s / BENCH_rN-1.
+    # canary_s is a pure box-speed ratio that tools/bench_compare.py uses
+    # to normalize before flagging regressions.  Skipped for subset/shard
+    # scaling runs (manual, not round-over-round comparable anyway).
+    CANARY_QUERIES = [
+        "q1_pricing_summary",
+        "q6_forecast_revenue",
+        "r03_projection",
+        "r17_limit0",
+        "u3_hash_split",
+    ]
+    canary_s = None
+    if not only and not shard and os.environ.get("SPARK_GRAFT_BENCH_CANARY") != "0":
+        canary: dict[str, float] = {}
+        for _ in range(3):
+            for name in CANARY_QUERIES:
+                fn, _sql = REGISTRY[name]
+                t0 = time.monotonic()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                release_operator_caches(spark)
+                elapsed = round(time.monotonic() - t0, 3)
+                canary[name] = min(canary.get(name, elapsed), elapsed)
+        canary_s = round(sum(canary.values()), 3)
+
     timings: dict[str, float] = {}
     for _ in range(max(repeats, 1)):
         for name in queries:
@@ -211,6 +247,7 @@ def main() -> None:
             t0 = time.monotonic()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
+            release_operator_caches(spark)
             elapsed = round(time.monotonic() - t0, 3)
             timings[name] = min(timings.get(name, elapsed), elapsed)
     total = round(sum(timings.values()), 3)
@@ -231,6 +268,10 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if canary_s is not None:
+        # fixed-set box-speed constant; divide rN wall by (canary_rN /
+        # canary_rN-1) before comparing — see tools/bench_compare.py
+        result["canary_s"] = canary_s
     with open(full_path, "w") as fh:
         json.dump(result, fh, indent=1)
         fh.write("\n")

@@ -8,6 +8,12 @@ plus large-scale training-data-pipeline operators (dedup, similarity search,
 text analysis, multimodal plumbing) designed for 100 TB-class inputs.
 """
 
+from .cache import (
+    operator_cache_scope,
+    release_operator_caches,
+    scoped_cache_count,
+    scoped_persist,
+)
 from .catalog import DatasetSpec, LocalCatalog
 from .cdc import apply_cdc, dedupe_changes, normalize_change_types, strip_cdc_columns
 from .errors import (
@@ -82,6 +88,10 @@ __all__ = [
     "LocalCatalog",
     "LoggingObserver",
     "MissingOptionError",
+    "operator_cache_scope",
+    "release_operator_caches",
+    "scoped_cache_count",
+    "scoped_persist",
     "Pipeline",
     "PipelineLockError",
     "PipelineObserver",

@@ -1,0 +1,123 @@
+"""Session-scoped lifecycle for operator-persisted intermediates.
+
+Several operators persist an intermediate frame that the RETURNED lazy
+plan still references (LSH postings / band entries, verify candidate
+pairs, SimHash signatures, the banded ANN sketch).  The persist is load-
+bearing — without it the corpus would be re-shingled once per plan branch
+— but a bare ``df.persist()`` has no owner: the caller gets a lazy
+DataFrame, materializes it, and the cached blocks stay in the session
+until LRU eviction.  A long-lived session running hundreds of micro-
+batches through these operators accumulates corpus-sized cached frames
+and eventually thrashes (measured: d6 at 16.1s in-suite vs 1.86s isolated
+under memory-tight executors — SCALING.md round 9).
+
+This module gives every such persist an owner:
+
+- Operators call :func:`scoped_persist` instead of ``df.persist()``.  The
+  frame is persisted AND registered against its SparkSession.
+- Whoever drives materialization — the Pipeline's micro-batch loop,
+  bench.py's per-query loop, a user notebook — calls
+  :func:`release_operator_caches` (or wraps work in
+  :func:`operator_cache_scope`) once the results are materialized.
+  Unpersisting after materialization is always CORRECT (Spark lazily
+  recomputes if the plan is re-executed); the registry just makes the
+  release reachable without threading every intermediate back to the
+  caller.
+
+The reference engine never leaks state across batches — its run loop
+(reference pipeline.py:286-434) is stateless between iterations; session-
+cache hygiene is this engine's equivalent contract.
+
+Error paths still unpersist eagerly at the raise site (don't wait for a
+release that may never come); a second unpersist via the registry is a
+no-op.
+"""
+
+from __future__ import annotations
+
+import threading
+from contextlib import contextmanager
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOCK = threading.Lock()
+# keyed by id(SparkSession) — sessions are few and long-lived; entries are
+# dropped on release, and a stopped session's stale list costs only the
+# Python plan objects (unpersist on a dead context is swallowed below).
+_SCOPED: dict[int, list[DataFrame]] = {}
+
+
+def scoped_persist(df: DataFrame, storage_level=None) -> DataFrame:
+    """Persist ``df`` and register it for a later
+    :func:`release_operator_caches`.  Drop-in for ``df.persist()`` inside
+    operators whose returned plan references the cached frame."""
+    out = df.persist(storage_level) if storage_level is not None else df.persist()
+    with _LOCK:
+        _SCOPED.setdefault(id(df.sparkSession), []).append(out)
+    return out
+
+
+def scoped_cache_count(spark: SparkSession | None = None) -> int:
+    """Number of operator-persisted frames currently registered (for the
+    given session, or across all sessions)."""
+    with _LOCK:
+        if spark is not None:
+            return len(_SCOPED.get(id(spark), ()))
+        return sum(len(v) for v in _SCOPED.values())
+
+
+def release_operator_caches(
+    spark: SparkSession | None = None, *, blocking: bool = False
+) -> int:
+    """Unpersist every registered operator intermediate (for ``spark``, or
+    for all sessions when ``None``) and clear the registry.  Returns the
+    number of frames released.  Safe to call at any time: frames whose
+    results were already materialized simply free their blocks; frames
+    still pending recompute lazily if re-executed."""
+    with _LOCK:
+        if spark is not None:
+            frames = _SCOPED.pop(id(spark), [])
+        else:
+            frames = [f for v in _SCOPED.values() for f in v]
+            _SCOPED.clear()
+    released = 0
+    for f in frames:
+        try:
+            f.unpersist(blocking=blocking)
+            released += 1
+        except Exception:
+            # stopped context / already-released frame — hygiene call,
+            # never let cleanup fail the batch
+            pass
+    return released
+
+
+@contextmanager
+def operator_cache_scope(
+    spark: SparkSession, *, blocking: bool = False
+) -> Iterator[None]:
+    """Release, on exit, every operator cache registered for ``spark``
+    DURING the scope (pre-existing registrations are left alone — nested
+    scopes compose).  The canonical per-micro-batch / per-query pattern::
+
+        with operator_cache_scope(spark):
+            result = minhash_lsh_pairs(docs)
+            result.write.parquet(out)   # materialize inside the scope
+    """
+    with _LOCK:
+        before = len(_SCOPED.get(id(spark), ()))
+    try:
+        yield
+    finally:
+        with _LOCK:
+            frames = _SCOPED.get(id(spark), [])
+            new = frames[before:]
+            del frames[before:]
+            if not frames:
+                _SCOPED.pop(id(spark), None)
+        for f in new:
+            try:
+                f.unpersist(blocking=blocking)
+            except Exception:
+                pass

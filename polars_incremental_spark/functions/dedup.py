@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import scoped_persist
 from .iterutils import iter_checkpoint
 from .text import fingerprint, md5_long, word_chunks, word_shingles
 
@@ -304,14 +305,16 @@ def _jaccard_for_pairs(
         )
         return _score_jaccard_pairs(common, sizes, id_col, threshold)
     # the candidate plan is consumed twice below (id set + pair join) and
-    # is often the expensive part (band/prefix self-join) — materialize once
-    pairs = pairs.persist()
+    # is often the expensive part (band/prefix self-join) — cache once;
+    # scoped: released by the caller's operator_cache_scope / the
+    # pipeline's per-batch release (cache.py)
+    pairs = scoped_persist(pairs)
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    p_small = postings.join(cand_ids, id_col, "left_semi").persist()
+    p_small = scoped_persist(postings.join(cand_ids, id_col, "left_semi"))
     sizes = p_small.groupBy(id_col).agg(F.count("*").alias("set_size"))
     pa = p_small.select(
         F.col(id_col).alias("id_a"), F.col("shingle_hash").alias("__sh")
@@ -377,7 +380,7 @@ def ngram_jaccard_pairs(
         shingle_posting_list(df, text_col, id_col, n), max_doc_freq
     )
     if cache_intermediate:
-        postings = postings.persist()
+        postings = scoped_persist(postings)
     sizes = postings.groupBy(id_col).agg(F.count("*").alias("set_size"))
     a = postings.alias("a")
     b = postings.alias("b")
@@ -503,7 +506,7 @@ def lsh_candidate_pairs(
     # md5, so the shingling pass isn't paid twice
     postings = shingle_posting_list(df, text_col, id_col, n, with_h32=True)
     if cache_intermediate:
-        postings = postings.persist()
+        postings = scoped_persist(postings)
     sigs = _signatures_from_h32(postings, id_col, num_hashes)
     band_entries = sigs.select(
         F.col(id_col),
@@ -529,7 +532,7 @@ def lsh_candidate_pairs(
     ).select(F.col(id_col), F.col("bb.band"), F.col("bb.bucket"))
 
     if cache_intermediate:
-        band_entries = band_entries.persist()
+        band_entries = scoped_persist(band_entries)
     a = band_entries.alias("a")
     b = band_entries.alias("b")
     candidates = (
@@ -656,7 +659,7 @@ def simhash_near_dup_pairs(
         raise ValueError(f"bits={bits} must be divisible by {n_bands} bands")
     width = bits // n_bands
     mask = (1 << width) - 1
-    sigs = simhash(df, text_col=text_col, id_col=id_col, bits=bits).persist()
+    sigs = scoped_persist(simhash(df, text_col=text_col, id_col=id_col, bits=bits))
     banded = sigs.select(
         F.col(id_col),
         F.col("simhash"),
@@ -857,7 +860,7 @@ def incremental_lsh_dedup(
         .distinct()
     )
     drops = drops_in if drops_idx is None else drops_in.unionByName(drops_idx).distinct()
-    drops = drops.persist()
+    drops = scoped_persist(drops)
 
     new_sigs = sigs.join(
         drops, on=sigs[id_col] == drops["__drop_id"], how="left_anti"
@@ -1237,7 +1240,15 @@ def update_bloom_index(
         packed = packed.persist()
         row = packed.agg(
             F.count("*").cast("long").alias("__n"),
-            F.coalesce(F.expr("bit_xor(hash(word, bits))"), F.lit(0))
+            # 60-bit md5 xor (not 32-bit Murmur3): a digest collision
+            # OVERWRITES another ad-hoc batch's subdir and loses its bits
+            F.coalesce(
+                F.expr(
+                    "bit_xor(cast(conv(substring(md5(concat_ws(char(1), "
+                    "word, bits)), 1, 15), 16, 10) as bigint))"
+                ),
+                F.lit(0),
+            )
             .cast("long")
             .alias("__x"),
         ).collect()[0]
@@ -1701,14 +1712,14 @@ def prefix_filter_pairs(
         # uncached it re-executes per consumer — this persist plus the
         # PPJoin candidate filters below took the d17 query from 9.4s to
         # 5.6s at sf0.1
-        postings = postings.persist()
+        postings = scoped_persist(postings)
     sizes = postings.groupBy(id_col).agg(F.count("*").alias("__sz"))
     dfreq = postings.groupBy("shingle_hash").agg(F.count("*").alias("__df"))
     if cache_intermediate:
         # the guard collect below materializes dfreq anyway; persisting it
         # lets the prefix-rank join read the computed agg instead of
         # re-shuffling the postings a second time
-        dfreq = dfreq.persist()
+        dfreq = scoped_persist(dfreq)
     w = Window.partitionBy(id_col).orderBy("__df", "shingle_hash")
     prefix = (
         postings.join(dfreq, "shingle_hash")
@@ -1864,11 +1875,11 @@ def containment_pairs(
     """
     raw = shingle_posting_list(df, text_col, id_col, n)
     if cache_intermediate:
-        raw = raw.persist()
+        raw = scoped_persist(raw)
     dfreq = raw.groupBy("shingle_hash").agg(F.count("*").alias("__df"))
     need_stats = max_candidates is not None or salt_hot
     if cache_intermediate and (need_stats or max_doc_freq is not None):
-        dfreq = dfreq.persist()
+        dfreq = scoped_persist(dfreq)
     # the guard estimates on the CAPPED frequencies — the shingles
     # max_doc_freq removes generate no candidates, so counting them would
     # overstate the volume and mis-fire the budget

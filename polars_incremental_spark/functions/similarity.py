@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import scoped_persist
 from .text import md5_long
 
 
@@ -152,7 +153,11 @@ def cosine_near_dup_pairs(
         # cached exploded frame's in-memory stats pushed the self-join
         # from broadcast-hash to sort-merge over only bands·2^band_size
         # distinct keys)
-        bits = bits.persist()
+        # scoped: released by the caller's operator_cache_scope / the
+        # pipeline's per-batch release (cache.py) — the returned lazy plan
+        # references this cache, so a bare persist would leak it for the
+        # session's lifetime
+        bits = scoped_persist(bits)
         band_mask = (1 << band_size) - 1
         banded = bits.select(
             F.col(id_col),

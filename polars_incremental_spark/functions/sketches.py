@@ -255,10 +255,33 @@ def hll_cumulative(
     )
 
 
+# The estimator's linear-counting branch bakes a 2^b-entry literal table
+# into the Catalyst plan (hll_estimate_expr) / the oracle SQL string
+# (sql_hll_estimate_over) — at b=16 that is 65,536 literals, a plan-size /
+# codegen blowup.  Sketching (hll_sketch / the index store) still accepts
+# b up to 16; only ESTIMATION is capped — estimate a wider sketch by
+# folding registers down before calling (or raise this after replacing the
+# baked table with an expression if a use case ever needs it).
+_HLL_ESTIMATOR_MAX_B = 12
+
+
+def _check_estimator_b(b: int) -> None:
+    if b > _HLL_ESTIMATOR_MAX_B:
+        raise ValueError(
+            f"HLL estimation bakes a 2^b-entry linear-counting literal "
+            f"table into the plan; b={b} exceeds the supported maximum "
+            f"{_HLL_ESTIMATOR_MAX_B} (= {1 << _HLL_ESTIMATOR_MAX_B} "
+            f"literals). Sketch with b<={_HLL_ESTIMATOR_MAX_B} or fold "
+            f"registers down before estimating."
+        )
+
+
 def hll_estimate_expr(regs_col: str, b: int = 6):
     """Distinct-count estimate from a register array — the deterministic
     HLL estimator: exact-integer harmonic sum, baked-literal alpha and
-    linear-counting table (see module notes)."""
+    linear-counting table (see module notes).  ``b`` is capped at
+    ``_HLL_ESTIMATOR_MAX_B`` — the LC table is a baked 2^b-literal array."""
+    _check_estimator_b(b)
     m, scale, alpha = _hll_params(b)
     numer = alpha * m * m * float(1 << scale)  # Python-baked double literal
     s = F.expr(
@@ -310,7 +333,9 @@ def sql_hll_estimate_over(
     (``group_col``, ``out_col``) — the DuckDB twin of hll_estimate_expr,
     generated from the SAME Python constants (alpha literal, ln table) so
     the engines can never drift.  Composable: cumulative/merged register
-    relations estimate through the identical expression."""
+    relations estimate through the identical expression.  ``b`` capped at
+    ``_HLL_ESTIMATOR_MAX_B`` (the LC branch emits 2^b CASE arms)."""
+    _check_estimator_b(b)
     m, scale, alpha = _hll_params(b)
     numer = repr(alpha * m * m * float(1 << scale))
     lc_cases = " ".join(
@@ -566,7 +591,17 @@ def update_cms_index(
         sketch = sketch.persist()
         row = sketch.agg(
             F.count("*").cast("long").alias("__n"),
-            F.coalesce(F.expr("bit_xor(hash(row, col, cnt))"), F.lit(0))
+            # 60-bit md5 per row (not 32-bit Murmur3): with the row
+            # count alongside, a colliding distinct batch needs a 2^60
+            # birthday hit, not 2^32 — a collision here silently refuses
+            # a genuinely new batch (returns False) and undercounts
+            F.coalesce(
+                F.expr(
+                    "bit_xor(cast(conv(substring(md5(concat_ws(char(1), "
+                    "row, col, cnt)), 1, 15), 16, 10) as bigint))"
+                ),
+                F.lit(0),
+            )
             .cast("long")
             .alias("__x"),
         ).collect()[0]
@@ -701,8 +736,14 @@ def update_hll_index(
             sketch.select(*group_cols, F.explode("hll_regs").alias("__e"))
             .agg(
                 F.count("*").cast("long").alias("__n"),
+                # same 60-bit md5 digest as update_cms_index — a 32-bit
+                # xor collision would silently drop a new batch's registers
                 F.coalesce(
-                    F.expr(f"bit_xor(hash({gref}, __e.j, __e.r))"), F.lit(0)
+                    F.expr(
+                        "bit_xor(cast(conv(substring(md5(concat_ws(char(1), "
+                        f"{gref}, __e.j, __e.r)), 1, 15), 16, 10) as bigint))"
+                    ),
+                    F.lit(0),
                 )
                 .cast("long")
                 .alias("__x"),

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..cache import scoped_persist
+
 # small, deterministic per-language stopword lists for the n-gram/stopword
 # language heuristic — the SQL oracle embeds the same lists
 STOPWORDS = {
@@ -430,10 +432,11 @@ def char_trigram_score(
     the count groupBy and the per-doc mean.
 
     ``cache_intermediate`` persists the shared explode for the duration of
-    the job (same rule as ``minhash_lsh_pairs``); the cached partitions
-    stay resident until executor storage evicts them, so in a long-lived
-    session scoring many corpora, pass ``False`` and persist/unpersist the
-    exploded frame externally (or write it to a table between stages).
+    the job (same rule as ``minhash_lsh_pairs``); the persist is SCOPED
+    (cache.py) — release it after materializing results with
+    ``release_operator_caches`` / ``operator_cache_scope`` (the Pipeline
+    batch loop and bench harness do this automatically), or pass ``False``
+    and manage the exploded frame externally.
     """
     # the explode feeds BOTH the model counts and the scoring probe —
     # persist it or the corpus re-shingles once per branch (same rule as
@@ -442,7 +445,7 @@ def char_trigram_score(
         F.col(id_col), F.explode(char_ngram_list(F.lower(F.col(text_col)), n)).alias("__g")
     )
     if cache_intermediate:
-        grams = grams.persist()
+        grams = scoped_persist(grams)
     counts = grams.groupBy("__g").agg(F.count("*").cast("long").alias("__c"))
     totals = counts.agg(
         F.sum("__c").cast("long").alias("__tot"),

@@ -314,14 +314,25 @@ class Pipeline:
     ) -> RunResult:
         """Process available batches.  ``loop=False`` drains until idle once
         (like ``trigger(availableNow)``); ``loop=True`` keeps polling forever
-        unless ``max_idle_loops`` bounds consecutive idle polls."""
+        unless ``max_idle_loops`` bounds consecutive idle polls.
+
+        Session-cache hygiene: each batch runs inside an
+        ``operator_cache_scope`` — intermediates the operator library
+        persists during the transform (LSH postings, verify candidates,
+        ANN sketches, …) are released once the batch commits (or fails),
+        so a long-lived loop never accumulates corpus-sized cached frames
+        across micro-batches.  A transform that wants a cache to SURVIVE
+        batches must persist it outside the transform callback."""
+        from .cache import operator_cache_scope
+
         source_impl = self._resolve_source()
         state = JobState(os.path.join(self.checkpoint_dir, "state"))
         batches = 0
         idle_loops = 0
         with PipelineLock(self.checkpoint_dir, self.lock_timeout_s):
             while True:
-                ran = self._run_one_batch(spark, source_impl, state)
+                with operator_cache_scope(spark):
+                    ran = self._run_one_batch(spark, source_impl, state)
                 if ran:
                     batches += 1
                     idle_loops = 0

@@ -6981,7 +6981,13 @@ def u22_distinct_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     over ≤ 2^b·k rows of SKETCH state, not a pass over batches 0..k.
     Batch = user_id % 7 (cohort-partitioned ingest, so each batch DOES
     add unseen users and the curve/deltas exercise register growth —
-    event_id-based batching would see every user in batch 0)."""
+    event_id-based batching would see every user in batch 0).
+
+    ``new_distinct`` is clamped at 0: registers merge monotonically, but
+    the ESTIMATOR's linear-counting/raw branch switch is not monotone —
+    consecutive batches landing on opposite sides of the branch can
+    produce a (small) negative raw delta, which would read as negative
+    novelty.  The clamp is applied identically in the SQL twin."""
     from .functions import sketches as sk
 
     events = load_table(spark, sf_dir, "events").withColumn(
@@ -6995,12 +7001,13 @@ def u22_distinct_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch", sk.hll_estimate_expr("hll_regs", b=6).alias("cum_distinct")
     )
     w = Window.orderBy("batch")
+    delta = F.col("cum_distinct") - F.lag("cum_distinct").over(w)
     return est.select(
         "batch",
         "cum_distinct",
-        (F.col("cum_distinct") - F.lag("cum_distinct").over(w)).alias(
-            "new_distinct"
-        ),
+        F.when(delta < 0, F.lit(0).cast("long"))
+        .otherwise(delta)
+        .alias("new_distinct"),
     ).orderBy("batch")
 
 
@@ -7024,7 +7031,10 @@ cum AS (
 ),
 est AS ({_U22_EST})
 SELECT batch, cum_distinct,
-       cum_distinct - lag(cum_distinct) OVER (ORDER BY batch) AS new_distinct
+       CASE WHEN cum_distinct - lag(cum_distinct) OVER (ORDER BY batch) < 0
+            THEN 0
+            ELSE cum_distinct - lag(cum_distinct) OVER (ORDER BY batch)
+       END AS new_distinct
 FROM est ORDER BY batch
 """
 

@@ -9,6 +9,13 @@ driver's ``BENCH_r{N}.json`` wrapper (uses its ``parsed`` field).  Exits 1
 if any query present in BOTH runs slowed by more than ``--tol`` (default
 20%) AND by more than 0.3 s absolute — the absolute floor keeps sub-second
 queries' VM jitter from tripping the gate.
+
+Box-noise normalization: when BOTH results carry ``canary_s`` (min-of-3
+wall over 5 frozen queries — bench.py emits it since round 10), every
+current-run timing is divided by canary_cur/canary_base before comparing,
+so a 1.3x-slower box doesn't read as a 1.3x code regression (round 9: the
+same code scored 98.6s and 131.9s on the same driver box days apart).
+Pass ``--no-canary`` to compare raw walls.
 """
 
 from __future__ import annotations
@@ -52,10 +59,24 @@ def main() -> int:
     ap.add_argument("current")
     ap.add_argument("--tol", type=float, default=0.2)
     ap.add_argument("--abs-floor", type=float, default=0.3)
+    ap.add_argument("--no-canary", action="store_true")
     args = ap.parse_args()
 
     base, cur = load(args.baseline), load(args.current)
     bq, cq = base["queries"], cur["queries"]
+    box = 1.0
+    if (
+        not args.no_canary
+        and isinstance(base.get("canary_s"), (int, float))
+        and isinstance(cur.get("canary_s"), (int, float))
+        and base["canary_s"] > 0
+    ):
+        box = cur["canary_s"] / base["canary_s"]
+        print(
+            f"canary: base {base['canary_s']:.3f}s -> cur {cur['canary_s']:.3f}s "
+            f"(box ratio {box:.3f}; current timings normalized by it)"
+        )
+        cq = {k: v / box for k, v in cq.items()}
     regressions = []
     print(f"{'query':<28} {'base':>8} {'now':>8} {'delta':>8}")
     for name in sorted(set(bq) | set(cq)):

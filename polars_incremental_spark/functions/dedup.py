@@ -267,88 +267,76 @@ def _jaccard_for_pairs(
     *,
     narrow_postings: bool = True,
 ) -> DataFrame:
-    """Exact Jaccard for an explicit (id_a, id_b) candidate set.
+    """Exact Jaccard for an explicit (id_a, id_b) candidate set — the
+    shared verify behind every banded/prefix candidate generator.
 
-    Cost is O(candidate pairs × shingles-per-doc), never the full posting
-    self-join: the postings are first semi-joined down to the docs that
-    appear in ANY candidate pair — ONE pass over the corpus-sized posting
-    table — and every later join (sizes, doc-a side, (id, shingle)
-    intersection probe) runs on that candidate-doc subset.  Before this
-    cut the verify step streamed the full postings three times (sizes agg,
-    doc-a join, doc-b probe), which measured as the whole local-cluster
-    premium of the LSH-edged graph queries (2.0s -> 4.1s at sf1).  No
+    ``narrow_postings=True`` (sparse candidates — LSH banding, d6/d9/d13/
+    g1-g5 edges): the postings are first semi-joined down to the docs
+    that appear in ANY candidate pair, ONE pass over the corpus-sized
+    posting table, so array building touches only candidate docs.  No
     broadcast hint on the semi-join: AQE broadcasts the candidate-id set
     while it is small and falls back to a shuffle semi-join when a
-    degenerate corpus makes it huge.
+    degenerate corpus makes it huge.  The round-9 sf1 measure put this
+    cut at 2-4x on sparse verifies (and it removed the local-cluster
+    verify premium); corpus-DENSE callers (d17: candidates touch most
+    docs, p_small ≈ postings) pass ``False`` and skip the pairs-persist +
+    distinct + semi-join, measured +24% of pure overhead there (438s vs
+    352s at sf1, round-9 shape).
 
-    ``narrow_postings=False`` skips the cut: callers whose candidate set
-    is corpus-DENSE (d17's exact prefix join touches most docs, so
-    p_small ≈ postings) pay the pairs-persist + distinct + semi-join for
-    no narrowing — measured +24% on d17's sf1 wall (438s vs 352s on the
-    round-8 shape).  Sparse-candidate callers (LSH banding, d6/d9/d13/
-    g1-g5 edges) keep the default; the round-9 sf1 re-measure put the
-    cut's win there at 2-4x on the verify step.
+    The intersection itself is the array verify
+    (``_jaccard_for_pairs_arrays``), not a pairs×shingles explode —
+    measured 13x on the dense caller and ~1.3x on the sparse ones.
     """
-    if not narrow_postings:
-        sizes = postings.groupBy(id_col).agg(F.count("*").alias("set_size"))
-        pa = postings.select(
-            F.col(id_col).alias("id_a"), F.col("shingle_hash").alias("__sh")
+    if narrow_postings:
+        # the candidate plan is consumed twice (id set + pair join) and is
+        # often the expensive part (band/prefix self-join) — cache once;
+        # scoped: released by the caller's operator_cache_scope / the
+        # pipeline's per-batch release (cache.py)
+        pairs = scoped_persist(pairs)
+        cand_ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
         )
-        pb = postings.select(
-            F.col(id_col).alias("id_b"), F.col("shingle_hash").alias("__sh")
-        )
-        common = (
-            pairs.join(pa, "id_a")
-            .join(pb, ["id_b", "__sh"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("n_common"))
-        )
-        return _score_jaccard_pairs(common, sizes, id_col, threshold)
-    # the candidate plan is consumed twice below (id set + pair join) and
-    # is often the expensive part (band/prefix self-join) — cache once;
-    # scoped: released by the caller's operator_cache_scope / the
-    # pipeline's per-batch release (cache.py)
-    pairs = scoped_persist(pairs)
-    cand_ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    p_small = scoped_persist(postings.join(cand_ids, id_col, "left_semi"))
-    sizes = p_small.groupBy(id_col).agg(F.count("*").alias("set_size"))
-    pa = p_small.select(
-        F.col(id_col).alias("id_a"), F.col("shingle_hash").alias("__sh")
-    )
-    pb = p_small.select(
-        F.col(id_col).alias("id_b"), F.col("shingle_hash").alias("__sh")
-    )
-    common = (
-        pairs.join(pa, "id_a")
-        .join(pb, ["id_b", "__sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    return _score_jaccard_pairs(common, sizes, id_col, threshold)
+        postings = postings.join(cand_ids, id_col, "left_semi")
+    return _jaccard_for_pairs_arrays(pairs, postings, id_col, threshold)
 
 
-def _score_jaccard_pairs(
-    common: DataFrame, sizes: DataFrame, id_col: str, threshold: float
+def _jaccard_for_pairs_arrays(
+    pairs: DataFrame, postings: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
-    """(id_a, id_b, jaccard >= threshold) from intersection counts + set
-    sizes — shared by both verify shapes so scoring can never diverge."""
+    """Exact Jaccard for an explicit (id_a, id_b) candidate set via
+    per-doc shingle ARRAYS: one groupBy builds each doc's shingle array,
+    then each candidate pair costs two hash-join probes plus one JVM-side
+    ``array_intersect`` — no pairs×shingles explode and no
+    (id_a, id_b, shingle) groupBy shuffle, which is what dominated the
+    corpus-DENSE exact join (d17 at sf1: the explode verify shuffled
+    |pairs|·|doc-shingles| rows; this moves |pairs| rows carrying one
+    ~8·|doc| byte array per side, same bytes, one row per pair, no
+    wide aggregation).  Gated by the d17/d6 driver oracles.  Only pairs
+    sharing ≥1 shingle can pass a threshold > 0, so dropping zero-overlap
+    pairs at the filter (instead of at an inner intersection join) changes
+    nothing — thresholds are validated positive by the public callers."""
+    # the array table feeds both join probes (a-side and b-side); uncached
+    # the groupBy — and the semi-join/posting scan beneath it — runs twice
+    sets_ = scoped_persist(
+        postings.groupBy(id_col).agg(
+            F.collect_list("shingle_hash").alias("__shs")
+        )
+    )
+    a = sets_.select(F.col(id_col).alias("id_a"), F.col("__shs").alias("__sha"))
+    b = sets_.select(F.col(id_col).alias("id_b"), F.col("__shs").alias("__shb"))
+    inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
     return (
-        common.join(
-            sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("set_size", "size_a"),
-            "id_a",
-        )
-        .join(
-            sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("set_size", "size_b"),
-            "id_b",
-        )
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("__ni", inter)
         .withColumn(
             "jaccard",
             F.round(
-                F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")), 6
+                F.col("__ni")
+                / (F.size("__sha") + F.size("__shb") - F.col("__ni")),
+                6,
             ),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -1793,6 +1781,24 @@ def prefix_filter_pairs(
             )
             pa, pb = sa.alias("a"), sb.alias("b")
             join_keys = join_keys & (F.col("a.__salt") == F.col("b.__salt"))
+    # the pair-dedup groupBy that replaced .distinct() doubles as PPJoin+'s
+    # suffix filter, aggregated over ALL of the pair's prefix collisions:
+    # prefixes are downward-closed in the global (df, hash) shingle order,
+    # so any common shingle NOT among the cp prefix-prefix collisions must
+    # rank globally after the last such collision — in a it sits at one of
+    # the (|a| − ra_max) positions past that collision's rank, in b past
+    # rb_max (ra_max and rb_max come from the SAME collision: within a doc,
+    # rank is monotone in the global order, so the max-order collision
+    # maximizes both).  Hence overlap ≤ cp + min(|a| − ra_max, |b| − rb_max);
+    # pairs where that bound misses ceil(t/(1+t)·(|a|+|b|)) can never reach
+    # the threshold and are dropped BEFORE verification touches them — no
+    # false negatives (the bound only ever overestimates).  On the uniform
+    # synthetic corpus it prunes ~0 (measured at sf0.1: the per-collision
+    # positional filter already caught everything) and the agg costs what
+    # the .distinct() it replaces cost; its value is ADVERSARIAL corpora —
+    # templated text where collisions are many but scattered, the case
+    # that blows up the verify stage.  Salting keeps cp exact: every
+    # qualifying collision meets exactly once (_salt_collision_join_sides).
     cand = (
         pa
         .join(
@@ -1815,18 +1821,36 @@ def prefix_filter_pairs(
                 * (F.col("a.__sz") + F.col("b.__sz"))
             )
         )
-        .select(
+        .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
-        .distinct()
+        .agg(
+            F.count("*").alias("__cp"),
+            F.max("a.__r").alias("__ra"),
+            F.max("b.__r").alias("__rb"),
+            F.max("a.__sz").alias("__sza"),
+            F.max("b.__sz").alias("__szb"),
+        )
+        .filter(
+            F.col("__cp")
+            + F.least(
+                F.col("__sza") - F.col("__ra"), F.col("__szb") - F.col("__rb")
+            )
+            >= F.ceil(
+                F.lit(threshold / (1.0 + threshold))
+                * (F.col("__sza") + F.col("__szb"))
+            )
+        )
+        .select("id_a", "id_b")
     )
-    # narrow_postings=False: an exact threshold join's candidates touch
-    # most docs (prefix ⊆ postings but covers the corpus), so narrowing
-    # buys nothing and the pairs-persist costs — measured 438s vs 352s at
-    # sf1 (SCALING_DATA_r09.json d17 adjudication)
-    return _jaccard_for_pairs(
-        cand, postings, id_col, threshold, narrow_postings=False
+    # array-intersect verify (not the explode-based _jaccard_for_pairs):
+    # an exact threshold join's candidates touch most docs, so the
+    # candidate-doc narrowing buys nothing (measured 438s vs 352s at sf1,
+    # SCALING_DATA_r09.json) and the explode verify's |pairs|·|shingles|
+    # shuffle was the residual sf1 heavyweight (359s isolated, round 9)
+    return _jaccard_for_pairs_arrays(
+        cand, postings, id_col, threshold
     ).orderBy("id_a", "id_b")
 
 

@@ -6260,9 +6260,9 @@ def d17_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     / PPJoin lineage): every pair with shingle-Jaccard >= 0.4, NO false
     negatives — candidates come only from collisions between the docs'
     rarest-first shingle prefixes (sz - ceil(0.4*sz) + 1 long), then the
-    d4-style candidate-only verification scores them.  The oracle computes
-    the UNFILTERED exact pair set — equality proves the prefix filter
-    dropped nothing."""
+    candidate-only array-intersect verification scores them.  The oracle
+    computes the UNFILTERED exact pair set — equality proves the prefix
+    filter dropped nothing."""
     return dedup.prefix_filter_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.4
     )

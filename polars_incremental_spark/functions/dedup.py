@@ -266,6 +266,7 @@ def _jaccard_for_pairs(
     threshold: float,
     *,
     narrow_postings: bool = True,
+    cache_intermediate: bool = True,
 ) -> DataFrame:
     """Exact Jaccard for an explicit (id_a, id_b) candidate set — the
     shared verify behind every banded/prefix candidate generator.
@@ -292,18 +293,26 @@ def _jaccard_for_pairs(
         # often the expensive part (band/prefix self-join) — cache once;
         # scoped: released by the caller's operator_cache_scope / the
         # pipeline's per-batch release (cache.py)
-        pairs = scoped_persist(pairs)
+        if cache_intermediate:
+            pairs = scoped_persist(pairs)
         cand_ids = (
             pairs.select(F.col("id_a").alias(id_col))
             .unionByName(pairs.select(F.col("id_b").alias(id_col)))
             .distinct()
         )
         postings = postings.join(cand_ids, id_col, "left_semi")
-    return _jaccard_for_pairs_arrays(pairs, postings, id_col, threshold)
+    return _jaccard_for_pairs_arrays(
+        pairs, postings, id_col, threshold, cache_intermediate=cache_intermediate
+    )
 
 
 def _jaccard_for_pairs_arrays(
-    pairs: DataFrame, postings: DataFrame, id_col: str, threshold: float
+    pairs: DataFrame,
+    postings: DataFrame,
+    id_col: str,
+    threshold: float,
+    *,
+    cache_intermediate: bool = True,
 ) -> DataFrame:
     """Exact Jaccard for an explicit (id_a, id_b) candidate set via
     per-doc shingle ARRAYS: one groupBy builds each doc's shingle array,
@@ -318,12 +327,14 @@ def _jaccard_for_pairs_arrays(
     pairs at the filter (instead of at an inner intersection join) changes
     nothing — thresholds are validated positive by the public callers."""
     # the array table feeds both join probes (a-side and b-side); uncached
-    # the groupBy — and the semi-join/posting scan beneath it — runs twice
-    sets_ = scoped_persist(
-        postings.groupBy(id_col).agg(
-            F.collect_list("shingle_hash").alias("__shs")
-        )
+    # the groupBy — and the semi-join/posting scan beneath it — runs twice.
+    # cache_intermediate=False honors the caller's no-persist contract
+    # (the whole chain then re-executes once per probe side).
+    sets_ = postings.groupBy(id_col).agg(
+        F.collect_list("shingle_hash").alias("__shs")
     )
+    if cache_intermediate:
+        sets_ = scoped_persist(sets_)
     a = sets_.select(F.col(id_col).alias("id_a"), F.col("__shs").alias("__sha"))
     b = sets_.select(F.col(id_col).alias("id_b"), F.col("__shs").alias("__shb"))
     inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
@@ -469,7 +480,11 @@ def minhash_lsh_pairs(
     # verify ONLY the candidate pairs — never the full posting self-join
     # (that would recompute the exact all-pairs cost LSH exists to avoid)
     return _jaccard_for_pairs(
-        candidates, postings.drop("__h32"), id_col, threshold
+        candidates,
+        postings.drop("__h32"),
+        id_col,
+        threshold,
+        cache_intermediate=cache_intermediate,
     )
 
 
@@ -1690,6 +1705,14 @@ def prefix_filter_pairs(
     just those keys (``_salt_collision_join_sides``) — same output set,
     the quadratic key split ``num_salts`` ways.  The decision reuses the
     guard's single collect; no extra action.
+
+    Every candidate-side bound subtracts a 1e-9 slack before ``ceil``:
+    double rounding in ``t·sz`` / ``t/(1+t)·S`` can land one ulp above
+    the exact rational, which would make the bound one too strict and
+    silently drop a pair whose Jaccard equals the threshold exactly
+    (caught by tests/test_verify_fuzz.py).  Slack only ever ADMITS a
+    borderline candidate; the exact verify re-scores it, so the output
+    stays exact.
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1]; got {threshold}")
@@ -1715,7 +1738,9 @@ def prefix_filter_pairs(
         .join(sizes, id_col)
         .filter(
             F.col("__r")
-            <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+            <= F.col("__sz")
+            - F.ceil(F.lit(threshold) * F.col("__sz") - F.lit(1e-9))
+            + 1
         )
         .select(id_col, "shingle_hash", "__r", "__sz")
     )
@@ -1807,8 +1832,14 @@ def prefix_filter_pairs(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .filter(
-            (F.col("b.__sz") >= F.ceil(F.lit(threshold) * F.col("a.__sz")))
-            & (F.col("a.__sz") >= F.ceil(F.lit(threshold) * F.col("b.__sz")))
+            (
+                F.col("b.__sz")
+                >= F.ceil(F.lit(threshold) * F.col("a.__sz") - F.lit(1e-9))
+            )
+            & (
+                F.col("a.__sz")
+                >= F.ceil(F.lit(threshold) * F.col("b.__sz") - F.lit(1e-9))
+            )
         )
         .filter(
             F.least(
@@ -1819,6 +1850,7 @@ def prefix_filter_pairs(
             >= F.ceil(
                 F.lit(threshold / (1.0 + threshold))
                 * (F.col("a.__sz") + F.col("b.__sz"))
+                - F.lit(1e-9)
             )
         )
         .groupBy(
@@ -1840,6 +1872,7 @@ def prefix_filter_pairs(
             >= F.ceil(
                 F.lit(threshold / (1.0 + threshold))
                 * (F.col("__sza") + F.col("__szb"))
+                - F.lit(1e-9)
             )
         )
         .select("id_a", "id_b")
@@ -1850,7 +1883,7 @@ def prefix_filter_pairs(
     # SCALING_DATA_r09.json) and the explode verify's |pairs|·|shingles|
     # shuffle was the residual sf1 heavyweight (359s isolated, round 9)
     return _jaccard_for_pairs_arrays(
-        cand, postings, id_col, threshold
+        cand, postings, id_col, threshold, cache_intermediate=cache_intermediate
     ).orderBy("id_a", "id_b")
 
 

@@ -1887,6 +1887,14 @@ def prefix_filter_pairs(
     ).orderBy("id_a", "id_b")
 
 
+# containment_pairs plan cutover: below this guard-estimated collision
+# volume the direct self-join + count wins (no ranking window, one
+# shuffle); above it the contained-side prefix + array verify wins.
+# Measured bracket: est 2.5e6 (sf0.1) direct 1.6s vs prefix 4.2s;
+# est ~2.5e8 (sf1) direct 48s vs prefix 33s.
+_CONTAINMENT_PREFIX_CUTOVER = 30_000_000
+
+
 def containment_pairs(
     df: DataFrame,
     *,
@@ -1976,7 +1984,44 @@ def containment_pairs(
             F.broadcast(hot_cut), on="shingle_hash", how="left_anti"
         )
     sizes = postings.groupBy(id_col).agg(F.count("*").alias("set_size"))
-    a = postings.alias("a")
+    # Two physical plans, picked by the guard's own collision estimate
+    # (no extra action — est was collected for the budget check):
+    #
+    # - DIRECT (small est): full posting self-join, n_common counted in
+    #   the collision groupBy.  One shuffle, no ranking window — cheapest
+    #   when Σ df² is modest (measured 1.6s vs 4.2s at sf0.1, est 2.5M).
+    # - PREFIX + ARRAY VERIFY (large est): contained-side prefix filter —
+    #   containment >= t needs o >= ceil(t·|A|) common shingles, and if
+    #   none sat in A's first |A| − ceil(t·|A|) + 1 positions of ANY fixed
+    #   global shingle order, all o would have to fit in the remaining
+    #   ceil(t·|A|) − 1: contradiction.  Candidates = A-prefix × B-FULL
+    #   collisions (B unconstrained: a container can be any size), ~(1−t)
+    #   of the self-join volume and on the LOW-df end of the key space;
+    #   then the d17 array-intersect verify (one row per pair).  Measured
+    #   48s -> 33s at sf1 (est ~2.5e8).  Same 1e-9 ceil slack as
+    #   prefix_filter_pairs (a one-ulp float error must not drop a
+    #   boundary-exact pair; exactness fuzz covers it).
+    #
+    # When the caller disables stats (max_candidates=None, salt_hot=False)
+    # est is 0 and the direct plan runs — the legacy shape.
+    use_prefix = est > _CONTAINMENT_PREFIX_CUTOVER
+    if use_prefix:
+        w = Window.partitionBy(id_col).orderBy("__df", "shingle_hash")
+        left = (
+            postings.join(dfreq, "shingle_hash")
+            .withColumn("__r", F.row_number().over(w))
+            .join(sizes, id_col)
+            .filter(
+                F.col("__r")
+                <= F.col("set_size")
+                - F.ceil(F.lit(threshold) * F.col("set_size") - F.lit(1e-9))
+                + 1
+            )
+            .select(id_col, "shingle_hash")
+        )
+    else:
+        left = postings
+    a = left.alias("a")
     b = postings.alias("b")
     join_on: list | F.Column = ["shingle_hash"]
     if salt_hot and max_df > 1:
@@ -1991,7 +2036,7 @@ def containment_pairs(
                 2, int((4 * max(est, 1) / max(shuffle_p, 1)) ** 0.5)
             )
             sa, sb = _salt_collision_join_sides(
-                postings,
+                left,
                 postings,
                 kept,
                 id_col=id_col,
@@ -2003,21 +2048,54 @@ def containment_pairs(
                 (F.col("a.shingle_hash") == F.col("b.shingle_hash"))
                 & (F.col("a.__salt") == F.col("b.__salt"))
             )
-    common = (
+    if not use_prefix:
+        common = (
+            a.join(b, on=join_on)
+            .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+            .groupBy(
+                F.col(f"a.{id_col}").alias("contained_id"),
+                F.col(f"b.{id_col}").alias("container_id"),
+            )
+            .agg(F.count("*").alias("n_common"))
+        )
+        return (
+            common.join(
+                sizes.withColumnRenamed(id_col, "contained_id"), "contained_id"
+            )
+            .withColumn(
+                "containment", F.round(F.col("n_common") / F.col("set_size"), 6)
+            )
+            .filter(F.col("containment") >= threshold)
+            .select("contained_id", "container_id", "containment")
+        )
+    cand = (
         a.join(b, on=join_on)
         .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
-        .groupBy(
+        .select(
             F.col(f"a.{id_col}").alias("contained_id"),
             F.col(f"b.{id_col}").alias("container_id"),
         )
-        .agg(F.count("*").alias("n_common"))
+        .distinct()
+    )
+    sets_ = postings.groupBy(id_col).agg(
+        F.collect_list("shingle_hash").alias("__shs")
+    )
+    if cache_intermediate:
+        sets_ = scoped_persist(sets_)
+    pa = sets_.select(
+        F.col(id_col).alias("contained_id"), F.col("__shs").alias("__sa")
+    )
+    pb = sets_.select(
+        F.col(id_col).alias("container_id"), F.col("__shs").alias("__sb")
     )
     return (
-        common.join(
-            sizes.withColumnRenamed(id_col, "contained_id"), "contained_id"
+        cand.join(pa, "contained_id")
+        .join(pb, "container_id")
+        .withColumn(
+            "n_common", F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
         )
         .withColumn(
-            "containment", F.round(F.col("n_common") / F.col("set_size"), 6)
+            "containment", F.round(F.col("n_common") / F.size("__sa"), 6)
         )
         .filter(F.col("containment") >= threshold)
         .select("contained_id", "container_id", "containment")

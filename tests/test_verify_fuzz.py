@@ -73,6 +73,59 @@ def test_prefix_filter_join_matches_plain_exact_join(spark, seed, threshold):
     assert plain, f"seed={seed} generated no qualifying pairs — weak fuzz case"
 
 
+def _plain_containment(spark, docs, threshold):
+    """Reference containment via the unfiltered posting self-join — the
+    pre-round-10 implementation shape, kept here as the ground truth the
+    prefix-filtered + array-verified path must reproduce exactly."""
+    from pyspark.sql import functions as F
+
+    p = dedup.shingle_posting_list(docs, "text", "doc_id", 3)
+    sizes = p.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = p.alias("a"), p.alias("b")
+    common = (
+        a.join(b, "shingle_hash")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("contained_id"),
+            F.col("b.doc_id").alias("container_id"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "contained_id"), "contained_id")
+        .withColumn("containment", F.round(F.col("n_common") / F.col("sz"), 6))
+        .filter(F.col("containment") >= threshold)
+        .select("contained_id", "container_id", "containment")
+    )
+
+
+@pytest.mark.parametrize("seed,threshold", [(21, 0.5), (22, 0.6), (23, 0.75)])
+def test_containment_both_plans_match_plain_join(spark, seed, threshold, monkeypatch):
+    """containment_pairs picks its physical plan by the guard's collision
+    estimate; BOTH plans (direct self-join count, prefix + array verify)
+    must reproduce the unfiltered reference exactly — the cutover is
+    forced each way so small fuzz corpora exercise the prefix branch."""
+    docs = _corpus(spark, seed, 50)
+    plain = sorted(
+        (r["contained_id"], r["container_id"], r["containment"])
+        for r in _plain_containment(spark, docs, threshold).collect()
+    )
+    assert plain, f"seed={seed} generated no qualifying pairs — weak fuzz case"
+    for cutover, label in ((10**18, "direct"), (-1, "prefix+arrays")):
+        monkeypatch.setattr(dedup, "_CONTAINMENT_PREFIX_CUTOVER", cutover)
+        got = sorted(
+            (r["contained_id"], r["container_id"], r["containment"])
+            for r in dedup.containment_pairs(
+                docs, text_col="text", id_col="doc_id", threshold=threshold
+            ).collect()
+        )
+        release_operator_caches(spark)
+        assert got == plain, (
+            f"seed={seed} t={threshold} plan={label}: diverged "
+            f"(missing={set(plain)-set(got)}, extra={set(got)-set(plain)})"
+        )
+
+
 @pytest.mark.parametrize("seed", [11, 12, 13])
 def test_lsh_pairs_are_subset_with_exact_values(spark, seed):
     threshold = 0.4

@@ -131,6 +131,43 @@ BENCH_QUERIES = [
 ]
 
 
+def _gc_ms(spark) -> int | None:
+    """Cumulative JVM GC time (ms).  local[N] runs driver+executors in ONE
+    JVM, so the driver's GC MXBeans are the executors' too — good enough
+    to attribute a slow query to collection pressure.  Returns None on a
+    remote/connect session where the beans aren't reachable."""
+    try:
+        jvm = spark.sparkContext._jvm
+        beans = jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+        return int(sum(beans.get(i).getCollectionTime() for i in range(beans.size())))
+    except Exception:
+        return None
+
+
+def _storage_mb(spark) -> float | None:
+    """Block-manager storage memory currently used (MB), summed across
+    executors — the high-water suspect for the sporadic in-suite
+    slowdowns round 10 couldn't attribute (a non-blocking unpersist
+    backlog would show up here as a non-zero residue between queries)."""
+    try:
+        st = spark.sparkContext._jsc.sc().getExecutorMemoryStatus()
+        it = st.iterator()
+        used = 0
+        while it.hasNext():
+            t = it.next()._2()
+            used += t._1() - t._2()  # maxMem - remainingMem
+        return round(used / 1048576, 1)
+    except Exception:
+        return None
+
+
+def _n_persisted(spark) -> int | None:
+    try:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -227,8 +264,8 @@ def main() -> None:
         "u3_hash_split",
     ]
     canary_s = None
+    canary: dict[str, float] = {}
     if not only and not shard and os.environ.get("SPARK_GRAFT_BENCH_CANARY") != "0":
-        canary: dict[str, float] = {}
         for _ in range(3):
             for name in CANARY_QUERIES:
                 fn, _sql = REGISTRY[name]
@@ -239,18 +276,44 @@ def main() -> None:
                 canary[name] = min(canary.get(name, elapsed), elapsed)
         canary_s = round(sum(canary.values()), 3)
 
+    # Per-query release is BLOCKING by default since round 11: round 10's
+    # driver bench showed sporadic 4-7x elevations on a handful of queries
+    # that no isolated A/B reproduced, and the prime suspect is the
+    # non-blocking unpersist backlog — cleanup from a heavy query's cached
+    # blocks landing on its successors' wall time under some schedulings.
+    # Blocking release charges each query its OWN cleanup.  Set
+    # SPARK_GRAFT_BENCH_BLOCKING_RELEASE=0 to A/B the old behavior.
+    blocking = os.environ.get("SPARK_GRAFT_BENCH_BLOCKING_RELEASE") != "0"
+
+    # Per-query diagnostics (bench_full.json "detail"): BOTH repeat walls
+    # (not just the min — a pass-2-only elevation is scheduling noise, a
+    # both-passes elevation is plan cost), the JVM GC-time delta across
+    # the query, and the storage-memory level after the query's release —
+    # the three signals round 10's anomaly adjudication was missing.
     timings: dict[str, float] = {}
+    detail: dict[str, dict] = {}
     for name in queries:
         fn, _sql = REGISTRY[name]
         if clear_cache:
             spark.catalog.clearCache()
+        walls: list[float] = []
+        gc0 = _gc_ms(spark)
         for _ in range(max(repeats, 1)):
             t0 = time.monotonic()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            elapsed = round(time.monotonic() - t0, 3)
-            timings[name] = min(timings.get(name, elapsed), elapsed)
-        release_operator_caches(spark)
+            walls.append(round(time.monotonic() - t0, 3))
+        storage_peak = _storage_mb(spark)
+        release_operator_caches(spark, blocking=blocking)
+        gc1 = _gc_ms(spark)
+        timings[name] = min(walls)
+        detail[name] = {
+            "walls": walls,
+            "gc_ms": (gc1 - gc0) if gc0 is not None and gc1 is not None else None,
+            "storage_mb_before_release": storage_peak,
+            "storage_mb_after_release": _storage_mb(spark),
+            "persisted_after_release": _n_persisted(spark),
+        }
     total = round(sum(timings.values()), 3)
 
     # The driver records only the LAST ~2000 chars of stdout and tries to
@@ -273,8 +336,15 @@ def main() -> None:
         # fixed-set box-speed constant; divide rN wall by (canary_rN /
         # canary_rN-1) before comparing — see tools/bench_compare.py
         result["canary_s"] = canary_s
+    # the side file additionally carries the per-query diagnostics and the
+    # canary's per-query minima (so one outlying canary query can't skew
+    # the normalization ratio unexamined) — stdout stays within the
+    # driver's tail budget
+    full = dict(result, detail=detail)
+    if canary:
+        full["canary_queries"] = canary
     with open(full_path, "w") as fh:
-        json.dump(result, fh, indent=1)
+        json.dump(full, fh, indent=1)
         fh.write("\n")
     line = json.dumps(result, separators=(",", ":"))
     budget = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_BUDGET", "1900"))

@@ -14,7 +14,14 @@ under memory-tight executors — SCALING.md round 9).
 This module gives every such persist an owner:
 
 - Operators call :func:`scoped_persist` instead of ``df.persist()``.  The
-  frame is persisted AND registered against its SparkSession.
+  frame is persisted AND registered against its SparkSession.  The call
+  is idempotent on the PLAN: a frame whose logical plan is already in the
+  CacheManager (a composed operator re-wrapping an intermediate its
+  caller already scoped, or a user-persisted input) is returned as-is —
+  no double persist (which fires "Asked to cache already cached data"
+  WARNs and masks real double-persist bugs) and no second registration
+  (release keeps exactly one owner per plan; a user-persisted input is
+  never unpersisted out from under the user).
 - Whoever drives materialization — the Pipeline's micro-batch loop,
   bench.py's per-query loop, a user notebook — calls
   :func:`release_operator_caches` (or wraps work in
@@ -23,6 +30,14 @@ This module gives every such persist an owner:
   recomputes if the plan is re-executed); the registry just makes the
   release reachable without threading every intermediate back to the
   caller.
+
+Scope membership is tracked by per-registration token, NOT by list
+index: a :func:`release_operator_caches` call inside a scope, or two
+concurrent scopes on one SparkSession (two Pipelines sharing a session),
+can remove or interleave registrations, and an index-based "everything
+after position N" slice would then release another scope's live caches
+or let late registrations escape (ADVICE r10).  Tokens make exit exactly
+"registrations that appeared during this scope and are still present".
 
 The reference engine never leaks state across batches — its run loop
 (reference pipeline.py:286-434) is stateless between iterations; session-
@@ -35,6 +50,7 @@ no-op.
 
 from __future__ import annotations
 
+import itertools
 import threading
 from contextlib import contextmanager
 from typing import Iterator
@@ -43,18 +59,40 @@ from pyspark.sql import DataFrame, SparkSession
 
 _LOCK = threading.Lock()
 # keyed by id(SparkSession) — sessions are few and long-lived; entries are
-# dropped on release, and a stopped session's stale list costs only the
+# dropped on release, and a stopped session's stale dict costs only the
 # Python plan objects (unpersist on a dead context is swallowed below).
-_SCOPED: dict[int, list[DataFrame]] = {}
+# Inner dict: registration token -> frame, insertion-ordered.
+_SCOPED: dict[int, dict[int, DataFrame]] = {}
+_TOKENS = itertools.count(1)
+
+
+def _is_plan_cached(df: DataFrame) -> bool:
+    """True if ``df``'s logical plan is already in the CacheManager.
+    ``Dataset.storageLevel`` is a CacheManager lookup on the analyzed
+    plan, so this also catches an equal-plan frame cached via a different
+    Python object."""
+    try:
+        sl = df.storageLevel
+        return bool(sl.useMemory or sl.useDisk or sl.useOffHeap)
+    except Exception:
+        # Connect-mode / stopped-context edge: fall back to persisting —
+        # worst case is the pre-round-11 WARN, never a lost registration.
+        return False
 
 
 def scoped_persist(df: DataFrame, storage_level=None) -> DataFrame:
     """Persist ``df`` and register it for a later
     :func:`release_operator_caches`.  Drop-in for ``df.persist()`` inside
-    operators whose returned plan references the cached frame."""
+    operators whose returned plan references the cached frame.
+
+    Idempotent: an already-cached plan is returned unchanged — whoever
+    first persisted it (an enclosing scoped_persist, or the user) keeps
+    sole ownership of the release."""
+    if _is_plan_cached(df):
+        return df
     out = df.persist(storage_level) if storage_level is not None else df.persist()
     with _LOCK:
-        _SCOPED.setdefault(id(df.sparkSession), []).append(out)
+        _SCOPED.setdefault(id(df.sparkSession), {})[next(_TOKENS)] = out
     return out
 
 
@@ -77,9 +115,9 @@ def release_operator_caches(
     still pending recompute lazily if re-executed."""
     with _LOCK:
         if spark is not None:
-            frames = _SCOPED.pop(id(spark), [])
+            frames = list(_SCOPED.pop(id(spark), {}).values())
         else:
-            frames = [f for v in _SCOPED.values() for f in v]
+            frames = [f for v in _SCOPED.values() for f in v.values()]
             _SCOPED.clear()
     released = 0
     for f in frames:
@@ -99,24 +137,30 @@ def operator_cache_scope(
 ) -> Iterator[None]:
     """Release, on exit, every operator cache registered for ``spark``
     DURING the scope (pre-existing registrations are left alone — nested
-    scopes compose).  The canonical per-micro-batch / per-query pattern::
+    and concurrent scopes compose, and a mid-scope
+    :func:`release_operator_caches` simply leaves less for exit to do).
+    The canonical per-micro-batch / per-query pattern::
 
         with operator_cache_scope(spark):
             result = minhash_lsh_pairs(docs)
             result.write.parquet(out)   # materialize inside the scope
     """
+    sid = id(spark)
     with _LOCK:
-        before = len(_SCOPED.get(id(spark), ()))
+        before = set(_SCOPED.get(sid, ()))
     try:
         yield
     finally:
         with _LOCK:
-            frames = _SCOPED.get(id(spark), [])
-            new = frames[before:]
-            del frames[before:]
+            frames = _SCOPED.get(sid, {})
+            new = [
+                (t, f) for t, f in frames.items() if t not in before
+            ]
+            for t, _f in new:
+                frames.pop(t, None)
             if not frames:
-                _SCOPED.pop(id(spark), None)
-        for f in new:
+                _SCOPED.pop(sid, None)
+        for _t, f in new:
             try:
                 f.unpersist(blocking=blocking)
             except Exception:

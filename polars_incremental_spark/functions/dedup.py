@@ -468,6 +468,11 @@ def minhash_lsh_pairs(
     At warehouse scale, write signatures to a table instead and pass the
     cached frames through.
     """
+    # the array verify drops zero-overlap band collisions at the
+    # jaccard >= threshold filter — only sound for threshold > 0, so
+    # enforce the docstring's contract here (ADVICE r10)
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1]; got {threshold}")
     candidates, postings = lsh_candidate_pairs(
         df,
         text_col=text_col,
@@ -1938,6 +1943,10 @@ def containment_pairs(
     shingle key would do >4x the average reducer's pair work, the posting
     self-join is salted on just those keys, hash-identical output.
     """
+    # zero-overlap candidates are structurally excluded only when the
+    # score filter is strictly positive (ADVICE r10)
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1]; got {threshold}")
     raw = shingle_posting_list(df, text_col, id_col, n)
     if cache_intermediate:
         raw = scoped_persist(raw)

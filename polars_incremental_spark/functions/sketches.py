@@ -530,6 +530,37 @@ def _cms_manifest_path(index_path: str) -> str:
     return os.path.join(index_path, "MANIFEST.json")
 
 
+# Content-addressed fold ids ("adhoc_*") are digests of the batch's own
+# sketch rows; the SCHEME that produced them must match when replay
+# detection compares against manifest["folded"], or a previously-folded
+# batch re-folds and (for CMS, whose cell sums are not idempotent)
+# silently double-counts.  The scheme is therefore versioned in the
+# manifest, and content-addressed updates refuse manifests stamped with a
+# different (or no) scheme — explicit ``batch_id`` folds are
+# scheme-independent and always allowed.
+_ADHOC_DIGEST_SCHEME = "md5-60"
+
+
+def _check_adhoc_digest_scheme(manifest: dict, index_path: str, kind: str) -> None:
+    """Gate a content-addressed (batch_id=None) fold on digest-scheme
+    compatibility.  A manifest whose folded set contains no adhoc ids has
+    nothing to collide with, so it is upgraded in place."""
+    scheme = manifest.get("digest")
+    if scheme == _ADHOC_DIGEST_SCHEME:
+        return
+    if not any(str(f).startswith("adhoc_") for f in manifest["folded"]):
+        manifest["digest"] = _ADHOC_DIGEST_SCHEME
+        return
+    raise ValueError(
+        f"{kind} index at {index_path} holds content-addressed fold ids "
+        f"from digest scheme {scheme or 'unversioned (pre-md5-60)'}; "
+        f"replay detection against them under scheme "
+        f"{_ADHOC_DIGEST_SCHEME} could silently re-fold an "
+        f"already-counted batch. Pass an explicit batch_id (scheme-"
+        f"independent) or rebuild the index."
+    )
+
+
 def _cms_read_manifest(index_path: str) -> dict | None:
     import json
     import os
@@ -577,7 +608,12 @@ def update_cms_index(
     os.makedirs(index_path, exist_ok=True)
     manifest = _cms_read_manifest(index_path)
     if manifest is None:
-        manifest = {"meta": meta, "active": [], "folded": []}
+        manifest = {
+            "meta": meta,
+            "digest": _ADHOC_DIGEST_SCHEME,
+            "active": [],
+            "folded": [],
+        }
     elif manifest["meta"] != meta:
         raise ValueError(
             f"cms index at {index_path} was built with {manifest['meta']}; "
@@ -588,6 +624,7 @@ def update_cms_index(
     if batch_id is not None:
         bid = f"batch_{batch_id}"
     else:
+        _check_adhoc_digest_scheme(manifest, index_path, "cms")
         sketch = sketch.persist()
         row = sketch.agg(
             F.count("*").cast("long").alias("__n"),
@@ -715,11 +752,21 @@ def update_hll_index(
     import os
     import uuid
 
+    # The store's only estimation path is hll_index_distinct, whose
+    # baked linear-counting table caps b — reject here at WRITE time so
+    # a wide index can't be built, grown, and compacted only to fail the
+    # first time it is read (ADVICE r10).
+    _check_estimator_b(b)
     meta = {"b": b, "group_cols": list(group_cols), "value_col": value_col}
     os.makedirs(index_path, exist_ok=True)
     manifest = _cms_read_manifest(index_path)
     if manifest is None:
-        manifest = {"meta": meta, "active": [], "folded": []}
+        manifest = {
+            "meta": meta,
+            "digest": _ADHOC_DIGEST_SCHEME,
+            "active": [],
+            "folded": [],
+        }
     elif manifest["meta"] != meta:
         raise ValueError(
             f"hll index at {index_path} was built with {manifest['meta']}; "
@@ -730,6 +777,7 @@ def update_hll_index(
     if batch_id is not None:
         bid = f"batch_{batch_id}"
     else:
+        _check_adhoc_digest_scheme(manifest, index_path, "hll")
         sketch = sketch.persist()
         gref = ", ".join(f"`{c}`" for c in group_cols)
         row = (

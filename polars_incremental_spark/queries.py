@@ -7236,33 +7236,46 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 
 # Driver grading-window rotation: the driver hash-grades the FIRST 50
 # registry entries each round, so the dict is reordered stalest-graded
-# first — round 9 re-enters the entries whose latest green verdict dates
-# from round-5/6 code (computed from CORRECTNESS_r01..r08: 13 entries last
-# graded r5, then the 37 oldest of the r6 block), keeping the whole
-# ledger re-verified on current code across rounds.  This window also
-# deliberately covers the operators round 9 touches (d17/d18 guard+salt,
-# g1/g4/g5/d9/d13 iterative-barrier cuts), so the changed code is
-# driver-graded the same round it ships.
+# first.  Round 11 (computed from CORRECTNESS_r01..r10 latest verdicts):
+# 15 entries were last graded on round-6 code (two verify-path rewrites
+# ago for d9/d13/s7/g3), then the round-7 block (50 entries) — ordered
+# so the 35 whose code paths moved most since round 7 (the dedup /
+# similarity verify rewrite in rounds 9-10, the CDC/as-of framework)
+# fill the rest of this round's window, and the remaining 15 round-7
+# entries sit at positions 51-65 to lead next round's window.
 _GRADE_FIRST = [
-    # new in round 9, never driver-graded
-    "u21_hll_distinct", "u22_distinct_growth",
-    "r30_lead_lag", "r31_cohort_retention", "u13_histogram_quantiles",
-    "s10_hard_negatives", "r32_map_props", "r33_unpivot",
-    "t14_linear_classifier", "u14_temperature_sample", "m4_audio_decode",
-    "s11_diverse_topk", "t15_readability", "g2_triangles",
-    "u15_data_profile", "t19_vocab_oov", "m8_video_index",
-    "r41_session_paths", "s14_ann_recall", "g5_bfs_reach",
-    "r39_session_incident_overlap", "r40_event_transitions",
-    "d18_containment_pairs", "s13_event_cooccurrence", "u20_kmv_set_ops",
-    "r36_funnel", "r37_gap_fill", "u18_cms_heavy_hitters",
-    "u19_quantile_sketch", "d17_prefix_filter_join", "r38_activity_streaks",
-    "r34_attribution", "r35_cube_revenue", "t16_bm25_topk",
-    "t17_term_pmi", "t18_rake_keywords", "s12_pq_topk", "g4_communities",
-    "d16_duplicated_spans", "u17_leakage_safe_split", "m5_image_transform",
-    "m6_audio_frames", "m7_scene_changes", "r25_sliding_window",
-    "m1_multimodal_features", "s5b_ivf_refined_topk", "d10_chunk_dedup",
-    "d15_boilerplate_strip", "s5_ivf_topk", "g1_pagerank",
-    "d9_dup_clusters", "d13_dedup_canonical",
+    # --- last driver-graded round 6 (stalest; verdict r10 item #1) ---
+    "r01_scan_count", "r12_topk_sort", "r14_anti_join",
+    "r21_distinct_keys", "rollup_order_totals",
+    "q7_price_percentiles", "q8_grouping_sets", "q17_small_qty_revenue",
+    "q18_large_orders", "q21_waiting_supplier", "q22_idle_customers",
+    "d9_dup_clusters", "d13_dedup_canonical", "s7_semantic_dedup",
+    "g3_cluster_sizes",
+    # --- round-7 block, most-rewritten-since first ---
+    # dedup verify path rewritten rounds 9 AND 10 (array_intersect verify)
+    "d4_ngram_jaccard", "d4b_ngram_jaccard_capped", "d5_minhash_signatures",
+    "d6_minhash_lsh", "d7_simhash", "d8_simhash_near_dup",
+    "d1_exact_duplicates", "d2_dedup_exact", "d3_fingerprint_duplicates",
+    "d11_decontaminate",
+    # similarity family (shares the candidate/verify helpers)
+    "s1_cosine_topk", "s2_lsh_ann_topk", "s3_cosine_near_dup",
+    "s4_cosine_near_dup_exact", "s6_quantized_topk",
+    # CDC / temporal-join / session framework entries
+    "cdc_merge_latest", "asof_error_after_click",
+    "range_clicks_before_error", "events_sessionize", "events_window_1m",
+    "except_intersect_users", "m1b_multimodal_meta",
+    # TPC-H-ish round-7 block
+    "q4_priority_check", "q7_nation_volume", "q8_market_share",
+    "q9_product_profit", "q10_returned_items", "q13_order_histogram",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_count",
+    "q19_bracket_revenue", "q20_heavy_shippers",
+    "r13_latest_per_key", "r22_pivot_event_counts",
+    # --- positions 51-65: remaining round-7 entries, lead next rotation ---
+    "r02_json_roundtrip", "r03_projection", "r04_filter_isin",
+    "r05_expression", "r06_cast", "r07_null_literal", "r08_case_when",
+    "r09_struct_json", "r15_union_by_name", "r16_remap", "r17_limit0",
+    "r18_scalar_agg", "r19_sql_report", "r20_drop_cols",
+    "r23_user_running_totals",
 ]
 # dict merge keeps the FIRST insertion position for duplicate keys, so
 # this is exactly "graded-first entries, then everything else in place"

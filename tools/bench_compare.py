@@ -41,6 +41,11 @@ def load(path: str) -> dict:
         }
         scraped.pop("sf", None)
         scraped.pop("value", None)
+        # top-level fields the scrape regex also matches — lift canary_s
+        # back to where normalization looks for it instead of letting it
+        # masquerade as a phantom query (ADVICE r10)
+        canary = scraped.pop("canary_s", None)
+        scraped.pop("n_queries", None)
         if scraped:
             print(
                 f"note: {path} had parsed:null; scraped "
@@ -48,6 +53,8 @@ def load(path: str) -> dict:
                 file=sys.stderr,
             )
             data = {"queries": scraped}
+            if canary is not None:
+                data["canary_s"] = canary
     if "queries" not in data:
         raise SystemExit(f"{path}: no 'queries' field (not a bench result)")
     return data

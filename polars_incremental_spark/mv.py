@@ -484,12 +484,14 @@ def refresh_join_mv(spark: SparkSession, mv_path: str) -> dict[str, Any]:
     parts = []
     if lhead > lv:
         dl = _signed(read_change_feed(
-            spark, state["left_path"], starting_version=lv + 1, ending_version=lhead
+            spark, state["left_path"], starting_version=lv + 1,
+            ending_version=lhead, reconstruct_removes=True
         ))
         parts.append(dl.join(r_head_df, on))
     if rhead > rv:
         dr = _signed(read_change_feed(
-            spark, state["right_path"], starting_version=rv + 1, ending_version=rhead
+            spark, state["right_path"], starting_version=rv + 1,
+            ending_version=rhead, reconstruct_removes=True
         ))
         l_old = read_delta_fallback(spark, state["left_path"], version=lv)
         parts.append(l_old.join(dr, on))
@@ -590,8 +592,15 @@ def refresh_agg_mv(
             "to_version": head,
             "groups_touched": 0,
         }
+    # reconstruct_removes: CDF-less DELETE/UPDATE commits reconstruct by
+    # per-commit file diff (deltalog._reconstructed_changes) — exact in bag
+    # terms, and the MV fold is sign-based so delete+insert vs paired
+    # update images is a distinction without a difference here.  MVs thus
+    # maintain over bases whose writers never enabled
+    # delta.enableChangeDataFeed.
     cdf = read_change_feed(
-        spark, base_path, starting_version=last + 1, ending_version=head
+        spark, base_path, starting_version=last + 1, ending_version=head,
+        reconstruct_removes=True
     )
     # schema-evolution guard: a mergeSchema append ADDING a column is fine
     # (change rows the MV ignores gain a null field), but a column the MV

@@ -1919,6 +1919,136 @@ def read_delta_fallback(
     return df.filter(where) if where else df
 
 
+def _reconstructed_changes(
+    spark: SparkSession,
+    log: "DeltaLog",
+    version: int,
+    actions: list[dict],
+    head_meta: dict[str, Any],
+) -> list[DataFrame]:
+    """EXACT change rows for a remove-bearing commit WITHOUT change-data
+    files, reconstructed by per-commit file diff: the commit's removed
+    files re-read as they stood in the v-1 snapshot (DVs applied), its
+    added files read as committed, and the two bag-differenced —
+    old∖new = deletes, new∖old = inserts (``exceptAll``, multiset-exact).
+
+    The reconstruction is exact in BAG terms but cannot pair update
+    pre/postimages (that needs row tracking): an UPDATE surfaces as
+    delete + insert, which is sign-equivalent for every counting consumer
+    (the MV layer's +1/−1 fold).  Cost is proportional to the COMMIT's
+    touched files — never a snapshot scan — the same change-volume bound
+    real CDF has, paid in data rows instead of change files.
+
+    Fails closed (``ChangeDataFeedError``) when the diff cannot be exact:
+    the v-1 snapshot expired from the log, a removed file was vacuumed,
+    the commit also changed the schema / partitioning / column-mapping
+    (the two sides would diff under different shapes), or the schema
+    contains a MAP column (Spark set-ops cannot compare maps)."""
+    import os as _os
+
+    from pyspark.sql.types import MapType, StructType
+
+    from ..errors import ChangeDataFeedError
+
+    removes = [
+        a["remove"]
+        for a in actions
+        if "remove" in a and a["remove"].get("dataChange", True)
+    ]
+    adds = [
+        a["add"]
+        for a in actions
+        if "add" in a and a["add"].get("dataChange", True)
+    ]
+    meta_now = log.table_metadata(at_version=version) or {}
+    meta_prev = (
+        log.table_metadata(at_version=version - 1) or {} if version > 0 else meta_now
+    )
+
+    def _shape(m):
+        return (
+            m.get("schemaString"),
+            tuple(m.get("partitionColumns") or ()),
+            (m.get("configuration") or {}).get("delta.columnMapping.mode"),
+        )
+
+    if _shape(meta_now) != _shape(meta_prev):
+        raise ChangeDataFeedError(
+            f"delta version {version} removes data without change-data "
+            "files AND changes the table shape (schema / partitioning / "
+            "column mapping) in the same commit; the file diff cannot "
+            "reconstruct its changes — enable delta.enableChangeDataFeed "
+            "on the writer"
+        )
+    schema = StructType.fromJson(json.loads(meta_now["schemaString"]))
+
+    def _has_map(dt) -> bool:
+        if isinstance(dt, MapType):
+            return True
+        if hasattr(dt, "fields"):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        if hasattr(dt, "elementType"):
+            return _has_map(dt.elementType)
+        return False
+
+    if any(_has_map(f.dataType) for f in schema.fields):
+        raise ChangeDataFeedError(
+            f"delta version {version} removes data without change-data "
+            "files and the schema contains a MAP column, which Spark "
+            "set operations cannot compare; enable "
+            "delta.enableChangeDataFeed on the writer"
+        )
+    removed_paths = {r["path"] for r in removes}
+    if version == 0:
+        old_adds: list[dict[str, Any]] = []
+    else:
+        try:
+            prev_active = log.snapshot_files(version - 1)
+        except ValueError as exc:
+            raise ChangeDataFeedError(
+                f"delta version {version} removes data without change-data "
+                f"files and the prior snapshot (v{version - 1}) has expired "
+                "from the log; its changes cannot be reconstructed"
+            ) from exc
+        old_adds = [a for a in prev_active if a["path"] in removed_paths]
+        if len(old_adds) != len(removed_paths):
+            missing = sorted(removed_paths - {a["path"] for a in old_adds})
+            raise ChangeDataFeedError(
+                f"delta version {version} removes file(s) absent from the "
+                f"v{version - 1} snapshot (e.g. {missing[0]}); the log is "
+                "inconsistent — changes cannot be reconstructed"
+            )
+    for a in old_adds:
+        if not _os.path.exists(log.abs_path(a["path"])):
+            raise ChangeDataFeedError(
+                f"delta version {version}: removed file {a['path']} was "
+                "vacuumed; its change data cannot be reconstructed"
+            )
+
+    def _side(side_adds):
+        if not side_adds:
+            return spark.createDataFrame([], schema)
+        df, _s, _p = _load_snapshot_df(spark, log, meta_now, side_adds)
+        return df
+
+    old_df, new_df = _side(old_adds), _side(adds)
+    ts = log.commit_timestamp_ms(version)
+
+    def _finish(df: DataFrame, ctype: str) -> DataFrame:
+        # _load_snapshot_df already returns LOGICAL column names — no
+        # inverse-mapping pass here (unlike the raw cdc-file readers)
+        return (
+            df.withColumn("_change_type", F.lit(ctype))
+            .withColumn("_commit_version", F.lit(version).cast("long"))
+            .withColumn("_commit_timestamp", F.timestamp_millis(F.lit(ts)))
+        )
+
+    return [
+        _finish(old_df.exceptAll(new_df), "delete"),
+        _finish(new_df.exceptAll(old_df), "insert"),
+    ]
+
+
 def read_change_feed(
     spark: SparkSession,
     table_path: str,
@@ -1927,6 +2057,7 @@ def read_change_feed(
     ending_version: int | None = None,
     starting_timestamp_ms: int | None = None,
     ending_timestamp_ms: int | None = None,
+    reconstruct_removes: bool = False,
 ) -> DataFrame:
     """Batch CDF read (delta-spark's ``table_changes``): every change row
     in commits ``[starting_version, ending_version]`` with the standard
@@ -1938,6 +2069,14 @@ def read_change_feed(
     change-data files raise ``ChangeDataFeedError`` — the reader cannot
     reconstruct which rows disappeared.  dataChange=false commits
     (OPTIMIZE, backfills) contribute nothing, matching the jar.
+
+    ``reconstruct_removes=True`` relaxes the remove-without-CDF error by
+    diffing the commit's own touched files (see
+    ``_reconstructed_changes``): exact deletes/inserts in bag terms, with
+    updates surfacing as delete+insert rather than paired images.  The
+    default stays False to match the jar's ``table_changes`` contract;
+    counting consumers (the MV layer) opt in because their +1/−1 fold is
+    representation-independent.
 
     Timestamp bounds (delta-spark's startingTimestamp/endingTimestamp):
     ``starting_timestamp_ms`` resolves to the FIRST commit at or after it,
@@ -2039,7 +2178,19 @@ def read_change_feed(
     for v in log.versions():
         if v < starting_version or v > end:
             continue
-        entries = cdf_entries(log, v, log.actions(v))
+        actions = log.actions(v)
+        if reconstruct_removes:
+            has_cdc = any("cdc" in a for a in actions)
+            has_data_removes = any(
+                "remove" in a and a["remove"].get("dataChange", True)
+                for a in actions
+            )
+            if has_data_removes and not has_cdc:
+                frames.extend(
+                    _reconstructed_changes(spark, log, v, actions, meta)
+                )
+                continue
+        entries = cdf_entries(log, v, actions)
         by_type: dict[str | None, list[dict]] = {}
         for e in entries:
             by_type.setdefault(e["change_type"], []).append(e)

@@ -166,13 +166,19 @@ def test_refresh_on_partitioned_base(spark, tmp_path):
     }
 
 
-def test_cdf_gap_without_change_files_fails_closed(spark, tmp_path):
+def test_unreconstructable_cdf_gap_fails_closed(spark, tmp_path):
+    """A CDF-less delete is now RECONSTRUCTED by per-commit file diff
+    (round 11; tests/test_cdf_reconstruct.py) — the refresh fails closed
+    only when the diff genuinely cannot be exact, e.g. the removed file
+    was vacuumed away.  The failed refresh must leave the MV untouched."""
     base, mv = str(tmp_path / "b"), str(tmp_path / "m")
     write_delta_fallback(_rows(spark, [("a", 1), ("b", 2)]), base)
     create_agg_mv(spark, base, mv, group_cols=["g"], sum_cols=["x"])
     delete_where(spark, base, "g = 'a'")  # NO write_cdf
     from polars_incremental_spark.errors import ChangeDataFeedError
+    from polars_incremental_spark.sinks.deltalog import vacuum_fallback
 
+    vacuum_fallback(base, retention_hours=0.0)
     with pytest.raises(ChangeDataFeedError):
         refresh_agg_mv(spark, base, mv)
     # failed refresh left the MV untouched

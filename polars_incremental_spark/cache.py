@@ -96,6 +96,17 @@ def scoped_persist(df: DataFrame, storage_level=None) -> DataFrame:
     return out
 
 
+def register_release_handle(spark: SparkSession, handle) -> None:
+    """Register a non-DataFrame release target (anything exposing
+    ``unpersist(blocking=...)``) for the next
+    :func:`release_operator_caches` — e.g. the intermediate
+    localCheckpoint blocks an iterative operator's
+    ``iterutils.CheckpointChain`` retires (they are not Dataset caches,
+    so ``scoped_persist`` cannot carry them)."""
+    with _LOCK:
+        _SCOPED.setdefault(id(spark), {})[next(_TOKENS)] = handle
+
+
 def scoped_cache_count(spark: SparkSession | None = None) -> int:
     """Number of operator-persisted frames currently registered (for the
     given session, or across all sessions)."""

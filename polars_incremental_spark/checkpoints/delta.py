@@ -582,7 +582,11 @@ def cdf_entries(log: "DeltaLog", version: int, actions: list[dict]) -> list[dict
     if removes:
         raise ChangeDataFeedError(
             f"delta version {version} removes data but carries no change-data "
-            "files; enable delta.enableChangeDataFeed on the writer"
+            "files; enable delta.enableChangeDataFeed on the writer. Batch "
+            "readers can pass read_change_feed(reconstruct_removes=True) to "
+            "diff the commit's own files instead (exact deletes/inserts; "
+            "updates surface unpaired); streaming consumers have the jar's "
+            "ignore_deletes / ignore_changes escape hatches"
         )
     return [
         {

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..cache import scoped_persist
-from .iterutils import iter_checkpoint
+from .iterutils import CheckpointChain, iter_checkpoint
 from .text import fingerprint, md5_long, word_chunks, word_shingles
 
 N_MINHASHES = 32
@@ -954,8 +954,12 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = iter_checkpoint(
-        sym.select("n").distinct().withColumn("lbl", F.col("n")), checkpoint_dir
+    # chain: intermediate rounds' checkpoint blocks release at the
+    # operator-cache release point instead of JVM GC (round-11 finding:
+    # 3-15 stale persisted RDDs per iterative query)
+    chain = CheckpointChain(edges.sparkSession, checkpoint_dir)
+    labels = chain.next(
+        sym.select("n").distinct().withColumn("lbl", F.col("n"))
     )
     try:
         for _ in range(max_iter):
@@ -983,7 +987,7 @@ def connected_components(
                 )
                 .observe(obs, F.sum(F.col("chg").cast("long")).alias("n_chg"))
             )
-            new = iter_checkpoint(new, checkpoint_dir)
+            new = chain.next(new)
             try:
                 # gate on the private JVM handle (absent under Spark
                 # Connect) so the fallback path is explicit, not an
@@ -997,6 +1001,10 @@ def connected_components(
                 changed = new.filter("chg").limit(1).count()
             labels = new.select("n", F.col("new_lbl").alias("lbl"))
             if changed == 0:
+                # the returned plan references only the FINAL round's
+                # checkpoint — every earlier round releases with the
+                # operator caches
+                chain.defer_release(keep=new)
                 return labels.select(
                     F.col("n").alias(node_col), F.col("lbl").alias(comp_col)
                 )

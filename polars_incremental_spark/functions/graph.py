@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .iterutils import iter_checkpoint
+from .iterutils import CheckpointChain
 
 
 def pagerank(
@@ -52,6 +52,11 @@ def pagerank(
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1; got {iterations}")
     teleport = scale * (damping_den - damping_num) // damping_den
+    # chain: every per-round checkpoint's blocks except the RETURNED
+    # frame's release at the owner's release point (cache.py) instead of
+    # lingering until JVM GC — measured 0.25-1.2 GB of stale storage
+    # mid-suite before round 11
+    chain = CheckpointChain(edges.sparkSession, checkpoint_dir)
     # materialize the edge list ONCE: the caller's edge plan (often a full
     # LSH-pair pipeline) would otherwise re-execute on every iteration's
     # join — measured 22.9s -> ~5s for the g1 query at sf0.1
@@ -61,7 +66,7 @@ def pagerank(
     # lazy: cuts the caller's (often LSH-pipeline) lineage NOW, but lets
     # the materialization ride the e_deg checkpoint's job below instead of
     # paying a separate edge-sized job first
-    e = iter_checkpoint(e, checkpoint_dir, eager=False)
+    e = chain.next(e, eager=False)
     deg = e.groupBy("__src").agg(F.count("*").cast("long").alias("__deg"))
     nodes = deg.select(F.col("__src").alias("node"))
     # fold the out-degree into the edge list ONCE: the loop previously
@@ -73,7 +78,7 @@ def pagerank(
     # repartition defeats AQE partition coalescing, and the ranks side is
     # node-sized so AQE broadcasts it anyway, leaving no per-round edge
     # exchange to save.  Revisit only if ranks ever outgrow broadcast.)
-    e_deg = iter_checkpoint(e.join(deg, "__src"), checkpoint_dir)
+    e_deg = chain.next(e.join(deg, "__src"))
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
     for i in range(iterations):
         contribs = e_deg.join(
@@ -108,7 +113,10 @@ def pagerank(
             # the lineage cut is what stops plan doubling; with no
             # convergence probe to resolve, materialization can ride the
             # caller's one final action instead of one job per cut.
-            ranks = iter_checkpoint(ranks, checkpoint_dir, eager=False)
+            ranks = chain.next(ranks, eager=False)
+    # the final cadence round always checkpoints, so the returned plan
+    # references only that round's blocks
+    chain.defer_release(keep=ranks)
     return ranks
 
 
@@ -145,18 +153,18 @@ def bfs_distances(
         raise ValueError(f"max_hops must be >= 1; got {max_hops}")
     from pyspark.sql import Observation
 
-    e = iter_checkpoint(
+    chain = CheckpointChain(edges.sparkSession, checkpoint_dir)
+    e = chain.next(
         edges.select(
             F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
-        ),
-        checkpoint_dir,
+        )
     )
     dist = (
         seeds.select(F.col(seed_col).alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0).cast("long"))
     )
-    dist = iter_checkpoint(dist, checkpoint_dir, eager=False)
+    dist = chain.next(dist, eager=False)
     frontier = dist.select("node")
     for hop in range(1, max_hops + 1):
         reached = (
@@ -173,7 +181,7 @@ def bfs_distances(
             .withColumn("dist", F.lit(hop).cast("long"))
             .observe(obs, F.count(F.lit(1)).alias("n_new"))
         )
-        new = iter_checkpoint(new, checkpoint_dir)
+        new = chain.next(new)
         try:
             if not hasattr(obs, "_jo"):
                 raise LookupError("Observation._jo unavailable")
@@ -184,10 +192,11 @@ def bfs_distances(
             n_new = 0 if new.isEmpty() else 1
         if n_new == 0:
             break
-        dist = iter_checkpoint(
-            dist.unionByName(new), checkpoint_dir, eager=False
-        )
+        dist = chain.next(dist.unionByName(new), eager=False)
         frontier = new.select("node")
+    # on early exit the returned dist is a PRIOR round's checkpoint, not
+    # the last next() — keep maps frames to rounds exactly
+    chain.defer_release(keep=dist)
     return dist
 
 
@@ -222,17 +231,18 @@ def label_propagation(
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1; got {iterations}")
-    e = iter_checkpoint(
+    chain = CheckpointChain(edges.sparkSession, checkpoint_dir)
+    e = chain.next(
         edges.select(
             F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
-        ),
-        checkpoint_dir,
+        )
     )
     labels = (
         e.select(F.col("__src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node").cast("long"))
     )
+    last_ckpt = None
     for i in range(iterations):
         nbr = e.join(labels, e["__src"] == labels["node"]).select(
             F.col("__dst").alias("node"), "label"
@@ -255,5 +265,9 @@ def label_propagation(
         if (i + 1) % 4 == 0 and i + 1 < iterations:
             # lazy: the lineage cut is the point; materialization rides the
             # caller's one final action (no convergence probe here)
-            labels = iter_checkpoint(labels, checkpoint_dir, eager=False)
+            labels = chain.next(labels, eager=False)
+            last_ckpt = labels
+    # the returned plan references the edge checkpoint AND (when the
+    # cadence fired) the last labels checkpoint — both must survive
+    chain.defer_release(keep=[e, last_ckpt] if last_ckpt is not None else e)
     return labels

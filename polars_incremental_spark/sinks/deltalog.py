@@ -1932,12 +1932,18 @@ def _reconstructed_changes(
     added files read as committed, and the two bag-differenced —
     old∖new = deletes, new∖old = inserts (``exceptAll``, multiset-exact).
 
-    The reconstruction is exact in BAG terms but cannot pair update
-    pre/postimages (that needs row tracking): an UPDATE surfaces as
-    delete + insert, which is sign-equivalent for every counting consumer
-    (the MV layer's +1/−1 fold).  Cost is proportional to the COMMIT's
-    touched files — never a snapshot scan — the same change-volume bound
-    real CDF has, paid in data rows instead of change files.
+    The reconstruction is exact in BAG terms; without row identity it
+    cannot pair update pre/postimages, so an UPDATE surfaces as
+    delete + insert — sign-equivalent for every counting consumer
+    (the MV layer's +1/−1 fold).  On a ROW-TRACKED table the diff joins
+    the two sides on ``_row_id`` instead (ids are stable through DV
+    deletes, copy-on-write rewrites, and updates), which restores FULL
+    CDF fidelity: rows present on both sides with changed payloads emit
+    paired ``update_preimage``/``update_postimage``, carried-over rows
+    cancel exactly, and MAP columns are fine (no set-op comparison).
+    Cost is proportional to the COMMIT's touched files — never a
+    snapshot scan — the same change-volume bound real CDF has, paid in
+    data rows instead of change files.
 
     Fails closed (``ChangeDataFeedError``) when the diff cannot be exact:
     the v-1 snapshot expired from the log, a removed file was vacuumed,
@@ -1981,6 +1987,7 @@ def _reconstructed_changes(
             "on the writer"
         )
     schema = StructType.fromJson(json.loads(meta_now["schemaString"]))
+    rt_on = _row_tracking_enabled(meta_now)
 
     def _has_map(dt) -> bool:
         if isinstance(dt, MapType):
@@ -1991,12 +1998,13 @@ def _reconstructed_changes(
             return _has_map(dt.elementType)
         return False
 
-    if any(_has_map(f.dataType) for f in schema.fields):
+    if not rt_on and any(_has_map(f.dataType) for f in schema.fields):
+        # the row-tracked path joins on _row_id and never set-op-compares
         raise ChangeDataFeedError(
             f"delta version {version} removes data without change-data "
             "files and the schema contains a MAP column, which Spark "
             "set operations cannot compare; enable "
-            "delta.enableChangeDataFeed on the writer"
+            "delta.enableChangeDataFeed (or row tracking) on the writer"
         )
     removed_paths = {r["path"] for r in removes}
     if version == 0:
@@ -2025,13 +2033,17 @@ def _reconstructed_changes(
                 "vacuumed; its change data cannot be reconstructed"
             )
 
-    def _side(side_adds):
+    def _side(side_adds, row_ids=False):
         if not side_adds:
-            return spark.createDataFrame([], schema)
-        df, _s, _p = _load_snapshot_df(spark, log, meta_now, side_adds)
-        return df
+            df = spark.createDataFrame([], schema)
+            if row_ids:
+                df = df.withColumn("_row_id", F.lit(None).cast("long"))
+            return df
+        df, _s, _p = _load_snapshot_df(
+            spark, log, meta_now, side_adds, row_ids=row_ids
+        )
+        return df.drop("_row_commit_version") if row_ids else df
 
-    old_df, new_df = _side(old_adds), _side(adds)
     ts = log.commit_timestamp_ms(version)
 
     def _finish(df: DataFrame, ctype: str) -> DataFrame:
@@ -2043,6 +2055,44 @@ def _reconstructed_changes(
             .withColumn("_commit_timestamp", F.timestamp_millis(F.lit(ts)))
         )
 
+    if rt_on:
+        # join old/new sides on the stable row id: full CDF fidelity
+        # (paired update images), carried-over rows cancel by identity.
+        # Falls back to the bag diff if any touched file predates row-id
+        # backfill (row_ids=True raises on missing baseRowId).
+        try:
+            cols = schema.fieldNames()
+            o = _side(old_adds, row_ids=True).select(
+                F.col("_row_id").alias("__rid_o"),
+                F.struct(*cols).alias("__o"),
+            )
+            n = _side(adds, row_ids=True).select(
+                F.col("_row_id").alias("__rid_n"),
+                F.struct(*cols).alias("__n"),
+            )
+            j = o.join(n, o["__rid_o"] == n["__rid_n"], "full_outer")
+            deletes = j.filter(F.col("__rid_n").isNull()).select("__o.*")
+            inserts = j.filter(F.col("__rid_o").isNull()).select("__n.*")
+            # same-session to_json renders both sides identically, so a
+            # digest inequality is a real payload change (maps included)
+            changed = j.filter(
+                F.col("__rid_o").isNotNull()
+                & F.col("__rid_n").isNotNull()
+                & (
+                    F.md5(F.to_json(F.col("__o")))
+                    != F.md5(F.to_json(F.col("__n")))
+                )
+            )
+            return [
+                _finish(deletes, "delete"),
+                _finish(inserts, "insert"),
+                _finish(changed.select("__o.*"), "update_preimage"),
+                _finish(changed.select("__n.*"), "update_postimage"),
+            ]
+        except ValueError:
+            pass  # un-backfilled files: bag-diff fallback below
+
+    old_df, new_df = _side(old_adds), _side(adds)
     return [
         _finish(old_df.exceptAll(new_df), "delete"),
         _finish(new_df.exceptAll(old_df), "insert"),

@@ -123,6 +123,54 @@ def test_whole_file_delete_reconstructs_as_pure_removes(spark, tmp_path):
     assert _signed_bag(rec) == {(2, "b", 2.0): -1}
 
 
+def test_row_tracked_reconstruction_pairs_update_images(spark, tmp_path):
+    """On a row-tracked table the diff joins on _row_id: full CDF
+    fidelity — paired update_preimage/update_postimage, exactly what the
+    write_cdf twin emits (same rows, same types)."""
+    from polars_incremental_spark.sinks.deltalog import enable_row_tracking
+
+    a = _base(spark, str(tmp_path / "with_cdf"))
+    b = _base(spark, str(tmp_path / "without_cdf"))
+    enable_row_tracking(b)
+    v = update_where(spark, b, "k = 3", {"x": "33.0"})["version"]
+    update_where(spark, a, "k = 3", {"x": "33.0"}, write_cdf=True)
+    cdf = read_change_feed(spark, a, starting_version=1)
+    rec = read_change_feed(
+        spark, b, starting_version=v, reconstruct_removes=True
+    )
+
+    def typed_rows(df):
+        return sorted(
+            (r["_change_type"], r["k"], r["g"], r["x"])
+            for r in df.select("_change_type", "k", "g", "x").collect()
+        )
+
+    assert typed_rows(rec) == typed_rows(cdf)
+    assert {r[0] for r in typed_rows(rec)} == {
+        "update_preimage",
+        "update_postimage",
+    }
+
+
+def test_row_tracked_reconstruction_handles_map_columns(spark, tmp_path):
+    """MAP payloads block the bag diff (set ops can't compare maps) but
+    not the row-id join."""
+    from polars_incremental_spark.sinks.deltalog import enable_row_tracking
+
+    p = str(tmp_path / "m")
+    write_delta_fallback(
+        spark.createDataFrame(
+            [(1, {"a": 1}), (2, {"b": 2})], "k long, props map<string,int>"
+        ),
+        p,
+    )
+    enable_row_tracking(p)
+    v = delete_where(spark, p, "k = 2")["version"]
+    rec = read_change_feed(spark, p, starting_version=v, reconstruct_removes=True)
+    rows = rec.select("_change_type", "k").collect()
+    assert [(r["_change_type"], r["k"]) for r in rows] == [("delete", 2)]
+
+
 def test_vacuumed_removed_file_fails_closed(spark, tmp_path):
     p = _base(spark, str(tmp_path / "t"))
     delete_where(spark, p, "k = 1")

@@ -1621,8 +1621,11 @@ def duplicated_spans(
     # materialize the digest arrays ONCE: the interpreted window build is
     # referenced by the explode branch, the generator's inferred
     # size()>0 filter, AND the final join — uncheckpointed it re-evaluates
-    # ~4x (measured 3.6s -> 0.7s at sf0.1).  Same lineage-cut rule as
-    # pagerank's edge materialization; pass checkpoint_dir on clusters.
+    # ~4x (measured 3.6s -> 0.7s at sf0.1).  Checkpoint, not persist
+    # (round-11 A/B): the consumers need the PLAN truncation too — a
+    # persist keeps the digest-build lineage and re-optimizes it per
+    # branch (persist+eager-count measured 2.2s vs 1.6s here).  Same
+    # lineage-cut rule as pagerank; pass checkpoint_dir on clusters.
     base = iter_checkpoint(base, checkpoint_dir)
     spans = base.select(
         id_col, F.posexplode("__digs").alias("span_idx", "__d")

@@ -4680,7 +4680,12 @@ def g2_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     The ordered-edge formulation enumerates each triangle exactly once;
     both self-joins are equi-joins on node ids (no cross product)."""
     # materialize the pair list once: three self-joins would otherwise
-    # re-run the whole LSH pipeline three times (6.6s -> ~2.5s at sf0.1)
+    # re-run the whole LSH pipeline three times (6.6s -> ~2.5s at sf0.1).
+    # localCheckpoint, NOT scoped_persist (round-11 A/B): the joins need
+    # the PLAN truncation, not just block reuse — a persist keeps the
+    # full LSH lineage and Catalyst re-optimizes it once per self-join
+    # branch (measured 6.0s persist+eager-count vs 1.2s checkpoint at
+    # sf0.1).  The blocks free on JVM GC; one node-pair-sized frame.
     pairs = (
         dedup.minhash_lsh_pairs(
             load_table(spark, sf_dir, "documents"), threshold=0.12

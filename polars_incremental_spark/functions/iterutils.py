@@ -50,14 +50,33 @@ def iter_checkpoint(
 
 def persistent_rdd_ids(spark) -> set[int]:
     """JVM-side ids of every RDD currently registered persistent (the
-    ``getPersistentRDDs`` map — localCheckpoint marks its RDD persistent
-    AT CALL TIME, eager or lazy, so an id-diff around the call attributes
-    the checkpoint's blocks exactly)."""
+    ``getPersistentRDDs`` map).  Empty set on sessions without JVM access
+    (Spark Connect) — callers treat that as "nothing trackable"."""
+    try:
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    except Exception:
+        return set()
     out = set()
-    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
     while it.hasNext():
         out.add(int(it.next()._1()))
     return out
+
+
+def _checkpointed_rdd_id(df: DataFrame) -> int | None:
+    """The JVM id of the RDD backing a just-localCheckpointed Dataset —
+    its analyzed plan is a ``LogicalRDD`` wrapping exactly that RDD
+    (eager or lazy; localCheckpoint registers it persistent at call
+    time).  EXACT attribution: unlike an id-diff around the call, a
+    CacheManager RDD that happens to materialize inside an eager
+    checkpoint's job can never be picked up by mistake.  None when the
+    plan shape or JVM access differs (reliable checkpoint(), Connect)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()  # noqa: SLF001
+        if not plan.getClass().getName().endswith(".LogicalRDD"):
+            return None
+        return int(plan.rdd().id())
+    except Exception:
+        return None
 
 
 def unpersist_rdd_ids(spark, ids, *, blocking: bool = False) -> int:
@@ -99,20 +118,19 @@ class CheckpointChain:
     lived until JVM GC collected the Dataset — measured at 20-37 stale
     persisted RDDs / 0.25-1.2 GB of storage residue mid-suite (round-11
     sf1 instrumentation), a GC-timing-dependent eviction pressure on
-    whatever runs next.  The chain records each checkpoint's JVM RDD ids
-    at creation (an id-diff around the call — exact, because
-    ``localCheckpoint`` registers its RDD persistent synchronously) and
-    releases every round's blocks EXCEPT the final one through the
-    operator cache registry, i.e. at the same owned point the rest of the
-    operator's persists release (after the caller materializes).  The
-    final checkpoint stays alive so the RETURNED plan re-executes freely;
-    intermediates are never referenced again once the final round's
-    blocks exist.
-
-    Single-session loops only (the id-diff window is the checkpoint call
-    itself; concurrent persists from ANOTHER thread inside that window
-    would be misattributed — the engine's Pipeline is single-writer by
-    lock, and operators are driver-side loops).
+    whatever runs next.  The chain records each checkpoint's backing JVM
+    RDD id at creation — read EXACTLY off the Dataset's ``LogicalRDD``
+    plan, so concurrent persists or CacheManager RDDs materializing
+    inside an eager checkpoint's job can never be misattributed — and
+    releases every round's blocks EXCEPT those the RETURNED plan
+    references through the operator cache registry, i.e. at the same
+    owned point the rest of the operator's persists release (after the
+    caller materializes).  The release handle additionally guards on the
+    kept checkpoints being materialized, so an early
+    ``release_operator_caches`` (before the caller's first action) is a
+    safe no-op rather than a lineage truncation.  Under reliable
+    ``checkpoint()`` or Spark Connect the chain degrades to plain
+    ``iter_checkpoint`` (nothing trackable, nothing released).
     """
 
     def __init__(self, spark, checkpoint_dir: str | None = None) -> None:
@@ -121,12 +139,15 @@ class CheckpointChain:
         self._rounds: list[set[int]] = []
 
     def next(self, df: DataFrame, *, eager: bool = True) -> DataFrame:
-        before = persistent_rdd_ids(self.spark)
         out = iter_checkpoint(df, self.checkpoint_dir, eager=eager)
-        ids = persistent_rdd_ids(self.spark) - before
+        rid = _checkpointed_rdd_id(out)
+        ids = {rid} if rid is not None else set()
         self._rounds.append(ids)
         # ride the ids on the frame so defer_release(keep=...) can map the
-        # RETURNED plan's checkpoints back to their rounds
+        # RETURNED plan's checkpoints back to their rounds.  Under
+        # reliable checkpoint() or Spark Connect the set is empty and the
+        # chain degrades to plain iter_checkpoint (no tracking, no-op
+        # release) — never a crash, never a misattributed unpersist.
         out._pis_chain_ids = ids  # noqa: SLF001
         return out
 
@@ -153,17 +174,43 @@ class CheckpointChain:
         if stale:
             from ..cache import register_release_handle
 
-            register_release_handle(self.spark, _RddReleaseHandle(self.spark, stale))
+            register_release_handle(
+                self.spark,
+                _RddReleaseHandle(self.spark, stale, guard_ids=keep_ids),
+            )
         self._rounds = [keep_ids]
 
 
 class _RddReleaseHandle:
     """Duck-typed registry entry: release_operator_caches calls
-    ``unpersist(blocking=...)`` on whatever is registered."""
+    ``unpersist(blocking=...)`` on whatever is registered.
 
-    def __init__(self, spark, ids: set[int]) -> None:
+    ``guard_ids`` are the KEPT (final) checkpoints' ids: when any of
+    them is still registered but has zero cached partitions, the
+    returned lazy plan has not been materialized yet — releasing the
+    stale rounds now would truncate the lineage its eventual first
+    action needs ("Checkpoint block not found").  The handle then skips
+    entirely (the blocks revert to the pre-round-11 GC lifecycle), so
+    release_operator_caches stays safe to call at ANY time, matching its
+    documented contract."""
+
+    def __init__(self, spark, ids: set[int], *, guard_ids: set[int] = frozenset()) -> None:
         self.spark = spark
         self.ids = ids
+        self.guard_ids = set(guard_ids)
 
     def unpersist(self, blocking: bool = False) -> None:
+        if self.guard_ids:
+            try:
+                jsc = self.spark.sparkContext._jsc.sc()  # noqa: SLF001
+                cached = {
+                    int(i.id())
+                    for i in jsc.getRDDStorageInfo()
+                    if i.numCachedPartitions() > 0
+                }
+                registered = persistent_rdd_ids(self.spark)
+            except Exception:
+                return
+            if any(g in registered and g not in cached for g in self.guard_ids):
+                return  # final checkpoint not materialized yet — defer to GC
         unpersist_rdd_ids(self.spark, self.ids, blocking=blocking)

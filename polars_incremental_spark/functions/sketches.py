@@ -541,14 +541,31 @@ def _cms_manifest_path(index_path: str) -> str:
 _ADHOC_DIGEST_SCHEME = "md5-60"
 
 
+# the pre-md5-60 (32-bit Murmur3 xor) scheme produced the same
+# "adhoc_{x:016x}_{n}" SHAPE but from a sign-extended 32-bit value: the
+# first 8 hex are always 00000000 or ffffffff.  An md5-60 id has 15
+# random hex after its leading 0, so a true md5-60 id false-matching
+# this is a ~2^-28 event — and the consequence of a false match is the
+# fail-closed error below, never a silent re-fold.
+import re as _re
+
+_LEGACY_ADHOC_RE = _re.compile(r"^adhoc_(00000000|ffffffff)[0-9a-f]{8}_")
+
+
 def _check_adhoc_digest_scheme(manifest: dict, index_path: str, kind: str) -> None:
     """Gate a content-addressed (batch_id=None) fold on digest-scheme
-    compatibility.  A manifest whose folded set contains no adhoc ids has
-    nothing to collide with, so it is upgraded in place."""
+    compatibility.  Unversioned manifests (written before the ``digest``
+    key existed) are upgraded in place UNLESS they hold an id of the
+    legacy 32-bit shape — those are the ones whose replay detection
+    would silently re-fold (the CMS double-count ADVICE r10 flagged);
+    unversioned manifests whose adhoc ids are all md5-60-shaped were
+    produced by the identical digest expression and stay valid."""
     scheme = manifest.get("digest")
     if scheme == _ADHOC_DIGEST_SCHEME:
         return
-    if not any(str(f).startswith("adhoc_") for f in manifest["folded"]):
+    if scheme is None and not any(
+        _LEGACY_ADHOC_RE.match(str(f)) for f in manifest["folded"]
+    ):
         manifest["digest"] = _ADHOC_DIGEST_SCHEME
         return
     raise ValueError(

@@ -1924,7 +1924,6 @@ def _reconstructed_changes(
     log: "DeltaLog",
     version: int,
     actions: list[dict],
-    head_meta: dict[str, Any],
 ) -> list[DataFrame]:
     """EXACT change rows for a remove-bearing commit WITHOUT change-data
     files, reconstructed by per-commit file diff: the commit's removed
@@ -2089,8 +2088,24 @@ def _reconstructed_changes(
                 _finish(changed.select("__o.*"), "update_preimage"),
                 _finish(changed.select("__n.*"), "update_postimage"),
             ]
-        except ValueError:
-            pass  # un-backfilled files: bag-diff fallback below
+        except ValueError as exc:
+            # ONLY the documented un-backfilled-files case falls back to
+            # the bag diff; any other ValueError is a real error — a
+            # silent fallback would downgrade a row-tracked consumer from
+            # paired update images to delete+insert with no signal
+            if "baseRowId" not in str(exc):
+                raise
+            # the bag-diff fallback cannot compare MAP payloads, so that
+            # combination fails closed here instead of as an opaque
+            # set-op AnalysisException
+            if any(_has_map(f.dataType) for f in schema.fields):
+                raise ChangeDataFeedError(
+                    f"delta version {version} removes data without "
+                    "change-data files, the schema contains a MAP column, "
+                    "and the row-tracked diff is unavailable (files "
+                    "predate row-id backfill); enable "
+                    "delta.enableChangeDataFeed on the writer"
+                ) from None
 
     old_df, new_df = _side(old_adds), _side(adds)
     return [
@@ -2237,7 +2252,7 @@ def read_change_feed(
             )
             if has_data_removes and not has_cdc:
                 frames.extend(
-                    _reconstructed_changes(spark, log, v, actions, meta)
+                    _reconstructed_changes(spark, log, v, actions)
                 )
                 continue
         entries = cdf_entries(log, v, actions)

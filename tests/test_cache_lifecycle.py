@@ -166,6 +166,32 @@ def test_iterative_checkpoints_release_all_but_returned(spark, name, kept):
     unpersist_rdd_ids(spark, persistent_rdd_ids(spark), blocking=True)
 
 
+def test_early_release_before_materialization_is_safe_for_iteratives(spark):
+    """release_operator_caches promises 'safe to call at any time'.  For
+    an iterative result whose FINAL checkpoint is lazy (pagerank), an
+    early release must NOT truncate the lineage its first action needs:
+    the handle's guard defers to the GC lifecycle instead."""
+    from polars_incremental_spark.functions.graph import pagerank
+    from polars_incremental_spark.functions.iterutils import (
+        persistent_rdd_ids,
+        unpersist_rdd_ids,
+    )
+
+    release_operator_caches(spark)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 1), (3, 2), (1, 3)], ["src", "dst"]
+    )
+    ranks = pagerank(edges, iterations=4)
+    # release BEFORE any action: the chain's stale blocks must survive
+    # (guard: the kept final checkpoint is unmaterialized)
+    release_operator_caches(spark)
+    got = {r["node"]: r["rank"] for r in ranks.collect()}  # must not raise
+    assert len(got) == 3
+    # re-execution after materialization also works
+    assert ranks.count() == 3
+    unpersist_rdd_ids(spark, persistent_rdd_ids(spark), blocking=True)
+
+
 def test_pipeline_batches_release_operator_caches(spark, tmp_path):
     """The Pipeline loop is the long-lived-session case the verdict named:
     per-batch LSH dedup must not grow the session cache batch-over-batch."""

@@ -155,12 +155,36 @@ def test_cms_legacy_adhoc_manifest_refuses_content_addressed_update(
     # simulate a pre-versioning index holding old-scheme adhoc ids
     m = _manifest(idx)
     m.pop("digest")
-    m["folded"] = ["adhoc_deadbeef"]  # 32-bit-era id shape
+    m["folded"] = ["adhoc_ffffffffdeadbeef_100"]  # sign-extended 32-bit-era id
     _write_manifest(idx, m)
     with pytest.raises(ValueError, match="digest scheme"):
         update_cms_index(df, idx, key_col="k")
     # explicit batch ids are scheme-independent and still allowed
     assert update_cms_index(df, idx, key_col="k", batch_id=7) is True
+
+
+def test_cms_unversioned_md5_shaped_manifest_upgrades_in_place(
+    spark, tmp_path
+):
+    """An unversioned manifest whose adhoc ids are md5-60-shaped was
+    written by the identical digest expression (it shipped one round
+    before the version key) — replay detection against it is exact, so
+    the update proceeds and stamps the scheme."""
+    from polars_incremental_spark.functions.sketches import update_cms_index
+
+    idx = str(tmp_path / "cms")
+    df = spark.range(60).select(F.col("id").cast("string").alias("k"))
+    update_cms_index(df, idx, key_col="k")
+    m = _manifest(idx)
+    m.pop("digest")  # simulate the round-10 (pre-version-key) writer
+    _write_manifest(idx, m)
+    # identical content still replays as a no-op (ids match exactly);
+    # a no-op never rewrites the manifest, so the stamp lands with the
+    # next REAL fold
+    assert update_cms_index(df, idx, key_col="k") is False
+    df2 = spark.range(60, 120).select(F.col("id").cast("string").alias("k"))
+    assert update_cms_index(df2, idx, key_col="k") is True
+    assert _manifest(idx)["digest"] == "md5-60"
 
 
 def test_cms_legacy_manifest_without_adhoc_ids_upgrades_in_place(
@@ -193,7 +217,7 @@ def test_hll_legacy_adhoc_manifest_refuses_content_addressed_update(
     assert _manifest(idx)["digest"] == "md5-60"
     m = _manifest(idx)
     m.pop("digest")
-    m["folded"] = ["adhoc_0badc0de"]
+    m["folded"] = ["adhoc_000000000badc0de_50"]
     _write_manifest(idx, m)
     with pytest.raises(ValueError, match="digest scheme"):
         update_hll_index(df, idx, group_cols=["g"], value_col="v")

@@ -159,7 +159,12 @@ class CheckpointChain:
         ``keep`` lists the chain frames the RETURNED plan still
         references (they must outlive release so the caller can
         re-execute the result).  Default: the LAST ``next()`` frame.
-        Call once, at loop end."""
+        Call once, at loop end.
+
+        The kept checkpoints themselves release one point LATER
+        (``register_release_next``): alive through the owning query's
+        release so the caller can re-execute, freed when the harness
+        moves on — no cross-suite accumulation of final checkpoints."""
         if not self._rounds:
             return
         if isinstance(keep, DataFrame):
@@ -186,31 +191,99 @@ class _RddReleaseHandle:
     ``unpersist(blocking=...)`` on whatever is registered.
 
     ``guard_ids`` are the KEPT (final) checkpoints' ids: when any of
-    them is still registered but has zero cached partitions, the
-    returned lazy plan has not been materialized yet — releasing the
-    stale rounds now would truncate the lineage its eventual first
-    action needs ("Checkpoint block not found").  The handle then skips
-    entirely (the blocks revert to the pre-round-11 GC lifecycle), so
-    release_operator_caches stays safe to call at ANY time, matching its
-    documented contract."""
+    them is still registered but NOT yet materialized, the returned lazy
+    plan has not run its first action — releasing the stale rounds now
+    would truncate the lineage that action needs ("Checkpoint block not
+    found").  The handle then skips entirely (the blocks revert to the
+    pre-round-11 GC lifecycle), so release_operator_caches stays safe to
+    call at ANY time, matching its documented contract.
 
-    def __init__(self, spark, ids: set[int], *, guard_ids: set[int] = frozenset()) -> None:
+    Materialization is read from the JVM RDD's ``isCheckpointed()`` flag,
+    which is STICKY once the first action runs — a materialized
+    checkpoint whose blocks were later fully evicted still releases its
+    stale rounds (a zero-cached-partitions probe, as used before round
+    12, could not tell eviction-after-materialization from
+    never-materialized and deferred forever, re-creating the GC-lifecycle
+    leak the chain exists to fix).
+
+    A deferring handle re-registers itself for the NEXT release point
+    (bounded by ``max_deferrals``) instead of vanishing — before round
+    12, a deferred release was lost forever because
+    ``release_operator_caches`` pops the registry before firing.
+
+    ``release_guards_next=True`` (the stale-rounds handle) additionally
+    hands the KEPT checkpoints to the next release point once the stale
+    rounds free: the kept blocks must outlive THIS release (the returned
+    plan references them) but are dead once the harness moves to the
+    next query / micro-batch — round-11 verdict measured 12 accumulated
+    kept RDDs / 20.8 MB on late-suite queries.  NOTE this narrows the
+    registry's re-execution window for ITERATIVE results: the returned
+    plan stays re-executable after its own release point but not after
+    the following one (its local checkpoint's blocks are gone and the
+    truncated lineage cannot recompute)."""
+
+    def __init__(
+        self,
+        spark,
+        ids: set[int],
+        *,
+        guard_ids: set[int] = frozenset(),
+        release_guards_next: bool = True,
+        max_deferrals: int = 8,
+    ) -> None:
         self.spark = spark
-        self.ids = ids
+        self.ids = set(ids)
         self.guard_ids = set(guard_ids)
+        self.release_guards_next = release_guards_next
+        self.max_deferrals = max_deferrals
+        self._deferrals = 0
+
+    def _defer(self) -> None:
+        # revert to the GC lifecycle after the cap: an abandoned result
+        # that never materializes must not keep an immortal handle alive
+        if self._deferrals >= self.max_deferrals:
+            return
+        self._deferrals += 1
+        from ..cache import register_release_next
+
+        register_release_next(self.spark, self)
 
     def unpersist(self, blocking: bool = False) -> None:
         if self.guard_ids:
             try:
+                registered: dict[int, object] = {}
                 jsc = self.spark.sparkContext._jsc.sc()  # noqa: SLF001
-                cached = {
-                    int(i.id())
-                    for i in jsc.getRDDStorageInfo()
-                    if i.numCachedPartitions() > 0
-                }
-                registered = persistent_rdd_ids(self.spark)
+                it = jsc.getPersistentRDDs().iterator()
+                while it.hasNext():
+                    kv = it.next()
+                    registered[int(kv._1())] = kv._2()
             except Exception:
                 return
-            if any(g in registered and g not in cached for g in self.guard_ids):
-                return  # final checkpoint not materialized yet — defer to GC
+            for g in self.guard_ids:
+                rdd = registered.get(g)
+                if rdd is None:
+                    # kept checkpoint no longer registered (caller
+                    # unpersisted it / context GC) — it cannot be waiting
+                    # on a first action; don't block the release
+                    continue
+                try:
+                    if not rdd.isCheckpointed():
+                        self._defer()  # not materialized yet — retry later
+                        return
+                except Exception:
+                    return
         unpersist_rdd_ids(self.spark, self.ids, blocking=blocking)
+        if self.release_guards_next:
+            kept = self.guard_ids - self.ids
+            if kept:
+                from ..cache import register_release_next
+
+                register_release_next(
+                    self.spark,
+                    _RddReleaseHandle(
+                        self.spark,
+                        kept,
+                        guard_ids=kept,
+                        release_guards_next=False,
+                    ),
+                )

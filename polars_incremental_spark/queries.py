@@ -7241,46 +7241,57 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 
 # Driver grading-window rotation: the driver hash-grades the FIRST 50
 # registry entries each round, so the dict is reordered stalest-graded
-# first.  Round 11 (computed from CORRECTNESS_r01..r10 latest verdicts):
-# 15 entries were last graded on round-6 code (two verify-path rewrites
-# ago for d9/d13/s7/g3), then the round-7 block (50 entries) — ordered
-# so the 35 whose code paths moved most since round 7 (the dedup /
-# similarity verify rewrite in rounds 9-10, the CDC/as-of framework)
-# fill the rest of this round's window, and the remaining 15 round-7
-# entries sit at positions 51-65 to lead next round's window.
+# first.  Round 12 (re-derived from CORRECTNESS_r01..r11 latest
+# verdicts: 15 entries at round 7, 50 at round 8, 50 at round 10, 50
+# at round 11): the 15 round-7-stale entries lead (they were queued at
+# positions 51-65 last round, re-verified locally 15/15 green), then
+# 35 of the round-8 block — ordered so the families whose code paths
+# moved most in rounds 9-11 (the dedup/similarity verify rewrite, the
+# joins/CDC framework re-verification, the sketch-store versioning,
+# the skew/multimodal touch-ups) grade first — and the 15 most-stable
+# round-8 entries (text t-family, plain sampling) sit at positions
+# 51-65 to lead round 13's window.
 _GRADE_FIRST = [
-    # --- last driver-graded round 6 (stalest; verdict r10 item #1) ---
-    "r01_scan_count", "r12_topk_sort", "r14_anti_join",
-    "r21_distinct_keys", "rollup_order_totals",
-    "q7_price_percentiles", "q8_grouping_sets", "q17_small_qty_revenue",
-    "q18_large_orders", "q21_waiting_supplier", "q22_idle_customers",
-    "d9_dup_clusters", "d13_dedup_canonical", "s7_semantic_dedup",
-    "g3_cluster_sizes",
-    # --- round-7 block, most-rewritten-since first ---
-    # dedup verify path rewritten rounds 9 AND 10 (array_intersect verify)
-    "d4_ngram_jaccard", "d4b_ngram_jaccard_capped", "d5_minhash_signatures",
-    "d6_minhash_lsh", "d7_simhash", "d8_simhash_near_dup",
-    "d1_exact_duplicates", "d2_dedup_exact", "d3_fingerprint_duplicates",
-    "d11_decontaminate",
-    # similarity family (shares the candidate/verify helpers)
-    "s1_cosine_topk", "s2_lsh_ann_topk", "s3_cosine_near_dup",
-    "s4_cosine_near_dup_exact", "s6_quantized_topk",
-    # CDC / temporal-join / session framework entries
-    "cdc_merge_latest", "asof_error_after_click",
-    "range_clicks_before_error", "events_sessionize", "events_window_1m",
-    "except_intersect_users", "m1b_multimodal_meta",
-    # TPC-H-ish round-7 block
-    "q4_priority_check", "q7_nation_volume", "q8_market_share",
-    "q9_product_profit", "q10_returned_items", "q13_order_histogram",
-    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_count",
-    "q19_bracket_revenue", "q20_heavy_shippers",
-    "r13_latest_per_key", "r22_pivot_event_counts",
-    # --- positions 51-65: remaining round-7 entries, lead next rotation ---
+    # --- last driver-graded round 7 (stalest; verdict r11 item #1) ---
     "r02_json_roundtrip", "r03_projection", "r04_filter_isin",
     "r05_expression", "r06_cast", "r07_null_literal", "r08_case_when",
     "r09_struct_json", "r15_union_by_name", "r16_remap", "r17_limit0",
     "r18_scalar_agg", "r19_sql_report", "r20_drop_cols",
     "r23_user_running_totals",
+    # --- round-8 block, most-rewritten-since first ---
+    # dedup verify path rewritten rounds 9-10, threshold guards r11
+    "d12_bloom_decontaminate", "d14_edit_distance_pairs",
+    # similarity family (candidate/verify helpers rewritten r9-r11)
+    "s8_label_centroids", "s9_centroid_similarity",
+    # temporal joins (framework siblings re-verified r11)
+    "asof_fwd_click_after_error",
+    # sketch store scheme-versioned r11
+    "u4_kmv_distinct",
+    # skew toolkit (top-k / salting comments + release lifecycle r11)
+    "u7_hot_keys", "u7b_salted_join_groups", "u7c_two_phase_collect",
+    # multimodal (m1b sibling re-graded r11)
+    "m2_frame_sample", "m3_image_decode",
+    # memory-tight flagged queries — want fresh verdicts on final code
+    "t11_char_lm_score", "t9_curate_topk", "t10_quality_deciles",
+    # watermark + TPC-H-ish round-8 block
+    "w1_drop_late", "q1_pricing_summary", "q2_min_cost_supplier",
+    "q3_shipping_priority", "q5_region_revenue", "q6_forecast_revenue",
+    "q11_important_parts", "q12_late_priority_lines",
+    # schema-evolution entries
+    "schema_evolve_add", "schema_type_widen", "schema_rescue",
+    # relational/window round-8 block
+    "r24_trailing_hour", "r26_ranking_functions", "r27_json_props",
+    "r28_funnel", "r29_full_outer",
+    # sampling/curation with r9-r11-touched helpers
+    "u8_group_sample", "u9_weighted_sample", "u10_token_mixture",
+    "u11_token_shards", "u12_sliding_chunks",
+    # --- positions 51-65: remaining round-8 entries (stable code
+    # paths: text t-family + plain hash sampling), lead round 13 ---
+    "t1_text_stats", "t2_lang_id", "t3_fingerprint", "t4_token_counts",
+    "t5_top_ngrams", "t6_repetition", "t7_pii_redaction",
+    "t8_tfidf_top_terms", "t12_ngram_novelty", "t13_gopher_quality",
+    "u1_hash_sample", "u2_stratified_sample", "u3_hash_split",
+    "u5_mixture_sample", "u6_pack_sequences",
 ]
 # dict merge keeps the FIRST insertion position for duplicate keys, so
 # this is exactly "graded-first entries, then everything else in place"

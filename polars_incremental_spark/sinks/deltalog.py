@@ -1953,7 +1953,7 @@ def _reconstructed_changes(
 
     from pyspark.sql.types import MapType, StructType
 
-    from ..errors import ChangeDataFeedError
+    from ..errors import ChangeDataFeedError, PlanningError
 
     removes = [
         a["remove"]
@@ -2011,7 +2011,10 @@ def _reconstructed_changes(
     else:
         try:
             prev_active = log.snapshot_files(version - 1)
-        except ValueError as exc:
+        except (ValueError, PlanningError) as exc:
+            # snapshot_files signals an expired prior snapshot with
+            # PlanningError (checkpoints/delta.py); re-raise under the
+            # CDF taxonomy so read_change_feed callers see one error class
             raise ChangeDataFeedError(
                 f"delta version {version} removes data without change-data "
                 f"files and the prior snapshot (v{version - 1}) has expired "
@@ -2072,15 +2075,25 @@ def _reconstructed_changes(
             j = o.join(n, o["__rid_o"] == n["__rid_n"], "full_outer")
             deletes = j.filter(F.col("__rid_n").isNull()).select("__o.*")
             inserts = j.filter(F.col("__rid_o").isNull()).select("__n.*")
-            # same-session to_json renders both sides identically, so a
-            # digest inequality is a real payload change (maps included)
+            if any(_has_map(f.dataType) for f in schema.fields):
+                # Spark comparisons can't take MAP operands, so map-bearing
+                # schemas fall back to a same-session to_json digest.  This
+                # can pair-up semantically-equal payloads rendered
+                # differently (map entry order after a file rewrite) —
+                # sign-cancelling for counting consumers, noise for
+                # full-fidelity ones.
+                payload_changed = F.md5(F.to_json(F.col("__o"))) != F.md5(
+                    F.to_json(F.col("__n"))
+                )
+            else:
+                # null-safe struct equality: field-wise, NULL==NULL, and
+                # Spark's comparison semantics make -0.0 == 0.0 and
+                # NaN == NaN — no spurious update pairs from rendering
+                payload_changed = ~F.col("__o").eqNullSafe(F.col("__n"))
             changed = j.filter(
                 F.col("__rid_o").isNotNull()
                 & F.col("__rid_n").isNotNull()
-                & (
-                    F.md5(F.to_json(F.col("__o")))
-                    != F.md5(F.to_json(F.col("__n")))
-                )
+                & payload_changed
             )
             return [
                 _finish(deletes, "delete"),

@@ -1924,6 +1924,7 @@ def _reconstructed_changes(
     log: "DeltaLog",
     version: int,
     actions: list[dict],
+    keys: "list[str] | None" = None,
 ) -> list[DataFrame]:
     """EXACT change rows for a remove-bearing commit WITHOUT change-data
     files, reconstructed by per-commit file diff: the commit's removed
@@ -1943,6 +1944,21 @@ def _reconstructed_changes(
     Cost is proportional to the COMMIT's touched files — never a
     snapshot scan — the same change-volume bound real CDF has, paid in
     data rows instead of change files.
+
+    ``keys`` — user-declared unique key columns (the reference engine's
+    CDC surface always has them: reference cdc.py:8-55 requires
+    ``keys``) — restores paired update images WITHOUT row tracking: the
+    bag diff's deletes and inserts are grouped by key, and a key with
+    exactly one old and one new row emits an
+    ``update_preimage``/``update_postimage`` pair.  NULL and NaN key
+    values pair null-safely (SQL grouping semantics).  A key with more
+    than one row on either side of the diff means the table is not
+    actually keyed by ``keys`` — pairing would be ambiguous — and the
+    read fails AT MATERIALIZATION with a raise_error (the frame is
+    lazy; a driver-side pre-check would force an extra action per
+    commit).  One hash shuffle on ``keys`` over the commit's diff rows —
+    still change-volume bounded.  Row tracking, when enabled and
+    applicable, takes precedence (it needs no uniqueness assumption).
 
     Fails closed (``ChangeDataFeedError``) when the diff cannot be exact:
     the v-1 snapshot expired from the log, a removed file was vacuumed,
@@ -1987,6 +2003,13 @@ def _reconstructed_changes(
         )
     schema = StructType.fromJson(json.loads(meta_now["schemaString"]))
     rt_on = _row_tracking_enabled(meta_now)
+    if keys:
+        missing_keys = [k for k in keys if k not in schema.fieldNames()]
+        if missing_keys:
+            raise ValueError(
+                f"keys {missing_keys} not in table schema "
+                f"{schema.fieldNames()}"
+            )
 
     def _has_map(dt) -> bool:
         if isinstance(dt, MapType):
@@ -2121,9 +2144,89 @@ def _reconstructed_changes(
                 ) from None
 
     old_df, new_df = _side(old_adds), _side(adds)
+    dels = old_df.exceptAll(new_df)
+    ins = new_df.exceptAll(old_df)
+    if not keys:
+        return [_finish(dels, "delete"), _finish(ins, "insert")]
+
+    # key-paired images: group both diff sides by the declared keys; a
+    # key present on both sides is an update, one-sided keys stay
+    # delete/insert.  SQL grouping pairs NULL/NaN keys null-safely.
+    cols = schema.fieldNames()
+    tagged = dels.select(
+        F.lit("o").alias("__side"), F.struct(*cols).alias("__p")
+    ).unionByName(
+        ins.select(F.lit("n").alias("__side"), F.struct(*cols).alias("__p"))
+    )
+    grouped = tagged.groupBy(
+        *[F.col(f"__p.`{k}`").alias(f"__k{i}") for i, k in enumerate(keys)]
+    ).agg(
+        F.collect_list(
+            F.when(F.col("__side") == "o", F.col("__p"))
+        ).alias("__os"),
+        F.collect_list(
+            F.when(F.col("__side") == "n", F.col("__p"))
+        ).alias("__ns"),
+    )
+    no, nn = F.size("__os"), F.size("__ns")
+    dup_msg = F.concat(
+        F.lit(
+            f"delta version {version}: key columns {keys} are not unique "
+            "within the commit's change set (found "
+        ),
+        no.cast("string"),
+        F.lit(" old / "),
+        nn.cast("string"),
+        F.lit(
+            " new rows for one key); update-image pairing is ambiguous — "
+            "declare the table's actual unique key or enable row tracking"
+        ),
+    )
+    out = (
+        grouped.select(
+            F.when((no > 1) | (nn > 1), F.raise_error(dup_msg))
+            .when(
+                (no == 1) & (nn == 1),
+                F.array(
+                    F.struct(
+                        F.lit("update_preimage").alias("t"),
+                        F.col("__os")[0].alias("p"),
+                    ),
+                    F.struct(
+                        F.lit("update_postimage").alias("t"),
+                        F.col("__ns")[0].alias("p"),
+                    ),
+                ),
+            )
+            .when(
+                no == 1,
+                F.array(
+                    F.struct(
+                        F.lit("delete").alias("t"),
+                        F.col("__os")[0].alias("p"),
+                    )
+                ),
+            )
+            .otherwise(
+                F.array(
+                    F.struct(
+                        F.lit("insert").alias("t"),
+                        F.col("__ns")[0].alias("p"),
+                    )
+                )
+            )
+            .alias("__changes")
+        )
+        .select(F.explode("__changes").alias("__c"))
+        .select(F.col("__c.p.*"), F.col("__c.t").alias("_change_type"))
+    )
+    ts_paired = log.commit_timestamp_ms(version)
     return [
-        _finish(old_df.exceptAll(new_df), "delete"),
-        _finish(new_df.exceptAll(old_df), "insert"),
+        out.withColumn(
+            "_commit_version", F.lit(version).cast("long")
+        ).withColumn(
+            "_commit_timestamp", F.timestamp_millis(F.lit(ts_paired))
+        )
     ]
 
 
@@ -2136,6 +2239,7 @@ def read_change_feed(
     starting_timestamp_ms: int | None = None,
     ending_timestamp_ms: int | None = None,
     reconstruct_removes: bool = False,
+    keys: "list[str] | None" = None,
 ) -> DataFrame:
     """Batch CDF read (delta-spark's ``table_changes``): every change row
     in commits ``[starting_version, ending_version]`` with the standard
@@ -2156,6 +2260,15 @@ def read_change_feed(
     counting consumers (the MV layer) opt in because their +1/−1 fold is
     representation-independent.
 
+    ``keys`` (only with ``reconstruct_removes=True``) declares the
+    table's unique key columns and restores PAIRED
+    ``update_preimage``/``update_postimage`` rows on reconstructed
+    commits without requiring row tracking — the reference engine's CDC
+    surface always carries such keys (reference cdc.py:8-55).  Keys that
+    are not actually unique within a commit's change set make pairing
+    ambiguous and fail the read at materialization.  Commits served from
+    real change-data files are unaffected (they already carry images).
+
     Timestamp bounds (delta-spark's startingTimestamp/endingTimestamp):
     ``starting_timestamp_ms`` resolves to the FIRST commit at or after it,
     ``ending_timestamp_ms`` to the LAST commit at or before it — both via
@@ -2170,6 +2283,11 @@ def read_change_feed(
     latest = log.latest_version()
     if latest is None:
         raise FileNotFoundError(f"not a delta table: {table_path}")
+    if keys is not None and not reconstruct_removes:
+        raise ValueError(
+            "keys= only applies to reconstruct_removes=True (commits with "
+            "real change-data files already carry paired update images)"
+        )
     if starting_version is not None and starting_timestamp_ms is not None:
         raise ValueError("pass starting_version or starting_timestamp_ms, not both")
     if ending_version is not None and ending_timestamp_ms is not None:
@@ -2265,7 +2383,7 @@ def read_change_feed(
             )
             if has_data_removes and not has_cdc:
                 frames.extend(
-                    _reconstructed_changes(spark, log, v, actions)
+                    _reconstructed_changes(spark, log, v, actions, keys=keys)
                 )
                 continue
         entries = cdf_entries(log, v, actions)

@@ -5,8 +5,8 @@ updates; deletion vectors toggled per table) — one writes change-data
 files (`write_cdf=True`), the other never does.  After every commit the
 reconstructed feed must equal the real feed in SIGNED-BAG terms (the
 representation every counting consumer reduces to), and on a row-tracked
-table the reconstructed feed must match the real feed's change types
-EXACTLY (paired update images).
+OR keys=-declared table the reconstructed feed must match the real
+feed's change types EXACTLY (paired update images).
 
 Seeded per run from a fixed list so failures replay.
 """
@@ -50,9 +50,20 @@ def _typed_rows(df):
     )
 
 
-@pytest.mark.parametrize("seed,row_tracked", [(11, False), (42, True), (77, False)])
+@pytest.mark.parametrize(
+    "seed,row_tracked,keyed",
+    [
+        (11, False, False),
+        (42, True, False),
+        (77, False, False),
+        # round 12: keys=["k"] on a NON-row-tracked base must restore
+        # exactly-paired update images through the whole storm
+        (123, False, True),
+        (7, False, True),
+    ],
+)
 def test_dml_storm_reconstruction_matches_cdf_twin(
-    spark, tmp_path, seed, row_tracked
+    spark, tmp_path, seed, row_tracked, keyed
 ):
     rng = random.Random(seed)
     a = str(tmp_path / "with_cdf")  # ground truth: real change files
@@ -115,14 +126,15 @@ def test_dml_storm_reconstruction_matches_cdf_twin(
                 starting_version=rb["version"],
                 ending_version=rb["version"],
                 reconstruct_removes=True,
+                keys=["k"] if keyed else None,
             )
             assert _signed_bag(cdf) == _signed_bag(rec), (
                 f"seed={seed} step={_step} op={op} cond={cond}"
             )
-            if row_tracked:
+            if row_tracked or keyed:
                 assert _typed_rows(cdf) == _typed_rows(rec), (
                     f"seed={seed} step={_step} op={op} cond={cond} "
-                    "(row-tracked: change types must pair exactly)"
+                    "(row-tracked/keyed: change types must pair exactly)"
                 )
     # final sanity: both tables converged to the same snapshot
     sa = sorted(tuple(r) for r in read_delta_fallback(spark, a).collect())

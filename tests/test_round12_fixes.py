@@ -257,3 +257,120 @@ def test_kept_checkpoint_released_at_next_release_point(spark):
     assert n_persisted(spark) == base, (
         "kept final checkpoint survived the next release point"
     )
+
+
+# ------------------------------------------------------- verdict Next #5
+def test_keys_pairing_matches_cdf_twin_without_row_tracking(spark, tmp_path):
+    """keys=['k'] on a plain (no CDF, no row tracking) table restores
+    exactly-paired update images — byte-for-byte the rows the write_cdf
+    twin emits."""
+    rows = [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)]
+    a, b = str(tmp_path / "with_cdf"), str(tmp_path / "plain")
+    for p in (a, b):
+        write_delta_fallback(
+            spark.createDataFrame(rows, "k long, g string, x double"), p
+        )
+    update_where(spark, a, "g = 'a'", {"x": "x + 5"}, write_cdf=True)
+    v = update_where(spark, b, "g = 'a'", {"x": "x + 5"})["version"]
+    cdf = read_change_feed(spark, a, starting_version=1)
+    rec = read_change_feed(
+        spark, b, starting_version=v, reconstruct_removes=True, keys=["k"]
+    )
+
+    def typed(df):
+        return sorted(
+            (r["_change_type"], r["k"], r["g"], r["x"])
+            for r in df.select("_change_type", "k", "g", "x").collect()
+        )
+
+    assert typed(rec) == typed(cdf)
+    assert {t for t, *_ in typed(rec)} == {
+        "update_preimage",
+        "update_postimage",
+    }
+    # deletes stay one-sided under the same keys
+    delete_where(spark, a, "k = 2", write_cdf=True)
+    v2 = delete_where(spark, b, "k = 2")["version"]
+    rec2 = read_change_feed(
+        spark, b, starting_version=v2, reconstruct_removes=True, keys=["k"]
+    )
+    assert typed(rec2) == [("delete", 2, "b", 20.0)]
+
+
+def test_keys_duplicate_key_fails_at_materialization(spark, tmp_path):
+    """Two diff rows sharing a key value on one side = the table is not
+    keyed by `keys`; pairing is ambiguous and the read fails closed at
+    materialization (the frame is lazy by contract)."""
+    p = str(tmp_path / "dup")
+    write_delta_fallback(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (1, "b", 2.0), (2, "c", 3.0)],
+            "k long, g string, x double",
+        ),
+        p,
+    )
+    v = update_where(spark, p, "k = 1", {"x": "x + 10"})["version"]
+    rec = read_change_feed(
+        spark, p, starting_version=v, reconstruct_removes=True, keys=["k"]
+    )
+    with pytest.raises(Exception, match="not unique"):
+        rec.collect()
+
+
+def test_keys_validation_errors(spark, tmp_path):
+    p = str(tmp_path / "t")
+    write_delta_fallback(
+        spark.createDataFrame([(1, "a", 1.0)], "k long, g string, x double"),
+        p,
+    )
+    with pytest.raises(ValueError, match="reconstruct_removes"):
+        read_change_feed(spark, p, starting_version=0, keys=["k"])
+    delete_where(spark, p, "k = 1")
+    with pytest.raises(ValueError, match="not in table schema"):
+        read_change_feed(
+            spark,
+            p,
+            starting_version=1,
+            reconstruct_removes=True,
+            keys=["nope"],
+        )
+
+
+def test_keys_composite_and_null_safe_pairing(spark, tmp_path):
+    """Composite keys pair on ALL declared columns; NULL key values pair
+    null-safely (SQL grouping), so a NULL-keyed row still emits an
+    update pair rather than a spurious delete+insert."""
+    p = str(tmp_path / "ck")
+    write_delta_fallback(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (1, "b", 2.0), (None, "z", 9.0)],
+            "k long, g string, x double",
+        ),
+        p,
+    )
+    v = update_where(spark, p, "x < 100", {"x": "x + 1"})["version"]
+    rec = read_change_feed(
+        spark,
+        p,
+        starting_version=v,
+        reconstruct_removes=True,
+        keys=["k", "g"],
+    )
+    rows = sorted(
+        (
+            (r["_change_type"], r["k"], r["g"], r["x"])
+            for r in rec.select("_change_type", "k", "g", "x").collect()
+        ),
+        key=repr,
+    )
+    assert rows == sorted(
+        [
+            ("update_postimage", None, "z", 10.0),
+            ("update_postimage", 1, "a", 2.0),
+            ("update_postimage", 1, "b", 3.0),
+            ("update_preimage", None, "z", 9.0),
+            ("update_preimage", 1, "a", 1.0),
+            ("update_preimage", 1, "b", 2.0),
+        ],
+        key=repr,
+    )

@@ -263,17 +263,43 @@ def main() -> None:
         "r17_limit0",
         "u3_hash_split",
     ]
+    # canary protocol version, stamped into the output so cross-round
+    # canary ratios are provably like-for-like (round-11 verdict nit:
+    # the protocol changed between rounds with nothing recording it).
+    # v2 = round-11 protocol (same 5 frozen queries, canary-first
+    # ordering, start = per-query min-of-3) + round-12 interleaved
+    # single-shot samples every CANARY_EVERY queries.
+    CANARY_SCHEMA = 2
+    CANARY_EVERY = int(os.environ.get("SPARK_GRAFT_BENCH_CANARY_EVERY", "15"))
+
+    def _loadavg1m() -> float | None:
+        try:
+            return round(os.getloadavg()[0], 2)
+        except OSError:
+            return None
+
+    def _canary_pass() -> dict[str, float]:
+        """One single-shot wall per canary query (current box condition,
+        not best-case — the probe exists to SEE contention)."""
+        walls: dict[str, float] = {}
+        for name in CANARY_QUERIES:
+            fn, _sql = REGISTRY[name]
+            t0 = time.monotonic()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            release_operator_caches(spark)
+            walls[name] = round(time.monotonic() - t0, 3)
+        return walls
+
     canary_s = None
     canary: dict[str, float] = {}
-    if not only and not shard and os.environ.get("SPARK_GRAFT_BENCH_CANARY") != "0":
+    canary_samples: list[dict] = []
+    run_canary = (
+        not only and not shard and os.environ.get("SPARK_GRAFT_BENCH_CANARY") != "0"
+    )
+    if run_canary:
         for _ in range(3):
-            for name in CANARY_QUERIES:
-                fn, _sql = REGISTRY[name]
-                t0 = time.monotonic()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                release_operator_caches(spark)
-                elapsed = round(time.monotonic() - t0, 3)
-                canary[name] = min(canary.get(name, elapsed), elapsed)
+            for name, w in _canary_pass().items():
+                canary[name] = min(canary.get(name, w), w)
         canary_s = round(sum(canary.values()), 3)
 
     # Per-query release is BLOCKING by default since round 11: round 10's
@@ -290,9 +316,20 @@ def main() -> None:
     # both-passes elevation is plan cost), the JVM GC-time delta across
     # the query, and the storage-memory level after the query's release —
     # the three signals round 10's anomaly adjudication was missing.
+    # Dead-broadcast hygiene (round-12): SQL broadcast relations have no
+    # Python-side owner; between queries (OUTSIDE every timed section) a
+    # gc nudge lets the ContextCleaner ship RemoveBroadcast to executors
+    # instead of letting ~0.5-1 GB of decayed broadcast blocks squeeze
+    # later queries' working sets (round-11: s7 in-suite 2.1x isolated
+    # under 6 GiB local-cluster executors).  SPARK_GRAFT_BENCH_GCRESIDUE=0
+    # to A/B the old behavior.
+    from polars_incremental_spark.cache import gc_jvm_residue
+
+    gc_residue = os.environ.get("SPARK_GRAFT_BENCH_GCRESIDUE") != "0"
+
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
-    for name in queries:
+    for qi, name in enumerate(queries, start=1):
         fn, _sql = REGISTRY[name]
         if clear_cache:
             spark.catalog.clearCache()
@@ -310,10 +347,37 @@ def main() -> None:
         detail[name] = {
             "walls": walls,
             "gc_ms": (gc1 - gc0) if gc0 is not None and gc1 is not None else None,
+            # cumulative GC + 1-min loadavg: a contaminated SEGMENT shows
+            # as a loadavg/GC ramp in the record itself, adjudicable
+            # after the fact (round-11 verdict: the r11 session's 7-10x
+            # GC elevation was only visible via an out-of-band clean run)
+            "gc_total_ms": gc1,
+            "loadavg1m": _loadavg1m(),
             "storage_mb_before_release": storage_peak,
             "storage_mb_after_release": _storage_mb(spark),
             "persisted_after_release": _n_persisted(spark),
         }
+        if gc_residue:
+            gc_jvm_residue(spark)
+        # interleaved canary micro-probe: the start-of-suite canary is
+        # blind to MID-session contention (round-11: the driver record
+        # overstated the wall ~35% with a clean start canary); a
+        # single-shot probe every CANARY_EVERY queries makes the session
+        # self-adjudicating — tools/bench_compare.py normalizes per
+        # segment and flags segments whose probe deviates from the
+        # session's own cleanest probe
+        if run_canary and (qi % CANARY_EVERY == 0 or qi == len(queries)):
+            cw = _canary_pass()
+            canary_samples.append(
+                {
+                    "after_n": qi,
+                    "after_query": name,
+                    "canary_s": round(sum(cw.values()), 3),
+                    "queries": cw,
+                    "gc_total_ms": _gc_ms(spark),
+                    "loadavg1m": _loadavg1m(),
+                }
+            )
     total = round(sum(timings.values()), 3)
 
     # The driver records only the LAST ~2000 chars of stdout and tries to
@@ -336,6 +400,15 @@ def main() -> None:
         # fixed-set box-speed constant; divide rN wall by (canary_rN /
         # canary_rN-1) before comparing — see tools/bench_compare.py
         result["canary_s"] = canary_s
+        result["canary_schema"] = CANARY_SCHEMA
+        if canary_samples:
+            # compact form on stdout (full per-query probes in the side
+            # file): enough for a reader of BENCH_rN.json alone to spot a
+            # mid-session contamination ramp
+            result["canary_samples"] = [
+                {"after_n": s["after_n"], "canary_s": s["canary_s"]}
+                for s in canary_samples
+            ]
     # the side file additionally carries the per-query diagnostics and the
     # canary's per-query minima (so one outlying canary query can't skew
     # the normalization ratio unexamined) — stdout stays within the
@@ -343,6 +416,8 @@ def main() -> None:
     full = dict(result, detail=detail)
     if canary:
         full["canary_queries"] = canary
+    if canary_samples:
+        full["canary_samples"] = canary_samples
     with open(full_path, "w") as fh:
         json.dump(full, fh, indent=1)
         fh.write("\n")

@@ -196,6 +196,38 @@ def release_operator_caches(
     return released
 
 
+def gc_jvm_residue(spark: SparkSession) -> None:
+    """Nudge dead JVM state — above all SQL broadcast blocks — to free
+    NOW instead of at the next natural driver GC.
+
+    Broadcast-hash-join relations are created inside the planner, not by
+    user code, so no Python-side handle exists to own them the way
+    ``scoped_persist`` owns operator caches; they free when the driver
+    JVM garbage-collects the dead ``Broadcast`` objects and the
+    ContextCleaner ships ``RemoveBroadcast`` to the executors.  Under
+    memory-tight executors that lag is real working-set pressure:
+    round-11 adjudicated ~450 MB of ContextCleaner-decayed broadcast
+    residue squeezing s3's 7.6M-pair working set inside s7
+    (local-cluster in-suite 137.9s vs 65.5s isolated).
+
+    A Python ``gc.collect()`` first releases py4j references to dead
+    plans (their JVM counterparts become collectable), then a driver
+    ``System.gc()`` lets the ContextCleaner's (blocking by default)
+    cleanup drain.  Harness-scoped by design: per-query / per-batch
+    loops call this AFTER :func:`release_operator_caches`, outside any
+    timed section; it is deliberately not part of the release itself
+    because a forced driver GC pause is the wrong default for
+    low-latency micro-batch loops."""
+    import gc as _gc
+
+    _gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        # Connect-mode / stopped context: nothing reachable to nudge
+        pass
+
+
 @contextmanager
 def operator_cache_scope(
     spark: SparkSession, *, blocking: bool = False

@@ -16,6 +16,20 @@ current-run timing is divided by canary_cur/canary_base before comparing,
 so a 1.3x-slower box doesn't read as a 1.3x code regression (round 9: the
 same code scored 98.6s and 131.9s on the same driver box days apart).
 Pass ``--no-canary`` to compare raw walls.
+
+Per-SEGMENT normalization (round 12): a start-of-suite canary cannot see
+mid-session contention (round-11: the driver record overstated the wall
+~35% while its start canary matched a clean run's).  When a result
+carries ``canary_samples`` (bench.py emits an interleaved single-shot
+probe every ~15 queries since round 12), each query is additionally
+divided by its enclosing segment's drift — probe wall over the session's
+own CLEANEST probe — and every segment whose drift exceeds
+``--segment-tol`` (default 1.3) is flagged as contaminated in a noise
+verdict, making a polluted session self-adjudicating from its own JSON.
+Segment attribution needs the full run order, so feed ``bench_full.json``
+(ordered) when available; the driver's trimmed wrapper still yields the
+session-level noise verdict.  ``canary_schema`` mismatches between the
+two results are reported (the ratio is then not provably like-for-like).
 """
 
 from __future__ import annotations
@@ -60,6 +74,44 @@ def load(path: str) -> dict:
     return data
 
 
+def segment_factors(
+    data: dict, tol: float
+) -> tuple[dict[str, float], list[str]]:
+    """Per-query drift divisor from interleaved canary samples, plus
+    human-readable per-segment noise lines.  Empty when the result has
+    no samples (pre-round-12) or no usable run order."""
+    samples = data.get("canary_samples") or []
+    usable = [
+        s
+        for s in samples
+        if isinstance(s.get("canary_s"), (int, float)) and s["canary_s"] > 0
+    ]
+    if not usable:
+        return {}, []
+    cleanest = min(s["canary_s"] for s in usable)
+    lines = []
+    factors: dict[str, float] = {}
+    names = list(data["queries"])  # insertion order == run order in
+    # bench_full.json; the driver's trimmed wrapper is slowest-first, so
+    # only use positional attribution when the order can be trusted
+    ordered = data.get("detail") is not None or len(names) == (
+        data.get("n_queries") or len(names)
+    )
+    prev_n = 0
+    for s in usable:
+        drift = s["canary_s"] / cleanest
+        seg = f"queries {prev_n + 1}-{s['after_n']}"
+        mark = "  << CONTAMINATED" if drift > tol else ""
+        lines.append(
+            f"  {seg:<18} probe {s['canary_s']:.3f}s  drift x{drift:.2f}{mark}"
+        )
+        if ordered:
+            for i in range(prev_n, min(s["after_n"], len(names))):
+                factors[names[i]] = drift
+        prev_n = s["after_n"]
+    return factors, lines
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("baseline")
@@ -67,6 +119,8 @@ def main() -> int:
     ap.add_argument("--tol", type=float, default=0.2)
     ap.add_argument("--abs-floor", type=float, default=0.3)
     ap.add_argument("--no-canary", action="store_true")
+    ap.add_argument("--segment-tol", type=float, default=1.3)
+    ap.add_argument("--no-segment", action="store_true")
     args = ap.parse_args()
 
     base, cur = load(args.baseline), load(args.current)
@@ -79,11 +133,33 @@ def main() -> int:
         and base["canary_s"] > 0
     ):
         box = cur["canary_s"] / base["canary_s"]
+        schemas = (base.get("canary_schema"), cur.get("canary_schema"))
+        note = ""
+        if schemas[0] != schemas[1]:
+            note = (
+                f" [canary_schema {schemas[0]} vs {schemas[1]}: ratio not "
+                "provably like-for-like]"
+            )
         print(
             f"canary: base {base['canary_s']:.3f}s -> cur {cur['canary_s']:.3f}s "
-            f"(box ratio {box:.3f}; current timings normalized by it)"
+            f"(box ratio {box:.3f}; current timings normalized by it){note}"
         )
         cq = {k: v / box for k, v in cq.items()}
+    if not args.no_canary and not args.no_segment:
+        for label, data, queries in (("base", base, bq), ("cur", cur, cq)):
+            factors, lines = segment_factors(data, args.segment_tol)
+            if lines:
+                n_bad = sum("CONTAMINATED" in ln for ln in lines)
+                verdict = (
+                    f"{n_bad} contaminated segment(s)" if n_bad else "clean"
+                )
+                print(f"{label} session noise verdict: {verdict}")
+                for ln in lines:
+                    print(ln)
+            if factors:
+                for k, f in factors.items():
+                    if k in queries and f > 0:
+                        queries[k] = queries[k] / f
     regressions = []
     print(f"{'query':<28} {'base':>8} {'now':>8} {'delta':>8}")
     for name in sorted(set(bq) | set(cq)):

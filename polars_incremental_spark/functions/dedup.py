@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..cache import scoped_persist
-from .iterutils import CheckpointChain, iter_checkpoint
+from .iterutils import CheckpointChain
 from .text import fingerprint, md5_long, word_chunks, word_shingles
 
 N_MINHASHES = 32
@@ -948,25 +948,56 @@ def connected_components(
     for clusters.  Iterative ⇒ verified against a DuckDB recursive-CTE
     transitive-closure oracle (d9_dup_clusters).
     """
+    # Symmetrize + dedup with ONE edge-sized exchange: hash-repartition by
+    # n, then dedup partition-locally — HashPartitioning(n) satisfies the
+    # (n, m) clustered distribution, so dropDuplicates adds no second
+    # exchange, and the persisted sym comes out n-partitioned (the label
+    # init's groupBy("n") then reads it exchange-free).  A plain
+    # .distinct() shuffled on (n, m) and the init agg re-shuffled on n —
+    # two edge-sized exchanges where one suffices (guide §2.4).
     sym = (
         edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
         .unionByName(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
-        .distinct()
+        .repartition("n")
+        .dropDuplicates()
         .persist()
     )
     # chain: intermediate rounds' checkpoint blocks release at the
     # operator-cache release point instead of JVM GC (round-11 finding:
     # 3-15 stale persisted RDDs per iterative query)
     chain = CheckpointChain(edges.sparkSession, checkpoint_dir)
-    labels = chain.next(
-        sym.select("n").distinct().withColumn("lbl", F.col("n"))
+    # Label init FOLDS the first propagation round: round 1 of hash-min
+    # starting from lbl=n computes exactly least(n, min(neighbors)) — one
+    # groupBy over sym, the same shuffle the old `select(n).distinct()`
+    # init paid, so the fold removes a whole join+agg+checkpoint round
+    # (and its eager materialization job) without changing the fixpoint.
+    # With >=1 edge round 1 always changes >=1 label (the larger endpoint
+    # adopts the smaller), so skipping its convergence probe is safe; the
+    # loop below starts at round 2.  No checkpoint here: the plan is one
+    # agg over the persisted sym, and round 2's checkpoint truncates it.
+    labels = (
+        sym.groupBy("n")
+        .agg(F.min("m").alias("__mn"))
+        .select("n", F.least(F.col("n"), F.col("__mn")).alias("lbl"))
     )
     try:
         for _ in range(max_iter):
-            nbr_min = (
-                sym.join(labels, on="n")
-                .groupBy(F.col("m").alias("n"))
-                .agg(F.min("lbl").alias("nlbl"))
+            # One round = one join + ONE grouped agg: the neighbor
+            # contributions (m <- lbl[n]) union the nodes' own labels and a
+            # single min-per-node folds both, with the old label carried
+            # through as max(__old) (each node contributes its own row
+            # exactly once, so the max IS the old label — every
+            # symmetrized node appears on the n side).  Equivalent to the
+            # former nbr-min agg + left-join-back (least(own, min nbrs)),
+            # minus one shuffle/job per round (round-12 profile: d9
+            # 34 -> 30 jobs).
+            contribs = sym.join(labels, on="n").select(
+                F.col("m").alias("n"),
+                "lbl",
+                F.lit(None).cast("long").alias("__old"),
+            )
+            own = labels.select(
+                "n", "lbl", F.col("lbl").alias("__old")
             )
             # The convergence count rides the checkpoint's own
             # materialization job via an Observation — the eager
@@ -979,11 +1010,16 @@ def connected_components(
 
             obs = Observation()
             new = (
-                labels.join(nbr_min, on="n", how="left")
+                own.unionByName(contribs)
+                .groupBy("n")
+                .agg(
+                    F.min("lbl").alias("new_lbl"),
+                    F.max("__old").alias("__o"),
+                )
                 .select(
                     "n",
-                    F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("new_lbl"),
-                    (F.coalesce("nlbl", "lbl") < F.col("lbl")).alias("chg"),
+                    "new_lbl",
+                    (F.col("new_lbl") < F.col("__o")).alias("chg"),
                 )
                 .observe(obs, F.sum(F.col("chg").cast("long")).alias("n_chg"))
             )
@@ -1626,7 +1662,13 @@ def duplicated_spans(
     # persist keeps the digest-build lineage and re-optimizes it per
     # branch (persist+eager-count measured 2.2s vs 1.6s here).  Same
     # lineage-cut rule as pagerank; pass checkpoint_dir on clusters.
-    base = iter_checkpoint(base, checkpoint_dir)
+    # Chain-owned (round 12): the bare iter_checkpoint leaked one
+    # ~10 MB RDD per call until JVM GC — the kept blocks now free at the
+    # release point AFTER the caller's (same lifecycle as CC's final
+    # checkpoint).
+    chain = CheckpointChain(df.sparkSession, checkpoint_dir)
+    base = chain.next(base)
+    chain.defer_release(keep=base)
     spans = base.select(
         id_col, F.posexplode("__digs").alias("span_idx", "__d")
     )

@@ -176,7 +176,19 @@ class CheckpointChain:
         else:
             keep_ids = set(self._rounds[-1])
         stale = set().union(*self._rounds) - keep_ids
-        if stale:
+        if stale or keep_ids:
+            # Registered at the OWNER's release point even when there are
+            # no stale rounds (single-checkpoint chains: duplicated_spans'
+            # digest frame, g2's pair list, dedupe_new_ids' batch cut —
+            # before round 12 these were bare localCheckpoints whose
+            # blocks lived until JVM GC, one leaked RDD per call, measured
+            # 4 stale RDDs / ~39 MB after 4 bench repeats of d16).  The
+            # handle releases the stale ids (no-op when empty) and only
+            # THEN hands the kept ids to the next release point — a
+            # direct register_release_next here would fire at the owning
+            # query's own release, truncating a plan the caller may still
+            # re-execute (caught by test_cache_lifecycle on a CC run that
+            # converges in its first round).
             from ..cache import register_release_handle
 
             register_release_handle(

@@ -162,8 +162,15 @@ def cross_batch_dedupe(
         batch = batch.join(prior.select(*id_cols), on=list(id_cols), how="left_anti")
     # materialize BEFORE the state swap: the lazy plan reads the seen-set
     # parquet that save_parquet is about to replace — re-executing it later
-    # would anti-join the batch against its own freshly-recorded ids
-    batch = batch.localCheckpoint()
+    # would anti-join the batch against its own freshly-recorded ids.
+    # Chain-owned (round 12): the bare localCheckpoint leaked one RDD per
+    # micro-batch until JVM GC; the blocks now free at the release point
+    # after the owning batch's (the next micro-batch's scope exit).
+    from .functions.iterutils import CheckpointChain
+
+    _chain = CheckpointChain(batch.sparkSession)
+    batch = _chain.next(batch)
+    _chain.defer_release(keep=batch)
     new_ids = batch.select(*id_cols)
     if batch_id is not None:
         new_ids = new_ids.withColumn("__batch_id", F.lit(int(batch_id)))

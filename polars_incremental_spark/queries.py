@@ -4685,14 +4685,18 @@ def g2_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the PLAN truncation, not just block reuse — a persist keeps the
     # full LSH lineage and Catalyst re-optimizes it once per self-join
     # branch (measured 6.0s persist+eager-count vs 1.2s checkpoint at
-    # sf0.1).  The blocks free on JVM GC; one node-pair-sized frame.
-    pairs = (
+    # sf0.1).  Chain-owned (round 12): the bare localCheckpoint leaked
+    # one RDD per call until JVM GC; the blocks now free at the release
+    # point after the caller's.
+    from .functions.iterutils import CheckpointChain
+
+    _chain = CheckpointChain(spark)
+    pairs = _chain.next(
         dedup.minhash_lsh_pairs(
             load_table(spark, sf_dir, "documents"), threshold=0.12
-        )
-        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-        .localCheckpoint()
+        ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     )
+    _chain.defer_release(keep=pairs)
     e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.b") == F.col("e2.a"))

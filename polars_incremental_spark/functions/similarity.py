@@ -510,6 +510,71 @@ def _ivf_assign_arrow(
     return vectors.mapInPandas(assign, out_schema)
 
 
+def _pq_assign_arrow(
+    vectors: DataFrame,
+    jobs: list[tuple[str, str, list[list[float]]]],
+) -> DataFrame:
+    """FUSED multi-subspace cell assignment: every (vec_col, cell_col,
+    codebook) job runs inside ONE ``mapInPandas`` pass — one matmul per
+    subspace per Arrow batch, identical math (6-dp rounding, first-max
+    tie, NULL for zero-norm/ragged rows) to chaining ``_ivf_assign_arrow``
+    per subspace.
+
+    The fusion is the point (guide §4: you cannot remove the JVM↔Python
+    boundary, only how often the data crosses it): the chained form
+    shipped the whole frame — every subspace slice — through a separate
+    Python worker round-trip PER SUBSPACE, so a 4-subspace PQ
+    train+encode paid 8 corpus crossings; fused it pays 2."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    mats = [
+        (
+            vec_col,
+            cell_col,
+            np.asarray(cb, dtype=np.float64),
+        )
+        for vec_col, cell_col, cb in jobs
+    ]
+    out_schema = T.StructType(
+        list(vectors.schema.fields)
+        + [T.StructField(cell_col, T.IntegerType(), True) for _, cell_col, _ in jobs]
+    )
+
+    def assign(batches):
+        import pandas as pd
+
+        norms = [(C, np.sqrt((C * C).sum(axis=1))) for _, _, C in mats]
+        for pdf in batches:
+            out = {}
+            for (vec_col, cell_col, _), (C, cn) in zip(mats, norms):
+                if len(pdf) == 0:
+                    out[cell_col] = pd.Series([], dtype="Int32")
+                    continue
+                dim = C.shape[1]
+                vecs = pdf[vec_col].to_list()
+                valid = np.array(
+                    [v is not None and len(v) == dim for v in vecs], dtype=bool
+                )
+                cells = pd.array([pd.NA] * len(pdf), dtype="Int32")
+                if valid.any():
+                    M = np.asarray(
+                        [v for v, m in zip(vecs, valid) if m], dtype=np.float64
+                    )
+                    vn = np.sqrt((M * M).sum(axis=1))
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        sims = np.round((M @ C.T) / (vn[:, None] * cn[None, :]), 6)
+                    ok = ~np.isnan(sims).all(axis=1)
+                    safe = np.where(np.isnan(sims), -np.inf, sims)
+                    sub = pd.array(safe.argmax(axis=1) + 1, dtype="Int32")
+                    sub[~ok] = pd.NA
+                    cells[valid] = sub
+                out[cell_col] = cells
+            yield pdf.assign(**out)
+
+    return vectors.mapInPandas(assign, out_schema)
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -976,11 +1041,21 @@ def pq_train_codebooks(
                 for i, sl in enumerate(_pq_slices(vec_col, n_sub, sub))
             ]
         )
-        for i, cb in enumerate(codebooks):
-            assigned = ivf_assign(
-                assigned, cb, vec_col=f"__sub_{i}", cell_col=f"__cell_{i}",
-                method=assign_method,
+        if assign_method == "arrow":
+            # ONE Python-boundary crossing for all n_sub assignments
+            # (guide §4) — the per-subspace ivf_assign chain shipped the
+            # frame through n_sub separate mapInPandas round-trips
+            assigned = _pq_assign_arrow(
+                assigned,
+                [(f"__sub_{i}", f"__cell_{i}", cb)
+                 for i, cb in enumerate(codebooks)],
             )
+        else:
+            for i, cb in enumerate(codebooks):
+                assigned = ivf_assign(
+                    assigned, cb, vec_col=f"__sub_{i}", cell_col=f"__cell_{i}",
+                    method=assign_method,
+                )
         # fused update: every (subspace, cell, dim, unit_x) contribution in
         # one explode, one groupBy — the same scaled-integer spherical mean
         # as ivf_refine_centroids, so the unrolled-CTE oracle still replays
@@ -1052,11 +1127,19 @@ def pq_encode(
             for i, sl in enumerate(_pq_slices(vec_col, n_sub, sub))
         ],
     )
-    for i, cb in enumerate(codebooks):
-        coded = ivf_assign(
-            coded, cb, vec_col=f"__sub_{i}", cell_col=f"__code_{i}",
-            method=assign_method,
+    if assign_method == "arrow":
+        # one fused boundary crossing — see pq_train_codebooks
+        coded = _pq_assign_arrow(
+            coded,
+            [(f"__sub_{i}", f"__code_{i}", cb)
+             for i, cb in enumerate(codebooks)],
         )
+    else:
+        for i, cb in enumerate(codebooks):
+            coded = ivf_assign(
+                coded, cb, vec_col=f"__sub_{i}", cell_col=f"__code_{i}",
+                method=assign_method,
+            )
     return coded.select(
         id_col, *keep_cols, *[f"__code_{i}" for i in range(n_sub)]
     )

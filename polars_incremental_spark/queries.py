@@ -551,24 +551,46 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join's own partitioning (q17's pattern — one shuffle total), and
     all dims broadcast.  s_acctbal is decimal-exact in parquet, so the
     equality membership is engine-exact."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_size").isin(5, 15, 25) & (F.col("p_type") == "STANDARD")
     )
     sup = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    # The selective part filter runs BEFORE the bridge dedup (guide §2.3:
+    # shuffle fewer bytes): the broadcast semi-shaped join drops ~94% of
+    # lineitem rows map-side, so the dedup exchange carries only qualifying
+    # pairs — previously the FULL (l_partkey, l_suppkey) projection
+    # shuffled first and the part filter ran after.  Filter-then-distinct
+    # = distinct-then-filter (the predicate is a function of l_partkey
+    # alone), proven by the unchanged oracle hash.  Hash-partitioning by
+    # l_partkey alone satisfies the pair-dedup's clustered distribution
+    # AND the correlated-min window's, so one exchange serves both
+    # (guide §2.4 — the q17 single-shuffle pattern, now with zero
+    # re-exchange between dedup and window).
+    bridge = (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .select("l_partkey", "l_suppkey")
+        .repartition("l_partkey")
+        .dropDuplicates(["l_partkey", "l_suppkey"])
+    )
     joined = (
-        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        bridge.join(F.broadcast(sup), bridge.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
-    w = Window.partitionBy("p_partkey")
+    w = Window.partitionBy("l_partkey")
     return (
         joined.withColumn("__min_bal", F.min("s_acctbal").over(w))
         .filter(F.col("s_acctbal") == F.col("__min_bal"))
-        .select("s_acctbal", "s_name", "n_name", "p_partkey")
+        .select(
+            "s_acctbal", "s_name", "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+        )
         .orderBy(
             F.col("s_acctbal").desc(), F.col("n_name").asc(),
             F.col("s_name").asc(), F.col("p_partkey").asc(),
@@ -956,27 +978,44 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus") == "F"
     )
     li = load_table(spark, sf_dir, "lineitem")
+    # Count-based EXISTS/NOT EXISTS (guide §2.4 — remove shuffles
+    # outright): the pair-distinct rides the fact-fact join's own
+    # l_orderkey partitioning (dropDuplicates adds NO exchange after the
+    # join), the late-supplier count is a window on that same
+    # partitioning, and the per-order supplier count replaces the
+    # non-equi semi/anti self-joins — EXISTS(other supplier) ⇔ the order
+    # has ≥2 distinct suppliers (a late pair's supplier is itself one of
+    # them), NOT EXISTS(other LATE supplier) ⇔ the order has exactly one
+    # distinct late pair.  The old shape paid a full-lineitem pair
+    # distinct + a late pair distinct + two non-equi joins (4 pair-sized
+    # exchanges, 6 scans); this shape pays the fact-fact join + ONE
+    # map-side-partial countDistinct over lineitem, and the late⋈counts
+    # join is co-partitioned on l_orderkey (zero new exchanges).
+    # Equivalence is pinned by the unchanged Q21 oracle hash.
     late = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              li.l_orderkey == F.col("o_orderkey"))
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .select("l_orderkey", "l_suppkey")
-        .distinct()
+        # hash-partition by order alone: HashPartitioning(l_orderkey)
+        # satisfies the pair-dedup's clustered distribution AND the late-
+        # count window's, so ONE exchange serves both (a plain
+        # dropDuplicates exchanged on the pair and the window re-exchanged
+        # on the order key — two pair-sized exchanges where one suffices)
+        .repartition("l_orderkey")
+        .dropDuplicates(["l_orderkey", "l_suppkey"])
     )
-    all_pairs = li.select("l_orderkey", "l_suppkey").distinct()
-    other = all_pairs.select(
-        F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk")
+    n_all = (
+        li.select("l_orderkey", "l_suppkey")
+        .groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("__n_all"))
     )
-    other_late = late.select(
-        F.col("l_orderkey").alias("x_ok"), F.col("l_suppkey").alias("x_sk")
-    )
-    waiting = late.join(
-        other,
-        (late.l_orderkey == other.o_ok) & (late.l_suppkey != other.o_sk),
-        "left_semi",
-    ).join(
-        other_late,
-        (late.l_orderkey == F.col("x_ok")) & (late.l_suppkey != F.col("x_sk")),
-        "left_anti",
+    w_ok = Window.partitionBy("l_orderkey")
+    waiting = (
+        late.withColumn("__n_late", F.count(F.lit(1)).over(w_ok))
+        .join(n_all, "l_orderkey")
+        .filter((F.col("__n_all") > 1) & (F.col("__n_late") == 1))
     )
     sup = load_table(spark, sf_dir, "supplier")
     return (

@@ -640,6 +640,58 @@ def test_ivf_assign_arrow_agrees_with_expr(spark):
         similarity.ivf_assign(vecs, cents, method="bogus")
 
 
+def test_pq_assign_arrow_fused_agrees_with_chained(spark):
+    """The fused multi-subspace arrow assigner (one mapInPandas crossing
+    for all subspaces — round-12 optimization) must match chaining
+    ivf_assign per subspace, including NULL/zero/ragged rows, and the
+    arrow-trained PQ pipeline must match the expr-trained one end-to-end."""
+    import pyspark.sql.functions as SF
+
+    rows = [
+        (i, [float((i * 5 + d * 7) % 13) - 6.0 for d in range(8)])
+        for i in range(100)
+    ]
+    rows.append((100, [0.0] * 8))
+    rows.append((101, None))
+    rows.append((102, [1.0] * 3))
+    vecs = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    sub = 4
+    subs = vecs.select(
+        "vec_id",
+        SF.slice("embedding", 1, sub).alias("__sub_0"),
+        SF.slice("embedding", sub + 1, sub).alias("__sub_1"),
+    )
+    cents = similarity._seed_centroids(
+        vecs.filter("vec_id < 100"), 4, "vec_id", "embedding"
+    )
+    cbs = [[c[:sub] for c in cents], [c[sub:] for c in cents]]
+    fused = similarity._pq_assign_arrow(
+        subs, [("__sub_0", "__c0", cbs[0]), ("__sub_1", "__c1", cbs[1])]
+    ).select("vec_id", "__c0", "__c1")
+    chained = subs
+    for i, cb in enumerate(cbs):
+        chained = similarity.ivf_assign(
+            chained, cb, vec_col=f"__sub_{i}", cell_col=f"__c{i}", method="expr"
+        )
+    chained = chained.select("vec_id", "__c0", "__c1")
+    assert fused.exceptAll(chained).count() == 0
+    assert chained.exceptAll(fused).count() == 0
+    got = {r["vec_id"]: (r["__c0"], r["__c1"]) for r in fused.collect()}
+    assert got[100] == (None, None) and got[101] == (None, None)
+    assert got[102] == (None, None)
+    # end-to-end: arrow-trained+encoded PQ top-k == expr-trained one
+    q = vecs.filter("vec_id < 2").select(
+        SF.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = similarity.pq_topk(
+        vecs, q, k=3, n_sub=2, n_codes=4, n_iter=1, dim=8, assign_method="arrow"
+    )
+    b = similarity.pq_topk(
+        vecs, q, k=3, n_sub=2, n_codes=4, n_iter=1, dim=8, assign_method="expr"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_connected_components_chain_and_islands(spark):
     """Chain 1-2-3-4 collapses to one cluster labeled by its min id; a
     separate pair and an untouched doc stay distinct; convergence bound

@@ -5877,7 +5877,19 @@ def g5_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.graph import bfs_distances
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.12).select("id_a", "id_b")
+    # materialize the LSH pair list ONCE (the g2 pattern): `seeds` is a
+    # separate action root from the edge checkpoint bfs_distances takes
+    # internally, so an unmaterialized plan re-ran the whole LSH verify
+    # for the seed set (exchange reuse only spans a single execution) —
+    # round-12 profile: 42 -> 35 jobs / 82 -> 66 stages.  Chain-owned
+    # blocks free at the release point after the caller's.
+    from .functions.iterutils import CheckpointChain
+
+    _chain = CheckpointChain(spark)
+    pairs = _chain.next(
+        dedup.minhash_lsh_pairs(docs, threshold=0.12).select("id_a", "id_b")
+    )
+    _chain.defer_release(keep=pairs)
     edges = pairs.union(pairs.select(F.col("id_b"), F.col("id_a"))).toDF(
         "src", "dst"
     )

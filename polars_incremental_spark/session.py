@@ -35,6 +35,18 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate puts a size(arr)>0 filter UNDER every
+        # explode; for computed arrays (word_shingles and friends —
+        # interpreted higher-order functions with no common-subexpression
+        # elimination) that re-evaluates the whole array build per row, a
+        # pure loss on text corpora where arrays are never empty.  A
+        # per-row compute fix, scale-independent (round 12, guide §1.2:
+        # measured d6 JVM CPU 30.0s -> 23.5s at sf0.1; the rule's filter
+        # is an optimization only, so excluding it cannot change results).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

@@ -126,7 +126,10 @@ def test_incremental_lsh_dedup_zero_net(spark, tmp_path):
 ITERATIVE_QUERIES = [
     ("g1_pagerank", 1),  # returned plan holds the final ranks checkpoint
     ("d9_dup_clusters", 1),  # final CC round's checkpoint
-    ("g5_bfs_reach", 1),  # final dist checkpoint
+    # final dist checkpoint + the round-12 pair-list checkpoint (kept past
+    # the owner's release so the returned plan stays re-executable; freed
+    # at the NEXT release point — same contract as g2's pair list)
+    ("g5_bfs_reach", 2),
     ("g4_communities", 2),  # edge checkpoint + (cadence) labels checkpoint
 ]
 

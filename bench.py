@@ -402,13 +402,12 @@ def main() -> None:
         result["canary_s"] = canary_s
         result["canary_schema"] = CANARY_SCHEMA
         if canary_samples:
-            # compact form on stdout (full per-query probes in the side
-            # file): enough for a reader of BENCH_rN.json alone to spot a
-            # mid-session contamination ramp
-            result["canary_samples"] = [
-                {"after_n": s["after_n"], "canary_s": s["canary_s"]}
-                for s in canary_samples
-            ]
+            # compact form on stdout (full per-query probes with after_n
+            # in the side file): bare floats in run order — enough for a
+            # reader of BENCH_rN.json alone to spot a mid-session
+            # contamination ramp, and ~190 chars cheaper than dicts, which
+            # buys ~8 more per-query timings under the stdout tail budget
+            result["canary_samples"] = [s["canary_s"] for s in canary_samples]
     # the side file additionally carries the per-query diagnostics and the
     # canary's per-query minima (so one outlying canary query can't skew
     # the normalization ratio unexamined) — stdout stays within the

@@ -64,3 +64,38 @@ def test_no_canary_flag_disables_normalization(tmp_path):
     cur = {"queries": {"a": 3.0}, "canary_s": 1.5}
     assert _run(base, cur, tmp_path).returncode == 0  # normalized: parity
     assert _run(base, cur, tmp_path, "--no-canary").returncode == 1
+
+
+def test_float_canary_samples_yield_noise_verdict(tmp_path):
+    # the stdout line (and the driver's BENCH_rN.json) carries bare-float
+    # canary_samples since round 12; they must produce a session noise
+    # verdict without crashing, and must NOT attribute per-query factors
+    # (no after_n available)
+    base = {
+        "queries": {"a": 2.0, "b": 4.0},
+        "canary_s": 1.0,
+        "canary_samples": [1.0, 1.05, 1.8],
+    }
+    cur = {"queries": {"a": 2.0, "b": 4.0}, "canary_s": 1.0}
+    r = _run(base, cur, tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "1 contaminated segment(s)" in r.stdout
+    assert "probe 3" in r.stdout
+
+
+def test_dict_canary_samples_attribute_segments(tmp_path):
+    # bench_full.json's dict samples (with after_n) still drive per-query
+    # segment normalization: query b sits in a 2x-drifted segment and its
+    # doubled wall must normalize back to parity
+    base = {"queries": {"a": 2.0, "b": 4.0}, "canary_s": 1.0}
+    cur = {
+        "queries": {"a": 2.0, "b": 8.0},
+        "canary_s": 1.0,
+        "canary_samples": [
+            {"after_n": 1, "canary_s": 1.0},
+            {"after_n": 2, "canary_s": 2.0},
+        ],
+    }
+    r = _run(base, cur, tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "CONTAMINATED" in r.stdout

@@ -81,11 +81,20 @@ def segment_factors(
     human-readable per-segment noise lines.  Empty when the result has
     no samples (pre-round-12) or no usable run order."""
     samples = data.get("canary_samples") or []
-    usable = [
-        s
-        for s in samples
-        if isinstance(s.get("canary_s"), (int, float)) and s["canary_s"] > 0
-    ]
+    usable = []
+    for s in samples:
+        # bench_full.json carries dicts with after_n; the stdout line (and
+        # thus the driver's BENCH_rN.json) carries bare floats in run
+        # order — usable for the session noise verdict, but not for
+        # per-query segment attribution (no after_n)
+        if isinstance(s, (int, float)) and s > 0:
+            usable.append({"canary_s": float(s), "after_n": None})
+        elif (
+            isinstance(s, dict)
+            and isinstance(s.get("canary_s"), (int, float))
+            and s["canary_s"] > 0
+        ):
+            usable.append(s)
     if not usable:
         return {}, []
     cleanest = min(s["canary_s"] for s in usable)
@@ -98,17 +107,20 @@ def segment_factors(
         data.get("n_queries") or len(names)
     )
     prev_n = 0
-    for s in usable:
+    for k, s in enumerate(usable, 1):
         drift = s["canary_s"] / cleanest
-        seg = f"queries {prev_n + 1}-{s['after_n']}"
+        if s["after_n"] is None:
+            seg = f"probe {k}"
+        else:
+            seg = f"queries {prev_n + 1}-{s['after_n']}"
         mark = "  << CONTAMINATED" if drift > tol else ""
         lines.append(
             f"  {seg:<18} probe {s['canary_s']:.3f}s  drift x{drift:.2f}{mark}"
         )
-        if ordered:
+        if ordered and s["after_n"] is not None:
             for i in range(prev_n, min(s["after_n"], len(names))):
                 factors[names[i]] = drift
-        prev_n = s["after_n"]
+            prev_n = s["after_n"]
     return factors, lines
 
 

@@ -38,9 +38,10 @@ from pyspark.sql import functions as F
 from .similarity import (
     _centroid_sims,
     _seed_centroids,
-    cosine,
+    cosine_hoisted,
     ivf_assign,
     ivf_refine_centroids,
+    norm,
 )
 
 _META = "meta.json"
@@ -187,14 +188,18 @@ def ivf_index_search(
     centroids, meta = load_ivf_index(index_path)
     id_col = meta["id_col"]
     qv = vec_col or meta["vec_col"]
-    corpus = _read_assignments(spark, index_path, meta)
+    corpus = _read_assignments(spark, index_path, meta).withColumn(
+        "__vn", norm(F.col(meta["vec_col"]))
+    )
     q = queries.select(
         F.col(query_id_col), F.col(qv).alias("__qvec")
     ).withColumn("__sims", _centroid_sims("__qvec", centroids))
     probe = (
-        q.select(
+        q.withColumn("__qn", norm(F.col("__qvec")))
+        .select(
             F.col(query_id_col),
             F.col("__qvec"),
+            F.col("__qn"),
             F.posexplode("__sims").alias("__pos", "__sim"),
         )
         .withColumn(
@@ -207,7 +212,10 @@ def ivf_index_search(
         )
         .filter(F.col("__pr") <= n_probe)
         .select(
-            F.col(query_id_col), F.col("__qvec"), (F.col("__pos") + 1).alias("cell")
+            F.col(query_id_col),
+            F.col("__qvec"),
+            F.col("__qn"),
+            (F.col("__pos") + 1).alias("cell"),
         )
     )
     # distinct probed cells as a literal IN-list: tiny (<= n_queries *
@@ -224,7 +232,15 @@ def ivf_index_search(
     scored = joined.select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine(F.col("__qvec"), F.col(meta["vec_col"])), 6).alias("__cos"),
+        F.round(
+            cosine_hoisted(
+                F.col("__qvec"),
+                F.col(meta["vec_col"]),
+                F.col("__qn"),
+                F.col("__vn"),
+            ),
+            6,
+        ).alias("__cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("__cos").desc_nulls_last(), F.col(id_col).asc()

@@ -53,6 +53,24 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
+def cosine_hoisted(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine`` with the per-side norms PRE-COMPUTED as columns.
+
+    Bit-identical to ``cosine(a, b)`` when ``na``/``nb`` carry ``norm(a)``
+    / ``norm(b)``: the same two doubles multiply in the same order, the
+    same ``nullif`` guards the division.  The point is pair-join scoring
+    (guide §1.2 per-task work): higher-order-function folds are
+    interpreted and get no common-subexpression elimination, so scoring
+    |pairs| rows with ``cosine`` pays THREE O(dim) folds per pair while
+    each side's norm only ever has |side| distinct values.  Hoisting the
+    norms to the pre-join projections leaves one fold (the dot) per pair
+    — a 3× cut in interpreted per-pair work that grows with join fan-out
+    (measurements in OPTIMIZATION_r12.md).  NULL semantics are
+    unchanged: a NULL/zero-norm side gives a NULL factor, so the product
+    and the score stay NULL."""
+    return dot(a, b) / F.nullif(na * nb, F.lit(0.0))
+
+
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -72,12 +90,20 @@ def cosine_topk(
     """
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")
-    )
-    joined = vectors.alias("v").join(F.broadcast(q), F.col(query_id_col) != F.col(id_col))
+    ).withColumn("__qn", norm(F.col("__qvec")))
+    # per-side norms ride the pre-join projections (cosine_hoisted): the
+    # corpus norm is one fold per corpus row instead of one per scored pair
+    v = vectors.withColumn("__vn", norm(F.col(vec_col)))
+    joined = v.alias("v").join(F.broadcast(q), F.col(query_id_col) != F.col(id_col))
     scored = joined.select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("__cos"),
+        F.round(
+            cosine_hoisted(
+                F.col("__qvec"), F.col(vec_col), F.col("__qn"), F.col("__vn")
+            ),
+            6,
+        ).alias("__cos"),
     )
     # NULL-scored rows (zero-norm vectors) sort LAST and are dropped AFTER
     # the window: a pre-window isNotNull(__cos) filter gets pushed below the
@@ -139,12 +165,19 @@ def cosine_near_dup_pairs(
     a_ids = F.col(f"a.{id_col}")
     b_ids = F.col(f"b.{id_col}")
     if exact:
-        a = vectors.alias("a")
-        b = vectors.alias("b")
+        vn = vectors.withColumn("__nv", norm(F.col(vec_col)))
+        a = vn.alias("a")
+        b = vn.alias("b")
         pairs = a.join(b, a_ids < b_ids)
     else:
         n_bands = n_planes // band_size
-        bits = vectors.withColumn("__sk", sign_sketch(vec_col, dim, n_planes))
+        # __nv: per-vector norm computed ONCE into the persisted frame —
+        # the verify join then scores each candidate pair with a single
+        # dot fold (cosine_hoisted) instead of re-folding both norms per
+        # pair (candidates are ~100× the corpus at dense-corpus scale)
+        bits = vectors.withColumn(
+            "__sk", sign_sketch(vec_col, dim, n_planes)
+        ).withColumn("__nv", norm(F.col(vec_col)))
         # one row per vector (NOT per band): the persisted frame feeds the
         # guard, the candidate join, and the post-dedup vector re-attach,
         # so the md5-hyperplane sketch is computed exactly once — and the
@@ -216,22 +249,37 @@ def cosine_near_dup_pairs(
             .select(a_ids.alias(id_col), b_ids.alias("__idb"))
             .dropDuplicates([id_col, "__idb"])
         )
-        va = bits.select(F.col(id_col), F.col(vec_col).alias("__va"))
+        va = bits.select(
+            F.col(id_col), F.col(vec_col).alias("__va"), F.col("__nv").alias("__na")
+        )
         vb = bits.select(
-            F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb")
+            F.col(id_col).alias("__idb"),
+            F.col(vec_col).alias("__vb"),
+            F.col("__nv").alias("__nb"),
         )
         scored = cand.join(va, id_col).join(vb, "__idb").select(
             F.col(id_col).alias("id_a"),
             F.col("__idb").alias("id_b"),
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine_sim"),
+            F.round(
+                cosine_hoisted(
+                    F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+                ),
+                6,
+            ).alias("cosine_sim"),
         )
         return scored.filter(F.col("cosine_sim") >= threshold)
     scored = pairs.select(
         a_ids.alias("id_a"),
         b_ids.alias("id_b"),
-        F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias(
-            "cosine_sim"
-        ),
+        F.round(
+            cosine_hoisted(
+                F.col(f"a.{vec_col}"),
+                F.col(f"b.{vec_col}"),
+                F.col("a.__nv"),
+                F.col("b.__nv"),
+            ),
+            6,
+        ).alias("cosine_sim"),
     )
     return scored.filter(F.col("cosine_sim") >= threshold)
 
@@ -305,19 +353,26 @@ def lsh_ann_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates share the sign-sketch bucket, exact
     cosine re-ranks inside the bucket.  Recall trades off with n_planes."""
-    v = vectors.withColumn("__bucket", sign_sketch(vec_col, dim, n_planes))
+    v = vectors.withColumn(
+        "__bucket", sign_sketch(vec_col, dim, n_planes)
+    ).withColumn("__vn", norm(F.col(vec_col)))
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
         sign_sketch(vec_col, dim, n_planes).alias("__bucket"),
-    )
+    ).withColumn("__qn", norm(F.col("__qvec")))
     joined = v.join(F.broadcast(q), on="__bucket").filter(
         F.col(query_id_col) != F.col(id_col)
     )
     scored = joined.select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("__cos"),
+        F.round(
+            cosine_hoisted(
+                F.col("__qvec"), F.col(vec_col), F.col("__qn"), F.col("__vn")
+            ),
+            6,
+        ).alias("__cos"),
     )
     # NULL-scored rows (zero-norm vectors) sort LAST and are dropped AFTER
     # the window: a pre-window isNotNull(__cos) filter gets pushed below the
@@ -600,14 +655,18 @@ def ivf_topk(
     """
     if centroids is None:
         centroids = _seed_centroids(vectors, n_cells, id_col, vec_col)
-    v = ivf_assign(vectors, centroids, vec_col=vec_col, method=assign_method)
+    v = ivf_assign(vectors, centroids, vec_col=vec_col, method=assign_method).withColumn(
+        "__vn", norm(F.col(vec_col))
+    )
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")
     ).withColumn("__sims", _centroid_sims("__qvec", centroids))
     probe = (
-        q.select(
+        q.withColumn("__qn", norm(F.col("__qvec")))
+        .select(
             F.col(query_id_col),
             F.col("__qvec"),
+            F.col("__qn"),
             F.posexplode("__sims").alias("__pos", "__sim"),
         )
         .withColumn(
@@ -620,7 +679,10 @@ def ivf_topk(
         )
         .filter(F.col("__pr") <= n_probe)
         .select(
-            F.col(query_id_col), F.col("__qvec"), (F.col("__pos") + 1).alias("__cell")
+            F.col(query_id_col),
+            F.col("__qvec"),
+            F.col("__qn"),
+            (F.col("__pos") + 1).alias("__cell"),
         )
     )
     joined = v.join(F.broadcast(probe), on="__cell").filter(
@@ -629,7 +691,12 @@ def ivf_topk(
     scored = joined.select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("__cos"),
+        F.round(
+            cosine_hoisted(
+                F.col("__qvec"), F.col(vec_col), F.col("__qn"), F.col("__vn")
+            ),
+            6,
+        ).alias("__cos"),
     )
     # NULL-scored rows (zero-norm vectors) sort LAST and are dropped AFTER
     # the window: a pre-window isNotNull(__cos) filter gets pushed below the
@@ -772,14 +839,23 @@ def quantized_cosine(qa: Column, qb: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    na = F.aggregate(
-        qa, F.lit(0).cast("long"), lambda acc, v: acc + v.cast("long") * v.cast("long")
-    )
-    nb = F.aggregate(
-        qb, F.lit(0).cast("long"), lambda acc, v: acc + v.cast("long") * v.cast("long")
-    )
     return d.cast("double") / F.nullif(
-        F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")), F.lit(0.0)
+        quantized_norm(qa) * quantized_norm(qb), F.lit(0.0)
+    )
+
+
+def quantized_norm(q: Column) -> Column:
+    """sqrt of the exact integer self-dot of an int8 code array, as the
+    double ``quantized_cosine`` divides by — exposed so pair joins can
+    hoist it to the per-side projections (``cosine_hoisted`` pattern:
+    same doubles, same multiply order, one fold per row instead of per
+    pair)."""
+    return F.sqrt(
+        F.aggregate(
+            q,
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v.cast("long") * v.cast("long"),
+        ).cast("double")
     )
 
 
@@ -796,15 +872,32 @@ def quantized_topk(
     ``cosine_topk`` (broadcast queries, corpus streams once) at a quarter
     of the memory traffic; scores differ from exact float cosine only by
     quantization error (~1e-2 at dim 64)."""
-    qv = quantize_embeddings(vectors, vec_col=vec_col)
+    qv = quantize_embeddings(vectors, vec_col=vec_col).withColumn(
+        "__vn", quantized_norm(F.col("q_embedding"))
+    )
     qq = quantize_embeddings(
         queries.select(F.col(query_id_col), F.col(vec_col)), vec_col=vec_col
-    ).select(F.col(query_id_col), F.col("q_embedding").alias("__qq"))
+    ).select(
+        F.col(query_id_col),
+        F.col("q_embedding").alias("__qq"),
+        quantized_norm(F.col("q_embedding")).alias("__qn"),
+    )
     joined = qv.join(F.broadcast(qq), F.col(query_id_col) != F.col(id_col))
+    d = F.aggregate(
+        F.zip_with(
+            F.col("__qq"),
+            F.col("q_embedding"),
+            lambda x, y: x.cast("long") * y.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
     scored = joined.select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(quantized_cosine(F.col("__qq"), F.col("q_embedding")), 6).alias("__cos"),
+        F.round(
+            d.cast("double") / F.nullif(F.col("__qn") * F.col("__vn"), F.lit(0.0)), 6
+        ).alias("__cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("__cos").desc_nulls_last(), F.col(id_col).asc()
@@ -898,13 +991,15 @@ def hard_negatives(
     Greenfield Spark work (no reference counterpart): the north-star
     LLM-data operators from BASELINE.json.
     """
-    v = vectors.withColumn("__bucket", sign_sketch(vec_col, dim, n_planes))
+    v = vectors.withColumn(
+        "__bucket", sign_sketch(vec_col, dim, n_planes)
+    ).withColumn("__vn", norm(F.col(vec_col)))
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
         F.col(label_col).alias("__qlabel"),
         sign_sketch(vec_col, dim, n_planes).alias("__bucket"),
-    )
+    ).withColumn("__qn", norm(F.col("__qvec")))
     joined = v.join(F.broadcast(q), on="__bucket").filter(
         (F.col(query_id_col) != F.col(id_col))
         & (F.col(label_col) != F.col("__qlabel"))
@@ -913,7 +1008,12 @@ def hard_negatives(
         F.col(query_id_col),
         F.col(id_col),
         F.col(label_col),
-        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("__cos"),
+        F.round(
+            cosine_hoisted(
+                F.col("__qvec"), F.col(vec_col), F.col("__qn"), F.col("__vn")
+            ),
+            6,
+        ).alias("__cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("__cos").desc_nulls_last(), F.col(id_col).asc()

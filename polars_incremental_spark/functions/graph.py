@@ -220,47 +220,64 @@ def label_propagation(
     contract that lets pagerank sit under a hash oracle.
 
     Scale shape: per iteration one equi-join (edges x labels keyed by
-    node), one groupBy(dst, label) count, then the per-node argmax as a
-    SECOND HASH AGG — ``max(struct(count, -label))`` — instead of a
+    node) and TWO hash aggs — groupBy(dst, label) weight sum, then the
+    per-node argmax as ``max(struct(sum, -label))`` instead of a
     row_number window (same result, no per-partition sort; measured
-    5.5s -> 2.8s for the g4 query at sf0.1), and one left join back to
-    the label set.  Labels checkpoint every 4th round (not every round:
-    the frame is tiny, so per-round materialization jobs dominated the
-    runtime); pass ``checkpoint_dir`` (reliable storage) on a real
-    cluster — same contract as pagerank.
+    5.5s -> 2.8s for the g4 query at sf0.1).  The keep-own-label rule for
+    isolated nodes is folded INTO the aggregation instead of a per-round
+    left join back to the label set: the checkpointed edge list carries a
+    weight-0 SELF-LOOP per node, so every node's own current label enters
+    the argmax with weight 0 — it loses to any real in-neighbor label
+    (weight >= 1) and wins exactly when there are none, which is the old
+    coalesce semantics; a label that arrives both ways sums c + 0 = c.
+    One join per round instead of two, and the labels subtree is
+    referenced once per round (the old shape referenced it twice, so the
+    unmaterialized plan doubled per round: g4's plan had 52 Exchange
+    nodes, now 22).  Wall-neutral at sf0.1 where the LSH edge build
+    dominates g4; the removed per-round shuffle of the full label set is
+    the piece that grows with node count.
+    Labels checkpoint every 4th round (not every round: the frame is
+    tiny, so per-round materialization jobs dominated the runtime); pass
+    ``checkpoint_dir`` (reliable storage) on a real cluster — same
+    contract as pagerank.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1; got {iterations}")
     chain = CheckpointChain(edges.sparkSession, checkpoint_dir)
+    raw = edges.select(
+        F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
+    )
     e = chain.next(
-        edges.select(
-            F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
+        raw.withColumn("__w", F.lit(1)).unionByName(
+            raw.select(F.col("__src").alias("node"))
+            .distinct()
+            .select(
+                F.col("node").alias("__src"),
+                F.col("node").alias("__dst"),
+                F.lit(0).alias("__w"),
+            )
         )
     )
-    labels = (
-        e.select(F.col("__src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node").cast("long"))
+    # the node set IS the self-loop set — read it back off the checkpoint
+    labels = e.filter(F.col("__w") == 0).select(
+        F.col("__src").alias("node"), F.col("__src").cast("long").alias("label")
     )
     last_ckpt = None
     for i in range(iterations):
         nbr = e.join(labels, e["__src"] == labels["node"]).select(
-            F.col("__dst").alias("node"), "label"
+            F.col("__dst").alias("node"), "label", "__w"
         )
-        counts = nbr.groupBy("node", "label").agg(F.count("*").alias("__c"))
-        # argmax(count, tie -> min label) = max over (count, -label):
+        counts = nbr.groupBy("node", "label").agg(F.sum("__w").alias("__c"))
+        # argmax(weight, tie -> min label) = max over (sum, -label):
         # exact integer struct comparison, deterministic in any engine
-        picked = (
+        labels = (
             counts.groupBy("node")
             .agg(
                 F.max(
                     F.struct(F.col("__c"), (-F.col("label")).alias("__nl"))
                 ).alias("__m")
             )
-            .select("node", (-F.col("__m.__nl")).cast("long").alias("__new"))
-        )
-        labels = labels.join(picked, "node", "left").select(
-            "node", F.coalesce(F.col("__new"), F.col("label")).alias("label")
+            .select("node", (-F.col("__m.__nl")).cast("long").alias("label"))
         )
         if (i + 1) % 4 == 0 and i + 1 < iterations:
             # lazy: the lineage cut is the point; materialization rides the

@@ -33,6 +33,23 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescing floor (default 1m) is a guard against
+        # micro-partition scheduling overhead, but it is byte-based and
+        # blind to join-output CPU: this engine's candidate-verify joins
+        # (d17/d18 prefix-filter collisions, array_intersect scoring) are
+        # CPU-dense on byte-light rows, and the 1m floor collapsed them to
+        # 2-4 post-shuffle partitions — d17's verify ran 4 tasks × ~1.2s
+        # while 28 cores idled and the 8-vs-32-core suite ratio was 0.85
+        # (round-12 PERF).  128k keeps those stages at ~defaultParallelism
+        # (parallelismFirst still targets total/parallelism; the floor only
+        # binds when shuffle bytes per core < 128k, i.e. never at scale —
+        # at 100 TB partitions are GBs and this setting is inert).
+        # Measured at sf0.1: d17 3.8-4.1s -> 2.6-3.0s, d18 1.3 -> 1.1s
+        # warm, suite-neutral elsewhere.  Env-tunable for A/Bs.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "128k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # InferFiltersFromGenerate puts a size(arr)>0 filter UNDER every

@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..cache import scoped_persist
+from .dedup import spread
 from .text import md5_long
 
 
@@ -92,8 +93,13 @@ def cosine_topk(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")
     ).withColumn("__qn", norm(F.col("__qvec")))
     # per-side norms ride the pre-join projections (cosine_hoisted): the
-    # corpus norm is one fold per corpus row instead of one per scored pair
-    v = vectors.withColumn("__vn", norm(F.col(vec_col)))
+    # corpus norm is one fold per corpus row instead of one per scored pair.
+    # spread: the corpus usually arrives as one small-file scan partition,
+    # and with broadcast queries the whole interpreted-HOF scoring would
+    # pipeline on that one task (round-13 profile: every s-family stage ran
+    # 1 task at sf0.1/sf1) — the one-row-per-vector exchange is noise next
+    # to the per-pair dot folds it parallelizes
+    v = spread(vectors).withColumn("__vn", norm(F.col(vec_col)))
     joined = v.alias("v").join(F.broadcast(q), F.col(query_id_col) != F.col(id_col))
     scored = joined.select(
         F.col(query_id_col),
@@ -162,6 +168,11 @@ def cosine_near_dup_pairs(
     """
     if n_planes % band_size != 0:
         raise ValueError("n_planes must be a multiple of band_size")
+    # the sign-sketch build (n_planes × dim interpreted folds per row) and
+    # the exact path's pair scoring are CPU-bound on a corpus that arrives
+    # as one small-file scan partition — spread them across the cluster
+    # before any per-row work (same rationale as shingle_posting_list)
+    vectors = spread(vectors)
     a_ids = F.col(f"a.{id_col}")
     b_ids = F.col(f"b.{id_col}")
     if exact:
@@ -353,7 +364,7 @@ def lsh_ann_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates share the sign-sketch bucket, exact
     cosine re-ranks inside the bucket.  Recall trades off with n_planes."""
-    v = vectors.withColumn(
+    v = spread(vectors).withColumn(
         "__bucket", sign_sketch(vec_col, dim, n_planes)
     ).withColumn("__vn", norm(F.col(vec_col)))
     q = queries.select(
@@ -655,9 +666,9 @@ def ivf_topk(
     """
     if centroids is None:
         centroids = _seed_centroids(vectors, n_cells, id_col, vec_col)
-    v = ivf_assign(vectors, centroids, vec_col=vec_col, method=assign_method).withColumn(
-        "__vn", norm(F.col(vec_col))
-    )
+    v = ivf_assign(
+        spread(vectors), centroids, vec_col=vec_col, method=assign_method
+    ).withColumn("__vn", norm(F.col(vec_col)))
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")
     ).withColumn("__sims", _centroid_sims("__qvec", centroids))
@@ -745,6 +756,10 @@ def ivf_refine_centroids(
     engine (same trick as ``label_centroids``), so an unrolled-CTE oracle
     can replay the full Lloyd loop — see S5B_SQL in queries.py.
     """
+    # spread once, outside the loop: every iteration's assignment (one
+    # matmul per Arrow batch / per-row folds) otherwise runs on the small
+    # number of scan partitions the corpus file yields
+    vectors = spread(vectors)
     for _ in range(n_iter):
         assigned = ivf_assign(vectors, centroids, vec_col=vec_col, method=assign_method)
         unit = F.transform(
@@ -872,7 +887,7 @@ def quantized_topk(
     ``cosine_topk`` (broadcast queries, corpus streams once) at a quarter
     of the memory traffic; scores differ from exact float cosine only by
     quantization error (~1e-2 at dim 64)."""
-    qv = quantize_embeddings(vectors, vec_col=vec_col).withColumn(
+    qv = quantize_embeddings(spread(vectors), vec_col=vec_col).withColumn(
         "__vn", quantized_norm(F.col("q_embedding"))
     )
     qq = quantize_embeddings(
@@ -991,7 +1006,7 @@ def hard_negatives(
     Greenfield Spark work (no reference counterpart): the north-star
     LLM-data operators from BASELINE.json.
     """
-    v = vectors.withColumn(
+    v = spread(vectors).withColumn(
         "__bucket", sign_sketch(vec_col, dim, n_planes)
     ).withColumn("__vn", norm(F.col(vec_col)))
     q = queries.select(
@@ -1130,6 +1145,9 @@ def pq_train_codebooks(
 
     # seeds once (ordering depends only on the id); slice per subspace
     full_seeds = _seed_centroids(vectors, n_codes, id_col, vec_col)
+    # spread before the per-iteration assignment passes (see
+    # ivf_refine_centroids)
+    vectors = spread(vectors)
     codebooks = [
         [c[i * sub : (i + 1) * sub] for c in full_seeds] for i in range(n_sub)
     ]
@@ -1219,6 +1237,9 @@ def pq_encode(
     of payload per vector — the 128× compression the scan side lives on."""
     n_sub = len(codebooks)
     sub = len(codebooks[0][0])
+    # NO spread here: pq_encode feeds index WRITE paths (ann_index), where
+    # inflating the partition count multiplies output files (guide §6);
+    # the scan-side pq_topk composition spreads at its own call site
     coded = vectors.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
@@ -1320,7 +1341,7 @@ def pq_topk(
         id_col=id_col, vec_col=vec_col, dim=dim, assign_method=assign_method,
     )
     coded = pq_encode(
-        vectors, codebooks, id_col=id_col, vec_col=vec_col,
+        spread(vectors), codebooks, id_col=id_col, vec_col=vec_col,
         assign_method=assign_method,
     )
     q = pq_query_luts(

@@ -7296,57 +7296,55 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 
 # Driver grading-window rotation: the driver hash-grades the FIRST 50
 # registry entries each round, so the dict is reordered stalest-graded
-# first.  Round 12 (re-derived from CORRECTNESS_r01..r11 latest
-# verdicts: 15 entries at round 7, 50 at round 8, 50 at round 10, 50
-# at round 11): the 15 round-7-stale entries lead (they were queued at
-# positions 51-65 last round, re-verified locally 15/15 green), then
-# 35 of the round-8 block — ordered so the families whose code paths
-# moved most in rounds 9-11 (the dedup/similarity verify rewrite, the
-# joins/CDC framework re-verification, the sketch-store versioning,
-# the skew/multimodal touch-ups) grade first — and the 15 most-stable
-# round-8 entries (text t-family, plain sampling) sit at positions
-# 51-65 to lead round 13's window.
+# first.  Round 13 (re-derived from the union of CORRECTNESS_r01..r12
+# key sets — last-graded round per query: 15 entries at round 8, 50 at
+# round 10, 50 at round 11, 50 at round 12): the 15 round-8-stale
+# entries lead (queued at positions 51-65 last round, exactly as the
+# round-12 rotation planned), then 35 of the round-10 block — ordered
+# so the families whose code paths moved THIS round grade first (the
+# graph loop folds g1/g4/g5, the d17/d18 verify whose parallelism the
+# AQE-floor change altered, and the u20/r39 pair round 12 flagged as
+# unadjudicated regressions) — and the 15 remaining round-10 entries
+# sit at positions 51-65 to lead round 14.
 _GRADE_FIRST = [
-    # --- last driver-graded round 7 (stalest; verdict r11 item #1) ---
-    "r02_json_roundtrip", "r03_projection", "r04_filter_isin",
-    "r05_expression", "r06_cast", "r07_null_literal", "r08_case_when",
-    "r09_struct_json", "r15_union_by_name", "r16_remap", "r17_limit0",
-    "r18_scalar_agg", "r19_sql_report", "r20_drop_cols",
-    "r23_user_running_totals",
-    # --- round-8 block, most-rewritten-since first ---
-    # dedup verify path rewritten rounds 9-10, threshold guards r11
-    "d12_bloom_decontaminate", "d14_edit_distance_pairs",
-    # similarity family (candidate/verify helpers rewritten r9-r11)
-    "s8_label_centroids", "s9_centroid_similarity",
-    # temporal joins (framework siblings re-verified r11)
-    "asof_fwd_click_after_error",
-    # sketch store scheme-versioned r11
-    "u4_kmv_distinct",
-    # skew toolkit (top-k / salting comments + release lifecycle r11)
-    "u7_hot_keys", "u7b_salted_join_groups", "u7c_two_phase_collect",
-    # multimodal (m1b sibling re-graded r11)
-    "m2_frame_sample", "m3_image_decode",
-    # memory-tight flagged queries — want fresh verdicts on final code
-    "t11_char_lm_score", "t9_curate_topk", "t10_quality_deciles",
-    # watermark + TPC-H-ish round-8 block
-    "w1_drop_late", "q1_pricing_summary", "q2_min_cost_supplier",
-    "q3_shipping_priority", "q5_region_revenue", "q6_forecast_revenue",
-    "q11_important_parts", "q12_late_priority_lines",
-    # schema-evolution entries
-    "schema_evolve_add", "schema_type_widen", "schema_rescue",
-    # relational/window round-8 block
-    "r24_trailing_hour", "r26_ranking_functions", "r27_json_props",
-    "r28_funnel", "r29_full_outer",
-    # sampling/curation with r9-r11-touched helpers
-    "u8_group_sample", "u9_weighted_sample", "u10_token_mixture",
-    "u11_token_shards", "u12_sliding_chunks",
-    # --- positions 51-65: remaining round-8 entries (stable code
-    # paths: text t-family + plain hash sampling), lead round 13 ---
+    # --- last driver-graded round 8 (stalest; r12 verdict item #7) ---
     "t1_text_stats", "t2_lang_id", "t3_fingerprint", "t4_token_counts",
     "t5_top_ngrams", "t6_repetition", "t7_pii_redaction",
     "t8_tfidf_top_terms", "t12_ngram_novelty", "t13_gopher_quality",
     "u1_hash_sample", "u2_stratified_sample", "u3_hash_split",
     "u5_mixture_sample", "u6_pack_sequences",
+    # --- round-10 block, touched-this-round first ---
+    # graph loops folded r13 (self-loop aggregation, no join-back)
+    "g1_pagerank", "g4_communities", "g5_bfs_reach", "g2_triangles",
+    # exact-verify operators whose stage parallelism the r13 AQE
+    # minPartitionSize change re-shaped
+    "d17_prefix_filter_join", "d18_containment_pairs",
+    "d16_duplicated_spans", "d10_chunk_dedup", "d15_boilerplate_strip",
+    # the two round-12 "regressed" queries — fresh hash verdicts on the
+    # adjudicated-noise claim
+    "u20_kmv_set_ops", "r39_session_incident_overlap",
+    # sketch family sharing u20's store helpers
+    "u18_cms_heavy_hitters", "u19_quantile_sketch", "u21_hll_distinct",
+    "u22_distinct_growth", "u13_histogram_quantiles",
+    # similarity/ANN family (norm-hoist r12, re-measured r13)
+    "s5_ivf_topk", "s5b_ivf_refined_topk", "s12_pq_topk",
+    "s14_ann_recall", "s13_event_cooccurrence", "s10_hard_negatives",
+    "s11_diverse_topk",
+    # text scoring on touched helpers
+    "t16_bm25_topk", "t17_term_pmi", "t18_rake_keywords",
+    "t14_linear_classifier",
+    # multimodal block
+    "m1_multimodal_features", "m4_audio_decode", "m5_image_transform",
+    "m6_audio_frames", "m7_scene_changes", "m8_video_index",
+    # relational/window round-10 block
+    "r36_funnel", "r41_session_paths",
+    # --- positions 51-65: remaining round-10 entries, lead round 14 ---
+    "t19_vocab_oov", "t15_readability", "u14_temperature_sample",
+    "u15_data_profile", "u17_leakage_safe_split",
+    "r25_sliding_window", "r30_lead_lag", "r31_cohort_retention",
+    "r32_map_props", "r33_unpivot", "r34_attribution",
+    "r35_cube_revenue", "r37_gap_fill", "r38_activity_streaks",
+    "r40_event_transitions",
 ]
 # dict merge keeps the FIRST insertion position for duplicate keys, so
 # this is exactly "graded-first entries, then everything else in place"

@@ -43,6 +43,7 @@ def _brute_topk(spark, corpus, queries, k):
     )
 
 
+@pytest.mark.slow  # round-13 tiering: long randomized/property probe
 def test_full_probe_search_equals_brute_force(spark, emb, tmp_path):
     idx = str(tmp_path / "ivf")
     ai.build_ivf_index(spark, emb, idx, n_cells=8, refine_iters=1)

@@ -16,6 +16,11 @@ from __future__ import annotations
 import random
 
 import pytest
+
+# round-13 test tiering: randomized fuzz/stress campaign — slow tier
+# (directed tests + the DuckDB oracle gate cover the same operators)
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from polars_incremental_spark.sinks.deltalog import (

@@ -39,6 +39,7 @@ def _collect_sorted(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+@pytest.mark.slow  # round-13 tiering: long randomized/property probe
 def test_cosine_hoisted_equals_composed(spark, vecs):
     a = vecs.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
     b = vecs.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
@@ -63,6 +64,7 @@ def test_cosine_hoisted_equals_composed(spark, vecs):
     assert _collect_sorted(composed) == _collect_sorted(hoisted)
 
 
+@pytest.mark.slow  # round-13 tiering: long randomized/property probe
 def test_quantized_norm_hoist_equals_composed(spark, vecs):
     qv = S.quantize_embeddings(vecs, vec_col="embedding")
     a = qv.select(F.col("vec_id").alias("ia"), F.col("q_embedding").alias("qa"))

@@ -15,6 +15,11 @@ contention:
 
 import threading
 
+import pytest
+
+# round-13 test tiering: multi-writer storm campaign - slow tier
+pytestmark = pytest.mark.slow
+
 from polars_incremental_spark.checkpoints.delta import DeltaLog
 from polars_incremental_spark.sinks.delta import read_table, write_table
 from polars_incremental_spark.sinks.deltalog import (

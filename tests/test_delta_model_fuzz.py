@@ -16,6 +16,11 @@ checkpoint-protocol defects were both of exactly this class.
 import random
 
 import pytest
+
+# round-13 test tiering: randomized fuzz/stress campaign — slow tier
+# (directed tests + the DuckDB oracle gate cover the same operators)
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from polars_incremental_spark.checkpoints.delta import DeltaLog

@@ -4,6 +4,8 @@ cannot share this test session's JVM) and proves task retry, python-worker
 death, and executor-JVM SIGKILL all recover with EXACT results, plus
 exactly-once through the Delta-log writer on a faulted lineage."""
 
+import pytest
+
 import os
 import subprocess
 import sys
@@ -11,6 +13,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow  # round-13 tiering: long randomized/property probe
 def test_fault_injection_under_local_cluster():
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "fault_injection.py")],

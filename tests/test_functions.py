@@ -305,6 +305,7 @@ def test_decode_image_features_spark(spark):
     assert out[4]["decode_error"] == "null content"
 
 
+@pytest.mark.slow  # round-13 tiering: long randomized/property probe
 def test_cosine_near_dup_exact_vs_lsh(vectors):
     exact = {
         (r["id_a"], r["id_b"]): r["cosine_sim"]

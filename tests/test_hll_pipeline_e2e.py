@@ -86,6 +86,7 @@ def _run(spark, work, *, crash_batch=None):
     return index, folds, curve
 
 
+@pytest.mark.slow  # round-13 tiering: long randomized/property probe
 def test_hll_store_crash_replay_matches_control(spark, tmp_path):
     ctrl = tmp_path / "control"
     cr = tmp_path / "crashed"

@@ -154,6 +154,7 @@ def _snapshot(spark, dirs):
     return {"curated": curated, "lsh": lsh, "bloom": bloom, "shards": shards, "seen": seen}
 
 
+@pytest.mark.slow  # round-13 tiering: long randomized/property probe
 def test_llm_pipeline_crash_restart_converges_to_control(spark, sf_dir, tmp_path):
     control = _run_two_batches(spark, sf_dir, str(tmp_path / "control"))
     crashed = _run_two_batches(

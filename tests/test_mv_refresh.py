@@ -194,6 +194,7 @@ def test_null_group_key_rejected(spark, tmp_path):
         create_agg_mv(spark, base, mv, group_cols=["g"], sum_cols=["x"])
 
 
+@pytest.mark.slow  # round-13 tiering: long randomized/property probe
 def test_randomized_dml_storm_always_matches_recompute(spark, tmp_path):
     rng = random.Random(20260815)
     base, mv = str(tmp_path / "b"), str(tmp_path / "m")
@@ -318,6 +319,7 @@ def test_minmax_mv_update_retracts_extremum(spark, tmp_path):
     }
 
 
+@pytest.mark.slow  # round-13 tiering: long randomized/property probe
 def test_minmax_mv_randomized_dml_storm(spark, tmp_path):
     """min/max MVs under a full insert/delete/update storm always match
     a recompute — the retracted-group re-aggregation is exact."""
@@ -431,6 +433,7 @@ def test_join_mv_appends_both_sides(spark, tmp_path):
     }
 
 
+@pytest.mark.slow  # round-13 tiering: long randomized/property probe
 def test_join_mv_one_sided_appends_and_storm(spark, tmp_path):
     import random
 
@@ -558,6 +561,7 @@ def test_join_mv_null_payload_tuples_merge_safely(spark, tmp_path):
     assert _join_mv_rows(spark, mv) == _join_recompute(spark, lp, rp)
 
 
+@pytest.mark.slow  # round-13 tiering: long randomized/property probe
 def test_join_mv_randomized_dml_storm(spark, tmp_path):
     """Counting IVM under a full two-sided insert/delete/update storm
     always matches the recomputed join (bag semantics)."""

@@ -13,6 +13,11 @@ import random
 
 import pytest
 
+# round-13 test tiering: randomized fuzz/stress campaign — slow tier
+# (directed tests + the DuckDB oracle gate cover the same operators)
+pytestmark = pytest.mark.slow
+
+
 from polars_incremental_spark import FilesSource, Pipeline, WriterError, write_parquet_batch
 
 

@@ -10,6 +10,11 @@ union under the widening lattice regardless of arrival order.
 import random
 
 import pytest
+
+# round-13 test tiering: randomized fuzz/stress campaign — slow tier
+# (directed tests + the DuckDB oracle gate cover the same operators)
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from polars_incremental_spark import FilesSource, Pipeline

@@ -20,6 +20,11 @@ import random
 
 import pytest
 
+# round-13 test tiering: randomized fuzz/stress campaign — slow tier
+# (directed tests + the DuckDB oracle gate cover the same operators)
+pytestmark = pytest.mark.slow
+
+
 from polars_incremental_spark.cache import release_operator_caches
 from polars_incremental_spark.functions import dedup
 

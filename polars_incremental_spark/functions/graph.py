@@ -41,13 +41,21 @@ def pagerank(
     the oracle replay stays a pure join/group chain.
 
     Scale shape: per iteration one equi-join (edges x ranks, both keyed
-    by node), one groupBy(dst), one left join back to the node set —
-    shuffles keyed by node id throughout, cost = iterations, the same
-    profile as connected_components.  Lineage is truncated per round to
-    keep the plan linear in iterations; pass ``checkpoint_dir`` (reliable
-    storage) on a real cluster so an executor loss mid-iteration is
-    recoverable — the default ``localCheckpoint`` stores blocks on
-    executors only (see ``iterutils``).
+    by node) and one groupBy(dst) — shuffles keyed by node id throughout,
+    cost = iterations, the same profile as connected_components.  The
+    keep-every-node rule (a node with no in-edges still gets teleport
+    rank) is folded INTO the aggregation instead of a per-round left join
+    back to the node set: the checkpointed edge list carries a
+    NULL-degree SELF-LOOP per node, whose contribution ``rank div NULL``
+    is NULL — invisible to the sum when real contributions exist, and a
+    NULL total (coalesced to 0 in the rank update, as the join-back
+    already did) when none do, while guaranteeing every node a group row
+    (same trick as label_propagation's weight-0 self-loops).  Lineage is
+    truncated per round to keep the plan linear in iterations; pass
+    ``checkpoint_dir`` (reliable storage) on a real cluster so an
+    executor loss mid-iteration is recoverable — the default
+    ``localCheckpoint`` stores blocks on executors only (see
+    ``iterutils``).
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1; got {iterations}")
@@ -78,7 +86,15 @@ def pagerank(
     # repartition defeats AQE partition coalescing, and the ranks side is
     # node-sized so AQE broadcasts it anyway, leaving no per-round edge
     # exchange to save.  Revisit only if ranks ever outgrow broadcast.)
-    e_deg = chain.next(e.join(deg, "__src"))
+    e_deg = chain.next(
+        e.join(deg, "__src").unionByName(
+            nodes.select(
+                F.col("node").alias("__src"),
+                F.col("node").alias("__dst"),
+                F.lit(None).cast("long").alias("__deg"),
+            )
+        )
+    )
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
     for i in range(iterations):
         contribs = e_deg.join(
@@ -87,11 +103,11 @@ def pagerank(
             F.col("__dst").alias("node"),
             F.expr("rank div __deg").alias("__c"),
         )
-        received = contribs.groupBy("node").agg(
-            F.sum("__c").cast("long").alias("__s")
-        )
+        # every node has its NULL self-contribution row, so the group set
+        # IS the node set and sum() ignores the NULL — no join-back needed
         ranks = (
-            nodes.join(received, "node", "left")
+            contribs.groupBy("node")
+            .agg(F.sum("__c").cast("long").alias("__s"))
             .select(
                 "node",
                 (
